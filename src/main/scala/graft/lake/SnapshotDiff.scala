@@ -1,0 +1,82 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Snapshot change-data capture — the reference's flagship dataflow.
+  *
+  * Reference semantics (`scripts/script_api_apify_to_spark.py:238-248`):
+  * given the current snapshot and the previous snapshot of the same table,
+  * rows present only in current are tagged `added`, rows present only in
+  * previous are tagged `deleted`, via two left-anti joins on a composite
+  * equi-key plus `unionByName`. Notable fidelity points (SURVEY §5, FIXTURES §2):
+  *   - duplicate key pairs within one snapshot are NOT deduplicated;
+  *   - NULL key columns never match (SQL null semantics), so a row with a
+  *     NULL key shows up as both added and deleted.
+  *
+  * Scale notes (100 TB): the two anti-joins shuffle both inputs on the key.
+  * Catalyst broadcasts the smaller side when it fits
+  * (`autoBroadcastJoinThreshold`), else sort-merge-joins; AQE converts to a
+  * broadcast join at runtime when the post-filter size allows. Because both
+  * joins share the same join key, the exchange of `cur` and `prev` is reused
+  * across J1/J2 (ReusedExchange), so the diff costs one shuffle per input,
+  * not two. For repeated hourly diffs at scale, write snapshots bucketed by
+  * the key to make the diff shuffle-free.
+  */
+object SnapshotDiff {
+
+  /** J1 + J2 + U1 composed (reference `:242-248`). */
+  def diff(cur: DataFrame, prev: DataFrame, keys: Seq[String],
+           addedTag: String = "added", deletedTag: String = "deleted"): DataFrame = {
+    val added = cur.join(prev, keys, "left_anti").withColumn("change", lit(addedTag))
+    val deleted = prev.join(cur, keys, "left_anti").withColumn("change", lit(deletedTag))
+    added.unionByName(deleted)
+  }
+
+  /** J1 alone: rows in `cur` missing from `prev` (reference `:242-244`). */
+  def added(cur: DataFrame, prev: DataFrame, keys: Seq[String]): DataFrame =
+    cur.join(prev, keys, "left_anti").withColumn("change", lit("added"))
+
+  /** J2 alone: rows in `prev` missing from `cur` (reference `:245-247`). */
+  def deleted(cur: DataFrame, prev: DataFrame, keys: Seq[String]): DataFrame =
+    prev.join(cur, keys, "left_anti").withColumn("change", lit("deleted"))
+
+  // --- Deterministic snapshot pair synthesized from `customer`, so the
+  // --- DuckDB oracle can derive the identical inputs with plain SQL.
+
+  private def custKey: Column = col("c_custkey")
+
+  /** "Current" snapshot: the customer table projected to the diff schema. */
+  def synthCurrent(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+
+  /** "Previous" snapshot: drop every 10th customer (those become `added`)
+    * and rename every 7th (old name becomes `deleted`, new one `added` —
+    * composite-key semantics).
+    */
+  def synthPrevious(s: SparkSession, d: String): DataFrame =
+    synthCurrent(s, d)
+      .where(custKey % 10 =!= 0)
+      .withColumn("c_name",
+        when(custKey % 7 === 0, concat(col("c_name"), lit("_v0")))
+          .otherwise(col("c_name")))
+
+  val diffKeys: Seq[String] = Seq("c_custkey", "c_name")
+
+  /** Shared oracle CTE prelude deriving the same snapshot pair in SQL. */
+  val oracleCtes: String =
+    """WITH cur AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+      |prev AS (SELECT c_custkey,
+      |               CASE WHEN c_custkey % 7 = 0 THEN c_name || '_v0' ELSE c_name END AS c_name,
+      |               c_acctbal
+      |        FROM customer WHERE c_custkey % 10 <> 0),
+      |added AS (SELECT cur.c_custkey, cur.c_name, cur.c_acctbal, 'added' AS change FROM cur
+      |          WHERE NOT EXISTS (SELECT 1 FROM prev
+      |                            WHERE prev.c_custkey = cur.c_custkey AND prev.c_name = cur.c_name)),
+      |deleted AS (SELECT prev.c_custkey, prev.c_name, prev.c_acctbal, 'deleted' AS change FROM prev
+      |            WHERE NOT EXISTS (SELECT 1 FROM cur
+      |                              WHERE cur.c_custkey = prev.c_custkey AND cur.c_name = prev.c_name))
+      |""".stripMargin
+}

@@ -1,0 +1,194 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.SnapshotDiff
+import graft.sources.Tables._
+
+/** Core parity queries — one per reference-derived operator (SURVEY §2.1/2.2).
+  *
+  * Every query is deterministic end-to-end (explicit ORDER BY on a unique
+  * key) so the driver's DuckDB hash-compare is stable regardless of plan or
+  * partition count. Aggregates over non-integral doubles go through
+  * DECIMAL(18,2) accumulation and a final cast to double, which is exact and
+  * bit-identical in Spark and DuckDB (see Rel.dsum).
+  */
+object Core {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S5: plain vectorized parquet scan, full row, deterministic order.
+    "q_scan" -> ((s, d) =>
+      lineitem(s, d).orderBy("l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey", "l_quantity", "l_extendedprice")),
+
+    // P1: column projection — Catalyst prunes the scan to two columns
+    // (reference script_api_apify_to_spark.py:156-157).
+    "q_project" -> ((s, d) =>
+      customer(s, d).select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // P2: literal tag columns (reference :244,:247; apify_dag.py:147).
+    "q_lit_tag" -> ((s, d) =>
+      supplier(s, d)
+        .select("s_suppkey", "s_name")
+        .withColumn("change", lit("added"))
+        .withColumn("username_scraped", lit("acct_main"))
+        .orderBy("s_suppkey")),
+
+    // P4: non-empty-string predicate, engine-level (reference :28,:45 —
+    // there it hides inside the Python UDF; here Catalyst can push it down).
+    "q_filter_nonempty" -> ((s, d) =>
+      part(s, d)
+        .where(col("p_name").isNotNull && trim(col("p_name")) =!= "")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")),
+
+    // A1: global count (reference :167,:209,:258).
+    "q_count" -> ((s, d) =>
+      lineitem(s, d).agg(count(lit(1)).as("n_rows"))),
+
+    // L1: deterministic limit/preview (reference show(n) :169,:181).
+    "q_limit" -> ((s, d) =>
+      orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey").limit(20)),
+
+    // P3: nested struct build + field extraction + drop (reference :175-178).
+    "q_struct_flatten" -> ((s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_acctbal").as("acctbal")).as("info"))
+        .select(col("c_custkey"),
+          col("info.name").as("c_name"), col("info.acctbal").as("c_acctbal"))
+        .orderBy("c_custkey")),
+
+    // S3: JSON payload normalization — permissive parse of a JSON string
+    // column to typed fields (reference :144-151 normalizes list/dict paylods;
+    // here from_json replaces the pandas hop entirely).
+    "q_json_normalize" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("prop_k"))
+        .orderBy("event_id")),
+
+    // J1: left-anti join on composite key → added rows (reference :242-244).
+    "q_anti_added" -> ((s, d) =>
+      SnapshotDiff.added(SnapshotDiff.synthCurrent(s, d),
+          SnapshotDiff.synthPrevious(s, d), SnapshotDiff.diffKeys)
+        .orderBy("c_custkey", "c_name")),
+
+    // J2: reversed anti-join → deleted rows (reference :245-247).
+    "q_anti_deleted" -> ((s, d) =>
+      SnapshotDiff.deleted(SnapshotDiff.synthCurrent(s, d),
+          SnapshotDiff.synthPrevious(s, d), SnapshotDiff.diffKeys)
+        .orderBy("c_custkey", "c_name")),
+
+    // J1+J2+U1: the flagship snapshot diff (reference :238-248).
+    "q_snapshot_diff" -> ((s, d) =>
+      SnapshotDiff.diff(SnapshotDiff.synthCurrent(s, d),
+          SnapshotDiff.synthPrevious(s, d), SnapshotDiff.diffKeys)
+        .orderBy("change", "c_custkey", "c_name")),
+
+    // U2: n-ary unionByName fold with per-branch lineage tags
+    // (reference apify_dag.py:141-148 loops read+tag+union per account).
+    "q_union_fold" -> ((s, d) => {
+      val branches = Seq(0, 1, 2).map { i =>
+        supplier(s, d)
+          .where(col("s_nationkey") % 3 === i)
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+          .withColumn("username_scraped", lit(s"acct_$i"))
+      }
+      branches.reduce(_ unionByName _).orderBy("s_suppkey")
+    }),
+
+    // S11: glob multi-file discovery — write a partitioned copy, then read
+    // it back through a glob path in ONE scan (reference apify_dag.py:134-141
+    // does this with a Python glob loop; Spark path-globs + partition
+    // discovery replace the loop).
+    "q_glob_scan" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft_glob").toFile.getAbsolutePath
+      supplier(s, d)
+        .withColumn("bucket", (col("s_nationkey") % 3).cast("int"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      s.read.option("basePath", tmp).parquet(s"$tmp/bucket=*")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal", "bucket")
+        .orderBy("s_suppkey")
+    }),
+
+    // S12: previous-snapshot discovery — the reference lists + sorts dirs and
+    // takes the greatest < current (script_api_apify_to_spark.py:218-234).
+    // Spark-native: run_time is a real partition column; the max() below reads
+    // only partition METADATA (no data rows), then the equality filter prunes
+    // the scan to the single chosen partition — the pattern that scales to
+    // thousands of snapshots.
+    "q_prev_snapshot" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft_snap").toFile.getAbsolutePath
+      val o = orders(s, d).select("o_orderkey", "o_totalprice")
+      Seq(900, 1000, 1100)
+        .map(h => o.where(col("o_orderkey") % (h / 100) === 0).withColumn("run_time", lit(h)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").partitionBy("run_time").parquet(tmp)
+      val snaps = s.read.parquet(tmp)
+      val current = 1100
+      val prev = snaps.where(col("run_time") < current)
+        .agg(max("run_time")).first().getInt(0)
+      snaps.where(col("run_time") === prev)
+        .select("o_orderkey", "o_totalprice", "run_time")
+        .orderBy("o_orderkey")
+    })
+  )
+
+  private val diffCtes = SnapshotDiff.oracleCtes
+
+  val oracles: Map[String, String] = Map(
+    "q_scan" ->
+      """SELECT * FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice""".stripMargin,
+    "q_project" ->
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+    "q_lit_tag" ->
+      """SELECT s_suppkey, s_name, 'added' AS change, 'acct_main' AS username_scraped
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_filter_nonempty" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_name IS NOT NULL AND trim(p_name) <> '' ORDER BY p_partkey""".stripMargin,
+    "q_count" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+    "q_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20",
+    "q_struct_flatten" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
+    "q_json_normalize" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_anti_added" ->
+      (diffCtes + "SELECT * FROM added ORDER BY c_custkey, c_name"),
+    "q_anti_deleted" ->
+      (diffCtes + "SELECT * FROM deleted ORDER BY c_custkey, c_name"),
+    "q_snapshot_diff" ->
+      (diffCtes +
+        """SELECT * FROM (SELECT * FROM added UNION ALL SELECT * FROM deleted)
+          |ORDER BY change, c_custkey, c_name""".stripMargin),
+    "q_union_fold" ->
+      """SELECT * FROM (
+        |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 'acct_0' AS username_scraped
+        |  FROM supplier WHERE s_nationkey % 3 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 'acct_1' AS username_scraped
+        |  FROM supplier WHERE s_nationkey % 3 = 1
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 'acct_2' AS username_scraped
+        |  FROM supplier WHERE s_nationkey % 3 = 2
+        |) ORDER BY s_suppkey""".stripMargin,
+    "q_glob_scan" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+        |       CAST(s_nationkey % 3 AS INTEGER) AS bucket
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_prev_snapshot" ->
+      """SELECT o_orderkey, o_totalprice, 1000 AS run_time
+        |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the harness star schema (TESTDATA.md).
+  *
+  * Mirrors the reference's parquet-scan surface (SURVEY §2 S5;
+  * reference `scripts/script_api_apify_to_spark.py:228`,
+  * `airflow/dags/apify_dag.py:146,166`): every table is a directory/file of
+  * parquet read by Spark's built-in vectorized reader, so column pruning and
+  * filter pushdown reach the scan for free.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
+    * long nanos (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * Verify/Bench/tests). Normalize to TimestampType (micros) with integer
+    * division — the fixture has no sub-microsecond components, so this is
+    * lossless and matches DuckDB's read of the same file.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

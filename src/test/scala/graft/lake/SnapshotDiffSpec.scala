@@ -1,0 +1,77 @@
+package graft.lake
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Golden fixture pinning the reference's snapshot-diff semantics
+  * (FIXTURES.md §2; reference script_api_apify_to_spark.py:238-248).
+  */
+class SnapshotDiffSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("username", StringType), StructField("full_name", StringType)))
+
+  private def df(rows: Seq[(String, String)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (u, f) => Row(u, f) }),
+      schema)
+
+  private val keys = Seq("username", "full_name")
+
+  test("golden diff: added/deleted/changed/dup/null-key rows") {
+    val prev = df(Seq(
+      ("stay", "Same Person"),        // unchanged
+      ("gone", "Was Here"),           // deleted-only
+      ("rename", "Old Name"),         // composite-key change → deleted
+      ("dup", "Twice"), ("dup", "Twice"), // in-snapshot duplicate, survives twice
+      ("nullkey", null)               // NULL key never matches → added AND deleted
+    ))
+    val cur = df(Seq(
+      ("stay", "Same Person"),
+      ("fresh", "New Person"),        // added-only
+      ("rename", "New Name"),         // composite-key change → added
+      ("dup", "Twice"), ("dup", "Twice"),
+      ("nullkey", null)
+    ))
+    def key(t: (String, String, String)) = (t._1, Option(t._2).getOrElse(""), t._3)
+    val out = SnapshotDiff.diff(cur, prev, keys)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(key).toSeq
+
+    val expected = Seq(
+      ("fresh", "New Person", "added"),
+      ("gone", "Was Here", "deleted"),
+      ("nullkey", null, "added"),
+      ("nullkey", null, "deleted"),
+      ("rename", "New Name", "added"),
+      ("rename", "Old Name", "deleted")
+    ).sortBy(key)
+    assert(out === expected)
+  }
+
+  test("property: diff(s, s) is empty") {
+    val s1 = df(Seq(("a", "A"), ("b", "B"), ("b", "B")))
+    assert(SnapshotDiff.diff(s1, s1, keys).count() === 0)
+  }
+
+  test("property: added(a,b) == deleted(b,a) modulo tag") {
+    val a = df(Seq(("a", "A"), ("b", "B")))
+    val b = df(Seq(("b", "B"), ("c", "C")))
+    val lhs = SnapshotDiff.added(a, b, keys).drop("change").collect().toSet
+    val rhs = SnapshotDiff.deleted(b, a, keys).drop("change").collect().toSet
+    assert(lhs === rhs)
+  }
+
+  test("synthesized snapshots diff as designed") {
+    val out = SnapshotDiff.diff(
+      SnapshotDiff.synthCurrent(spark, sf),
+      SnapshotDiff.synthPrevious(spark, sf), SnapshotDiff.diffKeys)
+    val byChange = out.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every 10th custkey dropped from prev → added; every 7th (not 10th) renamed.
+    assert(byChange("added") > 0 && byChange("deleted") > 0)
+    assert(byChange("added") > byChange("deleted"))
+  }
+}
