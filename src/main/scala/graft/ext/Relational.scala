@@ -1,0 +1,170 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+import graft.util.Exact.{dsum, dsumRevenue}
+
+/** Relational extension operators (SURVEY §2.4 E1, E5–E10) — the aggregate /
+  * join / window / json surface the reference never exercises but a real
+  * engine needs.
+  *
+  * Scale notes (100 TB):
+  *  - `q_group_agg` is a classic partial-aggregate shape: map-side combine
+  *    reduces the shuffle to |groups| × partitions rows.
+  *  - `q_join_inner` broadcasts the dimension tables (`nation`, `region`)
+  *    explicitly; the orders⋈customer join is left to Catalyst/AQE, which
+  *    picks SMJ when both sides are large and broadcast when one fits.
+  *  - `q_dedup_exact` / `q_window_rank` use row_number over a partitioned
+  *    window — one shuffle on the partition key, no global sort.
+  *  - `q_topk` compiles to TakeOrderedAndProject: per-partition top-k then a
+  *    driver-side merge of k·partitions rows, never a global sort.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // E7: grouped aggregation (TPC-H Q1 shape).
+    "q_group_agg" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"), // integral doubles: exact
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          avg("l_quantity").as("avg_qty"), // exact sum / count
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // E8a: multi-way inner equi-join, dimensions broadcast.
+    "q_join_inner" -> ((s, d) => {
+      val o = orders(s, d); val c = customer(s, d)
+      val n = nation(s, d); val r = region(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // E8b: left-semi join (EXISTS).
+    "q_join_semi" -> ((s, d) => {
+      val c = customer(s, d); val o = orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // E9: top-k by sort — TakeOrderedAndProject, not a global sort.
+    "q_topk" -> ((s, d) =>
+      orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // E5: approximate distinct (HLL++) — compared via the bounded-error
+    // property (both engines' sketches must land within 15% of exact),
+    // plus the exact twin for the hash compare.
+    "q_approx_distinct" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+            <= countDistinct(col("l_partkey")) * 0.15).as("approx_ok"))
+        .orderBy("l_returnflag")),
+
+    // E1: exact dedup — keep the latest event per (user_id, event_type),
+    // deterministic via row_number with a full tiebreak.
+    "q_dedup_exact" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // E6b: ranking window — first 3 events per user.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("user_id", "rn", "event_id", "event_type")
+        .orderBy("user_id", "rn")
+    }),
+
+    // E6a: tumbling event-time window aggregation.
+    "q_event_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
+
+    // E10: JSON scalar extraction (string-typed; the typed form is
+    // q_json_normalize in Core).
+    "q_json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k_str"))
+        .orderBy("event_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       AVG(l_quantity) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_join_inner" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_partkey) AS n_parts,
+        |       ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+        |         <= COUNT(DISTINCT l_partkey) * 0.15 AS approx_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_window_rank" ->
+      """SELECT user_id, rn, event_id, event_type
+        |FROM (SELECT user_id, event_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "q_event_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
