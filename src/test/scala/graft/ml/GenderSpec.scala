@@ -1,0 +1,73 @@
+package graft.ml
+
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+
+/** Golden decision-table fixture + properties for F1 (FIXTURES.md §3). */
+class GenderSpec extends SparkSpec {
+
+  private val expected = Map(
+    1 -> ("male", 0.9), 2 -> ("female", 0.9), 3 -> ("unknown", 0.5),
+    4 -> ("male", 0.7), 5 -> ("unknown", 0.0), 6 -> ("unknown", 0.0),
+    7 -> ("unknown", 0.0), 8 -> ("female", 0.7), 9 -> ("male", 0.7),
+    10 -> ("unknown", 0.5), 11 -> ("female", 0.9), 12 -> ("unknown", 0.5),
+    13 -> ("male", 0.9), 14 -> ("male", 0.9), 15 -> ("female", 0.7),
+    16 -> ("unknown", 0.5), 17 -> ("unknown", 0.4))
+
+  test("golden: pure function matches the reference decision table") {
+    Gender.profiles.foreach { case (id, f, u) =>
+      val got = Gender.guess(f, u)
+      val (eg, ec) = expected(id)
+      assert((got.predicted_gender, got.confidence) === ((eg, ec.toFloat)),
+        s"profile $id ($f, $u)")
+    }
+  }
+
+  test("golden: join form matches the decision table end-to-end") {
+    val rows = GenderQueries.queries("q_gender_join")(spark, sf).collect()
+    assert(rows.length === Gender.profiles.length)
+    rows.foreach { r =>
+      val (eg, ec) = expected(r.getInt(0))
+      assert((r.getString(3), r.getDouble(4)) === ((eg, ec)), s"profile ${r.getInt(0)}")
+    }
+  }
+
+  test("property: UDF tier ≡ join tier on arbitrary inputs") {
+    val nameGen = Gen.oneOf(
+      Gen.oneOf(NamesDict.sortedEntries.map(_._1)),
+      Gen.alphaStr.map(_.take(12)),
+      Gen.const(null: String), Gen.const(""), Gen.const("  "))
+    val userGen = Gen.oneOf(
+      Gen.oneOf(NamesDict.sortedEntries.map(_._1 + "_42")),
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const(null: String), Gen.const("!!!"))
+    val cases = Gen.listOfN(60, Gen.zip(nameGen, userGen)).sample.get
+      .zipWithIndex.map { case ((f, u), i) => (i, f, u) }
+
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      cases.map { case (i, f, u) => org.apache.spark.sql.Row(i, f, u) }.asJava,
+      Gender.profilesDF(spark).schema)
+    val joinForm = Gender.withGender(spark, df)
+      .select("id", "predicted_gender", "confidence").collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    cases.foreach { case (i, f, u) =>
+      val g = Gender.guess(f, u)
+      assert(joinForm(i) === ((g.predicted_gender,
+        BigDecimal(g.confidence.toDouble).setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+        s"case $i ($f, $u)")
+    }
+  }
+
+  test("property: outputs confined to the reference domains") {
+    val gen = Gen.zip(Gen.asciiPrintableStr, Gen.asciiPrintableStr)
+    (1 to 300).foreach { seed =>
+      gen.sample.foreach { case (f, u) =>
+        val g = Gender.guess(f, u)
+        assert(Set("male", "female", "unknown").contains(g.predicted_gender))
+        assert(Set(0.0f, 0.4f, 0.5f, 0.7f, 0.9f).contains(g.confidence))
+      }
+    }
+  }
+}
