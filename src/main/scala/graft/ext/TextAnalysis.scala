@@ -1,0 +1,181 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+
+/** Text-analysis operators for a training-data pipeline (north-star mandate;
+  * the reference's only text processing is the name-cleaning regex inside its
+  * gender UDF, `scripts/script_api_apify_to_spark.py:46`).
+  *
+  * Design rule: everything here is EITHER per-row array/HOF arithmetic (no
+  * shuffle at all — embarrassingly parallel over 100 TB) OR a single
+  * map-side-combinable groupBy. Tokenization happens once per row inside the
+  * expression tree; no Scala UDFs, so nothing leaves Tungsten rows.
+  *
+  * Counts are cast to BIGINT to match DuckDB's `len()`/`count(*)` types in
+  * the oracle's schema compare.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Lowercased whitespace tokens with empties dropped — the shared
+    * tokenizer; mirrored in SQL as
+    * `list_filter(string_split_regex(lower(text),'\s+'), t -> t <> '')`.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Whitespace-normalized text: lower + trim + collapse runs of spaces. */
+  def normText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Tokens in `set` (small literal set → array_contains, codegen'd). */
+  private def countIn(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(set.toArray), t))).cast("long")
+
+  /** English function words present in the fixture vocabulary. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is", "on")
+
+  /** Language-marker word lists (language-ID by function-word voting — the
+    * classic n-gram/stopword heuristic reduced to per-row counting). The
+    * fixture corpus is English-vocabulary, so `en` dominates; the mechanics
+    * (and the oracle) are what this pins down.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "los", "las", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+  )
+
+  val queries: Map[String, Q] = Map(
+    // E4a: corpus term statistics — tokenize (per-row), explode, then ONE
+    // partial-aggregatable groupBy(token); df via distinct doc set per token.
+    "q_text_tokens" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy("token")),
+
+    // E4b: per-document quality metrics — pure per-row array arithmetic, no
+    // shuffle. Integer outputs keep the oracle hash-exact (no FP division);
+    // ratio thresholds are expressed as integer cross-multiplications.
+    "q_text_quality" -> ((s, d) => {
+      val t = tokens(col("text"))
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_distinct"),
+          countIn(t, stopwords).as("n_stop"),
+          array_max(transform(t, tok => length(tok))).cast("long").as("max_tok_len"),
+        )
+        // quality gate: ≥20 tokens and stopword ratio ≥ 1/16 (6.25%) —
+        // integer cross-multiply, bit-identical in any engine.
+        .withColumn("quality_ok",
+          col("n_tokens") >= 20 && col("n_stop") * 16 >= col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // E4c: token counting — whitespace count plus a BPE-ish regex count
+    // (letter runs / digit runs / single punctuation, the GPT-2 pre-tokenizer
+    // shape). Per-row regexp_extract_all, no shuffle.
+    "q_token_count" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // E4d: language ID by marker-word voting — one score column per language
+    // computed per-row, argmax with deterministic (score desc, lang asc)
+    // tie-break folded into nested CASE; docs with zero hits → 'und'.
+    "q_lang_id" -> ((s, d) => {
+      val t = tokens(col("text"))
+      val scored = documents(s, d).select(
+        (col("doc_id") +: langMarkers.map { case (lang, words) =>
+          countIn(t, words).as(s"n_$lang")
+        }): _*)
+      val langs = langMarkers.map(_._1)
+      // predicted = first lang (asc) whose score equals the max and > 0.
+      val maxScore = greatest(langs.map(l => col(s"n_$l")): _*)
+      val predicted = langs.foldRight(lit("und")) { (l, els) =>
+        when(col(s"n_$l") === maxScore && maxScore > 0, lit(l)).otherwise(els)
+      }
+      scored.withColumn("predicted_lang", predicted).orderBy("doc_id")
+    }),
+
+    // E4e: document fingerprinting — md5 of normalized text plus a
+    // polynomial rolling hash (base 31 mod 1e9+7) over the character
+    // sequence, both per-row expressions. The rolling hash is the
+    // shingling primitive for near-dup pipelines (Dedup.scala).
+    "q_doc_fingerprint" -> ((s, d) => {
+      val norm = normText(col("text"))
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(norm).as("fp_md5"),
+          aggregate(
+            transform(split(norm, ""), c => ascii(c).cast("long")),
+            lit(7L),
+            (acc, c) => (acc * 31L + c) % 1000000007L
+          ).as("fp_roll"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  private val toksSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+  private def countInSql(set: Seq[String]): String =
+    set.mkString(s"len(list_filter($toksSql, t -> t IN ('", "','", "')))")
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      s"""SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         |GROUP BY token ORDER BY token""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |       CAST(length(text) AS BIGINT) AS n_chars_m,
+         |       len($toksSql) AS n_tokens,
+         |       len(list_distinct($toksSql)) AS n_distinct,
+         |       ${countInSql(stopwords)} AS n_stop,
+         |       list_max(list_transform($toksSql, t -> length(t))) AS max_tok_len,
+         |       len($toksSql) >= 20
+         |         AND ${countInSql(stopwords)} * 16 >= len($toksSql) AS quality_ok
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |       len($toksSql) AS ws_tokens,
+         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> {
+      val scoreCols = langMarkers.map { case (lang, words) =>
+        s"${countInSql(words)} AS n_$lang"
+      }.mkString(",\n       ")
+      val langs = langMarkers.map(_._1)
+      val maxExpr = s"greatest(${langs.map(l => s"n_$l").mkString(", ")})"
+      val caseExpr = langs.map(l =>
+        s"WHEN n_$l = $maxExpr AND $maxExpr > 0 THEN '$l'").mkString(" ")
+      s"""SELECT *, CASE $caseExpr ELSE 'und' END AS predicted_lang
+         |FROM (SELECT doc_id,
+         |       $scoreCols
+         |FROM documents) ORDER BY doc_id""".stripMargin
+    },
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5,
+        |       list_reduce(
+        |         list_prepend(CAST(7 AS BIGINT),
+        |           list_transform(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ''),
+        |                          c -> CAST(ord(c) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
