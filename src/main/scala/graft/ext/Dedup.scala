@@ -1,0 +1,284 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.sources.Tables._
+
+/** Deduplication operators for a training-data pipeline (north-star mandate).
+  * The reference's only identity notion is the `(username, full_name)`
+  * anti-join key of its snapshot diff (SURVEY §2 D1); everything here is the
+  * extension family: exact, MinHash/LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup: one map-side-combinable groupBy on a 128-bit content
+  *    fingerprint — never on the raw text.
+  *  - MinHash signatures are computed PER ROW (32 hash slots over the shingle
+  *    array, no explode), so the only shuffle is the band-bucket join, whose
+  *    output is |candidate pairs|, not |corpus|².
+  *  - SimHash needs one groupBy(doc) over exploded tokens (partial aggregates
+  *    combine map-side) and one 16-bit-chunk equality join — the pigeonhole
+  *    guarantee: any pair within Hamming distance 3 shares at least one of
+  *    the 4 chunks, so candidate generation is a plain equi-join.
+  *  - embedding near-dup at test scale is the verifiable brute-force pair
+  *    join; the bucketed scale path is `Similarity.q_sim_lsh`.
+  *
+  * The fixture corpus has ~25 planted near-duplicate documents (generator
+  * marks them with a trailing `dup` token), so the near-dup queries find real
+  * structure; exact dedup plants its own normalized copies because all
+  * fixture texts are byte-distinct.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  val shingleLen = 4
+  val nHashes = 32
+  val bandSize = 4 // → 8 bands of 4 hashes
+
+  /** doc_id + distinct `shingleLen`-gram word-shingle array per document.
+    *
+    * Built from an exploded token stream with `lead()` windows rather than a
+    * per-row `transform(sequence, slice, concat_ws)` lambda: higher-order
+    * functions evaluate interpreted (~15 µs/shingle — measured 7 s for 450 k
+    * shingles at sf0.1), while posexplode + window + collect_list stay in
+    * codegen AND share one doc_id shuffle (the groupBy reuses the window's
+    * partitioning). Docs shorter than one shingle produce no row.
+    */
+  def docShingles(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tok
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until shingleLen).map(i =>
+          if (i == 0) col("t") else lead("t", i).over(w)): _*).as("shingle"),
+        lead("t", shingleLen - 1).over(w).isNotNull.as("full"))
+      .where(col("full"))
+      .groupBy("doc_id")
+      .agg(array_distinct(collect_list(col("shingle"))).as("sh"))
+  }
+
+  /** Jaccard threshold for the near-dup joins. */
+  val jaccardT = 0.8
+
+  /** Materialize an intermediate to parquet and read it back — guarantees
+    * single computation when a DataFrame feeds both sides of a self-join
+    * (Spark recomputes shared subplans per branch). At 100 TB the signature /
+    * shingle table is a first-class materialized artifact anyway.
+    */
+  private def materialize(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+      .toFile.getAbsolutePath
+    df.write.mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+  }
+
+  /** 32-slot MinHash signature table. The shingle string is hashed ONCE
+    * (codegen'd xxhash64); each slot k is then `min(xxhash64(k, h))` inside a
+    * single map-side-combinable groupBy — no interpreted higher-order
+    * functions in the hot path, and the shuffle carries 32 longs per doc.
+    */
+  def minhashSigs(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val sigCols = (0 until nHashes).map(k => min(xxhash64(lit(k), col("h"))).as(s"s$k"))
+    ex.groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), array((0 until nHashes).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
+  /** 64-bit SimHash per document: tokens explode → per-bit ±tf votes (one
+    * map-side-combinable groupBy) → sign bits assembled into a long.
+    */
+  def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"b$b"))
+    tok.groupBy("doc_id")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup on a content fingerprint. Corpus = documents ∪ a
+    // whitespace/case-perturbed copy of every 10th doc; normalization
+    // (lower/trim/space-collapse) makes the copies collide on md5.
+    "q_dedup_doc_exact" -> ((s, d) => {
+      val base = documents(s, d).select("doc_id", "text")
+      val dups = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+      base.unionByName(dups)
+        .groupBy(md5(TextAnalysis.normText(col("text"))).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    }),
+
+    // n-gram Jaccard near-dup at threshold 0.8, with PREFIX FILTERING
+    // (Chaudhuri/Xiao prefix-filter principle): order each document's
+    // shingles rarest-first under a global order; for Jaccard ≥ t two sets
+    // MUST share an element within their first ⌊(1−t)·n⌋+1 shingles, so
+    // candidates come from an equi-join on prefixes only — the naive
+    // all-shingle self-join is quadratic in shingle collisions and melts at
+    // scale. Candidates are then verified exactly on the full shingle
+    // arrays, so semantics are identical to brute force (property-tested in
+    // DedupSpec; DuckDB oracle computes brute force).
+    "q_dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = materialize(s, docShingles(s, d).where(size(col("sh")) > 0), "jac")
+      val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
+      val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
+      val prefix = ex.join(freq, "shingle")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= floor(col("n_sh") * (1 - jaccardT)) + 1)
+        .select("doc_id", "shingle")
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .distinct()
+      cand
+        .join(sh.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("ib") === col("sb.doc_id"))
+        .select(col("ia"), col("ib"),
+          size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long").as("shared"),
+          size(col("sa.sh")).cast("long").as("na"),
+          size(col("sb.sh")).cast("long").as("nb"))
+        .where(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 4)
+        .withColumn("jac_permille", expr("shared * 1000 div (na + nb - shared)"))
+        .orderBy("ia", "ib")
+    }),
+
+    // MinHash + LSH banding: per-row 32-slot signature → 8 band hashes →
+    // band-bucket equi-join for candidates → verify candidates with exact
+    // Jaccard and report the signature estimate next to it. Non-oracle
+    // (xxhash64 has no DuckDB twin); pinned by DedupSpec against
+    // q_dedup_ngram_jaccard's exact answer.
+    "q_dedup_minhash" -> ((s, d) => {
+      // materialized: the signature table feeds the band join twice and the
+      // verification join twice; recomputing 32×|shingles| hashes per branch
+      // is the difference between one pass and four.
+      val sh = materialize(s, docShingles(s, d).where(size(col("sh")) > 0), "mh_sh")
+      val sig = materialize(s, sh.join(minhashSigs(sh), "doc_id"), "mh")
+      val banded = sig
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(nHashes / bandSize - 1)),
+            b => struct(b.as("band"),
+              xxhash64(slice(col("sig"), b * bandSize + 1, lit(bandSize))).as("bh"))))
+            .as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .distinct()
+      cand
+        .join(sig.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("ib") === col("sb.doc_id"))
+        .select(col("ia"), col("ib"),
+          aggregate(zip_with(col("sa.sig"), col("sb.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+            .cast("long").as("est_matches"),
+          size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long").as("shared"),
+          size(col("sa.sh")).cast("long").as("na"),
+          size(col("sb.sh")).cast("long").as("nb"))
+        .withColumn("jac_permille", expr("shared * 1000 div (na + nb - shared)"))
+        .where(col("jac_permille") >= 500)
+        .orderBy("ia", "ib")
+    }),
+
+    // SimHash: 64-bit signature from token-hash bit votes (one combinable
+    // groupBy), then 4×16-bit chunk equality join for candidates and exact
+    // Hamming verification via xor + bit_count. Guarantee: Hamming ≤ 3 pairs
+    // are always candidates; the ≤ 8 report threshold is best-effort beyond
+    // that. Non-oracle; pinned by DedupSpec.
+    "q_dedup_simhash" -> ((s, d) => {
+      val sig = simhashSigs(s, d)
+      val chunks = sig.select(col("doc_id"), col("sig"),
+          explode(array((0 until 4).map(c =>
+            struct(lit(c).as("ci"),
+              shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*))
+            .as("ch"))
+        .select(col("doc_id"), col("sig"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+      chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 8)
+        .orderBy("ia", "ib")
+    }),
+
+    // Embedding-cosine near-dup: corpus = embeddings ∪ exactly-scaled copies
+    // of every 25th vector (×2 is exact in float32, so cosine(v, 2v) ≡ 1).
+    // Brute-force pair join with the codegen'd vec_cosine expression;
+    // DuckDB oracle via list_cosine_similarity on DOUBLE[] with the same
+    // 6-decimal rounding.
+    "q_dedup_embedding" -> ((s, d) => {
+      val base = embeddings(s, d).select("vec_id", "embedding")
+      val dups = base.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val corpus = base.unionByName(dups)
+      corpus.as("a")
+        .join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", VectorOps.cosine(col("a.embedding"), col("b.embedding")))
+        .where(col("cos") >= 0.99)
+        .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+          round(col("cos"), 6).as("cos6"))
+        .orderBy("ia", "ib")
+    }),
+  )
+
+  private val toksSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+  private val shinglesSql =
+    s"""list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+       |               for i in range(1, len(l) - 2)])""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_doc_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, '  ' || upper(text) || ' ' FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s
+         |            FROM (SELECT doc_id, $toksSql AS l FROM documents)),
+         |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |                 len(list_intersect(a.s, b.s)) AS shared,
+         |                 len(a.s) AS na, len(b.s) AS nb
+         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT ia, ib, shared, na, nb, (shared * 1000) // (na + nb - shared) AS jac_permille
+         |FROM pairs WHERE shared * 5 >= (na + nb - shared) * 4 ORDER BY ia, ib""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding, x -> x * CAST(2 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 25 = 0)
+        |SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos6
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.99
+        |ORDER BY ia, ib""".stripMargin,
+  )
+}

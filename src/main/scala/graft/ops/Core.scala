@@ -130,6 +130,8 @@ object Core {
       Seq(900, 1000, 1100)
         .map(h => o.where(col("o_orderkey") % (h / 100) === 0).withColumn("run_time", lit(h)))
         .reduce(_ unionByName _)
+        // one task per run_time partition → 3 files, not 3×shufflePartitions
+        .repartition(3, col("run_time"))
         .write.mode("overwrite").partitionBy("run_time").parquet(tmp)
       val snaps = s.read.parquet(tmp)
       val current = 1100

@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorOps
+
+class DedupSpec extends SparkSpec {
+
+  private def pairs(q: String): Set[(Long, Long)] =
+    Dedup.queries(q)(spark, sf)
+      .select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup collapses planted normalized copies, nothing else") {
+    val out = Dedup.queries("q_dedup_doc_exact")(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length == nDocs) // every planted copy collapsed into its source group
+    val byCopies = out.groupBy(_.getAs[Long]("n_copies"))
+    assert(byCopies(2L).length == (0L until nDocs by 10).size)
+    assert(byCopies(1L).length == nDocs - byCopies(2L).length)
+    // survivors are always the original (smaller) doc_id
+    assert(out.forall(_.getAs[Long]("keep_id") < 1000000))
+  }
+
+  test("prefix-filtered jaccard join ≡ brute force") {
+    val sh = Dedup.docShingles(spark, sf).where(size(col("sh")) > 0)
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("shared"),
+        size(col("a.sh")).cast("long").as("na"), size(col("b.sh")).cast("long").as("nb"))
+      .where(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs("q_dedup_ngram_jaccard")
+    assert(got == brute, s"prefix filter broke semantics: missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("minhash LSH recovers every exact-jaccard pair (recall = 1)") {
+    val exact = pairs("q_dedup_ngram_jaccard")
+    val mh = pairs("q_dedup_minhash")
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(exact.subsetOf(mh),
+      s"missing from minhash: ${exact -- mh}")
+  }
+
+  test("minhash estimate tracks exact jaccard on reported pairs") {
+    val rows = Dedup.queries("q_dedup_minhash")(spark, sf).collect()
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_matches")
+      val jac = r.getAs[Long]("jac_permille")
+      // reported pairs all have jaccard ≥ 0.5; a 32-slot signature on such a
+      // pair agrees on well over a quarter of slots (deterministic given the
+      // fixed seeds and fixture).
+      assert(est >= 8, s"pair ($r) est=$est jac=$jac")
+    }
+  }
+
+  test("simhash: chunk LSH finds every hamming≤3 pair; reports none above 8") {
+    // ground truth by brute force over the 64-bit signatures
+    val sig = Dedup.simhashSigs(spark, sf)
+    val brute = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
+      .collect()
+    val within3 = brute.filter(_.getAs[Long]("hamming") <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val within8 = brute.filter(_.getAs[Long]("hamming") <= 8)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs("q_dedup_simhash")
+    // pigeonhole: ≤3 flipped bits leave one of the 4 16-bit chunks intact
+    assert(within3.subsetOf(got), s"guarantee violated: ${within3 -- got}")
+    assert(got.subsetOf(within8), s"over-reported: ${got -- within8}")
+  }
+
+  test("embedding near-dup finds exactly the planted scaled copies") {
+    val out = Dedup.queries("q_dedup_embedding")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("ib") == r.getAs[Long]("ia") + 1000000)
+      assert(math.abs(r.getAs[Double]("cos6") - 1.0) < 1e-6)
+    }
+  }
+
+  test("vec_cosine expression: identity, scale-invariance, orthogonality") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f), 1.0),
+      (Array(1f, 2f, 3f), Array(2f, 4f, 6f), 1.0),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f), 0.0),
+      (Array(1f, 1f, 0f), Array(1f, -1f, 0f), 0.0),
+    ).toDF("a", "b", "expected")
+    df.withColumn("cos", VectorOps.cosine(col("a"), col("b")))
+      .collect().foreach { r =>
+        assert(math.abs(r.getAs[Double]("cos") - r.getAs[Double]("expected")) < 1e-12)
+      }
+  }
+
+  test("vec_cosine matches the higher-order-function formulation on fixture data") {
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(50)
+    val both = e.as("a").crossJoin(e.as("b"))
+      .select(
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        (aggregate(zip_with(col("a.embedding").cast("array<double>"),
+            col("b.embedding").cast("array<double>"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v) /
+          sqrt(aggregate(transform(col("a.embedding").cast("array<double>"), x => x * x),
+            lit(0.0), (acc, v) => acc + v) *
+            aggregate(transform(col("b.embedding").cast("array<double>"), x => x * x),
+              lit(0.0), (acc, v) => acc + v))).as("hof"))
+      .collect()
+    both.foreach(r =>
+      assert(math.abs(r.getAs[Double]("native") - r.getAs[Double]("hof")) < 1e-12))
+  }
+
+  test("vec_cosine is callable from SQL after registration") {
+    VectorOps.register(spark)
+    val got = spark.sql("SELECT vec_cosine(array(1.0f, 2.0f), array(2.0f, 4.0f)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private def topk(q: String): Map[Long, Seq[Long]] =
+    Similarity.queries(q)(spark, sf)
+      .orderBy("qid", "rank")
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cand_id")).toSeq)
+      .toMap
+
+  test("exact top-k: k rows per query, ranks contiguous, cosine non-increasing") {
+    val rows = Similarity.queries("q_sim_topk")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == Similarity.nQueries)
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to Similarity.k))
+      val cos = sorted.map(_.getAs[Double]("cos6"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(cos.forall(c => c >= -1.0 && c <= 1.0))
+    }
+  }
+
+  test("LSH tier is a valid ANN: subset of corpus, self-excluded, usable recall") {
+    val exact = topk("q_sim_topk")
+    val approx = topk("q_sim_lsh")
+    // every query must get some candidates (multi-probe makes empties
+    // vanishingly unlikely with the fixed planes/fixture)
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (q, cands) => assert(!cands.contains(q)) }
+    // recall@k against the exact answer — deterministic given fixed seed 42
+    val recalls = exact.map { case (q, ex) =>
+      val ap = approx(q).toSet
+      ex.count(ap.contains).toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall@${Similarity.k} = $mean too low")
+  }
+
+  test("LSH candidates' cosines match the exact tier's for shared pairs") {
+    val ex = Similarity.queries("q_sim_topk")(spark, sf)
+      .select(col("qid"), col("cand_id"), col("cos6").as("c1"))
+    val ap = Similarity.queries("q_sim_lsh")(spark, sf)
+      .select(col("qid"), col("cand_id"), col("cos6").as("c2"))
+    val joined = ex.join(ap, Seq("qid", "cand_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r =>
+      assert(r.getAs[Double]("c1") == r.getAs[Double]("c2")))
+  }
+
+  test("bucket ids are stable and within range") {
+    val b = graft.sources.Tables.embeddings(spark, sf)
+      .select(Similarity.bucketOf(col("embedding")).as("b"))
+      .agg(min("b"), max("b")).head()
+    assert(b.getInt(0) >= 0 && b.getInt(1) < (1 << Similarity.nPlanes))
+  }
+}
