@@ -19,12 +19,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Core.queries ++ ext.Relational.queries ++ ml.GenderQueries.queries ++
-      ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries
+      ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
+      ext.Multimodal.queries ++ streaming.StreamDiff.queries ++
+      streaming.Sessionize.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     ops.Core.oracles ++ ext.Relational.oracles ++ ml.GenderQueries.oracles ++
-      ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles
+      ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
+      ext.Multimodal.oracles ++ streaming.StreamDiff.oracles ++
+      streaming.Sessionize.oracles
 }

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.SnapshotDiff
+
+/** Structured-streaming re-expression of the reference's hourly
+  * snapshot-diff loop (SURVEY §7.5; reference
+  * `scripts/script_api_apify_to_spark.py:214-258` polls a directory tree on
+  * a cron schedule and hand-discovers the previous snapshot).
+  *
+  * Spark-native shape: snapshots land as files in a watched directory; a
+  * file-source stream with `Trigger.AvailableNow` + `maxFilesPerTrigger=1`
+  * delivers exactly one snapshot per micro-batch in arrival (mtime) order;
+  * `foreachBatch` diffs the batch against the previously-seen snapshot held
+  * in a state directory, appends `added`/`deleted` change rows to the
+  * output, then atomically replaces the state. The checkpoint makes the
+  * whole loop restartable mid-stream — the piece the reference's
+  * list-and-sort discovery cannot do.
+  *
+  * Scale notes: one snapshot = one micro-batch keeps diff semantics exact
+  * (a snapshot split across batches would mis-tag `deleted` rows); at 100 TB
+  * a snapshot is a directory manifest rather than a single file, with the
+  * same one-manifest-per-batch rule, and the state table is bucketed by the
+  * diff key so each diff is a shuffle-free sort-merge join.
+  */
+object StreamDiff {
+
+  /** Run the snapshot-diff stream over `watchDir` until all available files
+    * are processed. Appends change rows to `outDir`; keeps the last
+    * snapshot + checkpoint under `stateDir`.
+    */
+  def run(
+      s: SparkSession,
+      watchDir: String,
+      stateDir: String,
+      outDir: String,
+      schema: StructType,
+      keys: Seq[String]): Unit = {
+    val prevDir = s"$stateDir/prev"
+    val stream = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watchDir)
+    val onBatch: (Dataset[Row], Long) => Unit = (batch, _) => {
+      if (new java.io.File(prevDir).exists()) {
+        val prev = s.read.parquet(prevDir)
+        SnapshotDiff.diff(batch, prev, keys)
+          .write.mode("append").parquet(outDir)
+      }
+      // state swap AFTER the diff is materialized
+      batch.coalesce(1).write.mode("overwrite").parquet(prevDir)
+    }
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_chk")
+      .foreachBatch(onBatch)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Write a DataFrame as ONE parquet file at `target` with a controlled
+    * modification time — snapshot files must arrive as single atomic files
+    * with strictly increasing mtimes for deterministic batch order.
+    */
+  def writeSnapshotFile(df: DataFrame, target: String, mtime: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft_snapfile").toFile.getAbsolutePath
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    Files.createDirectories(Paths.get(target).getParent)
+    Files.move(part, Paths.get(target), StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(target).setLastModified(mtime)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // The flagship diff computed BY THE STREAMING PIPELINE: two snapshot
+    // files arrive (previous, then current); the emitted change rows must
+    // equal the batch q_snapshot_diff — and they share its DuckDB oracle.
+    "q_stream_diff" -> ((s, d) => {
+      val base = Files.createTempDirectory("graft_stream").toFile.getAbsolutePath
+      val prev = SnapshotDiff.synthPrevious(s, d)
+      val cur = SnapshotDiff.synthCurrent(s, d)
+      val t0 = System.currentTimeMillis() - 120000
+      writeSnapshotFile(prev, s"$base/in/snap_1.parquet", t0)
+      writeSnapshotFile(cur, s"$base/in/snap_2.parquet", t0 + 60000)
+      run(s, s"$base/in", s"$base/state", s"$base/out",
+        prev.schema, SnapshotDiff.diffKeys)
+      s.read.parquet(s"$base/out")
+        .orderBy("change", "c_custkey", "c_name")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_diff" ->
+      (SnapshotDiff.oracleCtes +
+        """SELECT * FROM (SELECT * FROM added UNION ALL SELECT * FROM deleted)
+          |ORDER BY change, c_custkey, c_name""".stripMargin),
+  )
+}
