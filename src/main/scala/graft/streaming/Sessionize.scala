@@ -114,11 +114,11 @@ object Sessionize {
   val oracles: Map[String, String] = Map(
     "q_sessionize" ->
       """SELECT user_id, session_seq, count(*) AS n_events,
-        |       min(ts) AS t_start, max(ts) AS t_end
+        |       CAST(min(ts) AS TIMESTAMP) AS t_start, CAST(max(ts) AS TIMESTAMP) AS t_end
         |FROM (
         |  SELECT user_id, ts,
-        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS UNBOUNDED PRECEDING) AS session_seq
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |  FROM (
         |    SELECT user_id, event_id, ts,
         |           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

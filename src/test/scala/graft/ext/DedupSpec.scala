@@ -72,13 +72,29 @@ class DedupSpec extends SparkSpec {
     assert(got.subsetOf(within8), s"over-reported: ${got -- within8}")
   }
 
-  test("embedding near-dup finds exactly the planted scaled copies") {
+  test("embedding near-dup finds exactly the planted scaled copies (recall = 1)") {
     val out = Dedup.queries("q_dedup_embedding")(spark, sf).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       assert(r.getAs[Long]("ib") == r.getAs[Long]("ia") + 1000000)
       assert(math.abs(r.getAs[Double]("cos6") - 1.0) < 1e-6)
     }
+    // every planted copy must be recovered — identical sign patterns mean
+    // the LSH bucketing can never drop a scaled copy
+    val planted = graft.sources.Tables.embeddings(spark, sf)
+      .where(col("vec_id") % 25 === 0)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val got = out.map(_.getAs[Long]("ia")).toSet
+    assert(got == planted, s"missed planted copies: ${planted -- got}")
+  }
+
+  test("embedding near-dup plan is LSH-bucketed, not a cartesian product") {
+    val plan = Dedup.queries("q_dedup_embedding")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "embedding dedup regressed to an all-pairs crossJoin")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "embedding dedup joining without the bucket equi-key")
   }
 
   test("vec_cosine expression: identity, scale-invariance, orthogonality") {
