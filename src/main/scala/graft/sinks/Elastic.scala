@@ -1,0 +1,98 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Elasticsearch keyed-upsert sink (SURVEY §2 S10), re-expressing the
+  * reference's indexing task (`airflow/dags/apify_dag.py:289-318`):
+  *
+  *  - `es.mapping.id = username` → the ES doc id is the row key, so a
+  *    re-run upserts instead of duplicating;
+  *  - `es.nodes.wan.only = true` (don't discover data nodes — required
+  *    when ES sits behind a proxy/single endpoint);
+  *  - an `indexed_at` wall-clock tag on every row, stored as a formatted
+  *    STRING — a reference quirk we keep at the sink boundary for fidelity
+  *    (`apify_dag.py:291,308`; SURVEY §1.2).
+  *
+  * Clobber quirk, decided consciously (SURVEY §3.3): the reference writes
+  * BOTH aggregates to `final_aggregated_index` (`apify_dag.py:298` and
+  * `:314` — the second was evidently meant to be `final_comparatif_index`,
+  * cf. its own success log at `:318`). With keyed ids + overwrite mode the
+  * comparatif write drops and replaces the aggregated index every hour.
+  * We FIX it: [[indexAggregates]] routes each DataFrame to its own index by
+  * default, and only reproduces the reference behavior when
+  * `preserveReferenceClobber = true` is passed explicitly.
+  *
+  * The write itself uses the same public connector format
+  * (`org.elasticsearch.spark.sql`, jar:
+  * `/root/reference/jars/elasticsearch-spark-30_2.12-8.5.3.jar`). That jar
+  * is built for Scala 2.12 and no live ES exists in this sandbox, so the
+  * execution path is exercised in production deployments only; tests pin
+  * the option assembly and the clobber decision.
+  */
+object Elastic {
+
+  case class EsConfig(
+      nodes: String = "localhost",
+      port: Int = 9200,
+      wanOnly: Boolean = true)
+
+  val format = "org.elasticsearch.spark.sql"
+
+  /** The reference's (single) target index and the index its log message
+    * claims (`apify_dag.py:298,314,318`).
+    */
+  val aggregatedIndex = "final_aggregated_index"
+  val comparatifIndex = "final_comparatif_index"
+
+  /** `indexed_at` as the reference formats it: `%Y-%m-%d %H:%M:%S`, a
+    * string (`apify_dag.py:291,308`). Internally timestamps stay
+    * TimestampType; the cast happens only here at the sink boundary.
+    */
+  def indexedAtCol: Column =
+    date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss")
+
+  /** Option map for one keyed index write (public connector option names). */
+  def options(cfg: EsConfig, index: String, idColumn: String): Map[String, String] =
+    Map(
+      "es.nodes" -> cfg.nodes,
+      "es.port" -> cfg.port.toString,
+      "es.nodes.wan.only" -> cfg.wanOnly.toString,
+      "es.resource" -> index,
+      "es.mapping.id" -> idColumn)
+
+  /** Tag with `indexed_at` and write one DataFrame to one index, doc-id =
+    * `idColumn` (idempotent upsert per key). Each Spark partition
+    * bulk-posts independently, so write parallelism = partition count —
+    * the right shape for a 1000-executor cluster feeding an ES ingest tier.
+    */
+  def indexKeyed(df: DataFrame, cfg: EsConfig, index: String,
+      idColumn: String = "username", mode: String = "overwrite"): Unit =
+    df.withColumn("indexed_at", indexedAtCol)
+      .write.format(format)
+      .options(options(cfg, index, idColumn))
+      .mode(mode)
+      .save()
+
+  /** The reference's whole indexing task: both aggregates, keyed by
+    * `username`. Returns the (aggregated, comparatif) index names actually
+    * targeted so callers/tests can see the routing decision.
+    */
+  def indexAggregates(
+      aggregated: DataFrame,
+      comparatif: DataFrame,
+      cfg: EsConfig,
+      preserveReferenceClobber: Boolean = false): (String, String) = {
+    val compIndex = if (preserveReferenceClobber) aggregatedIndex else comparatifIndex
+    indexKeyed(aggregated, cfg, aggregatedIndex)
+    indexKeyed(comparatif, cfg, compIndex)
+    (aggregatedIndex, compIndex)
+  }
+
+  /** Index routing without the side effect — the unit-testable core of
+    * [[indexAggregates]].
+    */
+  def aggregateRouting(preserveReferenceClobber: Boolean): (String, String) =
+    (aggregatedIndex,
+      if (preserveReferenceClobber) aggregatedIndex else comparatifIndex)
+}

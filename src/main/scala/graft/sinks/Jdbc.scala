@@ -1,0 +1,98 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC sink/source (SURVEY §2 S8/S9), re-expressing the reference's
+  * Postgres surface (`scripts/script_api_apify_to_spark.py:265-294`,
+  * `airflow/dags/apify_dag.py:216-246`):
+  *
+  *  - append-mode writes of the scored per-account table and both global
+  *    aggregates;
+  *  - full-table reads;
+  *  - table-name sanitization `-` → `_` (the reference hits
+  *    `syntax error at or near "-"` otherwise, `:265`).
+  *
+  * Deviations from the reference, on purpose:
+  *  - credentials come from caller-supplied config (env/Secrets at the
+  *    deployment layer), never hardcoded — the reference embeds literal
+  *    user/password pairs (SURVEY §0 security note);
+  *  - the reference's read is SINGLE-PARTITION (no partitioning options,
+  *    `:268-280`): the whole table funnels through one task — a scale cliff
+  *    at 100 TB. [[Jdbc.readPartitioned]] is the scale path: Spark issues
+  *    `numPartitions` range-sliced queries in parallel.
+  */
+object Jdbc {
+
+  /** Connection config. `driver` defaults to Postgres (the reference's
+    * target, jar: `/root/reference/jars/postgresql-42.2.27.jar`) but any
+    * JDBC driver on the classpath works (tests use embedded Derby).
+    */
+  case class JdbcConfig(
+      url: String,
+      user: Option[String] = None,
+      password: Option[String] = None,
+      driver: String = "org.postgresql.Driver")
+
+  /** The reference's table-name fix (`script_api_apify_to_spark.py:265`):
+    * account names like `the-rock` would otherwise splice a bare `-` into
+    * SQL. We sanitize every char outside `[A-Za-z0-9_]` the same way —
+    * a strict superset of the reference's `replace("-", "_")` that keeps
+    * its behavior on every name the reference can produce.
+    */
+  def sanitizeTable(name: String): String =
+    name.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Option map shared by reads and writes (option keys are the public
+    * Spark JDBC datasource contract).
+    */
+  def options(cfg: JdbcConfig, table: String): Map[String, String] =
+    Map(
+      "url" -> cfg.url,
+      "dbtable" -> sanitizeTable(table),
+      "driver" -> cfg.driver) ++
+      cfg.user.map("user" -> _) ++
+      cfg.password.map("password" -> _)
+
+  /** S9: append-mode write (history-accumulating, like the reference's
+    * hourly inserts into `final_aggregated_usage`/`final_comparatif_usage`).
+    * Each input partition opens one connection and batches inserts, so
+    * upstream partitioning controls write parallelism — `coalesce` first if
+    * the target DB can't take one connection per core.
+    */
+  def append(df: DataFrame, cfg: JdbcConfig, table: String): Unit =
+    df.write.format("jdbc").options(options(cfg, table)).mode("append").save()
+
+  /** Overwrite-mode write (truncate-or-recreate semantics are the
+    * datasource's; used for snapshot-style tables).
+    */
+  def overwrite(df: DataFrame, cfg: JdbcConfig, table: String): Unit =
+    df.write.format("jdbc").options(options(cfg, table)).mode("overwrite").save()
+
+  /** S8, reference-fidelity tier: whole table through ONE partition —
+    * exactly what `script_api_apify_to_spark.py:268-276` does. Fine for
+    * lookup-sized tables, wrong at scale; see [[readPartitioned]].
+    */
+  def read(spark: SparkSession, cfg: JdbcConfig, table: String): DataFrame =
+    spark.read.format("jdbc").options(options(cfg, table)).load()
+
+  /** S8, scale tier: range-partitioned parallel read. Spark generates
+    * `numPartitions` WHERE-sliced queries over `[lowerBound, upperBound)`
+    * of a numeric/date `partitionColumn`, so the scan parallelizes across
+    * executors instead of funneling through one task.
+    */
+  def readPartitioned(
+      spark: SparkSession,
+      cfg: JdbcConfig,
+      table: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int): DataFrame =
+    spark.read.format("jdbc")
+      .options(options(cfg, table))
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound.toString)
+      .option("upperBound", upperBound.toString)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+}
