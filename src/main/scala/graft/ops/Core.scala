@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.lake.SnapshotDiff
+import graft.lake.{Layout, SnapshotDiff}
 import graft.sources.Tables._
 
 /** Core parity queries — one per reference-derived operator (SURVEY §2.1/2.2).
@@ -113,31 +113,30 @@ object Core {
       supplier(s, d)
         .withColumn("bucket", (col("s_nationkey") % 3).cast("int"))
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-      s.read.option("basePath", tmp).parquet(s"$tmp/bucket=*")
+      Layout.globRead(s, tmp, "bucket=*")
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal", "bucket")
         .orderBy("s_suppkey")
     }),
 
     // S12: previous-snapshot discovery — the reference lists + sorts dirs and
     // takes the greatest < current (script_api_apify_to_spark.py:218-234).
-    // Spark-native: run_time is a real partition column; the max() below reads
-    // only partition METADATA (no data rows), then the equality filter prunes
-    // the scan to the single chosen partition — the pattern that scales to
+    // Spark-native via lake.Layout: each run appends one immutable
+    // (run_date, run_time) snapshot partition; previousRunTime is a
+    // metadata-only max over partition values and snapshotAt prunes the
+    // scan to the single chosen partition — the pattern that scales to
     // thousands of snapshots.
     "q_prev_snapshot" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft_snap").toFile.getAbsolutePath
+      val ref = Layout.TableRef(tmp, Layout.usageLayer, "apify", "orders")
+      val (date, current) = (20250301, 1100)
       val o = orders(s, d).select("o_orderkey", "o_totalprice")
-      Seq(900, 1000, 1100)
-        .map(h => o.where(col("o_orderkey") % (h / 100) === 0).withColumn("run_time", lit(h)))
-        .reduce(_ unionByName _)
-        // one task per run_time partition → 3 files, not 3×shufflePartitions
-        .repartition(3, col("run_time"))
-        .write.mode("overwrite").partitionBy("run_time").parquet(tmp)
-      val snaps = s.read.parquet(tmp)
-      val current = 1100
-      val prev = snaps.where(col("run_time") < current)
-        .agg(max("run_time")).first().getInt(0)
-      snaps.where(col("run_time") === prev)
+      Seq(900, 1000, 1100).foreach { h =>
+        // one task per snapshot write → one file, not shufflePartitions many
+        Layout.writeSnapshot(
+          o.where(col("o_orderkey") % (h / 100) === 0).coalesce(1), ref, date, h)
+      }
+      val prev = Layout.previousRunTime(s, ref, date, current).get
+      Layout.snapshotAt(s, ref, date, prev)
         .select("o_orderkey", "o_totalprice", "run_time")
         .orderBy("o_orderkey")
     })
