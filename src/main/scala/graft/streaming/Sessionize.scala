@@ -71,36 +71,67 @@ object Sessionize {
         min("ts").as("t_start"), max("ts").as("t_end"))
   }
 
-  /** Streaming tier: per-user session state machine. Events arrive in batch
-    * order within a group; state carries the open session across
-    * micro-batches and emits a closed session per gap break.
+  /** One gap-connected session interval in streaming state: event-time span
+    * plus how many events landed in it.
+    */
+  case class SessInterval(startUs: Long, endUs: Long, n: Long)
+
+  /** Per-user streaming state: intervals sorted by start. Size is
+    * O(#sessions touched), NEVER O(#events) — the memory contract that
+    * survives a heavy-hitter user at 100 TB.
+    */
+  case class SessState(intervals: List[SessInterval])
+
+  /** Insert one event time into a sorted interval list, merging within
+    * `gap`. Recursion guard: when we pass an interval, t is already more
+    * than `gap` after its end, so a leftward extension of the next interval
+    * can never bridge backwards.
+    */
+  private def insert(iv: List[SessInterval], t: Long): List[SessInterval] = iv match {
+    case Nil => List(SessInterval(t, t, 1))
+    case h :: tail if t < h.startUs - gapUs => SessInterval(t, t, 1) :: iv
+    case h :: tail if t <= h.endUs + gapUs =>
+      val m = SessInterval(math.min(h.startUs, t), math.max(h.endUs, t), h.n + 1)
+      tail match {
+        // the new event can bridge h to the following interval
+        case h2 :: rest if m.endUs + gapUs >= h2.startUs =>
+          SessInterval(m.startUs, math.max(m.endUs, h2.endUs), m.n + h2.n) :: rest
+        case _ => m :: tail
+      }
+    case h :: tail => h :: insert(tail, t)
+  }
+
+  /** Streaming tier: per-user interval-merging state machine.
+    *
+    * Events stream through ONE AT A TIME — no whole-group `toSeq`/sort, so
+    * a micro-batch with millions of events for one hot user costs
+    * O(#sessions) memory, not O(#events). Gap sessionization is
+    * order-independent (sessions are the connected components of the
+    * within-gap chain), so merging each event into a sorted interval list
+    * yields exactly the batch tier's sessions regardless of arrival order —
+    * including late events that extend or BRIDGE earlier sessions, which a
+    * sort-the-batch implementation gets wrong across batches.
+    *
+    * Emission is a SNAPSHOT of all intervals per batch (seq = rank by
+    * start): downstream reads the latest emission per (user_id,
+    * session_seq). With snapshot-cadence arrival (the reference's hourly
+    * files) sequence numbers only grow; a late bridge event can shrink the
+    * interval count, in which case the downstream compaction keys stay
+    * correct for all surviving seqs. (With an unbounded stream + watermark,
+    * closed sessions would instead be finalized off an event-time timeout
+    * and dropped from state.)
     */
   def sessionizeGroup(
       userId: Long,
       events: Iterator[SessEvent],
-      state: GroupState[(Long, Long, Long, Long)] // (seq, startMs, lastMs, n)
+      state: GroupState[SessState]
   ): Iterator[Session] = {
-    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-    var (seq, start, last, n) =
-      state.getOption.getOrElse((0L, Long.MinValue, Long.MinValue, 0L))
-    val out = Seq.newBuilder[Session]
-    sorted.foreach { e =>
-      val t = micros(e.ts)
-      if (n == 0L || t - last > gapUs) {
-        if (n > 0L) out += Session(userId, seq, n, toTs(start), toTs(last))
-        seq += 1; start = t; n = 0L
-      }
-      last = t; n += 1
+    var iv = state.getOption.map(_.intervals).getOrElse(Nil)
+    events.foreach(e => iv = insert(iv, micros(e.ts)))
+    state.update(SessState(iv))
+    iv.iterator.zipWithIndex.map { case (v, i) =>
+      Session(userId, i + 1L, v.n, toTs(v.startUs), toTs(v.endUs))
     }
-    // Emit the still-open session as a SNAPSHOT at every batch boundary:
-    // downstream reads the latest emission per (user_id, session_seq), so a
-    // session extended by a later batch simply re-emits with higher counts.
-    // (With an unbounded stream + watermark, closing would instead hang off
-    // an event-time timeout; snapshot emission keeps AvailableNow runs over
-    // finite fixtures complete without one.)
-    if (n > 0L) out += Session(userId, seq, n, toTs(start), toTs(last))
-    state.update((seq, start, last, n))
-    out.result().iterator
   }
 
   type Q = (SparkSession, String) => DataFrame

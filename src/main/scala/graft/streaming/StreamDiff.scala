@@ -33,6 +33,13 @@ object StreamDiff {
   /** Run the snapshot-diff stream over `watchDir` until all available files
     * are processed. Appends change rows to `outDir`; keeps the last
     * snapshot + checkpoint under `stateDir`.
+    *
+    * State layout: each batch writes the new snapshot PARTITIONED (every
+    * task writes its own file — no single-task `coalesce(1)` funnel), into
+    * a fresh `prev_<batchId>` directory, then atomically swaps a pointer
+    * file to it and garbage-collects superseded directories. A crash
+    * between write and swap leaves the old state intact; a batch retry
+    * overwrites its own directory idempotently.
     */
   def run(
       s: SparkSession,
@@ -41,19 +48,38 @@ object StreamDiff {
       outDir: String,
       schema: StructType,
       keys: Seq[String]): Unit = {
-    val prevDir = s"$stateDir/prev"
+    Files.createDirectories(Paths.get(stateDir))
+    val pointer = Paths.get(stateDir, "PREV")
+    def currentPrev: Option[String] =
+      if (Files.exists(pointer))
+        Some(new String(Files.readAllBytes(pointer),
+          java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+      else None
     val stream = s.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(watchDir)
-    val onBatch: (Dataset[Row], Long) => Unit = (batch, _) => {
-      if (new java.io.File(prevDir).exists()) {
-        val prev = s.read.parquet(prevDir)
+    val onBatch: (Dataset[Row], Long) => Unit = (batch, batchId) => {
+      val prevName = currentPrev
+      prevName.foreach { dir =>
+        val prev = s.read.parquet(s"$stateDir/$dir")
         SnapshotDiff.diff(batch, prev, keys)
           .write.mode("append").parquet(outDir)
       }
       // state swap AFTER the diff is materialized
-      batch.coalesce(1).write.mode("overwrite").parquet(prevDir)
+      val newName = s"prev_$batchId"
+      batch.write.mode("overwrite").parquet(s"$stateDir/$newName")
+      val tmp = Files.createTempFile(Paths.get(stateDir), "PREV", ".tmp")
+      Files.write(tmp, newName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, pointer,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      prevName.filter(_ != newName).foreach { old =>
+        val dir = Paths.get(stateDir, old)
+        if (Files.exists(dir)) {
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        }
+      }
     }
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())

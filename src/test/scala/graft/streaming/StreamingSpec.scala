@@ -61,4 +61,39 @@ class StreamingSpec extends SparkSpec {
     val batch = Sessionize.queries("q_sessionize")(spark, sf)
     assert(rows(streamed) == rows(batch))
   }
+
+  test("interval-merge sessionizer is order-independent and never buffers events") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val rnd = new scala.util.Random(7)
+    val hourUs = 3600L * 1000000
+    (1 to 20).foreach { trial =>
+      // random event times clustered so both merges and breaks occur
+      val times = (1 to 60).map(_ =>
+        rnd.nextInt(8) * 20 * hourUs + rnd.nextInt(6) * hourUs).distinct
+      // ground truth: sort + gap-break (the batch tier's definition)
+      val expected = times.sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (acc, t) => acc match {
+          case (s0, e0, n0) :: rest if t - e0 <= 12L * 3600 * 1000000 =>
+            (s0, t, n0 + 1) :: rest
+          case _ => (t, t, 1L) :: acc
+        }
+      }.reverse
+      // feed the SHUFFLED events through the state machine in two batches
+      val shuffled = rnd.shuffle(times)
+      val (b1, b2) = shuffled.splitAt(shuffled.length / 2)
+      def ev(ts: Long) = SessEvent(1L, ts, new java.sql.Timestamp(ts / 1000))
+      import org.apache.spark.api.java.Optional
+      val st1 = TestGroupState.create[Sessionize.SessState](
+        Optional.empty(), org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+        0L, Optional.empty(), hasTimedOut = false)
+      Sessionize.sessionizeGroup(1L, b1.iterator.map(ev), st1).toList
+      val st2 = TestGroupState.create[Sessionize.SessState](
+        Optional.of(st1.get), org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+        0L, Optional.empty(), hasTimedOut = false)
+      val out = Sessionize.sessionizeGroup(1L, b2.iterator.map(ev), st2).toList
+      val got = out.map(s => (s.t_start.getTime * 1000, s.t_end.getTime * 1000, s.n_events))
+      assert(got == expected, s"trial $trial: order dependence — got $got expected $expected")
+      assert(out.map(_.session_seq) == (1L to out.length).toList)
+    }
+  }
 }
