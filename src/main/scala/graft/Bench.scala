@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at the given SF and prints
+  * ONE JSON line. Per-query records are `{"sec":…,"ok":…,"err":…}` so a
+  * broken query is visible in the output instead of silently recording a
+  * wall-time (a regression can't hide behind an "improved" total); `total`
+  * sums ALL queries, failed ones included, and `n_failed` tops it off.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,17 +20,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb one-time JVM/codegen/parquet-writer warmup outside the timings
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // absorb one-time JVM/JIT/codegen/parquet-writer warmup outside the
+    // timings: run every query once at the smallest SF so each plan's
+    // generated code is compiled before its timed run
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    val qs = results.map { case (k, sec, err) =>
+      val e = err.map(m => "\"" + m.replace("\\", "\\\\").replace("\"", "'") + "\"")
+        .getOrElse("null")
+      s""""$k":{"sec":$sec,"ok":${err.isEmpty},"err":$e}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val nFailed = results.count(_._3.nonEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,6 +21,17 @@ object Probe {
       println(f"PROBE $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     t("warmup count")(sources.Tables.documents(s, d).count())
+    if (args.contains("minhash-stages")) {
+      t("docShingles compute")(ext.Dedup.docShingles(s, d).where(size(col("sh")) > 0).count())
+      val t0 = System.nanoTime()
+      val sh = ext.Dedup.materializePublic(s,
+        ext.Dedup.docShingles(s, d).where(size(col("sh")) > 0), "probe_sh")
+      println(f"PROBE materialize sh            ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      t("minhashSigs compute")(ext.Dedup.minhashSigs(sh).count())
+      val t1 = System.nanoTime()
+      val sig = ext.Dedup.materializePublic(s, ext.Dedup.minhashSigs(sh), "probe_sig")
+      println(f"PROBE materialize sig           ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+    }
     args.filter(SparkEntry.queries.contains).foreach { q =>
       t(q)(SparkEntry.queries(q)(s, d).count())
     }

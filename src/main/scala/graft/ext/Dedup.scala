@@ -62,6 +62,31 @@ object Dedup {
       .agg(array_distinct(collect_list(col("shingle"))).as("sh"))
   }
 
+  /** doc_id + distinct HASHED shingle array (xxhash64 of the 4-token
+    * window, hashed in codegen before the shuffle). Same structure as
+    * [[docShingles]] but every shingle is 8 bytes instead of a ~25-char
+    * string — ~3× less shuffle/materialize volume and long-array
+    * intersections downstream. Used by the signature tier (q_dedup_minhash),
+    * which is non-oracle: q_dedup_ngram_jaccard keeps string shingles so
+    * its DuckDB oracle compares literal shingle sets. Hash collisions
+    * (~n²/2⁶⁴) are the standard MinHash trade and are covered by the
+    * recall property test.
+    */
+  def docShingleHashes(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = (0 until shingleLen).map(i =>
+      if (i == 0) col("t") else lead("t", i).over(w))
+    tok
+      .select(col("doc_id"), xxhash64(parts: _*).as("shingle"),
+        parts.last.isNotNull.as("full"))
+      .where(col("full"))
+      .groupBy("doc_id")
+      .agg(array_distinct(collect_list(col("shingle"))).as("sh"))
+  }
+
   /** Jaccard threshold for the near-dup joins. */
   val jaccardT = 0.8
 
@@ -70,6 +95,9 @@ object Dedup {
     * (Spark recomputes shared subplans per branch). At 100 TB the signature /
     * shingle table is a first-class materialized artifact anyway.
     */
+  private[graft] def materializePublic(s: SparkSession, df: DataFrame, tag: String): DataFrame =
+    materialize(s, df, tag)
+
   private def materialize(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag")
       .toFile.getAbsolutePath
@@ -77,14 +105,14 @@ object Dedup {
     s.read.parquet(tmp)
   }
 
-  /** 32-slot MinHash signature table. The shingle string is hashed ONCE
-    * (codegen'd xxhash64); each slot k is then `min(xxhash64(k, h))` inside a
-    * single map-side-combinable groupBy — no interpreted higher-order
-    * functions in the hot path, and the shuffle carries 32 longs per doc.
+  /** 32-slot MinHash signature table over HASHED shingles
+    * ([[docShingleHashes]] output): each slot k is `min(xxhash64(k, h))`
+    * inside a single map-side-combinable groupBy — no interpreted
+    * higher-order functions in the hot path, and the shuffle carries 32
+    * longs per doc.
     */
   def minhashSigs(sh: DataFrame): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
     val sigCols = (0 until nHashes).map(k => min(xxhash64(lit(k), col("h"))).as(s"s$k"))
     ex.groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
@@ -125,20 +153,25 @@ object Dedup {
 
     // n-gram Jaccard near-dup at threshold 0.8, with PREFIX FILTERING
     // (Chaudhuri/Xiao prefix-filter principle): order each document's
-    // shingles rarest-first under a global order; for Jaccard ≥ t two sets
-    // MUST share an element within their first ⌊(1−t)·n⌋+1 shingles, so
+    // shingles under a GLOBAL total order; for Jaccard ≥ t two sets MUST
+    // share an element within their first ⌊(1−t)·n⌋+1 shingles, so
     // candidates come from an equi-join on prefixes only — the naive
     // all-shingle self-join is quadratic in shingle collisions and melts at
-    // scale. Candidates are then verified exactly on the full shingle
-    // arrays, so semantics are identical to brute force (property-tested in
-    // DedupSpec; DuckDB oracle computes brute force).
+    // scale. The prefix principle is exact under ANY total order; we order
+    // by xxhash64(shingle) — a frequency order would shrink the candidate
+    // set a bit more but costs a doc-frequency groupBy + join (two extra
+    // shuffles of the full shingle stream), while hash order is free and
+    // spreads common shingles uniformly. Candidates are then verified
+    // exactly on the full shingle arrays, so semantics are identical to
+    // brute force (property-tested in DedupSpec; DuckDB oracle computes
+    // brute force).
     "q_dedup_ngram_jaccard" -> ((s, d) => {
       val sh = materialize(s, docShingles(s, d).where(size(col("sh")) > 0), "jac")
       val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("shingle"))
-      val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
-      val prefix = ex.join(freq, "shingle")
+      val w = Window.partitionBy("doc_id")
+        .orderBy(xxhash64(col("shingle")).asc, col("shingle").asc)
+      val prefix = ex
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= floor(col("n_sh") * (1 - jaccardT)) + 1)
         .select("doc_id", "shingle")
@@ -165,11 +198,13 @@ object Dedup {
     // (xxhash64 has no DuckDB twin); pinned by DedupSpec against
     // q_dedup_ngram_jaccard's exact answer.
     "q_dedup_minhash" -> ((s, d) => {
-      // materialized: the signature table feeds the band join twice and the
-      // verification join twice; recomputing 32×|shingles| hashes per branch
-      // is the difference between one pass and four.
-      val sh = materialize(s, docShingles(s, d).where(size(col("sh")) > 0), "mh_sh")
-      val sig = materialize(s, sh.join(minhashSigs(sh), "doc_id"), "mh")
+      // materialized: the shingle table feeds signature building and the
+      // verification joins; the SLIM (doc_id, sig) table feeds the band
+      // join twice and the estimate join twice. Materializing signatures
+      // WITHOUT the shingle arrays keeps the recompute guard while writing
+      // ~1% of the bytes the combined table would.
+      val sh = materialize(s, docShingleHashes(s, d).where(size(col("sh")) > 0), "mh_sh")
+      val sig = materialize(s, minhashSigs(sh), "mh")
       val banded = sig
         .select(col("doc_id"),
           explode(transform(sequence(lit(0), lit(nHashes / bandSize - 1)),
@@ -183,16 +218,23 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
         .distinct()
-      cand
-        .join(sig.as("sa"), col("ia") === col("sa.doc_id"))
-        .join(sig.as("sb"), col("ib") === col("sb.doc_id"))
+      // verification: the candidate set is ∝ duplicate pairs — always the
+      // tiny side — so every join below broadcasts it (or the slim sig
+      // table) and STREAMS the fat shingle table, never shuffling it.
+      val est = broadcast(cand
+        .join(broadcast(sig.as("sa")), col("ia") === col("sa.doc_id"))
+        .join(broadcast(sig.as("sb")), col("ib") === col("sb.doc_id"))
         .select(col("ia"), col("ib"),
           aggregate(zip_with(col("sa.sig"), col("sb.sig"),
             (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
-            .cast("long").as("est_matches"),
-          size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long").as("shared"),
-          size(col("sa.sh")).cast("long").as("na"),
-          size(col("sb.sh")).cast("long").as("nb"))
+            .cast("long").as("est_matches")))
+      val withA = sh.as("ha").join(est, col("ha.doc_id") === col("ia"))
+        .select(col("ia"), col("ib"), col("est_matches"), col("ha.sh").as("sha"))
+      sh.as("hb").join(broadcast(withA), col("hb.doc_id") === col("ib"))
+        .select(col("ia"), col("ib"), col("est_matches"),
+          size(array_intersect(col("sha"), col("hb.sh"))).cast("long").as("shared"),
+          size(col("sha")).cast("long").as("na"),
+          size(col("hb.sh")).cast("long").as("nb"))
         .withColumn("jac_permille", expr("shared * 1000 div (na + nb - shared)"))
         .where(col("jac_permille") >= 500)
         .orderBy("ia", "ib")

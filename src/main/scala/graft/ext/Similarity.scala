@@ -32,20 +32,21 @@ object Similarity {
   val nPlanes = 6
 
   /** Deterministic pseudo-random Gaussian hyperplanes (fixed seed, 64-dim —
-    * the fixture embedding dimensionality).
+    * the fixture embedding dimensionality). Float32, matching the embedding
+    * column, so the codegen'd dot product runs on homogeneous arrays.
     */
-  lazy val planes: Array[Array[Double]] = {
+  lazy val planes: Array[Array[Float]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(nPlanes)(Array.fill(64)(rnd.nextGaussian()))
+    Array.fill(nPlanes)(Array.fill(64)(rnd.nextGaussian().toFloat))
   }
 
-  /** Sign-pattern bucket id of an `array<float>` embedding column. */
+  /** Sign-pattern bucket id of an `array<float>` embedding column. Each
+    * plane projection is the native codegen'd `vec_dot` against a constant
+    * plane literal — the whole bucket id stays inside whole-stage codegen.
+    */
   def bucketOf(emb: Column): Column =
     (0 until nPlanes).map { j =>
-      val dot = aggregate(
-        zip_with(emb.cast("array<double>"), lit(planes(j)), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1 << j)).otherwise(lit(0))
+      when(VectorOps.dot(emb, lit(planes(j))) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
   val queries: Map[String, Q] = Map(

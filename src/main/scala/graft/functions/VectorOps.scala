@@ -74,10 +74,34 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `vec_dot(array<float>, array<float>) -> double` as a codegen'd Catalyst
+  * expression — the hyperplane-projection primitive for LSH bucketing
+  * (interpreted `aggregate(zip_with(...))` costs ~µs/row·plane; this stays
+  * in whole-stage codegen).
+  */
+case class DotProd(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.dotF($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** DataFrame-API entry points for the native vector expressions. */
 object VectorOps {
   def cosine(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    GraftShim.column(DotProd(GraftShim.expression(a), GraftShim.expression(b)))
 
   /** Make `vec_cosine` callable from SQL on an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
