@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Wav
 import graft.sources.Tables._
 
 /** A decoded media row (binary payload + typed metadata). */
@@ -19,14 +20,17 @@ case class MediaFeatures(
   * as opaque `binary` columns with typed metadata, and run decode /
   * feature-extract / frame-sample as partition-parallel typed operations.
   *
-  * The container has no image/audio codecs, so `decodeStub` below is a
-  * clearly-marked DETERMINISTIC FAKE standing in for a real decoder (JNI
-  * image lib, ffmpeg pipe, …). Everything around it — the binary column
-  * synthesis, the `Dataset[Media]` encoder boundary, the `mapPartitions`
-  * batch shape, the frame chunk arithmetic — is real Spark plumbing and is
-  * what these queries pin down.
+  * Audio rows carry REAL RIFF/WAVE PCM16 payloads and [[decodeSignal]]
+  * really parses them ([[graft.functions.Wav]] — pure-JVM chunk walker);
+  * the synthesized samples are arithmetically defined so `q_wav_decode`'s
+  * DuckDB oracle recomputes header fields and the decoded sample sum in
+  * closed form. Image/video rows remain opaque byte payloads standing in
+  * for formats whose codecs aren't in this container — for those the
+  * decoded "signal" is the raw byte stream (documented fake), while the
+  * Spark plumbing (binary columns, Dataset encoder boundary, mapPartitions
+  * batch shape, frame arithmetic) is real and tested.
   *
-  * Scale notes (100 TB): all three queries are per-row / per-partition with
+  * Scale notes (100 TB): all queries are per-row / per-partition with
   * zero shuffles; a real deployment holds payloads in parquet BINARY columns
   * (or pointers to object storage for row-group-sized blobs) and the
   * feature extractor amortizes decoder init per PARTITION, exactly the
@@ -39,8 +43,12 @@ object Multimodal {
   val frameStep = 4
   val nStrides = 8
 
-  /** Synthesized media table: the documents fixture's text re-cast as an
-    * opaque binary payload with a media_type/fmt derived from doc_id.
+  private val synthWav = udf((id: Long) => Wav.synth(id))
+
+  /** Synthesized media table: audio rows are real PCM16 WAV files built
+    * from the deterministic fixture signal; image/video rows re-cast the
+    * documents fixture's text as an opaque binary payload. (The UDF only
+    * synthesizes the fixture — it is not on any operator's read path.)
     */
   def media(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
@@ -51,13 +59,17 @@ object Multimodal {
       when(col("doc_id") % 3 === 0, "png")
         .when(col("doc_id") % 3 === 1, "wav")
         .otherwise("mp4").as("fmt"),
-      encode(col("text"), "UTF-8").as("bytes"))
+      when(col("doc_id") % 3 === 1, synthWav(col("doc_id")))
+        .otherwise(encode(col("text"), "UTF-8")).as("bytes"))
 
-  /** DECODE STUB — deterministic fake. A real implementation would parse
-    * `fmt` and decode to pixels/samples; this one treats the payload bytes
-    * as the decoded signal so the pipeline stays testable without codecs.
+  /** Decode a payload to its signal: WAV → real PCM samples via the chunk
+    * parser; other formats (no codecs in this container) → raw bytes as
+    * the stand-in signal, explicitly fake.
     */
-  def decodeStub(m: Media): Array[Byte] = m.bytes
+  def decodeSignal(m: Media): Array[Double] =
+    if (m.fmt == "wav")
+      Wav.parse(m.bytes).map(_._2.map(_.toDouble)).getOrElse(Array.empty)
+    else m.bytes.map(b => (b & 0xff).toDouble)
 
   /** Feature extraction over a partition iterator — decoder init happens
     * once per partition (the expensive part in a real decoder), then
@@ -66,17 +78,16 @@ object Multimodal {
   def extractFeatures(rows: Iterator[Media]): Iterator[MediaFeatures] = {
     // (real code: val decoder = Codec.open(...) — once per partition)
     rows.map { m =>
-      val signal = decodeStub(m)
+      val signal = decodeSignal(m)
       val n = signal.length
-      val unsigned = signal.map(b => (b & 0xff).toDouble)
       val strides = Array.tabulate(nStrides) { k =>
         val lo = k * n / nStrides
         val hi = math.max(lo + 1, (k + 1) * n / nStrides)
-        val sl = unsigned.slice(lo, math.min(hi, n))
+        val sl = signal.slice(lo, math.min(hi, n))
         if (sl.isEmpty) 0.0 else sl.sum / sl.length
       }
-      MediaFeatures(m.media_id, n.toLong,
-        if (n == 0) 0.0 else unsigned.sum / n, strides)
+      MediaFeatures(m.media_id, m.bytes.length.toLong,
+        if (n == 0) 0.0 else signal.sum / n, strides)
     }
   }
 
@@ -105,6 +116,27 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // REAL WAV decode, fully oracle-checked: parse the RIFF/fmt/data
+    // chunks of each audio payload and aggregate the decoded PCM samples;
+    // the DuckDB twin recomputes every output — header fields and the
+    // sample sum — from the closed-form fixture signal, so a parser bug
+    // (endianness, offset, chunk walk) breaks the hash.
+    "q_wav_decode" -> ((s, d) => {
+      implicit val me = org.apache.spark.sql.Encoders.product[Media]
+      import s.implicits._
+      media(s, d).where(col("fmt") === "wav").as[Media]
+        .map { m =>
+          val (info, samples) = Wav.parse(m.bytes)
+            .getOrElse(sys.error(s"unparseable wav payload for media ${m.media_id}"))
+          (m.media_id, info.sampleRate.toLong, info.channels.toLong,
+            info.bitsPerSample.toLong, info.nSamples.toLong,
+            samples.foldLeft(0L)(_ + _))
+        }
+        .toDF("media_id", "sample_rate", "n_channels", "bits_per_sample",
+          "n_samples", "sum_samples")
+        .orderBy("media_id")
+    }),
+
     // Frame sampling: chunk the payload into frameBytes-sized frames, keep
     // every frameStep-th — pure per-row index arithmetic (the binary
     // substring itself is exercised in MultimodalSpec); integer outputs keep
@@ -126,18 +158,37 @@ object Multimodal {
   private val fmtSql =
     "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END"
 
+  /** Payload size in closed form: wav rows are synthesized WAV files
+    * (44-byte header + 2 bytes per sample, n = 50 + id % 100); the rest
+    * are the UTF-8 text bytes.
+    */
+  private val nBytesSql =
+    "CASE WHEN doc_id % 3 = 1 THEN 144 + 2 * (doc_id % 100) ELSE octet_length(encode(text)) END"
+
   val oracles: Map[String, String] = Map(
     "q_media_meta" ->
       s"""SELECT doc_id AS media_id, $mediaTypeSql AS media_type, $fmtSql AS fmt,
-         |       octet_length(encode(text)) AS n_bytes
+         |       $nBytesSql AS n_bytes
          |FROM documents ORDER BY media_id""".stripMargin,
     "q_frame_sample" ->
       s"""SELECT media_id, i AS frame_idx,
          |       least($frameBytes, n - $frameBytes * i) AS frame_len
-         |FROM (SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
-         |             unnest(range(0, CAST(ceil(octet_length(encode(text)) / $frameBytes.0) AS BIGINT),
+         |FROM (SELECT doc_id AS media_id, $nBytesSql AS n,
+         |             unnest(range(0, CAST(ceil(($nBytesSql) / $frameBytes.0) AS BIGINT),
          |                          $frameStep)) AS i
          |      FROM documents)
          |ORDER BY media_id, frame_idx""".stripMargin,
+    "q_wav_decode" ->
+      """SELECT media_id, sample_rate, n_channels, bits_per_sample, n_samples,
+        |       CAST(sum(((media_id * 31 + i * 7) % 4096) - 2048) AS BIGINT) AS sum_samples
+        |FROM (SELECT doc_id AS media_id,
+        |             CAST(8000 + (doc_id % 4) * 2000 AS BIGINT) AS sample_rate,
+        |             CAST(1 AS BIGINT) AS n_channels,
+        |             CAST(16 AS BIGINT) AS bits_per_sample,
+        |             CAST(50 + doc_id % 100 AS BIGINT) AS n_samples
+        |      FROM documents WHERE doc_id % 3 = 1) d
+        |JOIN range(0, 150) t(i) ON t.i < d.n_samples
+        |GROUP BY media_id, sample_rate, n_channels, bits_per_sample, n_samples
+        |ORDER BY media_id""".stripMargin,
   )
 }

@@ -6,13 +6,59 @@ import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
-  test("binary payload roundtrips: decode(bytes) == original text") {
+  test("binary payload roundtrips: decode(bytes) == original text (non-wav rows)") {
     val back = Multimodal.media(spark, sf)
+      .where(col("fmt") =!= "wav")
       .select(col("media_id").as("doc_id"), decode(col("bytes"), "UTF-8").as("rt"))
     val orig = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
     val mismatches = orig.join(back, "doc_id")
       .where(col("text") =!= col("rt")).count()
     assert(mismatches == 0)
+  }
+
+  test("wav payloads are real parseable PCM16 WAV files") {
+    import graft.functions.Wav
+    val rows = Multimodal.media(spark, sf).where(col("fmt") === "wav")
+      .select("media_id", "bytes").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val parsed = Wav.parse(r.getAs[Array[Byte]]("bytes"))
+      assert(parsed.isDefined, s"media $id did not parse")
+      val (info, samples) = parsed.get
+      assert(info == Wav.WavInfo(Wav.rateFor(id), 1, 16, Wav.nSamplesFor(id)))
+      samples.zipWithIndex.foreach { case (s0, i) =>
+        assert(s0 == Wav.sampleAt(id, i), s"media $id sample $i")
+      }
+    }
+  }
+
+  test("wav parser golden fixture: chunk walking, unknown chunks, rejects garbage") {
+    import graft.functions.Wav
+    import java.nio.{ByteBuffer, ByteOrder}
+    // canonical synth file parses to its exact definition
+    val canonical = Wav.synth(7L)
+    assert(canonical.length == 44 + 2 * Wav.nSamplesFor(7L))
+    val (info, samples) = Wav.parse(canonical).get
+    assert(info.sampleRate == Wav.rateFor(7L) && info.bitsPerSample == 16)
+    assert(samples.length == Wav.nSamplesFor(7L))
+    // a LIST chunk between fmt and data must be skipped, not tripped over
+    val listChunk = {
+      val b = ByteBuffer.allocate(8 + 5 + 1).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes("US-ASCII")).putInt(5).put("INFOx".getBytes("US-ASCII"))
+      b.put(0.toByte) // odd-size chunks are word-padded
+      b.array
+    }
+    val withList = canonical.take(36) ++ listChunk ++ canonical.drop(36)
+    val reparsed = Wav.parse(withList)
+    assert(reparsed.isDefined, "parser must skip unknown chunks")
+    assert(reparsed.get._2.toSeq == samples.toSeq)
+    // garbage and truncation are rejected or clamped, never thrown
+    assert(Wav.parse("not a wav at all".getBytes).isEmpty)
+    assert(Wav.parse(Array.emptyByteArray).isEmpty)
+    assert(Wav.parse(canonical.take(10)).isEmpty)
+    val truncated = Wav.parse(canonical.take(60)) // header + few samples
+    assert(truncated.isDefined && truncated.get._2.length == (60 - 44) / 2)
   }
 
   test("feature extraction is deterministic, partition-count-invariant") {
@@ -30,9 +76,13 @@ class MultimodalSpec extends SparkSpec {
       assert(x.mean_byte == y.mean_byte)
       assert(x.stride_means.toSeq == y.stride_means.toSeq)
       assert(x.stride_means.length == Multimodal.nStrides)
-      // ASCII text payload → printable byte range
-      assert(x.mean_byte > 32 && x.mean_byte < 127)
     }
+    // non-wav rows: ASCII text payload → printable byte range; wav rows:
+    // real PCM samples → mean within the fixture signal's amplitude
+    val wavIds = a.filter(_.media_id % 3 == 1)
+    val textIds = a.filter(_.media_id % 3 != 1)
+    textIds.foreach(x => assert(x.mean_byte > 32 && x.mean_byte < 127))
+    wavIds.foreach(x => assert(math.abs(x.mean_byte) <= 2048))
   }
 
   test("frame sampling: every frameStep-th frame, correct tail length") {
