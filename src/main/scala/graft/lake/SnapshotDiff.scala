@@ -16,23 +16,37 @@ import graft.sources.Tables
   *   - NULL key columns never match (SQL null semantics), so a row with a
   *     NULL key shows up as both added and deleted.
   *
-  * Scale notes (100 TB): the two anti-joins shuffle both inputs on the key.
-  * Catalyst broadcasts the smaller side when it fits
-  * (`autoBroadcastJoinThreshold`), else sort-merge-joins; AQE converts to a
-  * broadcast join at runtime when the post-filter size allows. Because both
-  * joins share the same join key, the exchange of `cur` and `prev` is reused
-  * across J1/J2 (ReusedExchange), so the diff costs one shuffle per input,
-  * not two. For repeated hourly diffs at scale, write snapshots bucketed by
-  * the key to make the diff shuffle-free.
+  * Scale notes (100 TB): the composed `diff` runs as ONE full-outer join
+  * on the key — each input shuffles exactly once, and the matched rows
+  * stream through the join's filter without materializing. The literal
+  * two-anti-join formulation (J1/J2 exposed below for operator fidelity)
+  * would shuffle each input twice — and its exchanges can NOT be reused
+  * across the branches, because the anti-join build sides carry extra
+  * null-key filters that make the subplans differ (pinned in PlanSpec).
+  * Catalyst still broadcasts the smaller side when it fits; for repeated
+  * hourly diffs at scale, write snapshots bucketed by the key to make the
+  * diff shuffle-free.
   */
 object SnapshotDiff {
 
-  /** J1 + J2 + U1 composed (reference `:242-248`). */
+  /** J1 + J2 + U1 composed (reference `:242-248`), as a single full-outer
+    * join: a key-group present only in `cur` is `added`, only in `prev` is
+    * `deleted`, both-sides rows drop. Equivalent to the two anti-joins +
+    * union for every fidelity case (duplicate keys: m×n matched pairs all
+    * drop, unmatched dups all survive; NULL keys never match, so those
+    * rows surface on both sides) — the golden fixtures in SnapshotDiffSpec
+    * pin this.
+    */
   def diff(cur: DataFrame, prev: DataFrame, keys: Seq[String],
            addedTag: String = "added", deletedTag: String = "deleted"): DataFrame = {
-    val added = cur.join(prev, keys, "left_anti").withColumn("change", lit(addedTag))
-    val deleted = prev.join(cur, keys, "left_anti").withColumn("change", lit(deletedTag))
-    added.unionByName(deleted)
+    val c = cur.withColumn("_c", lit(1))
+    val p = prev.withColumn("_p", lit(1))
+    val outCols = cur.columns.map { n =>
+      if (keys.contains(n)) col(n) else coalesce(c(n), p(n)).as(n)
+    } :+ when(col("_p").isNull, lit(addedTag)).otherwise(lit(deletedTag)).as("change")
+    c.join(p, keys, "full_outer")
+      .where(col("_c").isNull || col("_p").isNull)
+      .select(outCols.toIndexedSeq: _*)
   }
 
   /** J1 alone: rows in `cur` missing from `prev` (reference `:242-244`). */
