@@ -21,7 +21,8 @@ object SparkEntry {
     ops.Core.queries ++ ext.Relational.queries ++ ml.GenderQueries.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++ streaming.StreamDiff.queries ++
-      streaming.Sessionize.queries ++ sources.Ingest.queries
+      streaming.Sessionize.queries ++ sources.Ingest.queries ++
+      ops.AsofJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -30,5 +31,6 @@ object SparkEntry {
     ops.Core.oracles ++ ext.Relational.oracles ++ ml.GenderQueries.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
       ext.Multimodal.oracles ++ streaming.StreamDiff.oracles ++
-      streaming.Sessionize.oracles ++ sources.Ingest.oracles
+      streaming.Sessionize.oracles ++ sources.Ingest.oracles ++
+      ops.AsofJoin.oracles
 }

@@ -113,7 +113,40 @@ object Relational {
     "q_json_extract" -> ((s, d) =>
       events(s, d)
         .select(col("event_id"), get_json_object(col("props"), "$.k").as("k_str"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Hierarchical aggregates: ROLLUP computes detail + per-flag subtotals
+    // + grand total in ONE pass (Spark expands grouping sets before the
+    // shuffle, so partial aggregation still combines map-side — no
+    // re-aggregation of the detail output). grouping_id disambiguates the
+    // NULLs that rollup introduces from genuine data NULLs.
+    "q_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Exact interpolated quantiles (one shuffle, per-group sort inside the
+    // aggregate) + the approx sketch (KLL/GK-style percentile_approx)
+    // checked against the exact value by bounded error — the same
+    // exact-twin oracle pattern as q_approx_distinct. At 100 TB the approx
+    // tier is the one you run (mergeable sketch, no per-group sort);
+    // the exact tier is its oracle.
+    "q_quantiles" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 3).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 3).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 3).as("p90"),
+          (abs(expr("approx_percentile(l_extendedprice, 0.5, 1000)") -
+            expr("percentile(l_extendedprice, 0.5)")) <=
+            expr("percentile(l_extendedprice, 0.5)") * 0.05).as("approx_ok"))
+        .orderBy("l_returnflag"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,6 +198,22 @@ object Relational {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       COUNT(*) AS n_rows,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 3) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 3) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 3) AS p90,
+        |       abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+        |         <= quantile_cont(l_extendedprice, 0.5) * 0.05 AS approx_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
