@@ -22,7 +22,8 @@ object SparkEntry {
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++ streaming.StreamDiff.queries ++
       streaming.Sessionize.queries ++ sources.Ingest.queries ++
-      ops.AsofJoin.queries
+      ops.AsofJoin.queries ++ streaming.WindowAgg.queries ++
+      ops.SkewJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -32,5 +33,6 @@ object SparkEntry {
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++ ext.Similarity.oracles ++
       ext.Multimodal.oracles ++ streaming.StreamDiff.oracles ++
       streaming.Sessionize.oracles ++ sources.Ingest.oracles ++
-      ops.AsofJoin.oracles
+      ops.AsofJoin.oracles ++ streaming.WindowAgg.oracles ++
+      ops.SkewJoin.oracles
 }

@@ -49,6 +49,49 @@ object Similarity {
       when(VectorOps.dot(emb, lit(planes(j))) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  val ivfK = 16
+  val ivfProbes = 3
+  val ivfIters = 3
+
+  /** Spherical k-means coarse quantizer for the IVF tier: Lloyd iterations
+    * where every data pass is distributed (assignment = argmax of k
+    * codegen'd cosines against centroid literals; update = per-dimension
+    * mean via posexplode + one combinable groupBy) and only the k×dim
+    * centroid table crosses the driver between iterations — the standard
+    * k-means-on-Spark shape. Deterministic: seeded by the first k vectors,
+    * no randomness.
+    */
+  def ivfCentroids(s: SparkSession, e: DataFrame): Array[Array[Float]] = {
+    var cents: Array[Array[Float]] = e.where(col("vec_id") < ivfK)
+      .orderBy("vec_id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    for (_ <- 1 to ivfIters) {
+      val assigned = assignClusters(e, cents)
+      val updated = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          val v = new Array[Float](cents(0).length)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+          c -> v
+        }
+      cents = Array.tabulate(ivfK)(c => updated.getOrElse(c, cents(c)))
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: k codegen'd cosines per row, argmax via
+    * array_position(max) — whole pass stays in codegen.
+    */
+  def assignClusters(e: DataFrame, cents: Array[Array[Float]]): DataFrame = {
+    val cos = array(cents.toIndexedSeq.map(c => VectorOps.cosine(col("embedding"), lit(c))): _*)
+    e.withColumn("cluster",
+      (array_position(cos, array_max(cos)) - 1).cast("int"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact top-k: rank on the ROUNDED cosine (6 dp) with candidate-id
     // tie-break so ordering is reproducible across engines regardless of
@@ -63,6 +106,38 @@ object Similarity {
         .select(col("qid"), col("vec_id").as("cand_id"),
           round(VectorOps.cosine(col("embedding"), col("qe")), 6).as("cos6"))
         .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .orderBy("qid", "rank")
+    }),
+
+    // IVF tier: k-means coarse quantizer; corpus partitioned into ivfK
+    // inverted lists, each query probes its ivfProbes nearest centroids
+    // and reranks candidates exactly. At 100 TB the corpus is WRITTEN
+    // partitioned by cluster id, so a probe reads ivfProbes/ivfK of the
+    // data — the classic IVF-flat layout. Non-oracle (recall < 1 by
+    // design); recall and candidate-efficiency pinned by SimilaritySpec.
+    "q_sim_ivf" -> ((s, d) => {
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      val cents = ivfCentroids(s, e)
+      val corpus = assignClusters(e, cents)
+      // per query: top-ivfProbes centroids via sort of (-cos, idx) structs
+      // (interpreted sort_array over k elements × |queries| rows — off the
+      // corpus hot path)
+      val cos = array(cents.toIndexedSeq.map(c => VectorOps.cosine(col("embedding"), lit(c))): _*)
+      val probes = e.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          slice(sort_array(zip_with(cos,
+            sequence(lit(0), lit(ivfK - 1)),
+            (c, i) => struct((-c).as("negCos"), i.as("idx")))), 1, ivfProbes).as("top"))
+        .select(col("qid"), col("qe"), explode(col("top.idx")).as("probe"))
+      corpus.join(broadcast(probes),
+          col("cluster") === col("probe") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          round(VectorOps.cosine(col("embedding"), col("qe")), 6).as("cos6"))
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos6").desc, col("cand_id").asc))
+            .cast("long"))
         .where(col("rank") <= k)
         .orderBy("qid", "rank")
     }),

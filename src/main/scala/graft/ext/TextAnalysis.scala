@@ -50,6 +50,11 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est"),
   )
 
+  /** Fixed retrieval query for BM25 — terms chosen from the fixture
+    * vocabulary with distinct document frequencies.
+    */
+  val bm25Terms: Seq[String] = Seq("hash", "spark", "dup")
+
   val queries: Map[String, Q] = Map(
     // E4a: corpus term statistics — tokenize (per-row), explode, then ONE
     // partial-aggregatable groupBy(token); df via distinct doc set per token.
@@ -111,6 +116,40 @@ object TextAnalysis {
       scored.withColumn("predicted_lang", predicted).orderBy("doc_id")
     }),
 
+    // E4f: BM25 relevance scoring against a fixed query — the ranking
+    // primitive of retrieval pipelines. Shape: ONE corpus-stats aggregate
+    // (count/total-length/per-term document frequency — all combinable)
+    // broadcast onto a per-row scoring pass; term frequencies are array
+    // filters on the shared tokenizer, no shuffle beyond the 1-row stats.
+    // Scores use a FIXED summation order (s0+s1+s2 in the expression tree,
+    // never a groupBy sum) so the float result is reproducible; the oracle
+    // mirrors the formula textually and both round to 5dp.
+    "q_bm25" -> ((s, d) => {
+      val (k1, b) = (1.2, 0.75)
+      val docs = documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val aggCols = count(lit(1)).cast("double").as("n_docs") +:
+        sum(col("dl")).as("sum_dl") +:
+        bm25Terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("toks"), t), 1).otherwise(0))
+            .cast("double").as(s"df_$i")
+        }
+      val stats = docs.agg(aggCols.head, aggCols.tail: _*)
+      val scored = docs.crossJoin(broadcast(stats))
+      val scores = bm25Terms.zipWithIndex.map { case (t, i) =>
+        val tf = size(filter(col("toks"), x => x === t)).cast("double")
+        val idf = log((col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)) + lit(1))
+        idf * (tf * lit(k1 + 1)) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / (col("sum_dl") / col("n_docs"))))
+      }
+      scored.select(
+        col("doc_id") +:
+          scores.zip(bm25Terms).map { case (sc, t) => round(sc, 5).as(s"score_$t") } :+
+          round(scores.reduce(_ + _), 5).as("bm25"): _*)
+        .orderBy("doc_id")
+    }),
+
     // E4e: document fingerprinting — md5 of normalized text plus a
     // polynomial rolling hash (base 31 mod 1e9+7) over the character
     // sequence, both per-row expressions. The rolling hash is the
@@ -167,6 +206,40 @@ object TextAnalysis {
          |FROM (SELECT doc_id,
          |       $scoreCols
          |FROM documents) ORDER BY doc_id""".stripMargin
+    },
+    "q_bm25" -> {
+      val dfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+      }.mkString(",\n         ")
+      val scoreExprs = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"""ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1) * (tf_$i * (1.2 + 1)) /
+           |           (tf_$i + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs))) AS s_$i""".stripMargin
+      }.mkString(",\n         ")
+      val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+      }.mkString(",\n         ")
+      val outCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"round(s_$i, 5) AS score_$t"
+      }.mkString(", ")
+      val totalExpr = bm25Terms.indices.map(i => s"s_$i").mkString(" + ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, $toksSql AS toks, CAST(len($toksSql) AS DOUBLE) AS dl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+         |         $dfCols
+         |  FROM docs),
+         |tf AS (
+         |  SELECT doc_id, dl,
+         |         $tfCols,
+         |         n_docs, sum_dl${bm25Terms.indices.map(i => s", df_$i").mkString}
+         |  FROM docs CROSS JOIN stats),
+         |scores AS (
+         |  SELECT doc_id,
+         |         $scoreExprs
+         |  FROM tf)
+         |SELECT doc_id, $outCols, round($totalExpr, 5) AS bm25
+         |FROM scores ORDER BY doc_id""".stripMargin
     },
     "q_doc_fingerprint" ->
       """SELECT doc_id,

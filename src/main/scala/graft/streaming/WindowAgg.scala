@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+import graft.util.Exact.dsum
+
+/** Watermarked tumbling-window aggregation over the events stream —
+  * the canonical Structured Streaming shape (SURVEY §1.1 reserves the
+  * events surface; the reference emulates streaming with an hourly cron).
+  *
+  * Shape: file source (one snapshot file per micro-batch, mtime order) →
+  * `withWatermark(ts)` → `groupBy(window(ts, 1h), event_type)` →
+  * count/sum → UPDATE-mode `foreachBatch` sink that appends each batch's
+  * changed windows tagged with the batch id; the final answer is the
+  * LATEST emission per window key. This is the streaming-native
+  * equivalent of the batch `q_event_window`, and `q_stream_window` is
+  * hash-checked against the SAME DuckDB oracle.
+  *
+  * Scale notes: the windowed aggregate keeps one state row per open
+  * (window, event_type); the watermark bounds state — windows older than
+  * the watermark are finalized and evicted, so state never grows with
+  * stream length. The compaction read ("latest per key") is served by the
+  * same window-rank shape as E1 exact dedup.
+  */
+object WindowAgg {
+
+  val windowLen = "1 hour"
+  val watermark = "2 hours"
+
+  /** Run the windowed aggregation over all files in `watchDir`; appends
+    * per-batch window updates (tagged `batch_id`) to `outDir`.
+    */
+  def run(s: SparkSession, watchDir: String, chkDir: String, outDir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val agg = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watchDir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("update")
+      .option("checkpointLocation", chkDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Latest emission per window key — the compaction read. */
+  def compact(s: SparkSession, outDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start", "event_type")
+      .orderBy(col("batch_id").desc)
+    s.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("window_start", "event_type", "n_events", "sum_value")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Two snapshot files split by event time (sessions cross the batch
+    // boundary); the compacted stream output must equal the batch
+    // aggregation — same oracle as q_event_window.
+    "q_stream_window" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "event_id", "event_type", "ts", "value")
+      val cut = ev.agg(expr("percentile(cast(ts as long), 0.5)")).head().getDouble(0).toLong
+      val base = Files.createTempDirectory("graft_swin").toFile.getAbsolutePath
+      val t0 = System.currentTimeMillis() - 120000
+      StreamDiff.writeSnapshotFile(
+        ev.where(col("ts").cast("long") <= cut), s"$base/in/part_1.parquet", t0)
+      StreamDiff.writeSnapshotFile(
+        ev.where(col("ts").cast("long") > cut), s"$base/in/part_2.parquet", t0 + 60000)
+      run(s, s"$base/in", s"$base/chk", s"$base/out", ev.schema)
+      compact(s, s"$base/out")
+        .orderBy("window_start", "event_type")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // identical to the batch q_event_window oracle — that is the point
+    "q_stream_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -54,6 +54,39 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("c1") == r.getAs[Double]("c2")))
   }
 
+  test("IVF tier: valid ANN with usable recall and pruned candidate reads") {
+    val exact = topk("q_sim_topk")
+    val ivf = topk("q_sim_ivf")
+    assert(ivf.keySet == exact.keySet)
+    ivf.foreach { case (q, cands) => assert(!cands.contains(q)) }
+    val recalls = exact.map { case (q, ex) =>
+      ex.count(ivf(q).toSet.contains).toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean IVF recall@${Similarity.k} = $mean too low")
+    // the coarse quantizer must actually partition: every cluster id in
+    // range, and probing reads at most ivfProbes/ivfK of a balanced corpus
+    val e = graft.sources.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(spark, e)
+    assert(cents.length == Similarity.ivfK)
+    val sizes = Similarity.assignClusters(e, cents)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet.forall(c => c >= 0 && c < Similarity.ivfK))
+    assert(sizes.size > Similarity.ivfProbes, "quantizer collapsed to too few clusters")
+  }
+
+  test("IVF candidates' cosines match the exact tier's for shared pairs") {
+    val ex = Similarity.queries("q_sim_topk")(spark, sf)
+      .select(col("qid"), col("cand_id"), col("cos6").as("c1"))
+    val ap = Similarity.queries("q_sim_ivf")(spark, sf)
+      .select(col("qid"), col("cand_id"), col("cos6").as("c2"))
+    val joined = ex.join(ap, Seq("qid", "cand_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r =>
+      assert(r.getAs[Double]("c1") == r.getAs[Double]("c2")))
+  }
+
   test("bucket ids are stable and within range") {
     val b = graft.sources.Tables.embeddings(spark, sf)
       .select(Similarity.bucketOf(col("embedding")).as("b"))
