@@ -103,11 +103,15 @@ object VectorOps {
   def dot(a: Column, b: Column): Column =
     GraftShim.column(DotProd(GraftShim.expression(a), GraftShim.expression(b)))
 
-  /** Make `vec_cosine` callable from SQL on an already-running session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Make `vec_cosine`/`vec_dot` callable from SQL on a running session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftShim.registerFunction(spark, "vec_cosine",
       new ExpressionInfo(classOf[CosineSim].getName, "vec_cosine"),
       args => CosineSim(args(0), args(1)))
+    GraftShim.registerFunction(spark, "vec_dot",
+      new ExpressionInfo(classOf[DotProd].getName, "vec_dot"),
+      args => DotProd(args(0), args(1)))
+  }
 }
 
 /** `SparkSessionExtensions` hook registering the vector functions for SQL
@@ -120,5 +124,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "vec_cosine"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProd].getName, "vec_dot"),
+      (args: Seq[Expression]) => DotProd(args(0), args(1))))
+    // rewrite portable HOF dot products into the native expression
+    ext.injectOptimizerRule(_ => VecRewrite)
   }
 }

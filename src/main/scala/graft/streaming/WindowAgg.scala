@@ -37,6 +37,18 @@ object WindowAgg {
     */
   def run(s: SparkSession, watchDir: String, chkDir: String, outDir: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {
+    // stateful streams pay per state-store partition per micro-batch
+    // (open/commit/checkpoint); size the state partitioning to the key
+    // cardinality (|windows|×|event types| here is dozens), not to the
+    // batch-side shuffle width. Fixed at stream start from session conf.
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try runStream(s, watchDir, chkDir, outDir, schema)
+    finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  private def runStream(s: SparkSession, watchDir: String, chkDir: String,
+      outDir: String, schema: org.apache.spark.sql.types.StructType): Unit = {
     val agg = s.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -77,7 +89,10 @@ object WindowAgg {
     // aggregation — same oracle as q_event_window.
     "q_stream_window" -> ((s, d) => {
       val ev = Tables.events(s, d).select("user_id", "event_id", "event_type", "ts", "value")
-      val cut = ev.agg(expr("percentile(cast(ts as long), 0.5)")).head().getDouble(0).toLong
+      // any time split exercises cross-boundary state; midpoint of the
+      // range is one cheap min/max aggregate (vs an exact percentile sort)
+      val mm = ev.agg(min(col("ts").cast("long")), max(col("ts").cast("long"))).head()
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
       val base = Files.createTempDirectory("graft_swin").toFile.getAbsolutePath
       val t0 = System.currentTimeMillis() - 120000
       StreamDiff.writeSnapshotFile(

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VecRewriteSpec extends SparkSpec {
+
+  private def hofDot = aggregate(
+    zip_with(col("a").cast("array<double>"), col("b").cast("array<double>"),
+      (x, y) => x * y),
+    lit(0.0), (acc, v) => acc + v)
+
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+    (Array(0.5f, -1.25f, 8f), Array(2f, 2f, 0.125f)),
+    (Array.empty[Float], Array.empty[Float])).toDF("a", "b")
+
+  test("rule rewrites the HOF dot product into the native vec_dot expression") {
+    VecRewriteInstall.install(spark)
+    // parquet-backed source so constant folding can't evaluate the plan away
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("embedding").as("a"), col("embedding").as("b"))
+    val df = e.select(hofDot.as("dot"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("vec_dot"), s"no rewrite in:\n$plan")
+    assert(!plan.contains("aggregate("), s"HOF survived in:\n$plan")
+  }
+
+  test("rewritten result is bit-identical to the interpreted HOF result") {
+    VecRewriteInstall.install(spark)
+    val rewritten = fixture.select(hofDot.as("dot")).collect().map(_.getDouble(0))
+    // compute the un-rewritten truth through a fresh session without the rule
+    val clean = spark.newSession()
+    import clean.implicits._
+    val cleanDf = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (Array(0.5f, -1.25f, 8f), Array(2f, 2f, 0.125f)),
+      (Array.empty[Float], Array.empty[Float])).toDF("a", "b")
+    val interpreted = cleanDf.select(
+      aggregate(zip_with(col("a").cast("array<double>"), col("b").cast("array<double>"),
+        (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("dot"))
+      .collect().map(_.getDouble(0))
+    assert(!cleanDf.select(aggregate(zip_with(col("a").cast("array<double>"),
+      col("b").cast("array<double>"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
+      .queryExecution.optimizedPlan.toString.contains("vec_dot"),
+      "control session unexpectedly has the rule")
+    assert(rewritten.toSeq == interpreted.toSeq)
+  }
+
+  test("rule leaves non-matching aggregates alone") {
+    VecRewriteInstall.install(spark)
+    // sum-of-squares (x*x, not x*y across two arrays) must NOT rewrite
+    val df = fixture.select(
+      aggregate(transform(col("a").cast("array<double>"), x => x * x),
+        lit(0.0), (acc, v) => acc + v).as("ss"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    // double-typed inputs (no float source) must NOT rewrite either
+    val dd = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val df2 = dd.select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("dot"))
+    assert(!df2.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    assert(df2.head.getDouble(0) == 11.0)
+  }
+
+  test("vec_dot is callable from SQL after registration") {
+    VectorOps.register(spark)
+    val got = spark.sql("SELECT vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+      .head().getDouble(0)
+    assert(got == 11.0)
+  }
+}
