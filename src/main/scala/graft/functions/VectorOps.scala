@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -58,8 +59,19 @@ object VecMath {
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
-  // Inputs must be array<float>; callers (VectorOps / GraftExtensions) only
-  // build this over embedding columns, so no ExpectsInputTypes plumbing.
+  // array<float> required: the primitive loop reads 4-byte floats. The SQL
+  // builders ([[VectorOps.coerceFloatArray]]) cast numeric arrays up
+  // front; this check rejects anything that slips through rather than
+  // misreading memory. (ImplicitCastInputTypes is private[sql] in
+  // Spark 4, hence the builder-side coercion.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_cosine"
 
@@ -81,6 +93,14 @@ case class CosineSim(left: Expression, right: Expression)
   */
 case class DotProd(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
@@ -103,14 +123,24 @@ object VectorOps {
   def dot(a: Column, b: Column): Column =
     GraftShim.column(DotProd(GraftShim.expression(a), GraftShim.expression(b)))
 
+  /** Coerce any numeric array onto the float-array contract at the SQL
+    * boundary (users write `array(1.0, 2.0)` and get DOUBLE literals).
+    */
+  private[functions] def coerceFloatArray(e: Expression): Expression =
+    e.dataType match {
+      case ArrayType(FloatType, _) => e
+      case ArrayType(_: NumericType, n) => Cast(e, ArrayType(FloatType, n))
+      case _ => e // rejected by checkInputDataTypes with a typed error
+    }
+
   /** Make `vec_cosine`/`vec_dot` callable from SQL on a running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftShim.registerFunction(spark, "vec_cosine",
       new ExpressionInfo(classOf[CosineSim].getName, "vec_cosine"),
-      args => CosineSim(args(0), args(1)))
+      args => CosineSim(coerceFloatArray(args(0)), coerceFloatArray(args(1))))
     GraftShim.registerFunction(spark, "vec_dot",
       new ExpressionInfo(classOf[DotProd].getName, "vec_dot"),
-      args => DotProd(args(0), args(1)))
+      args => DotProd(coerceFloatArray(args(0)), coerceFloatArray(args(1))))
   }
 }
 
@@ -123,11 +153,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "vec_cosine"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSim(
+        VectorOps.coerceFloatArray(args(0)), VectorOps.coerceFloatArray(args(1)))))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProd].getName, "vec_dot"),
-      (args: Seq[Expression]) => DotProd(args(0), args(1))))
+      (args: Seq[Expression]) => DotProd(
+        VectorOps.coerceFloatArray(args(0)), VectorOps.coerceFloatArray(args(1)))))
     // rewrite portable HOF dot products into the native expression
     ext.injectOptimizerRule(_ => VecRewrite)
   }

@@ -71,4 +71,15 @@ class VecRewriteSpec extends SparkSpec {
       .head().getDouble(0)
     assert(got == 11.0)
   }
+
+  test("SQL calls over non-float arrays implicit-cast instead of misreading memory") {
+    VectorOps.register(spark)
+    // array<double> and array<int> literals both coerce to array<float>
+    val d = spark.sql("SELECT vec_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d")
+      .head().getDouble(0)
+    assert(d == 11.0)
+    val i = spark.sql("SELECT vec_cosine(array(1, 2), array(2, 4)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(i - 1.0) < 1e-12)
+  }
 }
