@@ -130,6 +130,41 @@ object Relational {
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // Set operations (SURVEY §2.2 notes the reference exercises none):
+    // INTERSECT/EXCEPT with distinct semantics, tagged and unioned.
+    "q_setops" -> ((s, d) => {
+      val a = customer(s, d).where(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name")
+      val b = customer(s, d).where(col("c_custkey") % 3 === 0)
+        .select("c_custkey", "c_name")
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(a.except(b).withColumn("op", lit("even_only")))
+        .orderBy("op", "c_custkey")
+    }),
+
+    // Date scalar functions (another unexercised gap): month truncation,
+    // calendar-aware month addition (end-of-month clamping matches DuckDB
+    // INTERVAL arithmetic), day differences, field extraction.
+    "q_date_funcs" -> ((s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"), col("o_orderdate"),
+        trunc(col("o_orderdate"), "mon").as("month_start"),
+        add_months(col("o_orderdate"), 3).as("plus_3m"),
+        datediff(to_date(lit("1998-12-01")), col("o_orderdate")).cast("long").as("days_to_end"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+        .orderBy("o_orderkey")),
+
+    // Pivot with explicit values — conditional-aggregation semantics, so
+    // partial aggregation still combines map-side and the oracle is plain
+    // CASE sums.
+    "q_pivot" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum("l_quantity"))
+        .orderBy("l_linestatus")),
+
     // Exact interpolated quantiles (one shuffle, per-group sort inside the
     // aggregate) + the approx sketch (KLL/GK-style percentile_approx)
     // checked against the exact value by bounded error — the same
@@ -207,6 +242,32 @@ object Relational {
         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_setops" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, 'both' AS op FROM (
+        |    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
+        |    INTERSECT
+        |    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, 'even_only' AS op FROM (
+        |    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
+        |    EXCEPT
+        |    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0)
+        |) ORDER BY op, c_custkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey, o_orderdate,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+        |       datediff('day', o_orderdate, DATE '1998-12-01') AS days_to_end,
+        |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |       SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
+        |       SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
+        |       SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 3) AS p25,
