@@ -22,8 +22,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time JVM/JIT/codegen/parquet-writer warmup outside the
     // timings: run every query once at the smallest SF so each plan's
-    // generated code is compiled before its timed run
-    val warmDir = "/root/testdata/sf0.001"
+    // generated code is compiled before its timed run (fall back to the
+    // bench dir itself when the small fixture isn't on this host)
+    val warmDir = Seq("/root/testdata/sf0.001").find(new java.io.File(_).isDirectory)
+      .getOrElse(sfDir)
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
@@ -40,7 +42,8 @@ object Bench {
       (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
     }
     val qs = results.map { case (k, sec, err) =>
-      val e = err.map(m => "\"" + m.replace("\\", "\\\\").replace("\"", "'") + "\"")
+      val e = err.map(m => "\"" + m.replace("\\", "\\\\").replace("\"", "'")
+          .replaceAll("[\\x00-\\x1f]", " ") + "\"")
         .getOrElse("null")
       s""""$k":{"sec":$sec,"ok":${err.isEmpty},"err":$e}"""
     }.mkString("{", ",", "}")

@@ -62,9 +62,12 @@ object Similarity {
     * no randomness.
     */
   def ivfCentroids(s: SparkSession, e: DataFrame): Array[Array[Float]] = {
-    var cents: Array[Array[Float]] = e.where(col("vec_id") < ivfK)
-      .orderBy("vec_id").collect()
+    // seed with the first ivfK vectors IN ID ORDER — no assumption that
+    // ids are contiguous or start at zero
+    var cents: Array[Array[Float]] = e.orderBy("vec_id").limit(ivfK).collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    require(cents.nonEmpty, "ivfCentroids: empty corpus")
+    val k = cents.length // < ivfK only for corpora smaller than ivfK
     for (_ <- 1 to ivfIters) {
       val assigned = assignClusters(e, cents)
       val updated = assigned
@@ -78,7 +81,7 @@ object Similarity {
           rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
           c -> v
         }
-      cents = Array.tabulate(ivfK)(c => updated.getOrElse(c, cents(c)))
+      cents = Array.tabulate(k)(c => updated.getOrElse(c, cents(c)))
     }
     cents
   }
@@ -127,7 +130,7 @@ object Similarity {
       val probes = e.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           slice(sort_array(zip_with(cos,
-            sequence(lit(0), lit(ivfK - 1)),
+            sequence(lit(0), lit(cents.length - 1)),
             (c, i) => struct((-c).as("negCos"), i.as("idx")))), 1, ivfProbes).as("top"))
         .select(col("qid"), col("qe"), explode(col("top.idx")).as("probe"))
       corpus.join(broadcast(probes),

@@ -14,20 +14,26 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *
   * Why a Rule and not just the `vec_dot` function: users (and portable SQL)
   * write the HOF form because it runs on any Spark; interpreted lambdas
-  * cost ~µs/row·element and break whole-stage codegen. The rewrite is
-  * EXACT — `DotProd` widens each float to double and accumulates in index
-  * order, which is bit-identical to multiplying the double-cast arrays —
-  * so it is semantics-preserving in the strictest sense (pinned in
-  * VecRewriteSpec against the interpreted result).
+  * cost ~µs/row·element and break whole-stage codegen.
+  *
+  * Semantics preservation, strictly: the rewrite fires ONLY when both
+  * element types are provably non-null (`containsNull = false` — nullable
+  * elements would make the HOF yield NULL where the primitive loop reads a
+  * zeroed slot), and the result is guarded by a size-equality check
+  * because `zip_with` null-pads the shorter array (NULL result) while the
+  * native loop would silently truncate. Under those conditions `DotProd`'s
+  * index-order double accumulation is bit-identical to the interpreted
+  * form (pinned in VecRewriteSpec). Embedding pipelines should declare
+  * non-null array elements in their schemas to unlock the rewrite.
   *
   * Installed via [[GraftExtensions]] (`spark.sql.extensions`) for new
-  * sessions, or [[VecRewrite.install]] (`experimental.extraOptimizations`)
-  * on a live one.
+  * sessions, or [[VecRewriteInstall.install]]
+  * (`experimental.extraOptimizations`) on a live one.
   */
 object VecRewrite extends Rule[LogicalPlan] {
 
-  /** `array<float>` expression, possibly behind the `cast(array<double>)`
-    * the HOF form needs for double math.
+  /** `array<float>` expression with non-null elements, possibly behind the
+    * `cast(array<double>)` the HOF form needs for double math.
     */
   private object FloatArray {
     def unapply(e: Expression): Option[Expression] = e match {
@@ -36,7 +42,7 @@ object VecRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
     private def isFloatArray(e: Expression): Boolean = e.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, containsNull) => !containsNull
       case _ => false
     }
     private def isDoubleArray(e: Expression): Boolean = e.dataType match {
@@ -74,7 +80,8 @@ object VecRewrite extends Rule[LogicalPlan] {
           ZipWith(FloatArray(a), FloatArray(b), mult), zero, merge, finish)
           if zero.foldable && zero.eval() == 0.0 && zero.dataType == DoubleType &&
             isMultiplyLambda(mult) && isAddLambda(merge) && isIdentityLambda(finish) =>
-        DotProd(a, b)
+        // zip_with null-pads unequal lengths (HOF result NULL); keep that
+        If(EqualTo(Size(a), Size(b)), DotProd(a, b), Literal(null, DoubleType))
     }
 }
 

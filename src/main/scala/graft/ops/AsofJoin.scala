@@ -45,30 +45,33 @@ object AsofJoin {
       rightValues: Seq[String],
       matchedTimeAlias: String = "asof_time"): DataFrame = {
     val leftExtra = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTime)
+    // the matched right row travels as ONE struct (time + values): a
+    // single last(ignoreNulls) can then never mix the value of one right
+    // row with the time of another when a value column is genuinely NULL
+    val rightStruct = struct(
+      col(rightTime).as("_rt") +: rightValues.map(col): _*)
     val l = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("_t"), lit(1).as("_side")) ++
-        leftExtra.map(col) ++
-        rightValues.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
-        lit(null).cast(right.schema(rightTime).dataType).as("_rt"): _*)
+        leftExtra.map(col) :+
+        lit(null).cast(right.select(rightStruct.as("_r")).schema("_r").dataType).as("_r"): _*)
     val r = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("_t"), lit(0).as("_side")) ++
-        leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightValues.map(col) :+
-        col(rightTime).as("_rt"): _*)
+        leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rightStruct.as("_r"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
       .select(
         keys.map(col) ++
-          Seq(col("_side"), col("_t").as(leftTime)) ++
+          Seq(col("_t").as(leftTime)) ++
           leftExtra.map(col) :+
-          last(col("_rt"), ignoreNulls = true).over(w).as(matchedTimeAlias) :++
-          rightValues.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-      .where(col("_side") === 1)
-      .drop("_side")
+          col("_m._rt").as(matchedTimeAlias) :++
+          rightValues.map(c => col(s"_m.$c").as(c)): _*)
   }
 
   type Q = (SparkSession, String) => DataFrame

@@ -82,8 +82,11 @@ object Ingest {
     */
   def normalize(spark: SparkSession, rawPath: String): DataFrame = {
     val df = spark.read.option("multiLine", "true").json(rawPath)
-    df.schema.fields.find(_.name == "items") match {
-      case Some(f) if f.dataType.isInstanceOf[ArrayType] =>
+    df.schema.fields match {
+      // wrapper shape ONLY when `items` is the sole top-level field — a
+      // bare LIST of row objects that merely CONTAIN an items column must
+      // stay branch 1 (one row per element), not get exploded
+      case Array(f) if f.name == "items" && f.dataType.isInstanceOf[ArrayType] =>
         df.select(explode(col("items")).as("item")).select("item.*")
       case _ =>
         val fields = df.schema.fields

@@ -76,11 +76,13 @@ object Sessionize {
     */
   case class SessInterval(startUs: Long, endUs: Long, n: Long)
 
-  /** Per-user streaming state: intervals sorted by start. Size is
-    * O(#sessions touched), NEVER O(#events) — the memory contract that
-    * survives a heavy-hitter user at 100 TB.
+  /** Per-user streaming state: intervals sorted by start, plus the
+    * interval count of the previous emission (to retract orphaned
+    * sequence numbers after a bridge merge). Size is O(#sessions
+    * touched), NEVER O(#events) — the memory contract that survives a
+    * heavy-hitter user at 100 TB.
     */
-  case class SessState(intervals: List[SessInterval])
+  case class SessState(intervals: List[SessInterval], emitted: Long)
 
   /** Insert one event time into a sorted interval list, merging within
     * `gap`. Recursion guard: when we pass an interval, t is already more
@@ -114,24 +116,31 @@ object Sessionize {
     *
     * Emission is a SNAPSHOT of all intervals per batch (seq = rank by
     * start): downstream reads the latest emission per (user_id,
-    * session_seq). With snapshot-cadence arrival (the reference's hourly
-    * files) sequence numbers only grow; a late bridge event can shrink the
-    * interval count, in which case the downstream compaction keys stay
-    * correct for all surviving seqs. (With an unbounded stream + watermark,
-    * closed sessions would instead be finalized off an event-time timeout
-    * and dropped from state.)
+    * session_seq) and filters `n_events > 0`. When a late bridge event
+    * MERGES two intervals the count shrinks — the orphaned higher
+    * sequence numbers are retracted with explicit tombstone rows
+    * (`n_events = 0`), so no phantom session from an earlier batch
+    * survives compaction. (With an unbounded stream + watermark, closed
+    * sessions would instead be finalized off an event-time timeout and
+    * dropped from state.)
     */
   def sessionizeGroup(
       userId: Long,
       events: Iterator[SessEvent],
       state: GroupState[SessState]
   ): Iterator[Session] = {
-    var iv = state.getOption.map(_.intervals).getOrElse(Nil)
+    val prev = state.getOption
+    var iv = prev.map(_.intervals).getOrElse(Nil)
+    val prevEmitted = prev.map(_.emitted).getOrElse(0L)
     events.foreach(e => iv = insert(iv, micros(e.ts)))
-    state.update(SessState(iv))
-    iv.iterator.zipWithIndex.map { case (v, i) =>
+    val n = iv.length.toLong
+    state.update(SessState(iv, n))
+    val live = iv.iterator.zipWithIndex.map { case (v, i) =>
       Session(userId, i + 1L, v.n, toTs(v.startUs), toTs(v.endUs))
     }
+    val tombstones = ((n + 1) to prevEmitted).iterator.map(seq =>
+      Session(userId, seq, 0L, toTs(0L), toTs(0L)))
+    live ++ tombstones
   }
 
   type Q = (SparkSession, String) => DataFrame

@@ -30,12 +30,17 @@ object StreamDedup {
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
+      // dropDuplicatesWithinWatermark, NOT dropDuplicates: with a plain
+      // dropDuplicates on a non-time key the watermark never evicts
+      // dedup state, so it grows with every key ever seen. The
+      // within-watermark variant keeps exactly one tombstone per key per
+      // horizon — the bounded-state contract in the Scaladoc.
       val q = s.readStream
         .schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(watchDir)
         .withWatermark("ts", watermark)
-        .dropDuplicates("event_id")
+        .dropDuplicatesWithinWatermark("event_id")
         .writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", chkDir)

@@ -63,8 +63,11 @@ object StreamDiff {
       val prevName = currentPrev
       prevName.foreach { dir =>
         val prev = s.read.parquet(s"$stateDir/$dir")
+        // per-batch overwrite dir (not a flat append): a batch retried
+        // after a crash between this write and the checkpoint commit
+        // rewrites the SAME directory instead of duplicating change rows
         SnapshotDiff.diff(batch, prev, keys)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
       }
       // state swap AFTER the diff is materialized
       val newName = s"prev_$batchId"
@@ -76,8 +79,10 @@ object StreamDiff {
       prevName.filter(_ != newName).foreach { old =>
         val dir = Paths.get(stateDir, old)
         if (Files.exists(dir)) {
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          val walk = Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => Files.delete(p))
+          finally walk.close()
         }
       }
     }
@@ -119,7 +124,7 @@ object StreamDiff {
       writeSnapshotFile(cur, s"$base/in/snap_2.parquet", t0 + 60000)
       run(s, s"$base/in", s"$base/state", s"$base/out",
         prev.schema, SnapshotDiff.diffKeys)
-      s.read.parquet(s"$base/out")
+      s.read.parquet(s"$base/out/batch_*")
         .orderBy("change", "c_custkey", "c_name")
     }),
   )

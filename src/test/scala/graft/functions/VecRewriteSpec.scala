@@ -18,15 +18,34 @@ class VecRewriteSpec extends SparkSpec {
     (Array(0.5f, -1.25f, 8f), Array(2f, 2f, 0.125f)),
     (Array.empty[Float], Array.empty[Float])).toDF("a", "b")
 
-  test("rule rewrites the HOF dot product into the native vec_dot expression") {
+  test("rule rewrites the HOF dot product when elements are provably non-null") {
     VecRewriteInstall.install(spark)
-    // parquet-backed source so constant folding can't evaluate the plan away
-    val e = graft.sources.Tables.embeddings(spark, sf)
-      .select(col("embedding").as("a"), col("embedding").as("b"))
-    val df = e.select(hofDot.as("dot"))
+    // Scala float-array encoders declare containsNull = false — the legal
+    // case; repartition blocks ConvertToLocalRelation from folding the
+    // projection away before we can inspect it
+    val src = fixture.repartition(2)
+    assert(!src.schema("a").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val df = src.select(hofDot.as("dot"))
     val plan = df.queryExecution.optimizedPlan.toString
     assert(plan.contains("vec_dot"), s"no rewrite in:\n$plan")
     assert(!plan.contains("aggregate("), s"HOF survived in:\n$plan")
+    // and the guarded rewrite computes the right values end-to-end
+    assert(df.collect().map(_.getDouble(0)).sorted.toSeq == Seq(-0.5, 0.0, 32.0))
+  }
+
+  test("rule is conservative: nullable elements and unequal lengths keep HOF semantics") {
+    VecRewriteInstall.install(spark)
+    // the embeddings fixture (pyarrow) declares nullable elements — the
+    // rewrite must NOT fire there (a null slot would read as 0.0 in the
+    // primitive loop but NULLs the HOF result)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("embedding").as("a"), col("embedding").as("b"))
+    val plan = e.select(hofDot.as("dot")).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("vec_dot"), s"rewrote nullable-element arrays:\n$plan")
+    // unequal lengths: zip_with null-pads → NULL; the rewritten form's
+    // size guard must preserve that
+    val uneq = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+    assert(uneq.select(hofDot.as("dot")).head.isNullAt(0))
   }
 
   test("rewritten result is bit-identical to the interpreted HOF result") {

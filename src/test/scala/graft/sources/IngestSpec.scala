@@ -72,6 +72,18 @@ class IngestSpec extends SparkSpec {
     assert(got == Seq("only_user" -> null))
   }
 
+  test("corrupt payload surfaces as the corrupt-record column, not an exception") {
+    // the reference's else-branch lands items = [] for unparseable
+    // payloads (script_api_apify_to_spark.py:150-151); Spark's permissive
+    // mode keeps the evidence in _corrupt_record instead of dropping it
+    val path = Ingest.landRaw("this is } not { json", tmpRoot(), "apify", "bad", 20250301)
+    val df = Ingest.normalize(spark, path)
+    assert(df.columns.toSeq == Seq("_corrupt_record"))
+    val contracted = Ingest.toContract(df, contract)
+    assert(contracted.columns.toSeq == Seq("username", "full_name"))
+    assert(contracted.collect().forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("fetchJson accepts 200 and 201, rejects other statuses (reference :115)") {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     def serve(path: String, status: Int, body: String): Unit =

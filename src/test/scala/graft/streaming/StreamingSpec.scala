@@ -51,12 +51,14 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
 
     // latest snapshot per (user, session): a session extended in batch 2
-    // re-emits with a higher n_events
+    // re-emits with a higher n_events; tombstones (n_events = 0) retract
+    // orphaned seqs and are filtered after compaction
     val streamed = spark.table(sink)
       .groupBy("user_id", "session_seq")
       .agg(max(struct(col("n_events"), col("t_start"), col("t_end"))).as("x"))
       .select(col("user_id"), col("session_seq"),
         col("x.n_events"), col("x.t_start"), col("x.t_end"))
+      .where(col("n_events") > 0)
       .orderBy("user_id", "session_seq")
     val batch = Sessionize.queries("q_sessionize")(spark, sf)
     assert(rows(streamed) == rows(batch))
@@ -91,9 +93,31 @@ class StreamingSpec extends SparkSpec {
         Optional.of(st1.get), org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
         0L, Optional.empty(), hasTimedOut = false)
       val out = Sessionize.sessionizeGroup(1L, b2.iterator.map(ev), st2).toList
-      val got = out.map(s => (s.t_start.getTime * 1000, s.t_end.getTime * 1000, s.n_events))
+      val got = out.filter(_.n_events > 0)
+        .map(s => (s.t_start.getTime * 1000, s.t_end.getTime * 1000, s.n_events))
       assert(got == expected, s"trial $trial: order dependence — got $got expected $expected")
-      assert(out.map(_.session_seq) == (1L to out.length).toList)
+      assert(out.filter(_.n_events > 0).map(_.session_seq) == (1L to got.length).toList)
     }
+  }
+
+  test("a bridging late event retracts the orphaned session_seq with a tombstone") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val hourUs = 3600L * 1000000
+    def ev(us: Long) = SessEvent(1L, us, new java.sql.Timestamp(us / 1000))
+    val st1 = TestGroupState.create[Sessionize.SessState](
+      Optional.empty(), GroupStateTimeout.NoTimeout(), 0L, Optional.empty(),
+      hasTimedOut = false)
+    // batch 1: two events 20h apart (> 12h gap) → sessions 1 and 2
+    val out1 = Sessionize.sessionizeGroup(1L,
+      Iterator(ev(0), ev(20 * hourUs)), st1).toList
+    assert(out1.map(s => (s.session_seq, s.n_events)) == List((1L, 1L), (2L, 1L)))
+    // batch 2: a late event at 10h bridges both sessions into one —
+    // seq 1 re-emits merged, seq 2 is retracted with n_events = 0
+    val st2 = TestGroupState.create[Sessionize.SessState](
+      Optional.of(st1.get), GroupStateTimeout.NoTimeout(), 0L, Optional.empty(),
+      hasTimedOut = false)
+    val out2 = Sessionize.sessionizeGroup(1L, Iterator(ev(10 * hourUs)), st2).toList
+    assert(out2.map(s => (s.session_seq, s.n_events)) == List((1L, 3L), (2L, 0L)))
   }
 }
