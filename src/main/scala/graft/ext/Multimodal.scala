@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Wav
+import graft.functions.{Bmp, Wav}
 import graft.sources.Tables._
 
 /** A decoded media row (binary payload + typed metadata). */
@@ -44,11 +44,14 @@ object Multimodal {
   val nStrides = 8
 
   private val synthWav = udf((id: Long) => Wav.synth(id))
+  private val synthBmp = udf((id: Long) => Bmp.synth(id))
 
-  /** Synthesized media table: audio rows are real PCM16 WAV files built
-    * from the deterministic fixture signal; image/video rows re-cast the
-    * documents fixture's text as an opaque binary payload. (The UDF only
-    * synthesizes the fixture — it is not on any operator's read path.)
+  /** Synthesized media table: audio rows are real PCM16 WAV files and
+    * image rows real 24-bit BMPs, both built from deterministic fixture
+    * signals; video rows re-cast the documents fixture's text as an
+    * opaque binary payload (no video codec exists in this container).
+    * (The UDFs only synthesize the fixture — they are not on any
+    * operator's read path.)
     */
   def media(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
@@ -56,20 +59,23 @@ object Multimodal {
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio")
         .otherwise("video").as("media_type"),
-      when(col("doc_id") % 3 === 0, "png")
+      when(col("doc_id") % 3 === 0, "bmp")
         .when(col("doc_id") % 3 === 1, "wav")
         .otherwise("mp4").as("fmt"),
-      when(col("doc_id") % 3 === 1, synthWav(col("doc_id")))
+      when(col("doc_id") % 3 === 0, synthBmp(col("doc_id")))
+        .when(col("doc_id") % 3 === 1, synthWav(col("doc_id")))
         .otherwise(encode(col("text"), "UTF-8")).as("bytes"))
 
   /** Decode a payload to its signal: WAV → real PCM samples via the chunk
-    * parser; other formats (no codecs in this container) → raw bytes as
-    * the stand-in signal, explicitly fake.
+    * parser; BMP → real top-down pixel bytes via the header parser; other
+    * formats (no codecs in this container) → raw bytes as the stand-in
+    * signal, explicitly fake.
     */
-  def decodeSignal(m: Media): Array[Double] =
-    if (m.fmt == "wav")
-      Wav.parse(m.bytes).map(_._2.map(_.toDouble)).getOrElse(Array.empty)
-    else m.bytes.map(b => (b & 0xff).toDouble)
+  def decodeSignal(m: Media): Array[Double] = m.fmt match {
+    case "wav" => Wav.parse(m.bytes).map(_._2.map(_.toDouble)).getOrElse(Array.empty)
+    case "bmp" => Bmp.parse(m.bytes).map(_._2.map(_.toDouble)).getOrElse(Array.empty)
+    case _ => m.bytes.map(b => (b & 0xff).toDouble)
+  }
 
   /** Feature extraction over a partition iterator — decoder init happens
     * once per partition (the expensive part in a real decoder), then
@@ -137,6 +143,25 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // REAL BMP decode, fully oracle-checked: parse the header and undo the
+    // bottom-up padded row layout; the DuckDB twin recomputes dimensions,
+    // byte counts, and the decoded pixel sum from the closed-form pixel
+    // formula — row-order or stride bugs break the hash.
+    "q_bmp_decode" -> ((s, d) => {
+      implicit val me = org.apache.spark.sql.Encoders.product[Media]
+      import s.implicits._
+      media(s, d).where(col("fmt") === "bmp").as[Media]
+        .map { m =>
+          val (info, px) = Bmp.parse(m.bytes)
+            .getOrElse(sys.error(s"unparseable bmp payload for media ${m.media_id}"))
+          (m.media_id, info.width.toLong, info.height.toLong,
+            info.bitsPerPixel.toLong, px.length.toLong,
+            px.foldLeft(0L)(_ + _))
+        }
+        .toDF("media_id", "width", "height", "bpp", "n_px_bytes", "sum_px")
+        .orderBy("media_id")
+    }),
+
     // Frame sampling: chunk the payload into frameBytes-sized frames, keep
     // every frameStep-th — pure per-row index arithmetic (the binary
     // substring itself is exercised in MultimodalSpec); integer outputs keep
@@ -156,14 +181,17 @@ object Multimodal {
   private val mediaTypeSql =
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
   private val fmtSql =
-    "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END"
+    "CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'mp4' END"
 
-  /** Payload size in closed form: wav rows are synthesized WAV files
-    * (44-byte header + 2 bytes per sample, n = 50 + id % 100); the rest
-    * are the UTF-8 text bytes.
+  /** Payload size in closed form: wav rows are 44-byte-header PCM16 files
+    * (n = 50 + id % 100 samples); bmp rows are 54-byte-header 24-bit
+    * images (w = 3 + id % 5, h = 2 + id % 4, rows padded to 4 bytes);
+    * video rows are the UTF-8 text bytes.
     */
   private val nBytesSql =
-    "CASE WHEN doc_id % 3 = 1 THEN 144 + 2 * (doc_id % 100) ELSE octet_length(encode(text)) END"
+    """CASE WHEN doc_id % 3 = 1 THEN 144 + 2 * (doc_id % 100)
+      |     WHEN doc_id % 3 = 0 THEN 54 + ((3 * (3 + doc_id % 5) + 3) // 4) * 4 * (2 + doc_id % 4)
+      |     ELSE octet_length(encode(text)) END""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
     "q_media_meta" ->
@@ -178,6 +206,20 @@ object Multimodal {
          |                          $frameStep)) AS i
          |      FROM documents)
          |ORDER BY media_id, frame_idx""".stripMargin,
+    "q_bmp_decode" ->
+      """SELECT media_id, width, height, bpp, n_px_bytes,
+        |       CAST(sum((media_id * 7 + y.i * 31 + x.i * 3 + c.i) % 256) AS BIGINT) AS sum_px
+        |FROM (SELECT doc_id AS media_id,
+        |             CAST(3 + doc_id % 5 AS BIGINT) AS width,
+        |             CAST(2 + doc_id % 4 AS BIGINT) AS height,
+        |             CAST(24 AS BIGINT) AS bpp,
+        |             CAST((3 + doc_id % 5) * (2 + doc_id % 4) * 3 AS BIGINT) AS n_px_bytes
+        |      FROM documents WHERE doc_id % 3 = 0) d
+        |JOIN range(0, 7) x(i) ON x.i < d.width
+        |JOIN range(0, 5) y(i) ON y.i < d.height
+        |JOIN range(0, 3) c(i) ON true
+        |GROUP BY media_id, width, height, bpp, n_px_bytes
+        |ORDER BY media_id""".stripMargin,
     "q_wav_decode" ->
       """SELECT media_id, sample_rate, n_channels, bits_per_sample, n_samples,
         |       CAST(sum(((media_id * 31 + i * 7) % 4096) - 2048) AS BIGINT) AS sum_samples

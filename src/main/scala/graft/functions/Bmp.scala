@@ -1,0 +1,104 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal BMP (BITMAPINFOHEADER, 24-bit, bottom-up) codec — pure JVM, no
+  * codec deps. Companion of [[Wav]] for the multimodal image column: the
+  * fixture images are synthesized with arithmetically defined pixels so a
+  * DuckDB oracle can recompute dimensions AND the decoded pixel sum in
+  * closed form (`q_bmp_decode`), making the parse path (header fields,
+  * bottom-up row order, 4-byte row padding) hash-verified.
+  */
+object Bmp {
+
+  case class BmpInfo(width: Int, height: Int, bitsPerPixel: Int)
+
+  /** Deterministic, SQL-expressible fixture pixel:
+    * `(id·7 + y·31 + x·3 + c) mod 256` for channel c ∈ {0,1,2} (stored
+    * B,G,R order — c is the STORED byte index, which is what the decoded
+    * byte stream exposes).
+    */
+  def pixelAt(mediaId: Long, x: Int, y: Int, c: Int): Int =
+    ((mediaId * 7 + y * 31 + x * 3 + c) % 256).toInt
+
+  def widthFor(mediaId: Long): Int = 3 + (mediaId % 5).toInt
+  def heightFor(mediaId: Long): Int = 2 + (mediaId % 4).toInt
+
+  /** BMP row stride: pixel rows pad to 4-byte boundaries. */
+  def rowSize(width: Int): Int = ((3 * width + 3) / 4) * 4
+
+  def fileSize(mediaId: Long): Int =
+    54 + rowSize(widthFor(mediaId)) * heightFor(mediaId)
+
+  /** Canonical 54-byte-header 24-bit bottom-up BMP with the fixture
+    * pixels; padding bytes are zero.
+    */
+  def synth(mediaId: Long): Array[Byte] = {
+    val w = widthFor(mediaId)
+    val h = heightFor(mediaId)
+    val stride = rowSize(w)
+    val size = 54 + stride * h
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(size)
+      .putShort(0).putShort(0)
+      .putInt(54) // pixel data offset
+    buf.putInt(40) // BITMAPINFOHEADER
+      .putInt(w)
+      .putInt(h) // positive → bottom-up
+      .putShort(1) // planes
+      .putShort(24) // bpp
+      .putInt(0) // BI_RGB, uncompressed
+      .putInt(stride * h)
+      .putInt(2835).putInt(2835) // 72 dpi
+      .putInt(0).putInt(0)
+    // rows stored bottom-up
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) { buf.put(pixelAt(mediaId, x, y, c).toByte); c += 1 }
+        x += 1
+      }
+      var pad = stride - 3 * w
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array
+  }
+
+  /** Parse a 24-bit uncompressed BMP; returns header info + pixel bytes in
+    * TOP-DOWN row-major (y, x, channel) order — i.e. the bottom-up storage
+    * is undone and padding stripped. None for anything that is not a
+    * 24-bit BI_RGB BMP or is truncated.
+    */
+  def parse(bytes: Array[Byte]): Option[(BmpInfo, Array[Int])] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val bpp = buf.getShort(28) & 0xffff
+    val compression = buf.getInt(30)
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+    val stride = rowSize(w)
+    if (dataOffset < 54 || dataOffset.toLong + stride.toLong * h > bytes.length) return None
+    val out = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = dataOffset + (h - 1 - y) * stride // undo bottom-up
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          out((y * w + x) * 3 + c) = bytes(srcRow + x * 3 + c) & 0xff
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some((BmpInfo(w, h, bpp), out))
+  }
+}

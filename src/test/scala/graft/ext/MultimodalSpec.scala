@@ -6,14 +6,46 @@ import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
-  test("binary payload roundtrips: decode(bytes) == original text (non-wav rows)") {
+  test("binary payload roundtrips: decode(bytes) == original text (opaque video rows)") {
     val back = Multimodal.media(spark, sf)
-      .where(col("fmt") =!= "wav")
+      .where(col("fmt") === "mp4")
       .select(col("media_id").as("doc_id"), decode(col("bytes"), "UTF-8").as("rt"))
     val orig = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
     val mismatches = orig.join(back, "doc_id")
       .where(col("text") =!= col("rt")).count()
     assert(mismatches == 0)
+  }
+
+  test("bmp payloads are real parseable 24-bit images") {
+    import graft.functions.Bmp
+    val rows = Multimodal.media(spark, sf).where(col("fmt") === "bmp")
+      .select("media_id", "bytes").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val parsed = Bmp.parse(r.getAs[Array[Byte]]("bytes"))
+      assert(parsed.isDefined, s"media $id did not parse")
+      val (info, px) = parsed.get
+      assert(info == Bmp.BmpInfo(Bmp.widthFor(id), Bmp.heightFor(id), 24))
+      // decoded top-down (y, x, c) order must invert the bottom-up storage
+      var i = 0
+      for (y <- 0 until info.height; x <- 0 until info.width; c <- 0 until 3) {
+        assert(px(i) == Bmp.pixelAt(id, x, y, c), s"media $id pixel ($x,$y,$c)")
+        i += 1
+      }
+    }
+  }
+
+  test("bmp parser golden fixture: padding arithmetic, garbage rejection") {
+    import graft.functions.Bmp
+    // width 5 → 15 pixel bytes padded to a 16-byte stride
+    assert(Bmp.rowSize(5) == 16 && Bmp.rowSize(4) == 12 && Bmp.rowSize(3) == 12)
+    val canonical = Bmp.synth(10L) // w = 3+0 = 3, h = 2+2 = 4
+    assert(canonical.length == 54 + Bmp.rowSize(3) * 4)
+    assert(Bmp.parse(canonical).isDefined)
+    assert(Bmp.parse("not a bmp".getBytes).isEmpty)
+    assert(Bmp.parse(canonical.take(53)).isEmpty)
+    assert(Bmp.parse(canonical.take(60)).isEmpty) // truncated pixel data
   }
 
   test("wav payloads are real parseable PCM16 WAV files") {
@@ -77,12 +109,11 @@ class MultimodalSpec extends SparkSpec {
       assert(x.stride_means.toSeq == y.stride_means.toSeq)
       assert(x.stride_means.length == Multimodal.nStrides)
     }
-    // non-wav rows: ASCII text payload → printable byte range; wav rows:
-    // real PCM samples → mean within the fixture signal's amplitude
-    val wavIds = a.filter(_.media_id % 3 == 1)
-    val textIds = a.filter(_.media_id % 3 != 1)
-    textIds.foreach(x => assert(x.mean_byte > 32 && x.mean_byte < 127))
-    wavIds.foreach(x => assert(math.abs(x.mean_byte) <= 2048))
+    // video rows: ASCII text payload → printable byte range; wav rows:
+    // real PCM samples → fixture signal amplitude; bmp rows: pixel bytes
+    a.filter(_.media_id % 3 == 2).foreach(x => assert(x.mean_byte > 32 && x.mean_byte < 127))
+    a.filter(_.media_id % 3 == 1).foreach(x => assert(math.abs(x.mean_byte) <= 2048))
+    a.filter(_.media_id % 3 == 0).foreach(x => assert(x.mean_byte >= 0 && x.mean_byte <= 255))
   }
 
   test("frame sampling: every frameStep-th frame, correct tail length") {
