@@ -165,6 +165,17 @@ object Relational {
         .agg(sum("l_quantity"))
         .orderBy("l_linestatus")),
 
+    // CUBE: all 2^k grouping combinations in one pass (rollup's superset;
+    // same Expand-before-shuffle shape, still map-side combinable).
+    "q_cube" -> ((s, d) =>
+      lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // Exact interpolated quantiles (one shuffle, per-group sort inside the
     // aggregate) + the approx sketch (KLL/GK-style percentile_approx)
     // checked against the exact value by bounded error — the same
@@ -268,6 +279,13 @@ object Relational {
         |       SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
         |       SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       COUNT(*) AS n_rows,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 3) AS p25,
