@@ -206,6 +206,47 @@ object Multimodal {
          |                          $frameStep)) AS i
          |      FROM documents)
          |ORDER BY media_id, frame_idx""".stripMargin,
+    // Full-signal oracle for the feature extractor: every media type's
+    // DECODED signal is recomputable in SQL — wav samples and bmp pixels
+    // from their closed forms, video (opaque text payload) from ord() over
+    // the pure-ASCII fixture text. Integer sums are exact in double, so
+    // the 4dp-rounded means hash-match.
+    "q_media_features" -> {
+      val kindN =
+        """CASE doc_id % 3
+          |  WHEN 2 THEN length(text)
+          |  WHEN 1 THEN 50 + doc_id % 100
+          |  ELSE (3 + doc_id % 5) * (2 + doc_id % 4) * 3 END""".stripMargin.replace("\n", " ")
+      s"""WITH meta AS (
+         |  SELECT doc_id AS media_id, doc_id % 3 AS kind, text,
+         |         3 + doc_id % 5 AS w,
+         |         CAST($kindN AS BIGINT) AS n,
+         |         CAST($nBytesSql AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |bounds AS (
+         |  SELECT *,
+         |         least(greatest(1, n // 8), n) AS s0_hi,
+         |         7 * n // 8 AS s7_lo
+         |  FROM meta),
+         |sig AS (
+         |  SELECT m.media_id, m.n, m.n_bytes, m.s0_hi, m.s7_lo, i.i,
+         |         CASE m.kind
+         |           WHEN 2 THEN ord(substr(m.text, CAST(i.i + 1 AS INT), 1))
+         |           WHEN 1 THEN ((m.media_id * 31 + i.i * 7) % 4096) - 2048
+         |           ELSE (m.media_id * 7 + (i.i // (3 * m.w)) * 31
+         |                 + ((i.i % (3 * m.w)) // 3) * 3 + (i.i % 3)) % 256
+         |         END AS v
+         |  FROM bounds m JOIN range(0, 600) i(i) ON i.i < m.n)
+         |SELECT media_id, n_bytes,
+         |       coalesce(round(CAST(sum(v) AS DOUBLE) / n, 4), 0.0) AS mean_byte_r4,
+         |       coalesce(round(CAST(sum(CASE WHEN i < s0_hi THEN v END) AS DOUBLE)
+         |                        / nullif(s0_hi, 0), 4), 0.0) AS stride0_r4,
+         |       coalesce(round(CAST(sum(CASE WHEN i >= s7_lo THEN v END) AS DOUBLE)
+         |                        / nullif(n - s7_lo, 0), 4), 0.0) AS stride${nStrides - 1}_r4
+         |FROM sig
+         |GROUP BY media_id, n, n_bytes, s0_hi, s7_lo
+         |ORDER BY media_id""".stripMargin
+    },
     "q_bmp_decode" ->
       """SELECT media_id, width, height, bpp, n_px_bytes,
         |       CAST(sum((media_id * 7 + y.i * 31 + x.i * 3 + c.i) % 256) AS BIGINT) AS sum_px
