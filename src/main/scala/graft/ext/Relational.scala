@@ -165,6 +165,21 @@ object Relational {
         .agg(sum("l_quantity"))
         .orderBy("l_linestatus")),
 
+    // Moving aggregate over an explicit ROWS frame — the time-series
+    // smoothing shape; one user_id shuffle, frame evaluated incrementally
+    // inside the window operator. DECIMAL accumulation keeps the frame
+    // sums exact for the hash compare.
+    "q_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-2, Window.currentRow)
+      events(s, d)
+        .withColumn("mov_sum",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .withColumn("n_in_frame", count(lit(1)).over(w).cast("long"))
+        .select("user_id", "event_id", "ts", "value", "mov_sum", "n_in_frame")
+        .orderBy("user_id", "event_id")
+    }),
+
     // CUBE: all 2^k grouping combinations in one pass (rollup's superset;
     // same Expand-before-shuffle shape, still map-side combinable).
     "q_cube" -> ((s, d) =>
@@ -279,6 +294,14 @@ object Relational {
         |       SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
         |       SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_in_frame
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,

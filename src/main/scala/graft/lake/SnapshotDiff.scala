@@ -49,6 +49,28 @@ object SnapshotDiff {
       .select(outCols.toIndexedSeq: _*)
   }
 
+  /** Null-safe variant of [[diff]]: keys compare with `<=>` so NULL = NULL
+    * matches. The reference inherits SQL null semantics from its anti-joins
+    * (a NULL-keyed row double-tags as both added and deleted — SURVEY §2
+    * D1, pinned in SnapshotDiffSpec's golden fixture); this variant is the
+    * conscious alternative for pipelines where NULL is a legitimate key
+    * value. Same single full-outer join shape and shuffle count.
+    */
+  def diffNullSafe(cur: DataFrame, prev: DataFrame, keys: Seq[String],
+      addedTag: String = "added", deletedTag: String = "deleted"): DataFrame = {
+    val c = cur.withColumn("_c", lit(1))
+    val p = prev.withColumn("_p", lit(1))
+    val cond = keys.map(k => c(k) <=> p(k)).reduce(_ && _)
+    // only unmatched rows survive the filter, so coalescing the two sides
+    // always picks the one present row's value (keys included: the join
+    // condition is explicit, so key columns exist on both sides here)
+    val outCols = cur.columns.map(n => coalesce(c(n), p(n)).as(n)) :+
+      when(col("_p").isNull, lit(addedTag)).otherwise(lit(deletedTag)).as("change")
+    c.join(p, cond, "full_outer")
+      .where(col("_c").isNull || col("_p").isNull)
+      .select(outCols.toIndexedSeq: _*)
+  }
+
   /** J1 alone: rows in `cur` missing from `prev` (reference `:242-244`). */
   def added(cur: DataFrame, prev: DataFrame, keys: Seq[String]): DataFrame =
     cur.join(prev, keys, "left_anti").withColumn("change", lit("added"))

@@ -92,6 +92,20 @@ object Core {
           SnapshotDiff.synthPrevious(s, d), SnapshotDiff.diffKeys)
         .orderBy("change", "c_custkey", "c_name")),
 
+    // D1 variant: null-safe snapshot diff — NULL keys MATCH (<=>), so a
+    // row with a NULL key present in both snapshots is unchanged, where
+    // the reference's anti-join semantics double-tag it (both behaviors
+    // deliberate; golden-pinned in SnapshotDiffSpec).
+    "q_diff_nullsafe" -> ((s, d) => {
+      def nulled(df: DataFrame) = df.withColumn("c_name",
+        when(col("c_custkey") % 13 === 0, lit(null)).otherwise(col("c_name")))
+      SnapshotDiff.diffNullSafe(
+          nulled(SnapshotDiff.synthCurrent(s, d)),
+          nulled(SnapshotDiff.synthPrevious(s, d)),
+          SnapshotDiff.diffKeys)
+        .orderBy("change", "c_custkey", "c_name")
+    }),
+
     // U2: n-ary unionByName fold with per-branch lineage tags
     // (reference apify_dag.py:141-148 loops read+tag+union per account).
     "q_union_fold" -> ((s, d) => {
@@ -173,6 +187,31 @@ object Core {
       (diffCtes +
         """SELECT * FROM (SELECT * FROM added UNION ALL SELECT * FROM deleted)
           |ORDER BY change, c_custkey, c_name""".stripMargin),
+    "q_diff_nullsafe" ->
+      """WITH cur AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_name END AS c_name,
+        |         c_acctbal
+        |  FROM customer),
+        |prev AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 13 = 0 THEN NULL
+        |              WHEN c_custkey % 7 = 0 THEN c_name || '_v0'
+        |              ELSE c_name END AS c_name,
+        |         c_acctbal
+        |  FROM customer WHERE c_custkey % 10 <> 0),
+        |added AS (
+        |  SELECT cur.c_custkey, cur.c_name, cur.c_acctbal, 'added' AS change FROM cur
+        |  WHERE NOT EXISTS (SELECT 1 FROM prev
+        |                    WHERE prev.c_custkey IS NOT DISTINCT FROM cur.c_custkey
+        |                      AND prev.c_name IS NOT DISTINCT FROM cur.c_name)),
+        |deleted AS (
+        |  SELECT prev.c_custkey, prev.c_name, prev.c_acctbal, 'deleted' AS change FROM prev
+        |  WHERE NOT EXISTS (SELECT 1 FROM cur
+        |                    WHERE cur.c_custkey IS NOT DISTINCT FROM prev.c_custkey
+        |                      AND cur.c_name IS NOT DISTINCT FROM prev.c_name))
+        |SELECT * FROM (SELECT * FROM added UNION ALL SELECT * FROM deleted)
+        |ORDER BY change, c_custkey, c_name""".stripMargin,
     "q_union_fold" ->
       """SELECT * FROM (
         |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 'acct_0' AS username_scraped

@@ -51,6 +51,26 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("golden null-safe diff: NULL keys match, everything else as before") {
+    val prev = df(Seq(
+      ("stay", "Same Person"),
+      ("gone", "Was Here"),
+      ("nullkey", null),   // present in both → UNCHANGED under <=>
+      ("nullgone", null))) // null-keyed, removed → deleted
+    val cur = df(Seq(
+      ("stay", "Same Person"),
+      ("fresh", "New Person"),
+      ("nullkey", null)))
+    def key(t: (String, String, String)) = (t._1, Option(t._2).getOrElse(""), t._3)
+    val out = SnapshotDiff.diffNullSafe(cur, prev, keys)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(key).toSeq
+    assert(out === Seq(
+      ("fresh", "New Person", "added"),
+      ("gone", "Was Here", "deleted"),
+      ("nullgone", null, "deleted")).sortBy(key))
+  }
+
   test("property: diff(s, s) is empty") {
     val s1 = df(Seq(("a", "A"), ("b", "B"), ("b", "B")))
     assert(SnapshotDiff.diff(s1, s1, keys).count() === 0)
