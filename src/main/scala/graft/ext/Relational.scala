@@ -180,6 +180,49 @@ object Relational {
         .orderBy("user_id", "event_id")
     }),
 
+    // Duplicate-preserving set operations (bag semantics): INTERSECT ALL /
+    // EXCEPT ALL — lineitem suppkey multisets across two order ranges.
+    "q_setops_all" -> ((s, d) => {
+      val a = lineitem(s, d).where(col("l_orderkey") % 4 === 0).select("l_suppkey")
+      val b = lineitem(s, d).where(col("l_orderkey") % 6 === 0).select("l_suppkey")
+      a.intersectAll(b).withColumn("op", lit("inter_all"))
+        .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+        .groupBy("op", "l_suppkey").agg(count(lit(1)).as("multiplicity"))
+        .orderBy("op", "l_suppkey")
+    }),
+
+    // Second-moment statistics from EXPLICIT exact sums: variance and
+    // correlation recomputed from DECIMAL Σx, Σx², Σxy instead of the
+    // engines' streaming estimators (Welford accumulation order differs
+    // between engines; exact integer-cent sums are bit-reproducible, so
+    // the 4dp-rounded results hash-match). The same one-pass map-side
+    // combinable aggregate an engine's native stddev/corr uses.
+    "q_stats" -> ((s, d) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          // each EXACT decimal sum converts to double once (deterministic,
+          // identical in both engines), then the formulas run in IEEE
+          // doubles with mirrored operator order
+          round(col("sx").cast("double") / col("n").cast("double"), 4).as("mean_qty"),
+          round((col("sxx").cast("double") * col("n").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) /
+            (col("n").cast("double") * (col("n").cast("double") - 1)), 4).as("var_qty"),
+          round((col("sxy").cast("double") * col("n").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("sxx").cast("double") * col("n").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("syy").cast("double") * col("n").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 4)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // CUBE: all 2^k grouping combinations in one pass (rollup's superset;
     // same Expand-before-shuffle shape, still map-side combinable).
     "q_cube" -> ((s, d) =>
@@ -294,6 +337,36 @@ object Relational {
         |       SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
         |       SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_setops_all" ->
+      """SELECT op, l_suppkey, count(*) AS multiplicity FROM (
+        |  SELECT l_suppkey, 'inter_all' AS op FROM (
+        |    SELECT l_suppkey FROM lineitem WHERE l_orderkey % 4 = 0
+        |    INTERSECT ALL
+        |    SELECT l_suppkey FROM lineitem WHERE l_orderkey % 6 = 0)
+        |  UNION ALL
+        |  SELECT l_suppkey, 'except_all' AS op FROM (
+        |    SELECT l_suppkey FROM lineitem WHERE l_orderkey % 4 = 0
+        |    EXCEPT ALL
+        |    SELECT l_suppkey FROM lineitem WHERE l_orderkey % 6 = 0)
+        |) GROUP BY op, l_suppkey ORDER BY op, l_suppkey""".stripMargin,
+    "q_stats" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_qty,
+        |       round((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 4) AS var_qty,
+        |       round((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / (sqrt(CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                * sqrt(CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+        |         AS corr_qty_price
+        |FROM sums ORDER BY l_returnflag""".stripMargin,
     "q_moving_avg" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
