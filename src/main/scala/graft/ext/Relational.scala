@@ -58,6 +58,30 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // E8c: left-outer join — unmatched left rows survive with typed
+    // nulls; aggregated so customers without orders are visible.
+    "q_join_left" -> ((s, d) => {
+      val c = customer(s, d); val o = orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("sum_total"))
+        .orderBy("c_custkey")
+    }),
+
+    // U2 variant: unionByName with allowMissingColumns — branches with
+    // different column sets align by name and null-pad (the schema-drift
+    // tolerance a multi-source lake union needs).
+    "q_union_missing" -> ((s, d) => {
+      val a = supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+        .withColumn("src", lit("with_bal"))
+      val b = supplier(s, d).where(col("s_nationkey") < 5)
+        .select("s_suppkey", "s_name")
+        .withColumn("src", lit("no_bal"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("src", "s_suppkey")
+    }),
+
     // E9: top-k by sort — TakeOrderedAndProject, not a global sort.
     "q_topk" -> ((s, d) =>
       orders(s, d)
@@ -337,6 +361,18 @@ object Relational {
         |       SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
         |       SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+        |       coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q_union_missing" ->
+      """SELECT * FROM (
+        |  SELECT s_suppkey, s_name, s_acctbal, 'with_bal' AS src FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, NULL AS s_acctbal, 'no_bal' AS src
+        |  FROM supplier WHERE s_nationkey < 5
+        |) ORDER BY src, s_suppkey""".stripMargin,
     "q_setops_all" ->
       """SELECT op, l_suppkey, count(*) AS multiplicity FROM (
         |  SELECT l_suppkey, 'inter_all' AS op FROM (

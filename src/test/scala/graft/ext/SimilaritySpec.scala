@@ -87,6 +87,24 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("c1") == r.getAs[Double]("c2")))
   }
 
+  test("IVF corpus written partitioned by cluster prunes probe reads") {
+    // the scale claim in q_sim_ivf's doc: persist the corpus partitioned
+    // by cluster id and a probe reads ivfProbes/ivfK of the data
+    val e = graft.sources.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(spark, e)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toFile.getAbsolutePath
+    Similarity.assignClusters(e, cents)
+      .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+    val probed = spark.read.parquet(tmp).where(col("cluster").isin(0, 1, 2))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the probe predicate must land in PartitionFilters (directory-level
+    // pruning), NOT as a post-scan data filter
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.isDefined, plan.take(400))
+    assert(pf.get.contains("cluster"), s"probe not pruned at partition level: ${pf.get}")
+  }
+
   test("bucket ids are stable and within range") {
     val b = graft.sources.Tables.embeddings(spark, sf)
       .select(Similarity.bucketOf(col("embedding")).as("b"))
