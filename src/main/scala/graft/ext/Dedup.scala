@@ -99,8 +99,7 @@ object Dedup {
     materialize(s, df, tag)
 
   private def materialize(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag")
-      .toFile.getAbsolutePath
+    val tmp = graft.util.Scratch.dir(tag)
     df.write.mode("overwrite").parquet(tmp)
     s.read.parquet(tmp)
   }

@@ -247,7 +247,7 @@ object TextAnalysis {
         |       list_reduce(
         |         list_prepend(CAST(7 AS BIGINT),
         |           list_transform(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ''),
-        |                          c -> CAST(ord(c) AS BIGINT))),
+        |                          c -> CAST(CASE WHEN c = '' THEN 0 ELSE ord(c) END AS BIGINT))),
         |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
         |FROM documents ORDER BY doc_id""".stripMargin,
   )

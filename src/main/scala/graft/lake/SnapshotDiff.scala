@@ -39,15 +39,29 @@ object SnapshotDiff {
     */
   def diff(cur: DataFrame, prev: DataFrame, keys: Seq[String],
            addedTag: String = "added", deletedTag: String = "deleted"): DataFrame = {
-    val c = cur.withColumn("_c", lit(1))
-    val p = prev.withColumn("_p", lit(1))
+    requireDiffable(cur, prev)
+    val c = cur.withColumn(cMark, lit(1))
+    val p = prev.withColumn(pMark, lit(1))
     val outCols = cur.columns.map { n =>
       if (keys.contains(n)) col(n) else coalesce(c(n), p(n)).as(n)
-    } :+ when(col("_p").isNull, lit(addedTag)).otherwise(lit(deletedTag)).as("change")
+    } :+ when(col(pMark).isNull, lit(addedTag)).otherwise(lit(deletedTag)).as("change")
     c.join(p, keys, "full_outer")
-      .where(col("_c").isNull || col("_p").isNull)
+      .where(col(cMark).isNull || col(pMark).isNull)
       .select(outCols.toIndexedSeq: _*)
   }
+
+  // improbable marker names, and an explicit contract check: the output
+  // grows a `change` column, so an input that already has one (e.g. a
+  // prior diff result) would otherwise silently produce a duplicate
+  private val cMark = "__diff_cur_marker"
+  private val pMark = "__diff_prev_marker"
+  private def requireDiffable(cur: DataFrame, prev: DataFrame): Unit =
+    Seq(cur, prev).foreach { df =>
+      require(!df.columns.contains("change"),
+        "diff input already carries a 'change' column — rename it first")
+      require(!df.columns.contains(cMark) && !df.columns.contains(pMark),
+        "diff input collides with internal marker columns")
+    }
 
   /** Null-safe variant of [[diff]]: keys compare with `<=>` so NULL = NULL
     * matches. The reference inherits SQL null semantics from its anti-joins
@@ -58,16 +72,17 @@ object SnapshotDiff {
     */
   def diffNullSafe(cur: DataFrame, prev: DataFrame, keys: Seq[String],
       addedTag: String = "added", deletedTag: String = "deleted"): DataFrame = {
-    val c = cur.withColumn("_c", lit(1))
-    val p = prev.withColumn("_p", lit(1))
+    requireDiffable(cur, prev)
+    val c = cur.withColumn(cMark, lit(1))
+    val p = prev.withColumn(pMark, lit(1))
     val cond = keys.map(k => c(k) <=> p(k)).reduce(_ && _)
     // only unmatched rows survive the filter, so coalescing the two sides
     // always picks the one present row's value (keys included: the join
     // condition is explicit, so key columns exist on both sides here)
     val outCols = cur.columns.map(n => coalesce(c(n), p(n)).as(n)) :+
-      when(col("_p").isNull, lit(addedTag)).otherwise(lit(deletedTag)).as("change")
+      when(col(pMark).isNull, lit(addedTag)).otherwise(lit(deletedTag)).as("change")
     c.join(p, cond, "full_outer")
-      .where(col("_c").isNull || col("_p").isNull)
+      .where(col(cMark).isNull || col(pMark).isNull)
       .select(outCols.toIndexedSeq: _*)
   }
 

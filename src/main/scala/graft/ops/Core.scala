@@ -123,7 +123,7 @@ object Core {
     // does this with a Python glob loop; Spark path-globs + partition
     // discovery replace the loop).
     "q_glob_scan" -> ((s, d) => {
-      val tmp = Files.createTempDirectory("graft_glob").toFile.getAbsolutePath
+      val tmp = graft.util.Scratch.dir("glob")
       supplier(s, d)
         .withColumn("bucket", (col("s_nationkey") % 3).cast("int"))
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
@@ -140,7 +140,7 @@ object Core {
     // scan to the single chosen partition — the pattern that scales to
     // thousands of snapshots.
     "q_prev_snapshot" -> ((s, d) => {
-      val tmp = Files.createTempDirectory("graft_snap").toFile.getAbsolutePath
+      val tmp = graft.util.Scratch.dir("snap")
       val ref = Layout.TableRef(tmp, Layout.usageLayer, "apify", "orders")
       val (date, current) = (20250301, 1100)
       val o = orders(s, d).select("o_orderkey", "o_totalprice")
@@ -177,7 +177,12 @@ object Core {
     "q_struct_flatten" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
     "q_json_normalize" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+      // type-gated to mirror Spark's from_json('k INT'): a STRING-typed k
+      // parses to NULL in Spark, so the oracle must not cast it (and a
+      // bare CAST would hard-error on non-numeric strings)
+      """SELECT event_id,
+        |       CASE WHEN json_type(props, '$.k') IN ('UBIGINT', 'BIGINT', 'INTEGER')
+        |            THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END AS prop_k
         |FROM events ORDER BY event_id""".stripMargin,
     "q_anti_added" ->
       (diffCtes + "SELECT * FROM added ORDER BY c_custkey, c_name"),

@@ -119,7 +119,7 @@ object Ingest {
     */
   val queries: Map[String, Q] = Map(
     "q_json_ingest" -> ((s, d) => {
-      val root = Files.createTempDirectory("graft_ingest").toFile.getAbsolutePath
+      val root = graft.util.Scratch.dir("ingest")
       val date = 20250301
 
       def jsonItems(rows: Seq[(Long, String)]): String =

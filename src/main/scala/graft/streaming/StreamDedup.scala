@@ -63,7 +63,7 @@ object StreamDedup {
       val ev = Tables.events(s, d).select("user_id", "event_id", "event_type", "ts", "value")
       val mm = ev.agg(min(col("ts").cast("long")), max(col("ts").cast("long"))).head()
       val cut = (mm.getLong(0) + mm.getLong(1)) / 2
-      val base = Files.createTempDirectory("graft_sdedup").toFile.getAbsolutePath
+      val base = graft.util.Scratch.dir("sdedup")
       val t0 = System.currentTimeMillis() - 120000
       val file1 = ev.where(col("ts").cast("long") <= cut)
       val lateDups = ev.where(col("ts").cast("long") <= cut &&

@@ -99,7 +99,7 @@ object StreamDiff {
     * with strictly increasing mtimes for deterministic batch order.
     */
   def writeSnapshotFile(df: DataFrame, target: String, mtime: Long): Unit = {
-    val tmp = Files.createTempDirectory("graft_snapfile").toFile.getAbsolutePath
+    val tmp = graft.util.Scratch.dir("snapfile")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
       .find(_.getFileName.toString.endsWith(".parquet"))
@@ -116,7 +116,7 @@ object StreamDiff {
     // files arrive (previous, then current); the emitted change rows must
     // equal the batch q_snapshot_diff — and they share its DuckDB oracle.
     "q_stream_diff" -> ((s, d) => {
-      val base = Files.createTempDirectory("graft_stream").toFile.getAbsolutePath
+      val base = graft.util.Scratch.dir("stream")
       val prev = SnapshotDiff.synthPrevious(s, d)
       val cur = SnapshotDiff.synthCurrent(s, d)
       val t0 = System.currentTimeMillis() - 120000

@@ -93,7 +93,7 @@ object WindowAgg {
       // range is one cheap min/max aggregate (vs an exact percentile sort)
       val mm = ev.agg(min(col("ts").cast("long")), max(col("ts").cast("long"))).head()
       val cut = (mm.getLong(0) + mm.getLong(1)) / 2
-      val base = Files.createTempDirectory("graft_swin").toFile.getAbsolutePath
+      val base = graft.util.Scratch.dir("swin")
       val t0 = System.currentTimeMillis() - 120000
       StreamDiff.writeSnapshotFile(
         ev.where(col("ts").cast("long") <= cut), s"$base/in/part_1.parquet", t0)

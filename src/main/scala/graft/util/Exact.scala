@@ -21,7 +21,4 @@ object Exact {
   /** Exact decimal sum of `price * (1 - discount)` (both 2-decimal). */
   def dsumRevenue(price: Column, discount: Column): Column =
     sum(price.cast(dec) * (lit(1).cast(dec) - discount.cast(dec))).cast("double")
-
-  /** Exact mean: decimal sum divided by count — one double division. */
-  def davg(c: Column): Column = (sum(c.cast(dec)).cast("double") / count(lit(1)))
 }
