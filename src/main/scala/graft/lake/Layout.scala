@@ -61,6 +61,20 @@ object Layout {
       .partitionBy(runDateCol, runTimeCol)
       .parquet(ref.dir)
 
+  /** Idempotent snapshot (re-)write: DYNAMIC partition overwrite replaces
+    * exactly the `(run_date, run_time)` partition being written and leaves
+    * every other snapshot untouched — the write mode for re-running a
+    * failed hourly job (the reference retries tasks, `apify_dag.py:38-39`;
+    * a plain append would duplicate the snapshot's rows on retry).
+    */
+  def overwriteSnapshot(df: DataFrame, ref: TableRef, date: Int, time: Int): Unit = {
+    val conf = df.sparkSession.conf
+    val saved = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try writeSnapshot(df, ref, date, time, mode = "overwrite")
+    finally conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+  }
+
   /** All snapshots of a table as ONE DataFrame with `run_date`/`run_time`
     * partition columns (partition discovery replaces the reference's
     * glob-loop-union, `apify_dag.py:134-148`).

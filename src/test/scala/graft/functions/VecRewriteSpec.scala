@@ -91,6 +91,27 @@ class VecRewriteSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("GraftExtensions wires functions AND the rewrite rule into a fresh session") {
+    // the spark.sql.extensions deployment path, end to end: a session
+    // built withExtensions gets vec_cosine/vec_dot in SQL and the
+    // optimizer rule without any manual install
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    val viaSql = s2.sql("SELECT vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+      .head().getDouble(0)
+    assert(viaSql == 11.0)
+    import s2.implicits._
+    val src = Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b").repartition(2)
+    val df = src.select(aggregate(
+      zip_with(col("a").cast("array<double>"), col("b").cast("array<double>"),
+        (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("dot"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+      "extension-injected rule did not fire")
+    assert(df.head.getDouble(0) == 11.0)
+  }
+
   test("SQL calls over non-float arrays implicit-cast instead of misreading memory") {
     VectorOps.register(spark)
     // array<double> and array<int> literals both coerce to array<float>

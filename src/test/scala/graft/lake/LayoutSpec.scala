@@ -62,6 +62,23 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains(s"(${Layout.runTimeCol}"), s"no run_time partition filter:\n$plan")
   }
 
+  test("overwriteSnapshot replaces only its own partition — re-runs are idempotent") {
+    val ref = freshRef()
+    Layout.writeSnapshot(snap("early"), ref, 20250301, 900)
+    Layout.overwriteSnapshot(snap("v1"), ref, 20250301, 1000)
+    // re-run of the same (date, time): no duplication, content replaced
+    Layout.overwriteSnapshot(snap("v2"), ref, 20250301, 1000)
+    val all = Layout.snapshots(spark, ref)
+    assert(all.count() == 4) // 2 rows per surviving snapshot
+    val at1000 = Layout.snapshotAt(spark, ref, 20250301, 1000)
+      .select("name").as[String].collect().sorted
+    assert(at1000.toSeq == Seq("a_v2", "b_v2"))
+    // the untouched earlier snapshot survives
+    val at900 = Layout.snapshotAt(spark, ref, 20250301, 900)
+      .select("name").as[String].collect().sorted
+    assert(at900.toSeq == Seq("a_early", "b_early"))
+  }
+
   test("glob read across snapshots equals the unionByName fold (FIXTURES §4)") {
     val ref = freshRef()
     val times = Seq(900, 1000, 1100)
