@@ -21,6 +21,25 @@ object Probe {
       println(f"PROBE $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     t("warmup count")(sources.Tables.documents(s, d).count())
+    if (args.contains("scale-sweep")) {
+      // replicate the documents corpus with perturbed ids/texts and time
+      // the dedup family at growing scale — the empirical check that the
+      // bucketed/prefix-filtered plans grow ~linearly in corpus size
+      // (modulo genuine near-dup pair growth inside the planted cluster)
+      Seq(1, 4, 10).foreach { mult =>
+        val dir = util.Scratch.dir(s"sweep$mult")
+        val base = sources.Tables.documents(s, d)
+        (0 until mult).map(i => base
+            .withColumn("doc_id", col("doc_id") + i * 1000000L)
+            .withColumn("text", concat(col("text"), lit(s" v$i"))))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        Seq("q_dedup_doc_exact", "q_dedup_minhash", "q_dedup_ngram_jaccard",
+          "q_dedup_simhash").foreach { q =>
+          t(s"${q}@${mult}x")(SparkEntry.queries(q)(s, dir).count())
+        }
+      }
+    }
     if (args.contains("minhash-stages")) {
       t("docShingles compute")(ext.Dedup.docShingles(s, d).where(size(col("sh")) > 0).count())
       val t0 = System.nanoTime()
