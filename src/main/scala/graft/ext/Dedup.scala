@@ -170,9 +170,13 @@ object Dedup {
         explode(col("sh")).as("shingle"))
       val w = Window.partitionBy("doc_id")
         .orderBy(xxhash64(col("shingle")).asc, col("shingle").asc)
+      // prefix length = n − ⌈t·n⌉ + 1 computed in INTEGER arithmetic
+      // (t = 4/5): floating-point (1 − 0.8) is 0.19999…96, so floor(n·fp)
+      // loses one element whenever 5 | n and an exact-threshold pair could
+      // be missed. ⌈4n/5⌉ = (4n + 4) div 5 exactly.
       val prefix = ex
         .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= floor(col("n_sh") * (1 - jaccardT)) + 1)
+        .where(col("rk") <= col("n_sh") - expr("(4 * n_sh + 4) div 5") + 1)
         .select("doc_id", "shingle")
       val cand = prefix.as("a")
         .join(prefix.as("b"),
@@ -217,19 +221,22 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
         .distinct()
-      // verification: the candidate set is ∝ duplicate pairs — always the
-      // tiny side — so every join below broadcasts it (or the slim sig
-      // table) and STREAMS the fat shingle table, never shuffling it.
-      val est = broadcast(cand
-        .join(broadcast(sig.as("sa")), col("ia") === col("sa.doc_id"))
-        .join(broadcast(sig.as("sb")), col("ib") === col("sb.doc_id"))
+      // verification: plain equi-joins on doc_id — NO forced broadcasts.
+      // Candidate count is quadratic in duplicate-class size, so on the
+      // duplicate-heavy corpora this operator targets the candidate set
+      // is NOT guaranteed driver-sized (nor is the signature table at
+      // corpus scale); AQE broadcasts at runtime when a side actually
+      // fits, and degrades to shuffle joins instead of OOMing when not.
+      val est = cand
+        .join(sig.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("ib") === col("sb.doc_id"))
         .select(col("ia"), col("ib"),
           aggregate(zip_with(col("sa.sig"), col("sb.sig"),
             (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
-            .cast("long").as("est_matches")))
+            .cast("long").as("est_matches"))
       val withA = sh.as("ha").join(est, col("ha.doc_id") === col("ia"))
         .select(col("ia"), col("ib"), col("est_matches"), col("ha.sh").as("sha"))
-      sh.as("hb").join(broadcast(withA), col("hb.doc_id") === col("ib"))
+      sh.as("hb").join(withA, col("hb.doc_id") === col("ib"))
         .select(col("ia"), col("ib"), col("est_matches"),
           size(array_intersect(col("sha"), col("hb.sh"))).cast("long").as("shared"),
           size(col("sha")).cast("long").as("na"),
@@ -280,8 +287,14 @@ object Dedup {
       val dups = base.where(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-      val corpus = base.unionByName(dups)
-        .withColumn("bucket", Similarity.bucketOf(col("embedding")).cast("int"))
+      // materialized: the bucketed corpus feeds both sides of the
+      // candidate join; without it the embedding scan and the 6 hyperplane
+      // projections per row run twice (the recompute guard documented on
+      // materialize())
+      val corpus = materialize(s,
+        base.unionByName(dups)
+          .withColumn("bucket", Similarity.bucketOf(col("embedding")).cast("int")),
+        "emb")
       // one side expands to its bucket + all Hamming-1 probes; the other
       // keeps its exact bucket — covers every pair whose sign patterns
       // differ in ≤ 1 plane (exact copies differ in 0).
@@ -323,7 +336,8 @@ object Dedup {
          |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
          |                 len(list_intersect(a.s, b.s)) AS shared,
          |                 len(a.s) AS na, len(b.s) AS nb
-         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |          WHERE len(a.s) > 0 AND len(b.s) > 0)
          |SELECT ia, ib, shared, na, nb, (shared * 1000) // (na + nb - shared) AS jac_permille
          |FROM pairs WHERE shared * 5 >= (na + nb - shared) * 4 ORDER BY ia, ib""".stripMargin,
     "q_dedup_embedding" ->

@@ -153,8 +153,8 @@ object Similarity {
       val q = e.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           explode(array(
-            (lit(col("bucket").cast("int"))) +:
-              (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1 << j)).cast("int")): _*))
+            col("bucket") +:
+              (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*))
             .as("probe"))
       e.join(broadcast(q), col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cand_id"),

@@ -82,8 +82,14 @@ object Bmp {
     val bpp = buf.getShort(28) & 0xffff
     val compression = buf.getInt(30)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
-    val stride = rowSize(w)
-    if (dataOffset < 54 || dataOffset.toLong + stride.toLong * h > bytes.length) return None
+    // long arithmetic: a hostile width like 715M wraps 3*w+3 negative in
+    // Int, sneaks past the size check, and crashes the allocation below —
+    // a corrupted binary row must yield None, never a task failure
+    val strideL = ((3L * w + 3) / 4) * 4
+    val pxL = 3L * w * h
+    if (strideL > Int.MaxValue || pxL > Int.MaxValue) return None
+    val stride = strideL.toInt
+    if (dataOffset < 54 || dataOffset.toLong + strideL * h > bytes.length) return None
     val out = new Array[Int](w * h * 3)
     var y = 0
     while (y < h) {

@@ -22,15 +22,20 @@ import org.apache.spark.sql.types._
 object VecMath {
   /** Cosine similarity of two float vectors with double accumulation
     * (index order, so the result is bit-stable across engines that
-    * accumulate the same way). NaN when either norm is zero.
+    * accumulate the same way). NaN when either norm is zero; null (boxed)
+    * when lengths differ or any element slot is NULL — matching what the
+    * portable HOF formulation and DuckDB's list_cosine_similarity produce
+    * rather than silently truncating / reading zeroed slots.
     */
-  def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def cosineF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y
@@ -41,12 +46,16 @@ object VecMath {
     dot / math.sqrt(na * nb)
   }
 
-  /** Dot product with double accumulation. */
-  def dotF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Dot product with double accumulation; null on length mismatch or
+    * NULL element (same contract as [[cosineF]]).
+    */
+  def dotF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -75,11 +84,18 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_cosine"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecMath.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.cosineF($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cosR")
+      s"""java.lang.Double $r = graft.functions.VecMath.cosineF($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -104,11 +120,18 @@ case class DotProd(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecMath.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.dotF($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotR")
+      s"""java.lang.Double $r = graft.functions.VecMath.dotF($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

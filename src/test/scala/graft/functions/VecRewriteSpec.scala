@@ -112,6 +112,20 @@ class VecRewriteSpec extends SparkSpec {
     assert(df.head.getDouble(0) == 11.0)
   }
 
+  test("native expressions null out on length mismatch and null elements") {
+    VectorOps.register(spark)
+    // HOF/DuckDB parity: mismatched lengths and NULL slots yield NULL,
+    // never a truncated or zero-slot-contaminated number
+    assert(spark.sql("SELECT vec_dot(array(1.0f), array(1.0f, 2.0f)) AS d")
+      .head.isNullAt(0))
+    assert(spark.sql(
+      "SELECT vec_cosine(array(1.0f, CAST(NULL AS FLOAT)), array(1.0f, 2.0f)) AS c")
+      .head.isNullAt(0))
+    // and clean inputs are unaffected
+    assert(spark.sql("SELECT vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+      .head.getDouble(0) == 11.0)
+  }
+
   test("SQL calls over non-float arrays implicit-cast instead of misreading memory") {
     VectorOps.register(spark)
     // array<double> and array<int> literals both coerce to array<float>
