@@ -17,11 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * cost ~µs/row·element and break whole-stage codegen.
   *
   * Semantics preservation, strictly: the rewrite fires ONLY when both
-  * element types are provably non-null (`containsNull = false` — nullable
-  * elements would make the HOF yield NULL where the primitive loop reads a
-  * zeroed slot), and the result is guarded by a size-equality check
-  * because `zip_with` null-pads the shorter array (NULL result) while the
-  * native loop would silently truncate. Under those conditions `DotProd`'s
+  * element types are provably non-null (`containsNull = false` — with
+  * nullable elements the HOF yields NULL for a null SLOT, which a static
+  * rewrite cannot distinguish from data). `DotProd` itself returns NULL
+  * on unequal lengths, matching `zip_with`'s null-padding, and its
   * index-order double accumulation is bit-identical to the interpreted
   * form (pinned in VecRewriteSpec). Embedding pipelines should declare
   * non-null array elements in their schemas to unlock the rewrite.
@@ -80,8 +79,9 @@ object VecRewrite extends Rule[LogicalPlan] {
           ZipWith(FloatArray(a), FloatArray(b), mult), zero, merge, finish)
           if zero.foldable && zero.eval() == 0.0 && zero.dataType == DoubleType &&
             isMultiplyLambda(mult) && isAddLambda(merge) && isIdentityLambda(finish) =>
-        // zip_with null-pads unequal lengths (HOF result NULL); keep that
-        If(EqualTo(Size(a), Size(b)), DotProd(a, b), Literal(null, DoubleType))
+        // DotProd itself yields NULL on unequal lengths, matching
+        // zip_with's null-padding semantics
+        DotProd(a, b)
     }
 }
 
