@@ -23,7 +23,8 @@ object SparkEntry {
       ext.Multimodal.queries ++ streaming.StreamDiff.queries ++
       streaming.Sessionize.queries ++ sources.Ingest.queries ++
       ops.AsofJoin.queries ++ streaming.WindowAgg.queries ++
-      ops.SkewJoin.queries ++ streaming.StreamDedup.queries
+      ops.SkewJoin.queries ++ streaming.StreamDedup.queries ++
+      ops.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -34,5 +35,6 @@ object SparkEntry {
       ext.Multimodal.oracles ++ streaming.StreamDiff.oracles ++
       streaming.Sessionize.oracles ++ sources.Ingest.oracles ++
       ops.AsofJoin.oracles ++ streaming.WindowAgg.oracles ++
-      ops.SkewJoin.oracles ++ streaming.StreamDedup.oracles
+      ops.SkewJoin.oracles ++ streaming.StreamDedup.oracles ++
+      ops.Formats.oracles
 }

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+import graft.util.Exact.dsum
+
+/** File-format round-trips (source/sink surface beyond parquet): CSV with
+  * header + quoting, JSON-lines, and ORC — every format Spark ships
+  * built-in. The fidelity check is type-sensitive: dates, doubles
+  * (shortest-repr text round-trip is exact), longs, and quoted strings
+  * (order comments contain commas) must all survive write → read, pinned
+  * by aggregates that hash-match the parquet truth for EACH format.
+  *
+  * Scale notes: all three writers/readers are partition-parallel
+  * (task-per-file); CSV/JSON are the interchange formats of a raw layer,
+  * ORC the columnar alternative — at 100 TB the engine's internal layers
+  * stay columnar (parquet/ORC) and text formats appear only at the edges.
+  */
+object Formats {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_format_roundtrip" -> ((s, d) => {
+      val o = orders(s, d)
+      val base = graft.util.Scratch.dir("formats")
+      o.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      o.write.mode("overwrite").json(s"$base/jsonl")
+      o.write.mode("overwrite").orc(s"$base/orc")
+      val reads = Seq(
+        "csv" -> s.read.schema(o.schema).option("header", "true").csv(s"$base/csv"),
+        "jsonl" -> s.read.schema(o.schema).json(s"$base/jsonl"),
+        "orc" -> s.read.orc(s"$base/orc"))
+      reads.map { case (fmt, df) =>
+        df.agg(count(lit(1)).as("n"),
+          sum("o_custkey").as("sum_cust"),
+          dsum(col("o_totalprice")).as("sum_total"),
+          min("o_orderdate").as("min_date"), max("o_orderdate").as("max_date"),
+          countDistinct("o_orderstatus").as("n_status"))
+          .withColumn("fmt", lit(fmt))
+          .select("fmt", "n", "sum_cust", "sum_total", "min_date", "max_date", "n_status")
+      }.reduce(_ unionByName _).orderBy("fmt")
+    }),
+  )
+
+  private val statsSql =
+    """COUNT(*) AS n, SUM(o_custkey) AS sum_cust,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+      |min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+      |COUNT(DISTINCT o_orderstatus) AS n_status""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_format_roundtrip" ->
+      s"""SELECT * FROM (
+         |  SELECT 'csv' AS fmt, $statsSql FROM orders
+         |  UNION ALL
+         |  SELECT 'jsonl' AS fmt, $statsSql FROM orders
+         |  UNION ALL
+         |  SELECT 'orc' AS fmt, $statsSql FROM orders
+         |) ORDER BY fmt""".stripMargin,
+  )
+}
