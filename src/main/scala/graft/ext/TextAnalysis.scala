@@ -116,6 +116,25 @@ object TextAnalysis {
       scored.withColumn("predicted_lang", predicted).orderBy("doc_id")
     }),
 
+    // E4g: vocabulary heavy hitters — the exact tier (one combinable
+    // groupBy + threshold) is the oracle; Spark's freqItems sketch
+    // (Karp et al. streaming frequent-items) is checked by its guarantee:
+    // every item above the support threshold MUST appear in the sketch
+    // result (superset property, like the approx_distinct/quantile twins).
+    "q_heavy_hitters" -> ((s, d) => {
+      val support = 0.02
+      val toks = documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+      val total = toks.count()
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+        .where(col("tf") >= total * support)
+      val sketch = toks.stat.freqItems(Seq("token"), support)
+      exact.crossJoin(broadcast(sketch))
+        .select(col("token"), col("tf"),
+          array_contains(col("token_freqItems"), col("token")).as("in_sketch"))
+        .orderBy("token")
+    }),
+
     // E4f: BM25 relevance scoring against a fixed query — the ranking
     // primitive of retrieval pipelines. Shape: ONE corpus-stats aggregate
     // (count/total-length/per-term document frequency — all combinable)
@@ -207,6 +226,13 @@ object TextAnalysis {
          |       $scoreCols
          |FROM documents) ORDER BY doc_id""".stripMargin
     },
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
+         |tot AS (SELECT count(*) AS n FROM toks)
+         |SELECT token, count(*) AS tf, true AS in_sketch
+         |FROM toks, tot GROUP BY token, tot.n
+         |HAVING count(*) >= tot.n * 0.02
+         |ORDER BY token""".stripMargin,
     "q_bm25" -> {
       val dfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
         s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
