@@ -121,13 +121,17 @@ object TextAnalysis {
     // (Karp et al. streaming frequent-items) is checked by its guarantee:
     // every item above the support threshold MUST appear in the sketch
     // result (superset property, like the approx_distinct/quantile twins).
+    // The corpus total is derived from the grouped table (sum(tf) window
+    // over the vocab-sized aggregate), NOT a separate toks.count() pass —
+    // the exact tier reads the corpus exactly once (pinned in PlanSpec).
     "q_heavy_hitters" -> ((s, d) => {
       val support = 0.02
       val toks = documents(s, d)
         .select(explode(tokens(col("text"))).as("token"))
-      val total = toks.count()
       val exact = toks.groupBy("token").agg(count(lit(1)).as("tf"))
-        .where(col("tf") >= total * support)
+        .withColumn("total", sum(col("tf")).over())
+        .where(col("tf") >= col("total") * support)
+        .drop("total")
       val sketch = toks.stat.freqItems(Seq("token"), support)
       exact.crossJoin(broadcast(sketch))
         .select(col("token"), col("tf"),

@@ -45,7 +45,7 @@ object Formats {
   )
 
   private val statsSql =
-    """COUNT(*) AS n, SUM(o_custkey) AS sum_cust,
+    """COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
       |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
       |min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
       |COUNT(DISTINCT o_orderstatus) AS n_status""".stripMargin

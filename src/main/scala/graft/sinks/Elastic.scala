@@ -74,6 +74,67 @@ object Elastic {
       .mode(mode)
       .save()
 
+  /** Connector-free bulk indexer: each partition POSTs NDJSON
+    * `{"index":{"_index":…,"_id":…}}` + doc pairs to the ES `_bulk`
+    * endpoint (the same wire protocol the connector speaks), so the write
+    * parallelism is the partition count with no driver funnel — and the
+    * path is integration-testable against a live HTTP endpoint, which the
+    * Scala-2.12-built connector jar is not in this runtime. Doc ids come
+    * from `idColumn` (idempotent upsert per key, the reference's
+    * `es.mapping.id` semantics); every doc carries the reference's
+    * string-formatted `indexed_at` tag.
+    */
+  def bulkIndexKeyed(df: DataFrame, cfg: EsConfig, index: String,
+      idColumn: String = "username", batchSize: Int = 500): Unit = {
+    val tagged = df.withColumn("indexed_at", indexedAtCol)
+    val payload = tagged.select(
+      col(idColumn).cast("string").as("_id"),
+      to_json(struct(tagged.columns.map(col): _*)).as("_source"))
+    val endpoint = s"http://${cfg.nodes}:${cfg.port}/_bulk"
+    payload.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      rows.grouped(batchSize).foreach { batch =>
+        val body = batch.iterator.map { r =>
+          val id = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
+          s"""{"index":{"_index":"$index","_id":"$id"}}""" + "\n" + r.getString(1)
+        }.mkString("", "\n", "\n")
+        postBulk(endpoint, body)
+      }
+    }
+  }
+
+  /** POST one NDJSON bulk body; non-2xx or connection failures retry with
+    * backoff, then throw (Spark then retries the task — the bulk is
+    * keyed-idempotent, so replays are safe).
+    */
+  private[sinks] def postBulk(endpoint: String, ndjson: String, retries: Int = 3): Unit = {
+    val bytes = ndjson.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= retries) {
+      try {
+        val conn = java.net.URI.create(endpoint).toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/x-ndjson")
+        conn.setDoOutput(true)
+        conn.setFixedLengthStreamingMode(bytes.length)
+        val os = conn.getOutputStream
+        try os.write(bytes) finally os.close()
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        if (is != null) { try { while (is.read() != -1) () } finally is.close() }
+        if (code != 200 && code != 201) sys.error(s"bulk POST to $endpoint returned $code")
+        return
+      } catch {
+        case e: Exception =>
+          lastErr = e
+          attempt += 1
+          if (attempt <= retries) Thread.sleep(50L * attempt)
+      }
+    }
+    throw lastErr
+  }
+
   /** The reference's whole indexing task: both aggregates, keyed by
     * `username`. Returns the (aggregated, comparatif) index names actually
     * targeted so callers/tests can see the routing decision.

@@ -61,20 +61,24 @@ object StreamDedup {
     // DuckDB oracle is a plain scan.
     "q_stream_dedup" -> ((s, d) => {
       val ev = Tables.events(s, d).select("user_id", "event_id", "event_type", "ts", "value")
-      val mm = ev.agg(min(col("ts").cast("long")), max(col("ts").cast("long"))).head()
-      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+      // planted-duplicate input files are built once per JVM per sfDir;
+      // each invocation re-runs only the stream (fresh checkpoint/output)
+      val in = graft.util.FixtureCache.dir("sdedup_in", d) { in =>
+        val mm = ev.agg(min(col("ts").cast("long")), max(col("ts").cast("long"))).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val t0 = System.currentTimeMillis() - 120000
+        val file1 = ev.where(col("ts").cast("long") <= cut)
+        val lateDups = ev.where(col("ts").cast("long") <= cut &&
+          col("ts").cast("long") > cut - 3600)
+        val inBatchDups = ev.where(col("ts").cast("long") > cut &&
+          col("event_id") % 17 === 0)
+        val file2 = ev.where(col("ts").cast("long") > cut)
+          .unionByName(lateDups).unionByName(inBatchDups)
+        StreamDiff.writeSnapshotFile(file1, s"$in/part_1.parquet", t0)
+        StreamDiff.writeSnapshotFile(file2, s"$in/part_2.parquet", t0 + 60000)
+      }
       val base = graft.util.Scratch.dir("sdedup")
-      val t0 = System.currentTimeMillis() - 120000
-      val file1 = ev.where(col("ts").cast("long") <= cut)
-      val lateDups = ev.where(col("ts").cast("long") <= cut &&
-        col("ts").cast("long") > cut - 3600)
-      val inBatchDups = ev.where(col("ts").cast("long") > cut &&
-        col("event_id") % 17 === 0)
-      val file2 = ev.where(col("ts").cast("long") > cut)
-        .unionByName(lateDups).unionByName(inBatchDups)
-      StreamDiff.writeSnapshotFile(file1, s"$base/in/part_1.parquet", t0)
-      StreamDiff.writeSnapshotFile(file2, s"$base/in/part_2.parquet", t0 + 60000)
-      run(s, s"$base/in", s"$base/chk", s"$base/out", ev.schema)
+      run(s, in, s"$base/chk", s"$base/out", ev.schema)
       s.read.parquet(s"$base/out")
         .select("user_id", "event_id", "event_type", "ts", "value")
         .orderBy("event_id")

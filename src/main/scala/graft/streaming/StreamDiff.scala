@@ -116,13 +116,17 @@ object StreamDiff {
     // files arrive (previous, then current); the emitted change rows must
     // equal the batch q_snapshot_diff — and they share its DuckDB oracle.
     "q_stream_diff" -> ((s, d) => {
-      val base = graft.util.Scratch.dir("stream")
       val prev = SnapshotDiff.synthPrevious(s, d)
-      val cur = SnapshotDiff.synthCurrent(s, d)
-      val t0 = System.currentTimeMillis() - 120000
-      writeSnapshotFile(prev, s"$base/in/snap_1.parquet", t0)
-      writeSnapshotFile(cur, s"$base/in/snap_2.parquet", t0 + 60000)
-      run(s, s"$base/in", s"$base/state", s"$base/out",
+      // snapshot arrival files are built once per JVM per sfDir; each
+      // invocation re-runs only the stream (fresh state/checkpoint/output)
+      val in = graft.util.FixtureCache.dir("stream_in", d) { in =>
+        val cur = SnapshotDiff.synthCurrent(s, d)
+        val t0 = System.currentTimeMillis() - 120000
+        writeSnapshotFile(prev, s"$in/snap_1.parquet", t0)
+        writeSnapshotFile(cur, s"$in/snap_2.parquet", t0 + 60000)
+      }
+      val base = graft.util.Scratch.dir("stream")
+      run(s, in, s"$base/state", s"$base/out",
         prev.schema, SnapshotDiff.diffKeys)
       s.read.parquet(s"$base/out/batch_*")
         .orderBy("change", "c_custkey", "c_name")

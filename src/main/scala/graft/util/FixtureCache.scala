@@ -1,0 +1,25 @@
+package graft.util
+
+/** Memoized fixture builds for queries whose INPUT is a materialized
+  * scratch layout (stream snapshot files, signature tables). The operator
+  * under test/bench re-runs on every invocation, but rebuilding an
+  * identical input fixture per-invocation (per warmup + per bench repeat)
+  * only re-times the fixture writer — VERDICT r2 item 2 calls this out as
+  * the honest lever on the streaming trio. Keyed by (tag, sfDir) so
+  * different scale factors never share a fixture; builds land in Scratch
+  * dirs and are deleted at JVM exit like every other intermediate.
+  */
+object FixtureCache {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The fixture directory for (tag, sfDir), building it with `build` on
+    * first request in this JVM and reusing it afterwards.
+    */
+  def dir(tag: String, sfDir: String)(build: String => Unit): String =
+    cache.computeIfAbsent(s"$tag|$sfDir", _ => {
+      val d = Scratch.dir(tag)
+      build(d)
+      d
+    })
+}

@@ -85,6 +85,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning"))
   }
 
+  test("q_heavy_hitters exact tier scans the corpus exactly once") {
+    // VERDICT r2 item 3: the total token count must come from the grouped
+    // (vocab-sized) table — visible as a Window over the aggregate — not a
+    // separate driver-side toks.count() pass (which would bake the
+    // threshold in as a literal and leave no Window node). Two scans
+    // total: one feeding the exact tier, one inherent to the lazy
+    // freqItems sketch tier.
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(finalPlan.contains("Window"),
+      "total must come from a window over the grouped table, not a driver count()")
+    val scans = math.max("FileScan".r.findAllIn(finalPlan).size,
+      "BatchScan".r.findAllIn(finalPlan).size)
+    assert(scans == 2, s"expected 2 scans (exact tier + sketch tier), saw $scans")
+  }
+
   test("snapshotAt prunes partitions in the lake layout") {
     import java.nio.file.Files
     import graft.lake.Layout

@@ -108,6 +108,70 @@ class SinksSpec extends SparkSpec {
     assert(tagged.schema("indexed_at").dataType.typeName == "string")
   }
 
+  test("elastic: bulk round-trip posts keyed NDJSON actions to a live _bulk endpoint") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.HttpServer
+    import spark.implicits._
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/_bulk", ex => {
+      received.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      val resp = """{"errors":false}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    try {
+      val df = Seq(("alice", 3L), ("bob", 5L), ("carol", 7L))
+        .toDF("username", "n_posts").repartition(2)
+      Elastic.bulkIndexKeyed(df,
+        Elastic.EsConfig("127.0.0.1", server.getAddress.getPort),
+        "final_aggregated_index", batchSize = 2)
+      val bodies = received.toArray(Array.empty[String])
+      // each body is alternating action/doc NDJSON lines, newline-terminated
+      val pairs = bodies.flatMap { b =>
+        val lines = b.split("\n").filter(_.nonEmpty)
+        assert(lines.length % 2 == 0, s"unpaired bulk lines:\n$b")
+        lines.grouped(2).map(p => (p(0), p(1)))
+      }
+      assert(pairs.length == 3)
+      pairs.foreach { case (action, doc) =>
+        assert(action.contains(""""_index":"final_aggregated_index""""), action)
+        val id = """"_id":"(\w+)"""".r.findFirstMatchIn(action).get.group(1)
+        // doc-id routing: the action's _id is the row's username
+        assert(doc.contains(s""""username":"$id""""), s"$action\n$doc")
+        // every doc carries the reference-format indexed_at tag
+        assert(doc.matches(""".*"indexed_at":"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}".*"""), doc)
+      }
+      assert(pairs.map(p => """"_id":"(\w+)"""".r.findFirstMatchIn(p._1).get.group(1)).toSet ==
+        Set("alice", "bob", "carol"))
+    } finally server.stop(0)
+  }
+
+  test("elastic: bulk POST retries transient failures, then succeeds") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.HttpServer
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/_bulk", ex => {
+      val code = if (hits.incrementAndGet() == 1) 503 else 200
+      val resp = "{}".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try {
+      Elastic.postBulk(
+        s"http://127.0.0.1:${server.getAddress.getPort}/_bulk", "{}\n{}\n")
+      assert(hits.get() == 2, "expected one failed attempt and one retry")
+    } finally server.stop(0)
+  }
+
   test("elastic: the public connector jar ships the datasource the module targets") {
     val jarPath = "/root/reference/jars/elasticsearch-spark-30_2.12-8.5.3.jar"
     assume(new java.io.File(jarPath).isFile)

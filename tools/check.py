@@ -46,6 +46,12 @@ def main():
                                               check_dtype=False, check_exact=True)
             except AssertionError as e:
                 fails.append((name, str(e)[:400])); continue
+            # the driver's hash is type-sensitive (int64 vs float64 hash
+            # differently even when values match) — flag kind mismatches
+            kinds = [(c, exp[c].dtype.kind, got[c].dtype.kind)
+                     for c in exp.columns if exp[c].dtype.kind != got[c].dtype.kind]
+            if kinds:
+                fails.append((name, f'dtype kinds differ (driver hash would mismatch): {kinds}')); continue
             print(f'OK   {name} ({len(exp)} rows)')
             npass += 1
         except Exception as e:
