@@ -123,10 +123,11 @@ object Core {
     // does this with a Python glob loop; Spark path-globs + partition
     // discovery replace the loop).
     "q_glob_scan" -> ((s, d) => {
-      val tmp = graft.util.Scratch.dir("glob")
-      supplier(s, d)
-        .withColumn("bucket", (col("s_nationkey") % 3).cast("int"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      val tmp = graft.util.FixtureCache.dir("glob", d) { tmp =>
+        supplier(s, d)
+          .withColumn("bucket", (col("s_nationkey") % 3).cast("int"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      }
       Layout.globRead(s, tmp, "bucket=*")
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal", "bucket")
         .orderBy("s_suppkey")
@@ -140,18 +141,43 @@ object Core {
     // scan to the single chosen partition — the pattern that scales to
     // thousands of snapshots.
     "q_prev_snapshot" -> ((s, d) => {
-      val tmp = graft.util.Scratch.dir("snap")
-      val ref = Layout.TableRef(tmp, Layout.usageLayer, "apify", "orders")
       val (date, current) = (20250301, 1100)
       val o = orders(s, d).select("o_orderkey", "o_totalprice")
-      Seq(900, 1000, 1100).foreach { h =>
-        // one task per snapshot write → one file, not shufflePartitions many
-        Layout.writeSnapshot(
-          o.where(col("o_orderkey") % (h / 100) === 0).coalesce(1), ref, date, h)
+      // the snapshot layout is the INPUT fixture; built once per JVM per
+      // sfDir — discovery + pruned read (the operator) re-run every time
+      val tmp = graft.util.FixtureCache.dir("snap", d) { tmp =>
+        val ref = Layout.TableRef(tmp, Layout.usageLayer, "apify", "orders")
+        Seq(900, 1000, 1100).foreach { h =>
+          // one task per snapshot write → one file, not shufflePartitions many
+          Layout.writeSnapshot(
+            o.where(col("o_orderkey") % (h / 100) === 0).coalesce(1), ref, date, h)
+        }
       }
+      val ref = Layout.TableRef(tmp, Layout.usageLayer, "apify", "orders")
       val prev = Layout.previousRunTime(s, ref, date, current).get
       Layout.snapshotAt(s, ref, date, prev)
         .select("o_orderkey", "o_totalprice", "run_time")
+        .orderBy("o_orderkey")
+    }),
+
+    // X26: as-of-T snapshot read ACROSS dates — asking for 08:45 on a day
+    // whose first snapshot lands at 09:00 must fall back to the previous
+    // day's last snapshot (the case the reference's same-day listdir loop
+    // cannot serve). Discovery is metadata-only; the read prunes to the one
+    // chosen partition (LayoutSpec pins both).
+    "q_snapshot_asof" -> ((s, d) => {
+      val o = orders(s, d).select("o_orderkey", "o_totalprice")
+      val tmp = graft.util.FixtureCache.dir("asof", d) { tmp =>
+        val ref = Layout.TableRef(tmp, Layout.usageLayer, "apify", "orders")
+        Seq((20250228, 1400, 7), (20250301, 900, 9), (20250301, 1000, 10))
+          .foreach { case (date, h, k) =>
+            Layout.writeSnapshot(
+              o.where(col("o_orderkey") % k === 0).coalesce(1), ref, date, h)
+          }
+      }
+      val ref = Layout.TableRef(tmp, Layout.usageLayer, "apify", "orders")
+      Layout.readAsOf(s, ref, 20250301, 845).get
+        .select("o_orderkey", "o_totalprice", "run_date", "run_time")
         .orderBy("o_orderkey")
     })
   )
@@ -234,6 +260,11 @@ object Core {
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_prev_snapshot" ->
       """SELECT o_orderkey, o_totalprice, 1000 AS run_time
-        |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin
+        |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q_snapshot_asof" ->
+      // as-of 20250301 08:45 with day-1 snapshots at 09:00/10:00 resolves
+      // to the PREVIOUS day's 14:00 snapshot (the % 7 slice)
+      """SELECT o_orderkey, o_totalprice, 20250228 AS run_date, 1400 AS run_time
+        |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -44,6 +44,35 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.previousRunTime(spark, ref, 20250302, 2359).isEmpty)
   }
 
+  test("snapshotAsOf resolves across dates, inclusively, and empty before history") {
+    val ref = freshRef()
+    Layout.writeSnapshot(snap("d1_1400"), ref, 20250228, 1400)
+    Seq(900, 1000).foreach(h => Layout.writeSnapshot(snap(s"d2_$h"), ref, 20250301, h))
+    // cross-date fallback: 08:45 on day 2 → previous day's last snapshot
+    assert(Layout.snapshotAsOf(spark, ref, 20250301, 845).contains((20250228, 1400)))
+    // inclusive at the exact stamp
+    assert(Layout.snapshotAsOf(spark, ref, 20250301, 900).contains((20250301, 900)))
+    // later same-day stamp picks the greatest at-or-before
+    assert(Layout.snapshotAsOf(spark, ref, 20250301, 2359).contains((20250301, 1000)))
+    // a future date sees the full history's max
+    assert(Layout.snapshotAsOf(spark, ref, 20260101, 0).contains((20250301, 1000)))
+    // before all history: no snapshot
+    assert(Layout.snapshotAsOf(spark, ref, 20250228, 1359).isEmpty)
+    assert(Layout.readAsOf(spark, ref, 20250228, 1359).isEmpty)
+  }
+
+  test("readAsOf prunes the scan to the single resolved partition") {
+    val ref = freshRef()
+    Layout.writeSnapshot(snap("d1"), ref, 20250228, 1400)
+    Seq(900, 1000).foreach(h => Layout.writeSnapshot(snap(s"d2_$h"), ref, 20250301, h))
+    val df = Layout.readAsOf(spark, ref, 20250301, 845).get
+    val rows = df.select("name").as[String].collect().sorted
+    assert(rows.toSeq == Seq("a_d1", "b_d1"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains(s"(${Layout.runTimeCol}"), s"no run_time partition filter:\n$plan")
+  }
+
   test("snapshotAt reads exactly one snapshot's rows") {
     val ref = freshRef()
     Seq(900, 1000).foreach(h => Layout.writeSnapshot(snap(h.toString), ref, 20250301, h))
