@@ -40,6 +40,36 @@ object Probe {
         }
       }
     }
+    if (args.contains("recall-sweep")) {
+      // recall@k of the ANN tiers vs brute force at growing corpus scale —
+      // the quantitative evidence behind the no-oracle q_sim_lsh/q_sim_ivf
+      // rows (VERDICT r2 item 8). Replicas are deterministically perturbed
+      // per dimension (scale alone would leave cosine invariant), so each
+      // round multiplies the candidate set with near- but not exact
+      // duplicates; the query vectors (vec_id < nQueries) stay unperturbed.
+      Seq(1, 4, 10).foreach { mult =>
+        val dir = util.Scratch.dir(s"rsweep$mult")
+        val base = sources.Tables.embeddings(s, d)
+        (0 until mult).map(i => base
+            .withColumn("vec_id", col("vec_id") + i * 1000000L)
+            .withColumn("embedding", transform(col("embedding"), (x, j) =>
+              (x + lit(i * 0.02f) *
+                sin(j.cast("double") * 0.7 + col("vec_id").cast("double")).cast("float"))
+                .cast("float"))))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val exact = SparkEntry.queries("q_sim_topk")(s, dir)
+          .select("qid", "cand_id").cache()
+        val tot = exact.count()
+        Seq("q_sim_lsh", "q_sim_ivf").foreach { q =>
+          val t0 = System.nanoTime()
+          val approx = SparkEntry.queries(q)(s, dir).select("qid", "cand_id")
+          val hit = exact.intersect(approx).count()
+          println(f"PROBE recall@${ext.Similarity.k} $q%-10s ${mult}%2dx  ${hit.toDouble / tot}%.3f ($hit/$tot)  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
+        exact.unpersist()
+      }
+    }
     if (args.contains("minhash-stages")) {
       t("docShingles compute")(ext.Dedup.docShingles(s, d).where(size(col("sh")) > 0).count())
       val t0 = System.nanoTime()

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Bmp, Wav}
+import graft.functions.{Avi, Bmp, Wav}
 import graft.sources.Tables._
 
 /** A decoded media row (binary payload + typed metadata). */
@@ -20,15 +20,15 @@ case class MediaFeatures(
   * as opaque `binary` columns with typed metadata, and run decode /
   * feature-extract / frame-sample as partition-parallel typed operations.
   *
-  * Audio rows carry REAL RIFF/WAVE PCM16 payloads and [[decodeSignal]]
-  * really parses them ([[graft.functions.Wav]] — pure-JVM chunk walker);
-  * the synthesized samples are arithmetically defined so `q_wav_decode`'s
-  * DuckDB oracle recomputes header fields and the decoded sample sum in
-  * closed form. Image/video rows remain opaque byte payloads standing in
-  * for formats whose codecs aren't in this container — for those the
-  * decoded "signal" is the raw byte stream (documented fake), while the
-  * Spark plumbing (binary columns, Dataset encoder boundary, mapPartitions
-  * batch shape, frame arithmetic) is real and tested.
+  * All three modalities carry REAL payloads that [[decodeSignal]] really
+  * parses with pure-JVM codecs: audio is RIFF/WAVE PCM16
+  * ([[graft.functions.Wav]]), image is 24-bit BMP
+  * ([[graft.functions.Bmp]]), video is uncompressed single-stream AVI
+  * ([[graft.functions.Avi]] — RIFF chunk walk + per-frame DIB rows). Each
+  * fixture signal is arithmetically defined, so the decode queries'
+  * DuckDB oracles recompute header fields and decoded sample/pixel sums
+  * in closed form — a parser bug breaks the hash. Formats outside the
+  * codec family would fall back to the raw byte stream.
   *
   * Scale notes (100 TB): all queries are per-row / per-partition with
   * zero shuffles; a real deployment holds payloads in parquet BINARY columns
@@ -45,13 +45,12 @@ object Multimodal {
 
   private val synthWav = udf((id: Long) => Wav.synth(id))
   private val synthBmp = udf((id: Long) => Bmp.synth(id))
+  private val synthAvi = udf((id: Long) => Avi.synth(id))
 
-  /** Synthesized media table: audio rows are real PCM16 WAV files and
-    * image rows real 24-bit BMPs, both built from deterministic fixture
-    * signals; video rows re-cast the documents fixture's text as an
-    * opaque binary payload (no video codec exists in this container).
-    * (The UDFs only synthesize the fixture — they are not on any
-    * operator's read path.)
+  /** Synthesized media table: audio rows are real PCM16 WAV files, image
+    * rows real 24-bit BMPs, video rows real uncompressed AVIs — all built
+    * from deterministic fixture signals. (The UDFs only synthesize the
+    * fixture — they are not on any operator's read path.)
     */
   def media(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
@@ -61,19 +60,20 @@ object Multimodal {
         .otherwise("video").as("media_type"),
       when(col("doc_id") % 3 === 0, "bmp")
         .when(col("doc_id") % 3 === 1, "wav")
-        .otherwise("mp4").as("fmt"),
+        .otherwise("avi").as("fmt"),
       when(col("doc_id") % 3 === 0, synthBmp(col("doc_id")))
         .when(col("doc_id") % 3 === 1, synthWav(col("doc_id")))
-        .otherwise(encode(col("text"), "UTF-8")).as("bytes"))
+        .otherwise(synthAvi(col("doc_id"))).as("bytes"))
 
-  /** Decode a payload to its signal: WAV → real PCM samples via the chunk
-    * parser; BMP → real top-down pixel bytes via the header parser; other
-    * formats (no codecs in this container) → raw bytes as the stand-in
-    * signal, explicitly fake.
+  /** Decode a payload to its signal: WAV → real PCM samples, BMP → real
+    * top-down pixel bytes, AVI → real all-frames pixel bytes — each via
+    * its own pure-JVM parser. Unknown formats → raw bytes as an explicit
+    * stand-in.
     */
   def decodeSignal(m: Media): Array[Double] = m.fmt match {
     case "wav" => Wav.parse(m.bytes).map(_._2.map(_.toDouble)).getOrElse(Array.empty)
     case "bmp" => Bmp.parse(m.bytes).map(_._2.map(_.toDouble)).getOrElse(Array.empty)
+    case "avi" => Avi.parse(m.bytes).map(_._2.map(_.toDouble)).getOrElse(Array.empty)
     case _ => m.bytes.map(b => (b & 0xff).toDouble)
   }
 
@@ -162,6 +162,27 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // REAL AVI decode, fully oracle-checked: walk the RIFF chunks of each
+    // video payload, read geometry/rate from hdrl/strl, undo each 00db
+    // frame's bottom-up padded rows, and aggregate the decoded pixels; the
+    // DuckDB twin recomputes every output — frame count, dimensions, rate,
+    // and the all-frames pixel sum — from the closed-form fixture signal.
+    "q_video_frames" -> ((s, d) => {
+      implicit val me = org.apache.spark.sql.Encoders.product[Media]
+      import s.implicits._
+      media(s, d).where(col("fmt") === "avi").as[Media]
+        .map { m =>
+          val (info, px) = Avi.parse(m.bytes)
+            .getOrElse(sys.error(s"unparseable avi payload for media ${m.media_id}"))
+          (m.media_id, info.width.toLong, info.height.toLong,
+            info.nFrames.toLong, info.rate.toLong / info.scale,
+            px.length.toLong, px.foldLeft(0L)(_ + _))
+        }
+        .toDF("media_id", "width", "height", "n_frames", "fps",
+          "n_px_bytes", "sum_px")
+        .orderBy("media_id")
+    }),
+
     // Frame sampling: chunk the payload into frameBytes-sized frames, keep
     // every frameStep-th — pure per-row index arithmetic (the binary
     // substring itself is exercised in MultimodalSpec); integer outputs keep
@@ -181,17 +202,19 @@ object Multimodal {
   private val mediaTypeSql =
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
   private val fmtSql =
-    "CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'mp4' END"
+    "CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'avi' END"
 
   /** Payload size in closed form: wav rows are 44-byte-header PCM16 files
     * (n = 50 + id % 100 samples); bmp rows are 54-byte-header 24-bit
     * images (w = 3 + id % 5, h = 2 + id % 4, rows padded to 4 bytes);
-    * video rows are the UTF-8 text bytes.
+    * video rows are 224-byte-header AVIs with nF = 2 + id % 5 frames of
+    * (w = 2 + id % 4) × (h = 2 + id % 3) padded DIB rows plus an 8-byte
+    * chunk header each.
     */
   private val nBytesSql =
     """CASE WHEN doc_id % 3 = 1 THEN 144 + 2 * (doc_id % 100)
       |     WHEN doc_id % 3 = 0 THEN 54 + ((3 * (3 + doc_id % 5) + 3) // 4) * 4 * (2 + doc_id % 4)
-      |     ELSE octet_length(encode(text)) END""".stripMargin.replace("\n", " ")
+      |     ELSE 224 + (2 + doc_id % 5) * (8 + ((3 * (2 + doc_id % 4) + 3) // 4) * 4 * (2 + doc_id % 3)) END""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
     "q_media_meta" ->
@@ -207,19 +230,20 @@ object Multimodal {
          |      FROM documents)
          |ORDER BY media_id, frame_idx""".stripMargin,
     // Full-signal oracle for the feature extractor: every media type's
-    // DECODED signal is recomputable in SQL — wav samples and bmp pixels
-    // from their closed forms, video (opaque text payload) from ord() over
-    // the pure-ASCII fixture text. Integer sums are exact in double, so
-    // the 4dp-rounded means hash-match.
+    // DECODED signal is recomputable in SQL — wav samples, bmp pixels, and
+    // avi per-frame pixels from their closed forms. Integer sums are exact
+    // in double, so the 4dp-rounded means hash-match.
     "q_media_features" -> {
       val kindN =
         """CASE doc_id % 3
-          |  WHEN 2 THEN length(text)
+          |  WHEN 2 THEN (2 + doc_id % 5) * (2 + doc_id % 4) * (2 + doc_id % 3) * 3
           |  WHEN 1 THEN 50 + doc_id % 100
           |  ELSE (3 + doc_id % 5) * (2 + doc_id % 4) * 3 END""".stripMargin.replace("\n", " ")
       s"""WITH meta AS (
-         |  SELECT doc_id AS media_id, doc_id % 3 AS kind, text,
+         |  SELECT doc_id AS media_id, doc_id % 3 AS kind,
          |         3 + doc_id % 5 AS w,
+         |         2 + doc_id % 4 AS vw,
+         |         2 + doc_id % 3 AS vh,
          |         CAST($kindN AS BIGINT) AS n,
          |         CAST($nBytesSql AS BIGINT) AS n_bytes
          |  FROM documents),
@@ -231,7 +255,9 @@ object Multimodal {
          |sig AS (
          |  SELECT m.media_id, m.n, m.n_bytes, m.s0_hi, m.s7_lo, i.i,
          |         CASE m.kind
-         |           WHEN 2 THEN ord(substr(m.text, CAST(i.i + 1 AS INT), 1))
+         |           WHEN 2 THEN (m.media_id * 7 + (i.i // (3 * m.vw * m.vh)) * 97
+         |                        + ((i.i % (3 * m.vw * m.vh)) // (3 * m.vw)) * 31
+         |                        + ((i.i % (3 * m.vw)) // 3) * 3 + (i.i % 3)) % 256
          |           WHEN 1 THEN ((m.media_id * 31 + i.i * 7) % 4096) - 2048
          |           ELSE (m.media_id * 7 + (i.i // (3 * m.w)) * 31
          |                 + ((i.i % (3 * m.w)) // 3) * 3 + (i.i % 3)) % 256
@@ -260,6 +286,22 @@ object Multimodal {
         |JOIN range(0, 5) y(i) ON y.i < d.height
         |JOIN range(0, 3) c(i) ON true
         |GROUP BY media_id, width, height, bpp, n_px_bytes
+        |ORDER BY media_id""".stripMargin,
+    "q_video_frames" ->
+      """SELECT media_id, width, height, n_frames, fps, n_px_bytes,
+        |       CAST(sum((media_id * 7 + f.i * 97 + y.i * 31 + x.i * 3 + c.i) % 256) AS BIGINT) AS sum_px
+        |FROM (SELECT doc_id AS media_id,
+        |             CAST(2 + doc_id % 4 AS BIGINT) AS width,
+        |             CAST(2 + doc_id % 3 AS BIGINT) AS height,
+        |             CAST(2 + doc_id % 5 AS BIGINT) AS n_frames,
+        |             CAST(10 + doc_id % 5 AS BIGINT) AS fps,
+        |             CAST((2 + doc_id % 5) * (2 + doc_id % 4) * (2 + doc_id % 3) * 3 AS BIGINT) AS n_px_bytes
+        |      FROM documents WHERE doc_id % 3 = 2) d
+        |JOIN range(0, 7) f(i) ON f.i < d.n_frames
+        |JOIN range(0, 6) x(i) ON x.i < d.width
+        |JOIN range(0, 5) y(i) ON y.i < d.height
+        |JOIN range(0, 3) c(i) ON true
+        |GROUP BY media_id, width, height, n_frames, fps, n_px_bytes
         |ORDER BY media_id""".stripMargin,
     "q_wav_decode" ->
       """SELECT media_id, sample_rate, n_channels, bits_per_sample, n_samples,

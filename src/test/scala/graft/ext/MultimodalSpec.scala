@@ -6,14 +6,59 @@ import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
-  test("binary payload roundtrips: decode(bytes) == original text (opaque video rows)") {
-    val back = Multimodal.media(spark, sf)
-      .where(col("fmt") === "mp4")
-      .select(col("media_id").as("doc_id"), decode(col("bytes"), "UTF-8").as("rt"))
-    val orig = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
-    val mismatches = orig.join(back, "doc_id")
-      .where(col("text") =!= col("rt")).count()
-    assert(mismatches == 0)
+  test("avi payloads are real parseable uncompressed videos") {
+    import graft.functions.Avi
+    val rows = Multimodal.media(spark, sf).where(col("fmt") === "avi")
+      .select("media_id", "bytes").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val parsed = Avi.parse(r.getAs[Array[Byte]]("bytes"))
+      assert(parsed.isDefined, s"media $id did not parse")
+      val (info, px) = parsed.get
+      assert(info == Avi.AviInfo(Avi.widthFor(id), Avi.heightFor(id),
+        Avi.framesFor(id), Avi.rateFor(id), 1))
+      // decoded (frame, top-down y, x, c) order must invert the per-frame
+      // bottom-up storage
+      var i = 0
+      for (f <- 0 until info.nFrames; y <- 0 until info.height;
+           x <- 0 until info.width; c <- 0 until 3) {
+        assert(px(i) == Avi.pixelAt(id, f, x, y, c), s"media $id px ($f,$x,$y,$c)")
+        i += 1
+      }
+    }
+  }
+
+  test("avi parser golden fixture: chunk walking, geometry checks, garbage rejection") {
+    import graft.functions.Avi
+    val canonical = Avi.synth(11L) // w=2+3=5, h=2+2=4, nF=2+1=3
+    assert(canonical.length == Avi.fileSize(11L))
+    val (info, px) = Avi.parse(canonical).get
+    assert(info.nFrames == 3 && info.width == 5 && info.height == 4)
+    assert(px.length == 3 * 5 * 4 * 3)
+    // an extra JUNK top-level chunk must be skipped, not tripped over
+    import java.nio.{ByteBuffer, ByteOrder}
+    val junk = {
+      val b = ByteBuffer.allocate(8 + 4).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("JUNK".getBytes("US-ASCII")).putInt(4).putInt(0)
+      b.array
+    }
+    val riffSizePatched = {
+      val withJunk = canonical.take(12) ++ junk ++ canonical.drop(12)
+      val b = ByteBuffer.wrap(withJunk).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(4, b.getInt(4) + junk.length)
+      withJunk
+    }
+    val reparsed = Avi.parse(riffSizePatched)
+    assert(reparsed.isDefined, "parser must skip unknown top-level chunks")
+    assert(reparsed.get._2.toSeq == px.toSeq)
+    // garbage, truncation, and frame-count lies are rejected, never thrown
+    assert(Avi.parse("not an avi".getBytes).isEmpty)
+    assert(Avi.parse(Array.emptyByteArray).isEmpty)
+    assert(Avi.parse(canonical.take(100)).isEmpty)
+    val lied = canonical.clone
+    ByteBuffer.wrap(lied).order(ByteOrder.LITTLE_ENDIAN).putInt(32 + 16, 99) // avih dwTotalFrames
+    assert(Avi.parse(lied).isEmpty, "declared frame count must match movi chunks")
   }
 
   test("bmp payloads are real parseable 24-bit images") {
@@ -109,9 +154,9 @@ class MultimodalSpec extends SparkSpec {
       assert(x.stride_means.toSeq == y.stride_means.toSeq)
       assert(x.stride_means.length == Multimodal.nStrides)
     }
-    // video rows: ASCII text payload → printable byte range; wav rows:
+    // video rows: real decoded frame pixels → byte range; wav rows:
     // real PCM samples → fixture signal amplitude; bmp rows: pixel bytes
-    a.filter(_.media_id % 3 == 2).foreach(x => assert(x.mean_byte > 32 && x.mean_byte < 127))
+    a.filter(_.media_id % 3 == 2).foreach(x => assert(x.mean_byte >= 0 && x.mean_byte <= 255))
     a.filter(_.media_id % 3 == 1).foreach(x => assert(math.abs(x.mean_byte) <= 2048))
     a.filter(_.media_id % 3 == 0).foreach(x => assert(x.mean_byte >= 0 && x.mean_byte <= 255))
   }
