@@ -24,7 +24,8 @@ object SparkEntry {
       streaming.Sessionize.queries ++ sources.Ingest.queries ++
       ops.AsofJoin.queries ++ streaming.WindowAgg.queries ++
       ops.SkewJoin.queries ++ streaming.StreamDedup.queries ++
-      ops.Formats.queries
+      ops.Formats.queries ++ ops.RangeJoin.queries ++
+      streaming.StreamJoin.queries ++ lake.Merge.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -36,5 +37,6 @@ object SparkEntry {
       streaming.Sessionize.oracles ++ sources.Ingest.oracles ++
       ops.AsofJoin.oracles ++ streaming.WindowAgg.oracles ++
       ops.SkewJoin.oracles ++ streaming.StreamDedup.oracles ++
-      ops.Formats.oracles
+      ops.Formats.oracles ++ ops.RangeJoin.oracles ++
+      streaming.StreamJoin.oracles ++ lake.Merge.oracles
 }

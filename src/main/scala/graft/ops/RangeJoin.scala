@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Exact.dsum
+
+/** Binned point-in-interval range join (extension X29; the reference has
+  * no non-equi joins at all — its only joins are the two anti-joins,
+  * `scripts/script_api_apify_to_spark.py:242-247`).
+  *
+  * Spark executes a bare `p.ts BETWEEN i.lo AND i.hi` join as
+  * BroadcastNestedLoopJoin (or a cartesian product when neither side
+  * broadcasts) — O(|points|·|intervals|) compares, the classic 100 TB
+  * range-join trap. The scale-safe shape implemented here is bin
+  * bucketing: quantize the point to a fixed-width bin, explode each
+  * interval to every bin it overlaps, equi-join on the bin id, then
+  * refine with the exact predicate. Cost drops to
+  * |points| + Σ(interval span/binWidth) join rows, shuffles hash-partition
+  * on the bin key, and Catalyst still picks broadcast when one side is
+  * small — PlanSpec pins the no-BNLJ/no-cartesian claim.
+  */
+object RangeJoin {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact floor(c / binWidth) for non-negative longs without double
+    * rounding: subtract the remainder first, so the division is of an
+    * exact multiple.
+    */
+  private def binOf(c: org.apache.spark.sql.Column, bw: Long) =
+    ((c - pmod(c, lit(bw))) / lit(bw)).cast("long")
+
+  /** Join `points` (long column `ptCol`) to `intervals` (long columns
+    * `loCol`, `hiCol`, inclusive bounds) on containment, via binWidth-wide
+    * bucket equi-join + exact refine. Column names must be distinct
+    * across the two inputs.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      ptCol: String, loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin", binOf(col(ptCol), binWidth))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(binOf(col(loCol), binWidth), binOf(col(hiCol), binWidth))))
+    p.join(i, Seq("__bin"))
+      .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
+  private val hourUs = 3600L * 1000000
+
+  val queries: Map[String, Q] = Map(
+    // Events against 24 two-hour maintenance windows spaced 6 h apart from
+    // the corpus start: per-window event count + exact value sum. The
+    // windows overlap multiple bins (2 h span, 1 h bins) so the explode
+    // path is exercised; gaps between windows leave events unmatched so
+    // the refine predicate is load-bearing.
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      val intervals = ev.agg(min("ts_us").as("t0"))
+        .select(explode(sequence(lit(0L), lit(23L))).as("interval_id"), col("t0"))
+        .select(col("interval_id"),
+          (col("t0") + col("interval_id") * (6 * hourUs)).as("lo_us"),
+          (col("t0") + col("interval_id") * (6 * hourUs) + 2 * hourUs).as("hi_us"))
+      pointInInterval(ev, intervals, "ts_us", "lo_us", "hi_us", hourUs)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("interval_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the oracle uses the NAIVE between-join — binning must be invisible
+    "q_range_join" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+         |t0 AS (SELECT min(ts_us) AS t0 FROM ev),
+         |iv AS (SELECT i.i AS interval_id,
+         |              t0 + i.i * ${6 * hourUs} AS lo_us,
+         |              t0 + i.i * ${6 * hourUs} + ${2 * hourUs} AS hi_us
+         |       FROM t0, range(0, 24) i(i))
+         |SELECT interval_id, count(*) AS n_events,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM ev JOIN iv ON ev.ts_us BETWEEN iv.lo_us AND iv.hi_us
+         |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+  )
+}

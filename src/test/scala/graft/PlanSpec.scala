@@ -85,6 +85,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning"))
   }
 
+  test("q_range_join is a bin equi-join, never a nested-loop/cartesian scan") {
+    val plan = planOf("q_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "range join degenerated to BNLJ — binning not applied")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("__bin"), "bin key missing from the join")
+  }
+
   test("q_heavy_hitters exact tier scans the corpus exactly once") {
     // VERDICT r2 item 3: the total token count must come from the grouped
     // (vocab-sized) table — visible as a Window over the aggregate — not a

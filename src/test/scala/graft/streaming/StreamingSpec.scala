@@ -18,6 +18,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("stream-stream join ≡ batch join, with load-bearing cross-batch matches") {
+    import spark.implicits._
+    val streamed = StreamJoin.queries("q_stream_join")(spark, sf)
+      .select("a_id", "b_id")
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val a = ev.where(col("event_id") % 2 === 0).alias("a")
+    val b = ev.where(col("event_id") % 2 === 1).alias("b")
+    val batch = a.join(b, expr(StreamJoin.joinCondSql))
+      .select(col("a.event_id").as("a_id"), col("b.event_id").as("b_id"))
+      .orderBy("a_id", "b_id")
+    assert(rows(streamed) == rows(batch))
+    assert(rows(batch).nonEmpty)
+    // the fixture cuts the files at the midpoint of a matching pair with
+    // distinct timestamps; if such a pair exists, a match is GUARANTEED to
+    // straddle the micro-batch boundary, making cross-batch state
+    // load-bearing — assert the guaranteed-straddle path was available
+    val straddleable = a.join(b, expr(StreamJoin.joinCondSql))
+      .where(col("a.ts").cast("long") < col("b.ts").cast("long"))
+      .count()
+    assert(straddleable > 0, "no pair with distinct timestamps — fixture too weak")
+  }
+
   test("streaming sessionize (flatMapGroupsWithState, 2 micro-batches) ≡ batch tier") {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, sf)
