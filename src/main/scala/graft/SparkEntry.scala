@@ -25,7 +25,8 @@ object SparkEntry {
       ops.AsofJoin.queries ++ streaming.WindowAgg.queries ++
       ops.SkewJoin.queries ++ streaming.StreamDedup.queries ++
       ops.Formats.queries ++ ops.RangeJoin.queries ++
-      streaming.StreamJoin.queries ++ lake.Merge.queries
+      streaming.StreamJoin.queries ++ lake.Merge.queries ++
+      lake.Compact.queries ++ ext.Profile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -38,5 +39,6 @@ object SparkEntry {
       ops.AsofJoin.oracles ++ streaming.WindowAgg.oracles ++
       ops.SkewJoin.oracles ++ streaming.StreamDedup.oracles ++
       ops.Formats.oracles ++ ops.RangeJoin.oracles ++
-      streaming.StreamJoin.oracles ++ lake.Merge.oracles
+      streaming.StreamJoin.oracles ++ lake.Merge.oracles ++
+      lake.Compact.oracles ++ ext.Profile.oracles
 }

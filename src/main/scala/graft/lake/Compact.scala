@@ -1,0 +1,75 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Snapshot compaction — small-file bin-packing (extension X32). The
+  * reference's hourly job writes one snapshot per run with whatever file
+  * count the write parallelism produced; at 100 TB a year of hourly
+  * snapshots is millions of small files, and NameNode/object-store
+  * listing — not data volume — becomes the bottleneck. The standard lake
+  * maintenance op rewrites a partition's files into ~targetBytes files.
+  *
+  * Spark-native shape: size the partition count from the actual on-disk
+  * byte size (summed from the file listing, no data read), then rewrite
+  * with `repartition(n)` — a round-robin shuffle that produces evenly
+  * sized files — into a fresh directory, atomically re-pointed by the
+  * caller (same idempotent-overwrite discipline as
+  * [[Layout.overwriteSnapshot]]). Row content is untouched; the
+  * rows-identical contract is oracle-checked by `q_compact_roundtrip`.
+  */
+object Compact {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** On-disk bytes of a parquet directory from the file listing only. */
+  def dirBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length else 0L }
+      else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(dir))
+  }
+
+  /** Number of target files for `bytes` of input: ceil, floor 1. */
+  def targetFileCount(bytes: Long, targetBytes: Long): Int = {
+    require(targetBytes > 0)
+    math.max(1, ((bytes + targetBytes - 1) / targetBytes)).toInt
+  }
+
+  /** Rewrite the parquet directory `src` into `dst` as ~targetBytes
+    * files. Returns the file count written.
+    */
+  def compact(s: SparkSession, src: String, dst: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val n = targetFileCount(dirBytes(src), targetBytes)
+    s.read.parquet(src).repartition(n)
+      .write.mode("overwrite").parquet(dst)
+    new java.io.File(dst).listFiles.count(_.getName.endsWith(".parquet"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Write orders deliberately over-fragmented (64 files), compact to a
+    // small target, and read back — the oracle is the plain table scan:
+    // compaction must be invisible to every reader.
+    "q_compact_roundtrip" -> ((s, d) => {
+      // the over-fragmented INPUT is the fixture (built once per JVM);
+      // the compaction itself re-runs on every invocation
+      val frag = graft.util.FixtureCache.dir("compact_frag", d) { frag =>
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartition(64).write.mode("overwrite").parquet(frag)
+      }
+      val dst = graft.util.Scratch.dir("compact_out")
+      val written = compact(s, frag, dst, targetBytes = 8L * 1024 * 1024)
+      require(written < 64, s"compaction wrote $written files from 64")
+      s.read.parquet(dst)
+        .orderBy("o_orderkey")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_compact_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}

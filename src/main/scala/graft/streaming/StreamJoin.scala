@@ -40,9 +40,11 @@ object StreamJoin {
   def run(s: SparkSession, aDir: String, bDir: String, chkDir: String,
       outDir: String, schema: org.apache.spark.sql.types.StructType): Unit = {
     // join state is per-key-per-horizon: size state partitions to key
-    // cardinality, not batch width (as WindowAgg/StreamDedup)
+    // cardinality, not batch width (as WindowAgg/StreamDedup). Stream-
+    // stream joins keep FOUR state stores per partition per side, so the
+    // per-batch open/commit cost is 4× a windowed agg's — size even lower.
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val a = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(aDir).withWatermark("ts", watermark).alias("a")
