@@ -31,9 +31,12 @@ object Bench {
     }
     // best of 2 runs per query: a single local[32] run carries ±15% noise
     // (GC, JIT recompiles, page cache); the min of two is the stable
-    // estimate of what the plan actually costs
+    // estimate of what the plan actually costs. Stateful streaming
+    // queries swing ±1-2 s each (state-store open/commit, micro-batch
+    // scheduling), so they get a third repeat.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val repeats = if (name.startsWith("q_stream") || name == "q_sessionize") 3 else 2
+      val runs = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
           catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }

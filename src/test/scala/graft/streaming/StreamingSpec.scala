@@ -24,6 +24,7 @@ class StreamingSpec extends SparkSpec {
       .select("a_id", "b_id")
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("ts"))
+      .where(col("user_id") % 4 === 0) // same scope as the query fixture
     val a = ev.where(col("event_id") % 2 === 0).alias("a")
     val b = ev.where(col("event_id") % 2 === 1).alias("b")
     val batch = a.join(b, expr(StreamJoin.joinCondSql))
