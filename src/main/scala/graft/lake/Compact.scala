@@ -23,12 +23,30 @@ import graft.sources.Tables
 object Compact {
   type Q = (SparkSession, String) => DataFrame
 
-  /** On-disk bytes of a parquet directory from the file listing only. */
-  def dirBytes(dir: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length else 0L }
-      else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
-    walk(new java.io.File(dir))
+  /** On-disk bytes of a parquet directory from the file listing only —
+    * via the Hadoop FileSystem API, so s3a/hdfs/gs paths work exactly
+    * like local ones (every other lake op goes through Spark's FS too).
+    */
+  def dirBytes(s: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    bytes
+  }
+
+  /** Parquet file count of a directory (Hadoop FS listing). */
+  def fileCount(s: SparkSession, dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
   }
 
   /** Number of target files for `bytes` of input: ceil, floor 1. */
@@ -42,10 +60,10 @@ object Compact {
     */
   def compact(s: SparkSession, src: String, dst: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
-    val n = targetFileCount(dirBytes(src), targetBytes)
+    val n = targetFileCount(dirBytes(s, src), targetBytes)
     s.read.parquet(src).repartition(n)
       .write.mode("overwrite").parquet(dst)
-    new java.io.File(dst).listFiles.count(_.getName.endsWith(".parquet"))
+    fileCount(s, dst)
   }
 
   val queries: Map[String, Q] = Map(
@@ -61,7 +79,11 @@ object Compact {
       }
       val dst = graft.util.Scratch.dir("compact_out")
       val written = compact(s, frag, dst, targetBytes = 8L * 1024 * 1024)
-      require(written < 64, s"compaction wrote $written files from 64")
+      // scale-independent pin: the rewrite must hit its computed target
+      // exactly (at a huge SF the target may legitimately exceed the 64
+      // input files — "fewer files" is only the goal when size allows)
+      val expected = targetFileCount(dirBytes(s, frag), 8L * 1024 * 1024)
+      require(written == expected, s"compaction wrote $written files, expected $expected")
       s.read.parquet(dst)
         .orderBy("o_orderkey")
     }),

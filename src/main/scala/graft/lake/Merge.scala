@@ -38,6 +38,16 @@ object Merge {
     require(base.columns.forall(updates.columns.contains),
       "updates must carry every base column")
     require(!base.columns.contains(uMark), "base collides with internal marker")
+    // MERGE INTO raises when the source matches a target row more than
+    // once; a duplicate-keyed update here would silently fan the base row
+    // out into several output rows, corrupting the key invariant (the
+    // double-delivered-feed case). One aggregate over the (small) update
+    // side is the price of failing loudly instead.
+    val dupKeys = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"updates contain multiple rows for one (${keys.mkString(", ")}) key — " +
+        "MERGE requires unique source keys; dedupe the updates first")
     val u = updates.withColumn(uMark, lit(1))
     val joined = base.join(u, keys, "full_outer")
     val undeleted = deleteCol match {

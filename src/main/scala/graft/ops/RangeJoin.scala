@@ -24,12 +24,14 @@ import graft.util.Exact.dsum
 object RangeJoin {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Exact floor(c / binWidth) for non-negative longs without double
-    * rounding: subtract the remainder first, so the division is of an
-    * exact multiple.
+  /** Exact floor(c / binWidth) for ANY long input: the division runs in
+    * DECIMAL(38,0), never Double — long/long division in Spark is Double,
+    * whose 53-bit mantissa silently mis-bins values ≥ 2^53 (epoch NANOS
+    * would hit this), and a point binned off-by-one never meets its
+    * interval in the equi-join.
     */
   private def binOf(c: org.apache.spark.sql.Column, bw: Long) =
-    ((c - pmod(c, lit(bw))) / lit(bw)).cast("long")
+    floor(c.cast("decimal(38,0)") / lit(bw)).cast("long")
 
   /** Join `points` (long column `ptCol`) to `intervals` (long columns
     * `loCol`, `hiCol`, inclusive bounds) on containment, via binWidth-wide

@@ -94,17 +94,38 @@ object Elastic {
     payload.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       rows.grouped(batchSize).foreach { batch =>
         val body = batch.iterator.map { r =>
-          val id = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
-          s"""{"index":{"_index":"$index","_id":"$id"}}""" + "\n" + r.getString(1)
+          // a NULL id would silently route to an auto-generated doc id,
+          // breaking the keyed-upsert idempotency contract — fail loudly
+          require(!r.isNullAt(0),
+            s"bulkIndexKeyed: NULL id value (column is the ES doc id)")
+          s"""{"index":{"_index":"$index","_id":"${jsonEscape(r.getString(0))}"}}""" +
+            "\n" + r.getString(1)
         }.mkString("", "\n", "\n")
         postBulk(endpoint, body)
       }
     }
   }
 
-  /** POST one NDJSON bulk body; non-2xx or connection failures retry with
-    * backoff, then throw (Spark then retries the task — the bulk is
-    * keyed-idempotent, so replays are safe).
+  /** JSON string escape for the doc id: backslash, quote, and ALL control
+    * chars — a raw newline in an id would split the NDJSON action line.
+    */
+  private[sinks] def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Non-retryable bulk failure (client error or per-item rejections). */
+  final class BulkRejectedException(msg: String) extends RuntimeException(msg)
+
+  /** POST one NDJSON bulk body. 2xx with no per-item errors succeeds;
+    * Elasticsearch reports per-item failures as HTTP 200 with
+    * `"errors":true` in the body, which must fail the task, not pass
+    * silently. Client errors (4xx except 408/429) fail immediately;
+    * transient failures (connect errors, 5xx, 408, 429) retry with
+    * backoff, then throw — Spark then retries the task, and the bulk is
+    * keyed-idempotent, so replays are safe.
     */
   private[sinks] def postBulk(endpoint: String, ndjson: String, retries: Int = 3): Unit = {
     val bytes = ndjson.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -122,10 +143,22 @@ object Elastic {
         try os.write(bytes) finally os.close()
         val code = conn.getResponseCode
         val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-        if (is != null) { try { while (is.read() != -1) () } finally is.close() }
-        if (code != 200 && code != 201) sys.error(s"bulk POST to $endpoint returned $code")
-        return
+        val respBody = if (is == null) "" else
+          try new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally is.close()
+        if (code >= 200 && code < 300) {
+          // minified ES responses carry "errors":true/false at top level
+          if (respBody.replace(" ", "").contains(""""errors":true"""))
+            throw new BulkRejectedException(
+              s"bulk POST to $endpoint: per-item failures (errors:true): ${respBody.take(300)}")
+          return
+        }
+        if (code >= 400 && code < 500 && code != 408 && code != 429)
+          throw new BulkRejectedException(
+            s"bulk POST to $endpoint returned $code: ${respBody.take(300)}")
+        sys.error(s"bulk POST to $endpoint returned $code")
       } catch {
+        case e: BulkRejectedException => throw e
         case e: Exception =>
           lastErr = e
           attempt += 1

@@ -45,6 +45,16 @@ class MergeSpec extends SparkSpec {
     assert(Merge.upsert(base, updates, Seq("k")).count() == 4)
   }
 
+  test("duplicate-keyed updates are rejected, not fanned out") {
+    // real MERGE INTO raises on multiple source matches; silently emitting
+    // two rows for one key would corrupt the table's key invariant
+    val updates = Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "name", "bal")
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(base, updates, Seq("k"))
+    }
+    assert(e.getMessage.contains("unique source keys"))
+  }
+
   test("updates missing a base column are rejected") {
     val updates = Seq((1L, "a9")).toDF("k", "name")
     intercept[IllegalArgumentException] {

@@ -30,6 +30,16 @@ class RangeJoinSpec extends SparkSpec {
     assert(!naive.exists(_._2 == 4L), "disjoint interval must match nothing")
   }
 
+  test("binning stays exact beyond 2^53 (epoch-nanos territory)") {
+    // long/long division in Spark is Double; a mantissa-rounded bin would
+    // silently drop this match — the decimal path must not
+    val t = 4611686018427387904L + 1234567L // 2^62 + offset
+    val points = Seq(t).toDF("p")
+    val intervals = Seq((1L, t - 5L, t + 5L)).toDF("iid", "lo", "hi")
+    val rows = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 1000L).count()
+    assert(rows == 1, "point above 2^53 lost its interval — inexact binning")
+  }
+
   test("no duplicate matches when an interval spans multiple bins") {
     val points = Seq(15L).toDF("p")
     val intervals = Seq((1L, 0L, 39L)).toDF("iid", "lo", "hi") // 4 bins

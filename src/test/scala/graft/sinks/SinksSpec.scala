@@ -195,6 +195,63 @@ class SinksSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("elastic: HTTP 200 with per-item errors fails the bulk, and 400 does not retry") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.HttpServer
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def ctx(path: String, code: Int, body: String): Unit =
+      server.createContext(path, ex => {
+        hits.incrementAndGet()
+        val b = body.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(code, b.length)
+        ex.getResponseBody.write(b)
+        ex.close()
+      })
+    // ES reports per-item rejections as HTTP 200 + "errors":true
+    ctx("/items_failed/_bulk", 200,
+      """{"took":3,"errors":true,"items":[{"index":{"status":429,"error":{"type":"es_rejected_execution_exception"}}}]}""")
+    ctx("/bad_request/_bulk", 400, """{"error":"parse_exception"}""")
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      hits.set(0)
+      intercept[Elastic.BulkRejectedException] {
+        Elastic.postBulk(s"$base/items_failed/_bulk", "{}\n{}\n")
+      }
+      assert(hits.get() == 1, "errors:true is not transient — no retry")
+      hits.set(0)
+      intercept[Elastic.BulkRejectedException] {
+        Elastic.postBulk(s"$base/bad_request/_bulk", "{}\n{}\n")
+      }
+      assert(hits.get() == 1, "a 400 is deterministic — retrying it just hides the error")
+    } finally server.stop(0)
+  }
+
+  test("elastic: NULL doc ids fail loudly; control characters in ids are escaped") {
+    assert(Elastic.jsonEscape("a\"b\\c") == "a\\\"b\\\\c")
+    assert(Elastic.jsonEscape("line1\nline2") == "line1\\u000aline2")
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.HttpServer
+    import spark.implicits._
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/_bulk", ex => {
+      ex.sendResponseHeaders(200, 2)
+      ex.getResponseBody.write("{}".getBytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val df = Seq((Option.empty[String], 1L)).toDF("username", "n")
+      val e = intercept[org.apache.spark.SparkException] {
+        Elastic.bulkIndexKeyed(df,
+          Elastic.EsConfig("127.0.0.1", server.getAddress.getPort), "idx")
+      }
+      assert(e.getMessage != null)
+    } finally server.stop(0)
+  }
+
   test("elastic: the public connector jar ships the datasource the module targets") {
     val jarPath = "/root/reference/jars/elasticsearch-spark-30_2.12-8.5.3.jar"
     assume(new java.io.File(jarPath).isFile)
