@@ -26,7 +26,8 @@ object SparkEntry {
       ops.SkewJoin.queries ++ streaming.StreamDedup.queries ++
       ops.Formats.queries ++ ops.RangeJoin.queries ++
       streaming.StreamJoin.queries ++ lake.Merge.queries ++
-      lake.Compact.queries ++ ext.Profile.queries
+      lake.Compact.queries ++ ext.Profile.queries ++
+      ext.Clusters.queries ++ ext.Split.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -40,5 +41,6 @@ object SparkEntry {
       ops.SkewJoin.oracles ++ streaming.StreamDedup.oracles ++
       ops.Formats.oracles ++ ops.RangeJoin.oracles ++
       streaming.StreamJoin.oracles ++ lake.Merge.oracles ++
-      lake.Compact.oracles ++ ext.Profile.oracles
+      lake.Compact.oracles ++ ext.Profile.oracles ++
+      ext.Clusters.oracles ++ ext.Split.oracles
 }

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup cluster resolution — connected components over a near-dup edge
+  * list (extension X34). The dedup family (E1/E2, `ext/Dedup.scala`)
+  * emits PAIRS; a real pipeline needs the transitive closure: clusters,
+  * and one canonical representative per cluster (min doc_id here), so
+  * "keep one copy" is well-defined even when A~B, B~C but A!~C.
+  *
+  * Algorithm: hash-min label propagation — every node starts as its own
+  * label; each iteration every node takes the min label among itself and
+  * its neighbors (one join + one combinable groupBy, both distributed);
+  * fixpoint when no label changes. Iteration count is the graph
+  * diameter; near-dup graphs are overwhelmingly tiny star/path clusters,
+  * so a handful of rounds converges (the Kiveris et al. large-star/
+  * small-star variant cuts worst-case rounds to ~log n if ever needed).
+  * Lineage is broken per iteration with localCheckpoint — at cluster
+  * scale use reliable checkpointing or per-iteration parquet instead.
+  */
+object Clusters {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Connected components of the undirected edge list `edges` (long
+    * columns `a`, `b`). Returns (node, label) with label = min node id
+    * reachable; only nodes that appear in an edge are labeled.
+    */
+  def connectedComponents(s: SparkSession, edges: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbr = sym.join(labels, sym("b") === labels("node"))
+        .select(sym("a").as("node"), col("label"))
+      val next = labels.union(nbr)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.alias("n").join(labels.alias("o"), "node")
+        .where(col("n.label") =!= col("o.label")).isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
+
+  val queries: Map[String, Q] = Map(
+    // The real pipeline composition: the n-gram Jaccard near-dup PAIRS
+    // (E2, its own oracled query) become the edge list, and connected
+    // components resolve them into clusters with a canonical min-id doc —
+    // exactly the "A~B, B~C but A!~C" transitive case pairs can't answer.
+    // The oracle recomputes brute-force pairs in SQL and closes them with
+    // a recursive CTE.
+    "q_dedup_clusters" -> ((s, d) => {
+      val edges = Dedup.queries("q_dedup_ngram_jaccard")(s, d)
+        .select(col("ia").as("a"), col("ib").as("b"))
+      connectedComponents(s, edges)
+        .select(col("node").as("doc_id"), col("label").as("component"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, ${Dedup.shinglesSql} AS s
+         |  FROM (SELECT doc_id, ${Dedup.toksSql} AS l FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND len(list_intersect(a.s, b.s)) * 5 >=
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+         |edges AS (
+         |  SELECT ia AS a, ib AS b FROM pairs
+         |  UNION
+         |  SELECT ib, ia FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, b AS dst FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT node AS doc_id, least(node, min(dst)) AS component
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -315,9 +315,9 @@ object Dedup {
     }),
   )
 
-  private val toksSql =
+  private[graft] val toksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
-  private val shinglesSql =
+  private[graft] val shinglesSql =
     s"""list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
        |               for i in range(1, len(l) - 2)])""".stripMargin
 
