@@ -27,7 +27,8 @@ object SparkEntry {
       ops.Formats.queries ++ ops.RangeJoin.queries ++
       streaming.StreamJoin.queries ++ lake.Merge.queries ++
       lake.Compact.queries ++ ext.Profile.queries ++
-      ext.Clusters.queries ++ ext.Split.queries
+      ext.Clusters.queries ++ ext.Split.queries ++
+      ops.BloomJoin.queries ++ ext.EventAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -42,5 +43,6 @@ object SparkEntry {
       ops.Formats.oracles ++ ops.RangeJoin.oracles ++
       streaming.StreamJoin.oracles ++ lake.Merge.oracles ++
       lake.Compact.oracles ++ ext.Profile.oracles ++
-      ext.Clusters.oracles ++ ext.Split.oracles
+      ext.Clusters.oracles ++ ext.Split.oracles ++
+      ops.BloomJoin.oracles ++ ext.EventAnalytics.oracles
 }

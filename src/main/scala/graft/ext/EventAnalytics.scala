@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables.events
+
+/** Ordered-funnel and cohort-retention analytics over the events stream
+  * (extensions X37/X38) — the two standard product-analytics reads the
+  * reference's hourly aggregation job would grow into.
+  *
+  * Funnel: how many users performed signup → view → click → purchase IN
+  * ORDER. Each step is one filtered aggregate (min event time later than
+  * the previous step's) plus an equi-join on user — every shuffle is on
+  * `user_id`, so consecutive steps reuse the same partitioning; no
+  * window-over-everything, no per-user event buffering.
+  *
+  * Cohort retention: users grouped by first-activity week × activity
+  * week offset. Two combinable aggregates and one join, again all keyed
+  * on `user_id` — the 100 TB shape (the naive alternative, a distinct
+  * over (cohort, week, user) after a wide join, shuffles the event log
+  * twice).
+  */
+object EventAnalytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  val funnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** Per-user earliest completion time of each funnel step (strictly
+    * after the previous step); users drop out at the first missing step.
+    * Returns one row per (user, deepest-reached-step-index).
+    */
+  def funnelTimes(ev: DataFrame): Seq[DataFrame] = {
+    val first = ev.where(col("event_type") === funnelSteps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    funnelSteps.tail.scanLeft(first) { (prev, step) =>
+      ev.where(col("event_type") === step).as("e")
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .where(col("ts") > col("t_prev"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    // step name + users reaching it, monotonically non-increasing.
+    "q_funnel" -> ((s, d) => {
+      val ev = events(s, d).select("user_id", "event_type", "ts")
+      val counts = funnelTimes(ev).zip(funnelSteps).map { case (df, step) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(s"${funnelSteps.indexOf(step) + 1}_$step").as("step"),
+            col("n_users"))
+      }
+      counts.reduce(_ unionByName _).orderBy("step")
+    }),
+
+    // cohort week × week offset × active users.
+    "q_cohort_retention" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("w"))
+      val cohort = ev.groupBy("user_id").agg(min("w").as("w0"))
+      val active = ev.distinct()
+      active.join(cohort, "user_id")
+        .groupBy(col("w0").as("cohort_week"),
+          (datediff(col("w"), col("w0")) / 7).cast("long").as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_funnel" -> {
+      // s1..s4 CTEs mirror the step-wise min-after-previous construction
+      val ctes = funnelSteps.zipWithIndex.map { case (step, i) =>
+        if (i == 0)
+          s"""s1 AS (SELECT user_id, min(ts) AS t FROM ev
+             |       WHERE event_type = '$step' GROUP BY user_id)""".stripMargin
+        else
+          s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) AS t
+             |       FROM ev e JOIN s$i p ON e.user_id = p.user_id
+             |       WHERE e.event_type = '$step' AND e.ts > p.t
+             |       GROUP BY e.user_id)""".stripMargin
+      }.mkString(",\n")
+      val selects = funnelSteps.zipWithIndex.map { case (step, i) =>
+        s"SELECT '${i + 1}_$step' AS step, count(*) AS n_users FROM s${i + 1}"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |$ctes
+         |SELECT * FROM ($selects) ORDER BY step""".stripMargin
+    },
+    "q_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(w) AS w0 FROM ev GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, w FROM ev)
+        |SELECT c.w0 AS cohort_week,
+        |       CAST(datediff('day', c.w0, a.w) // 7 AS BIGINT) AS week_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+  )
+}

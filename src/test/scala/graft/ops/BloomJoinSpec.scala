@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** X36: the bloom pre-filter must never change join semantics — false
+  * positives are removed by the exact join, true keys always pass.
+  */
+class BloomJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bloomSemiJoin equals the plain semi join even with a tiny, collision-prone filter") {
+    val fact = (1L to 1000L).map(i => (i, i % 97)).toDF("row_id", "k")
+    val dim = Seq(3L, 7L, 11L).toDF("dk")
+    // expectedItems deliberately tiny → dense filter, many false positives
+    val bloom = BloomJoin.bloomSemiJoin(fact, dim, "k", "dk", expectedItems = 3)
+      .select("row_id").as[Long].collect().sorted
+    val plain = fact.join(dim, col("k") === col("dk"), "left_semi")
+      .select("row_id").as[Long].collect().sorted
+    assert(bloom.toSeq == plain.toSeq)
+    assert(plain.nonEmpty)
+  }
+
+  test("mightContain admits every inserted key (no false negatives, the bloom guarantee)") {
+    val dim = (1L to 500L).toDF("dk")
+    val bytes = BloomJoin.buildBloom(dim, "dk", expectedItems = 500)
+    val admitted = (1L to 500L).toDF("k")
+      .where(BloomJoin.mightContain(bytes, col("k"))).count()
+    assert(admitted == 500, "a bloom filter must never reject an inserted key")
+  }
+
+  test("the pre-filter actually prunes: most non-members are rejected") {
+    val dim = (1L to 100L).toDF("dk")
+    val bytes = BloomJoin.buildBloom(dim, "dk", expectedItems = 100, fpp = 0.01)
+    val survivors = (1000001L to 1010000L).toDF("k")
+      .where(BloomJoin.mightContain(bytes, col("k"))).count()
+    // 10k non-members at 1% fpp → ~100 expected; generous flake-free bound
+    assert(survivors < 1000, s"$survivors of 10000 non-members passed — filter not pruning")
+  }
+}
