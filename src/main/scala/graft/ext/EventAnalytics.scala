@@ -28,7 +28,8 @@ object EventAnalytics {
 
   /** Per-user earliest completion time of each funnel step (strictly
     * after the previous step); users drop out at the first missing step.
-    * Returns one row per (user, deepest-reached-step-index).
+    * Returns one DataFrame per step, each holding `(user_id, t)` for the
+    * users who reached that step.
     */
   def funnelTimes(ev: DataFrame): Seq[DataFrame] = {
     val first = ev.where(col("event_type") === funnelSteps.head)
@@ -45,10 +46,10 @@ object EventAnalytics {
     // step name + users reaching it, monotonically non-increasing.
     "q_funnel" -> ((s, d) => {
       val ev = events(s, d).select("user_id", "event_type", "ts")
-      val counts = funnelTimes(ev).zip(funnelSteps).map { case (df, step) =>
-        df.agg(count(lit(1)).as("n_users"))
-          .select(lit(s"${funnelSteps.indexOf(step) + 1}_$step").as("step"),
-            col("n_users"))
+      val counts = funnelTimes(ev).zip(funnelSteps).zipWithIndex.map {
+        case ((df, step), i) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(s"${i + 1}_$step").as("step"), col("n_users"))
       }
       counts.reduce(_ unionByName _).orderBy("step")
     }),

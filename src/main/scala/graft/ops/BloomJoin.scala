@@ -28,11 +28,14 @@ object BloomJoin {
 
   /** Native distributed bloom build: one aggregate over the dim keys.
     * Returns the serialized filter (driver-held, like a broadcast var).
+    * The caller must hash-normalize `key` to the same type the probe side
+    * will use — XxHash64 is type-sensitive ([[bloomSemiJoin]] does this).
     */
-  def buildBloom(dim: DataFrame, key: String, expectedItems: Long,
+  def buildBloom(dim: DataFrame, key: Column, expectedItems: Long,
       fpp: Double = 0.01): Array[Byte] = {
-    val numBits = org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp).bitSize()
-    val child = XxHash64(Seq(GraftShim.expression(dim(key))), 42L)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp) // arithmetic only, no filter alloc
+    val child = XxHash64(Seq(GraftShim.expression(key)), 42L)
     val agg = GraftShim.column(
       new BloomFilterAggregate(child, Literal(expectedItems), Literal(numBits))
         .toAggregateExpression())
@@ -51,8 +54,23 @@ object BloomJoin {
     */
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long): DataFrame = {
-    val bloom = buildBloom(dim, dimKey, expectedItems)
-    fact.where(mightContain(bloom, fact(factKey)))
+    // XxHash64 is TYPE-sensitive: int 5 and long 5 hash differently, so a
+    // mixed-type key pair would produce bloom false NEGATIVES — silently
+    // dropped matches the exact join can't recover. Hash both sides on a
+    // common type: integrals normalize to long, otherwise require equality
+    // (mirrors the analyzer coercion Spark's own runtime filter relies on).
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    require(ft == dt || (integral(ft) && integral(dt)),
+      s"bloomSemiJoin key types must hash identically: $ft vs $dt")
+    val (fk, dk) =
+      if (ft == dt) (fact(factKey), dim(dimKey))
+      else (fact(factKey).cast("long"), dim(dimKey).cast("long"))
+    val bloom = buildBloom(dim, dk, expectedItems)
+    fact.where(mightContain(bloom, fk))
       .join(dim, fact(factKey) === dim(dimKey), "left_semi")
   }
 

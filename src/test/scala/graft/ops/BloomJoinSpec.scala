@@ -25,7 +25,7 @@ class BloomJoinSpec extends SparkSpec {
 
   test("mightContain admits every inserted key (no false negatives, the bloom guarantee)") {
     val dim = (1L to 500L).toDF("dk")
-    val bytes = BloomJoin.buildBloom(dim, "dk", expectedItems = 500)
+    val bytes = BloomJoin.buildBloom(dim, col("dk"), expectedItems = 500)
     val admitted = (1L to 500L).toDF("k")
       .where(BloomJoin.mightContain(bytes, col("k"))).count()
     assert(admitted == 500, "a bloom filter must never reject an inserted key")
@@ -33,10 +33,29 @@ class BloomJoinSpec extends SparkSpec {
 
   test("the pre-filter actually prunes: most non-members are rejected") {
     val dim = (1L to 100L).toDF("dk")
-    val bytes = BloomJoin.buildBloom(dim, "dk", expectedItems = 100, fpp = 0.01)
+    val bytes = BloomJoin.buildBloom(dim, col("dk"), expectedItems = 100, fpp = 0.01)
     val survivors = (1000001L to 1010000L).toDF("k")
       .where(BloomJoin.mightContain(bytes, col("k"))).count()
     // 10k non-members at 1% fpp → ~100 expected; generous flake-free bound
     assert(survivors < 1000, s"$survivors of 10000 non-members passed — filter not pruning")
+  }
+
+  test("mixed integral key types still match: int fact key vs long dim key") {
+    // XxHash64 is type-sensitive; without common-type normalization the
+    // bloom would false-NEGATIVE every match here
+    val fact = (1 to 100).map(i => (i.toLong, i)).toDF("row_id", "k")
+      .withColumn("k", col("k").cast("int"))
+    val dim = Seq(3L, 7L).toDF("dk")
+    val got = BloomJoin.bloomSemiJoin(fact, dim, "k", "dk", expectedItems = 2)
+      .select("row_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(3L, 7L))
+  }
+
+  test("non-integral mixed key types are rejected up front") {
+    val fact = Seq(("a", 1L)).toDF("k", "v")
+    val dim = Seq(5L).toDF("dk")
+    intercept[IllegalArgumentException] {
+      BloomJoin.bloomSemiJoin(fact, dim, "k", "dk", expectedItems = 1)
+    }
   }
 }
