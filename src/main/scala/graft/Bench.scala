@@ -29,14 +29,15 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    // best of 2 runs per query: a single local[32] run carries ±15% noise
-    // (GC, JIT recompiles, page cache); the min of two is the stable
-    // estimate of what the plan actually costs. Stateful streaming
-    // queries swing ±1-2 s each (state-store open/commit, micro-batch
-    // scheduling), so they get a third repeat.
+    // best of 3 runs per query: a single local[32] run carries ±15% noise
+    // (GC, JIT recompiles, page cache, task-scheduler jitter), and with
+    // ~80 queries the per-query jitter alone sums to several seconds of
+    // run-to-run swing in the total; the min of three is the stable
+    // estimate of what each plan actually costs (~25 s extra wall per
+    // bench run — the first repeat also absorbs each query's one-time
+    // sfDir fixture build, see util.FixtureCache).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val repeats = if (name.startsWith("q_stream") || name == "q_sessionize") 3 else 2
-      val runs = (1 to repeats).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
           catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }

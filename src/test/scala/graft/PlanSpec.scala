@@ -110,6 +110,13 @@ class PlanSpec extends SparkSpec {
     assert(scans == 2, s"expected 2 scans (exact tier + sketch tier), saw $scans")
   }
 
+  test("q_bloom_join pre-filters the fact side with might_contain before the exact join") {
+    val plan = planOf("q_bloom_join")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("might_contain"),
+      "bloom pre-filter missing — fact rows would all reach the join")
+  }
+
   test("q_merge_upsert is one full-outer join — each input shuffles at most once") {
     val plan = planOf("q_merge_upsert")
     val finalPlan = plan.split("== Initial Plan ==").head
