@@ -20,11 +20,12 @@ import graft.sources.Tables
   * `a.ts + window`), so join state is bounded by the horizon, never by
   * stream length — the contract that survives an unbounded stream.
   *
-  * `q_stream_join` splits the events fixture into even/odd event-id
-  * streams, each arriving as two time-ordered files (so matches cross the
-  * micro-batch boundary and the cross-batch state path is load-bearing),
-  * and must emit exactly the batch join — it shares a plain-SQL DuckDB
-  * oracle.
+  * `q_stream_join` splits a deterministic quarter of the events fixture
+  * into even/odd event-id streams, each arriving as two time-ordered
+  * files cut at the midpoint of a matching pair (so a match always
+  * crosses the micro-batch boundary and the cross-batch state path is
+  * load-bearing), and must emit exactly the batch join — it shares a
+  * plain-SQL DuckDB oracle.
   */
 object StreamJoin {
 
