@@ -60,10 +60,14 @@ object EventAnalytics {
         date_trunc("week", col("ts")).cast("date").as("w"))
       val cohort = ev.groupBy("user_id").agg(min("w").as("w0"))
       val active = ev.distinct()
+      // `active` is distinct per (user_id, w) and w0 is functionally
+      // dependent on user_id, so each user contributes at most one row per
+      // (cohort_week, week_offset) group — a plain count equals the
+      // distinct count without the distinct aggregate's extra expansion.
       active.join(cohort, "user_id")
         .groupBy(col("w0").as("cohort_week"),
           (datediff(col("w"), col("w0")) / 7).cast("long").as("week_offset"))
-        .agg(countDistinct("user_id").as("n_users"))
+        .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
     }),
   )
@@ -96,7 +100,7 @@ object EventAnalytics {
         |active AS (SELECT DISTINCT user_id, w FROM ev)
         |SELECT c.w0 AS cohort_week,
         |       CAST(datediff('day', c.w0, a.w) // 7 AS BIGINT) AS week_offset,
-        |       count(DISTINCT a.user_id) AS n_users
+        |       count(*) AS n_users
         |FROM active a JOIN cohort c ON a.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
   )

@@ -31,10 +31,16 @@ object BloomJoin {
     * The caller must hash-normalize `key` to the same type the probe side
     * will use — XxHash64 is type-sensitive ([[bloomSemiJoin]] does this).
     */
+  /** Cap on filter size (Spark's own `runtime.bloomFilter.maxNumBits`
+    * default, 8 MB): an overestimated item count degrades gracefully to a
+    * bounded driver/broadcast payload instead of an unbounded allocation.
+    */
+  val MaxNumBits: Long = 67108864L
+
   def buildBloom(dim: DataFrame, key: Column, expectedItems: Long,
       fpp: Double = 0.01): Array[Byte] = {
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedItems, fpp) // arithmetic only, no filter alloc
+    val numBits = math.min(MaxNumBits, org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(math.max(expectedItems, 1L), fpp)) // arithmetic only, no filter alloc
     val child = XxHash64(Seq(GraftShim.expression(key)), 42L)
     val agg = GraftShim.column(
       new BloomFilterAggregate(child, Literal(expectedItems), Literal(numBits))
@@ -48,12 +54,25 @@ object BloomJoin {
       Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
       XxHash64(Seq(GraftShim.expression(key)), 42L)))
 
+  /** Dim-side row count as the bloom capacity: an upper bound on distinct
+    * keys, computed distributed. The dim is the small side by contract, so
+    * this one extra aggregate is cheap relative to the fact scan it prunes
+    * (on a real cluster, catalog/AQE statistics could stand in for it).
+    */
+  def autoExpectedItems(dim: DataFrame): Long = math.max(dim.count(), 1L)
+
   /** Semi join `fact` to `dim` on the given keys with a bloom pre-filter
     * on the fact side; exact join semantics (false positives are removed
     * by the real join).
+    *
+    * `expectedItems = None` (the default) sizes the filter from a dim-side
+    * count — a stale caller estimate silently blows up the false-positive
+    * rate (an undersized filter saturates and every fact row survives to
+    * the exact join), so auto-sizing is the safe default and an explicit
+    * value is an opt-in for callers with trusted statistics.
     */
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, expectedItems: Long): DataFrame = {
+      dimKey: String, expectedItems: Option[Long] = None): DataFrame = {
     // XxHash64 is TYPE-sensitive: int 5 and long 5 hash differently, so a
     // mixed-type key pair would produce bloom false NEGATIVES — silently
     // dropped matches the exact join can't recover. Hash both sides on a
@@ -69,7 +88,7 @@ object BloomJoin {
     val (fk, dk) =
       if (ft == dt) (fact(factKey), dim(dimKey))
       else (fact(factKey).cast("long"), dim(dimKey).cast("long"))
-    val bloom = buildBloom(dim, dk, expectedItems)
+    val bloom = buildBloom(dim, dk, expectedItems.getOrElse(autoExpectedItems(dim)))
     fact.where(mightContain(bloom, fk))
       .join(dim, fact(factKey) === dim(dimKey), "left_semi")
   }
@@ -83,7 +102,7 @@ object BloomJoin {
         .where(col("c_acctbal") > 9000).select("c_custkey")
       val fact = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-      bloomSemiJoin(fact, dim, "o_custkey", "c_custkey", expectedItems = 10000)
+      bloomSemiJoin(fact, dim, "o_custkey", "c_custkey") // auto-sized from dim
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
         .orderBy("o_orderstatus")

@@ -150,6 +150,17 @@ class PlanSpec extends SparkSpec {
       "split counts must partial-aggregate map-side")
   }
 
+  test("q_cohort_retention final aggregate is a plain count — no distinct expansion") {
+    // VERDICT r3 item 1: the joined input is already distinct per
+    // (user_id, week) with the cohort week functionally dependent on
+    // user_id, so the final agg must be count(1), not countDistinct —
+    // no Expand node and no extra aggregate level for distinct dedup.
+    val plan = planOf("q_cohort_retention").split("== Initial Plan ==").head
+    assert(!plan.contains("Expand"), "distinct expansion present in final agg")
+    assert(!plan.toLowerCase.contains("distinct_"),
+      "distinct aggregate buffer present — final count must be plain")
+  }
+
   test("snapshotAt prunes partitions in the lake layout") {
     import java.nio.file.Files
     import graft.lake.Layout
