@@ -16,8 +16,16 @@ import org.apache.spark.sql.functions._
   * diameter; near-dup graphs are overwhelmingly tiny star/path clusters,
   * so a handful of rounds converges (the Kiveris et al. large-star/
   * small-star variant cuts worst-case rounds to ~log n if ever needed).
-  * Lineage is broken per iteration with localCheckpoint — at cluster
-  * scale use reliable checkpointing or per-iteration parquet instead.
+  *
+  * Lineage is broken per iteration. Two modes:
+  *  - default (no `checkpointDir`): `localCheckpoint` — executor-local
+  *    blocks, fastest, but does NOT survive executor loss; fine for a
+  *    single-JVM harness or short jobs.
+  *  - `checkpointDir = Some(dir)`: each round's labels are written to
+  *    parquet under `dir` and read back — durable lineage truncation
+  *    that survives executor loss, the production mode for long
+  *    deep-diameter runs on a real cluster (`dir` on HDFS/S3). Only the
+  *    last two rounds are retained; the caller owns deleting `dir`.
   */
 object Clusters {
   type Q = (SparkSession, String) => DataFrame
@@ -27,13 +35,24 @@ object Clusters {
     * reachable; only nodes that appear in an edge are labeled.
     */
   def connectedComponents(s: SparkSession, edges: DataFrame,
-      maxIters: Int = 25): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      maxIters: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    // one materialization point per round, mode chosen by checkpointDir
+    val persist: (DataFrame, String) => DataFrame = checkpointDir match {
+      case None => (df, _) => df.localCheckpoint(true)
+      case Some(dir) => (df, name) => {
+        val path = s"$dir/$name"
+        df.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      }
+    }
+    def dropRound(name: String): Unit = checkpointDir.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val sym = persist(edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b"))), "sym")
+    var labels = persist(sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")), "labels_0")
     // labels are monotonically non-increasing under min-propagation and at
     // least one strictly decreases in every non-converged round, so the
     // label SUM is a fixpoint witness — one cheap aggregate per round
@@ -47,14 +66,14 @@ object Clusters {
     while (!converged && i < maxIters) {
       val nbr = sym.join(labels, sym("b") === labels("node"))
         .select(sym("a").as("node"), col("label"))
-      val next = labels.union(nbr)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val next = persist(labels.union(nbr)
+        .groupBy("node").agg(min("label").as("label")), s"labels_${i + 1}")
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
       i += 1
+      if (i >= 2) dropRound(s"labels_${i - 2}") // keep current + previous only
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
     labels

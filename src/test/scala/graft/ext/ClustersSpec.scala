@@ -33,4 +33,41 @@ class ClustersSpec extends SparkSpec {
     val got = cc(Seq((1L, 1L), (2L, 3L)))
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("reliable-checkpoint mode converges on a 50-hop path graph (deep diameter)") {
+    // VERDICT r3 item 4: the production mode — per-round parquet under a
+    // checkpoint dir instead of executor-local blocks — exercised at the
+    // worst case for label propagation: a pure path, where the min label
+    // travels exactly one hop per round (50 rounds to converge).
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    try {
+      val edges = (0L until 50L).map(i => (i, i + 1)).toDF("a", "b")
+      val got = Clusters.connectedComponents(spark, edges,
+          maxIters = 60, checkpointDir = Some(dir.toString))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == (0L to 50L).toSet)
+      assert(got.values.toSet == Set(0L))
+      // storage is bounded: only the last two label rounds + sym remain
+      val kept = new java.io.File(dir.toString).list().toSeq
+        .filter(_.startsWith("labels_"))
+      assert(kept.size <= 2, s"round files not pruned: $kept")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("both modes agree on the same graph") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_both")
+    try {
+      val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("a", "b")
+      val local = Clusters.connectedComponents(spark, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliable = Clusters.connectedComponents(spark, edges,
+          checkpointDir = Some(dir.toString))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == reliable)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
 }
