@@ -28,7 +28,8 @@ object SparkEntry {
       streaming.StreamJoin.queries ++ lake.Merge.queries ++
       lake.Compact.queries ++ ext.Profile.queries ++
       ext.Clusters.queries ++ ext.Split.queries ++
-      ops.BloomJoin.queries ++ ext.EventAnalytics.queries
+      ops.BloomJoin.queries ++ ext.EventAnalytics.queries ++
+      lake.ManifestTable.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -44,5 +45,6 @@ object SparkEntry {
       streaming.StreamJoin.oracles ++ lake.Merge.oracles ++
       lake.Compact.oracles ++ ext.Profile.oracles ++
       ext.Clusters.oracles ++ ext.Split.oracles ++
-      ops.BloomJoin.oracles ++ ext.EventAnalytics.oracles
+      ops.BloomJoin.oracles ++ ext.EventAnalytics.oracles ++
+      lake.ManifestTable.oracles
 }

@@ -1,0 +1,198 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Manifest-committed snapshots with time travel (extension X39) — the
+  * atomic-visibility upgrade over [[Layout]]'s directory convention.
+  *
+  * The reference's snapshot-per-run model discovers data by listing date/
+  * time directories (`scripts/script_api_apify_to_spark.py:125-137,
+  * 218-234`), which has two structural problems at object-store scale:
+  * a reader racing the writer can see a PARTIAL snapshot (files appear
+  * one by one), and every read pays a recursive listing. The fix is the
+  * design Iceberg/Delta standardized: writers stage data files first and
+  * then publish a single small manifest via an ATOMIC RENAME; readers
+  * resolve table state ONLY through manifests, never by listing data
+  * directories.
+  *
+  * Layout under one table dir:
+  * {{{
+  *   data/v00000001/part-*.parquet   -- staged first, invisible until...
+  *   _manifests/v00000001.json       -- ...this rename lands (the commit)
+  * }}}
+  *
+  * Manifest JSON: `{"version", "run_date", "run_time", "files": [...]}`
+  * with file paths relative to the table dir. Each version is a COMPLETE
+  * snapshot (the reference's model — every run rewrites the table), so
+  * time travel is "read the files of version N", and as-of-T resolution
+  * is a scan of the (tiny, driver-side) manifest list — no data listing.
+  *
+  * Concurrency: single writer per table (the reference's hourly job);
+  * rename-as-commit makes a concurrent second committer FAIL loudly
+  * (rename onto an existing manifest returns false) instead of silently
+  * interleaving. Readers are always safe: a manifest is either fully
+  * present or absent, and data files are immutable once published.
+  */
+object ManifestTable {
+
+  case class Snapshot(version: Int, runDate: Int, runTime: Int, files: Seq[String])
+
+  private def manifestDir(dir: String) = s"$dir/_manifests"
+  private def manifestName(version: Int) = f"v$version%08d.json"
+  private val ManifestRe = """v(\d{8})\.json""".r
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Stage the data files for `version` WITHOUT committing them — step 1
+    * of the two-step commit; public so a crash between the steps can be
+    * exercised directly (ManifestSpec). Returns the staged file paths
+    * relative to the table dir.
+    */
+  def writeDataFiles(df: DataFrame, dir: String, version: Int): Seq[String] = {
+    val rel = f"data/v$version%08d"
+    val dataDir = s"$dir/$rel"
+    df.write.mode("overwrite").parquet(dataDir)
+    val fs = fsFor(df.sparkSession, dataDir)
+    fs.listStatus(new Path(dataDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$rel/${s.getPath.getName}")
+      .sorted
+  }
+
+  /** Step 2: publish `version` by writing its manifest to a temp name and
+    * atomically renaming it into place. The rename IS the commit point —
+    * before it, readers cannot see the version at all; after it, they see
+    * all of it. Fails if the version was already committed (lost race).
+    */
+  def commitManifest(spark: SparkSession, dir: String, version: Int,
+      date: Int, time: Int, files: Seq[String]): Unit = {
+    val fs = fsFor(spark, dir)
+    val mdir = new Path(manifestDir(dir))
+    fs.mkdirs(mdir)
+    val json =
+      s"""{"version": $version, "run_date": $date, "run_time": $time,
+         | "files": [${files.map("\"" + _ + "\"").mkString(", ")}]}""".stripMargin
+    val tmp = new Path(mdir, s".v$version.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(mdir, manifestName(version)))) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit of version $version detected at $dir")
+    }
+  }
+
+  /** Atomic snapshot write: stage data files, then publish the manifest.
+    * Returns the committed version number.
+    */
+  def commit(df: DataFrame, dir: String, date: Int, time: Int): Int = {
+    val spark = df.sparkSession
+    val version = latestVersion(spark, dir).getOrElse(0) + 1
+    val files = writeDataFiles(df, dir, version)
+    commitManifest(spark, dir, version, date, time, files)
+    version
+  }
+
+  /** All committed snapshots, oldest first — one listing of the manifest
+    * dir plus one tiny driver-side read per manifest (versions are few;
+    * the data dirs are never listed).
+    */
+  def snapshots(spark: SparkSession, dir: String): Seq[Snapshot] = {
+    val fs = fsFor(spark, dir)
+    val mdir = new Path(manifestDir(dir))
+    if (!fs.exists(mdir)) return Seq.empty
+    fs.listStatus(mdir).toSeq
+      .flatMap(s => s.getPath.getName match {
+        case ManifestRe(_) => Some(s.getPath)
+        case _ => None // in-flight .tmp files are not commits
+      })
+      .map { p =>
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        implicit val fmts: Formats = DefaultFormats
+        val j = JsonMethods.parse(text)
+        Snapshot((j \ "version").extract[Int], (j \ "run_date").extract[Int],
+          (j \ "run_time").extract[Int], (j \ "files").extract[Seq[String]])
+      }
+      .sortBy(_.version)
+  }
+
+  def latestVersion(spark: SparkSession, dir: String): Option[Int] =
+    snapshots(spark, dir).lastOption.map(_.version)
+
+  /** Time travel: the table exactly as committed at `version` — a scan of
+    * that manifest's file list only, immune to in-flight writes of later
+    * versions (their data files are staged but unreferenced).
+    */
+  def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val snap = snapshots(spark, dir).find(_.version == version)
+      .getOrElse(throw new NoSuchElementException(
+        s"no committed version $version at $dir"))
+    spark.read.parquet(snap.files.map(f => s"$dir/$f"): _*)
+  }
+
+  def readLatest(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot at $dir"))
+    readVersion(spark, dir, v)
+  }
+
+  /** As-of-stamp resolution over manifest metadata alone: the greatest
+    * committed `(run_date, run_time)` at or before the stamp (the
+    * [[Layout.snapshotAsOf]] semantics, minus the partition listing).
+    */
+  def readAsOf(spark: SparkSession, dir: String, date: Int,
+      time: Int): Option[DataFrame] =
+    snapshots(spark, dir)
+      .filter(s => s.runDate < date || (s.runDate == date && s.runTime <= time))
+      .sortBy(s => (s.runDate, s.runTime, s.version))
+      .lastOption
+      .map(s => readVersion(spark, dir, s.version))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Atomic visibility made observable: the fixture commits version 1
+    // (orderkey % 3 = 0) and version 2 (orderkey % 3 <= 1), then STAGES a
+    // version-3 write without its manifest — the half-written state a
+    // crashed or in-flight writer leaves behind. The query reads "latest"
+    // (must be exactly v2 — the staged files are invisible) and
+    // time-travels back to v1; the oracle recomputes both from the plain
+    // orders table.
+    "q_time_travel" -> ((s, d) => {
+      import graft.util.Exact.dsum
+      import org.apache.spark.sql.functions._
+      val dir = graft.util.FixtureCache.dir("manifest_tt", d) { dir =>
+        val o = graft.sources.Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        commit(o.where(col("o_orderkey") % 3 === 0), dir, 20250301, 900)
+        commit(o.where(col("o_orderkey") % 3 <= 1), dir, 20250301, 1000)
+        writeDataFiles(o.where(col("o_orderkey") % 3 === 2), dir, 3) // no commit
+      }
+      def summarize(tag: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_total"))
+          .select(lit(tag).as("version"), col("n_rows"), col("sum_total"))
+      summarize("latest", readLatest(s, dir))
+        .unionByName(summarize("v1", readVersion(s, dir, 1)))
+        .orderBy("version")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_time_travel" ->
+      """SELECT * FROM (
+        |  SELECT 'latest' AS version, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders WHERE o_orderkey % 3 <= 1
+        |  UNION ALL
+        |  SELECT 'v1' AS version, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |) ORDER BY version""".stripMargin,
+  )
+}

@@ -1,0 +1,93 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** X39: manifest-committed snapshots — the rename IS the commit point.
+  * Crash injection exercises the half-written states directly: data files
+  * staged without a manifest must be invisible, and completing the
+  * manifest later must make them visible atomically.
+  */
+class ManifestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_manifest").toString
+
+  test("crash between data write and manifest write: old snapshot still served") {
+    val dir = tmpTable()
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(ManifestTable.commit(v1, dir, 20250301, 900) == 1)
+    // simulated crash: the v2 writer dies after staging its data files,
+    // before its manifest rename — exactly the partial state a reader
+    // racing the reference's directory convention would half-see
+    ManifestTable.writeDataFiles(
+      Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v"), dir, 2)
+    assert(ManifestTable.latestVersion(spark, dir) == Some(1))
+    assert(ManifestTable.snapshots(spark, dir).map(_.version) == Seq(1))
+    val got = ManifestTable.readLatest(spark, dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")), "reader saw uncommitted data")
+  }
+
+  test("completing the interrupted commit makes the new version visible atomically") {
+    val dir = tmpTable()
+    ManifestTable.commit(Seq((1L, "a")).toDF("id", "v"), dir, 20250301, 900)
+    val v2data = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val staged = ManifestTable.writeDataFiles(v2data, dir, 2)
+    // retry of the crashed job re-publishes the staged files
+    ManifestTable.commitManifest(spark, dir, 2, 20250301, 1000, staged)
+    assert(ManifestTable.latestVersion(spark, dir) == Some(2))
+    assert(ManifestTable.readLatest(spark, dir).count() == 2)
+    // time travel to v1 is unaffected by the later commit
+    assert(ManifestTable.readVersion(spark, dir, 1).count() == 1)
+  }
+
+  test("as-of resolution over manifest metadata, across dates") {
+    val dir = tmpTable()
+    ManifestTable.commit(Seq(1L).toDF("id"), dir, 20250301, 900)
+    ManifestTable.commit(Seq(1L, 2L).toDF("id"), dir, 20250302, 930)
+    def nAsOf(d: Int, t: Int): Option[Long] =
+      ManifestTable.readAsOf(spark, dir, d, t).map(_.count())
+    assert(nAsOf(20250228, 2359) == None, "no snapshot exists before the first commit")
+    assert(nAsOf(20250301, 2359) == Some(1), "evening of day 1 must serve v1")
+    assert(nAsOf(20250302, 929) == Some(1), "day 2 before the commit still serves v1")
+    assert(nAsOf(20250302, 930) == Some(2), "at-or-before is inclusive")
+  }
+
+  test("a second committer of the same version fails loudly, never interleaves") {
+    val dir = tmpTable()
+    val df = Seq(1L).toDF("id")
+    val staged = ManifestTable.writeDataFiles(df, dir, 1)
+    ManifestTable.commitManifest(spark, dir, 1, 20250301, 900, staged)
+    intercept[IllegalStateException] {
+      ManifestTable.commitManifest(spark, dir, 1, 20250301, 901, staged)
+    }
+    // the loser's temp file is cleaned up; the winner's manifest stands
+    assert(ManifestTable.snapshots(spark, dir).map(_.runTime) == Seq(900))
+  }
+
+  test("in-flight temp manifests and unreferenced files are ignored by readers") {
+    val dir = tmpTable()
+    ManifestTable.commit(Seq((1L, "x")).toDF("id", "v"), dir, 20250301, 900)
+    // junk a concurrent writer might leave: a temp manifest and a stray
+    // data file inside the COMMITTED version's directory
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_manifests/.v9.json.tmp"), true)
+    try out.write("{\"version\": 9}".getBytes("UTF-8")) finally out.close()
+    Seq((99L, "junk")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stray")
+    val strayFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/stray"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(strayFile, new org.apache.hadoop.fs.Path(
+      s"$dir/data/v00000001/zzz-stray.parquet"))
+    assert(ManifestTable.snapshots(spark, dir).map(_.version) == Seq(1))
+    val got = ManifestTable.readLatest(spark, dir)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "x")),
+      "reader must resolve files from the manifest list, not directory listing")
+  }
+}
