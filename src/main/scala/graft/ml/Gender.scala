@@ -145,33 +145,31 @@ object Gender {
   private def sqlStr(v: String): String =
     if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
 
-  /** DuckDB oracle generated from the same Scala data, so dict and profiles
-    * can never drift from the engine's.
+  /** `dict(first_name, gender)` CTE body generated from [[NamesDict]], so the
+    * oracle's dictionary can never drift from the engine's.
     */
-  def oracleSql: String = {
-    val profileValues = profiles
-      .map { case (i, f, u) => s"($i, ${sqlStr(f)}, ${sqlStr(u)})" }.mkString(", ")
+  def dictCte: String = {
     val dictValues = NamesDict.sortedEntries
       .map { case (n, g) => s"(${sqlStr(n)}, ${sqlStr(g)})" }.mkString(", ")
-    s"""WITH profiles(id, full_name, username) AS (VALUES $profileValues),
-       |dict(first_name, gender) AS (VALUES $dictValues),
-       |feat AS (SELECT id, full_name, username,
-       |  CASE WHEN full_name IS NOT NULL AND trim(full_name) <> ''
-       |       THEN regexp_extract(trim(full_name), '^\\S+', 0) END AS first_token,
-       |  CASE WHEN username IS NOT NULL AND trim(username) <> ''
-       |       THEN regexp_replace(username, '[^A-Za-z]', '', 'g') END AS cleaned
-       |  FROM profiles),
-       |scored AS (SELECT f.*, d1.gender AS g_full, d2.gender AS g_user,
-       |  CASE WHEN f.first_token IS NULL THEN CAST(0.0 AS DOUBLE)
-       |       WHEN d1.gender IN ('male','mostly_male','female','mostly_female') THEN 0.9
-       |       ELSE 0.5 END AS conf_full,
-       |  CASE WHEN f.cleaned IS NULL OR f.cleaned = '' THEN CAST(0.0 AS DOUBLE)
-       |       WHEN d2.gender IN ('male','mostly_male','female','mostly_female') THEN 0.7
-       |       ELSE 0.4 END AS conf_user
-       |  FROM feat f
-       |  LEFT JOIN dict d1 ON f.first_token = d1.first_name
-       |  LEFT JOIN dict d2 ON f.cleaned = d2.first_name)
-       |SELECT id, full_name, username,
+    s"dict(first_name, gender) AS (VALUES $dictValues)"
+  }
+
+  /** `profiles(id, full_name, username)` CTE body over [[profiles]]. */
+  def profilesCte: String = {
+    val profileValues = profiles
+      .map { case (i, f, u) => s"($i, ${sqlStr(f)}, ${sqlStr(u)})" }.mkString(", ")
+    s"profiles(id, full_name, username) AS (VALUES $profileValues)"
+  }
+
+  /** Scored gender projection over relation `rel`, which must expose
+    * `full_name` and `username`; `passCols` are carried through verbatim.
+    * Emitted as nested derived tables (no named CTEs) so the fragment can be
+    * spliced into any larger query — the composed-pipeline oracle
+    * (q_pipeline_e2e) reuses the identical gender semantics this way.
+    * Requires a `dict` CTE (see [[dictCte]]) in scope.
+    */
+  def genderedSelect(rel: String, passCols: String): String =
+    s"""SELECT $passCols,
        |  CASE WHEN conf_full >= conf_user THEN
        |         CASE WHEN conf_full = 0.0 THEN 'unknown'
        |              WHEN g_full IN ('male','mostly_male') THEN 'male'
@@ -183,6 +181,29 @@ object Gender {
        |              WHEN g_user IN ('female','mostly_female') THEN 'female'
        |              ELSE 'unknown' END END AS predicted_gender,
        |  CAST(CASE WHEN conf_full >= conf_user THEN conf_full ELSE conf_user END AS DOUBLE) AS confidence
-       |FROM scored ORDER BY id""".stripMargin
-  }
+       |FROM (SELECT f.*, d1.gender AS g_full, d2.gender AS g_user,
+       |  CASE WHEN f.first_token IS NULL THEN CAST(0.0 AS DOUBLE)
+       |       WHEN d1.gender IN ('male','mostly_male','female','mostly_female') THEN 0.9
+       |       ELSE 0.5 END AS conf_full,
+       |  CASE WHEN f.cleaned IS NULL OR f.cleaned = '' THEN CAST(0.0 AS DOUBLE)
+       |       WHEN d2.gender IN ('male','mostly_male','female','mostly_female') THEN 0.7
+       |       ELSE 0.4 END AS conf_user
+       |  FROM (SELECT $passCols,
+       |    CASE WHEN full_name IS NOT NULL AND trim(full_name) <> ''
+       |         THEN regexp_extract(trim(full_name), '^\\S+', 0) END AS first_token,
+       |    CASE WHEN username IS NOT NULL AND trim(username) <> ''
+       |         THEN regexp_replace(username, '[^A-Za-z]', '', 'g') END AS cleaned
+       |    FROM $rel) f
+       |  LEFT JOIN dict d1 ON f.first_token = d1.first_name
+       |  LEFT JOIN dict d2 ON f.cleaned = d2.first_name) scored""".stripMargin
+
+  /** DuckDB oracle generated from the same Scala data, so dict and profiles
+    * can never drift from the engine's — [[profilesCte]] + [[dictCte]] +
+    * [[genderedSelect]] recomposed.
+    */
+  def oracleSql: String =
+    s"""WITH ${profilesCte},
+       |${dictCte}
+       |${genderedSelect("profiles", "id, full_name, username")}
+       |ORDER BY id""".stripMargin
 }
