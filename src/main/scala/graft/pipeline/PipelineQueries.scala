@@ -1,0 +1,230 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.Layout
+import graft.ml.Gender
+import graft.sources.Tables
+
+/** Correctness harness for the composed pipeline (X40): replay the
+  * reference's full hourly job over a 3-run simulated timeline and hash
+  * the final Postgres-shaped tables against a DuckDB oracle that
+  * recomputes everything straight from the `customer` parquet.
+  *
+  * Timeline (two days, so the global diff exercises BOTH the same-day and
+  * the cross-day previous-aggregate branches):
+  *
+  *   run 1: 2025-03-01 11:00   members c_custkey%10 ∈ {1,3,5}
+  *   run 2: 2025-03-02 09:00   members c_custkey%10 ∈ {3,5,7}
+  *   run 3: 2025-03-02 10:00   members c_custkey%10 ∈ {5,7,9},
+  *                             and %13==0 rows change surname ("Renamed")
+  *
+  * Payload derivations (identical, by construction, in the Scala payload
+  * builder and the oracle SQL — both are pure functions of c_custkey):
+  *   - scope:     c_custkey % 4 == 1 (volume-independent contract; the
+  *                pipeline's cost is run/account machinery, not rows —
+  *                same fixture-scoping precedent as q_stream_join)
+  *   - account:   %8==1 → acct_a, %8==5 → acct_b (disjoint, exhaustive
+  *                within the scope)
+  *   - username:  %7==0 → "Emma_<k>" (cleans to a dict hit: the
+  *                username-tier 0.7 path), else "u<k>" (dict miss, 0.4)
+  *   - full_name: %11==0 → NULL (the reference's null-key fidelity: such
+  *                rows surface as BOTH added and deleted in every diff);
+  *                else first name by %5 over
+  *                {James, Mary, Chris, Kim, Robin} — one from each dict
+  *                category — plus surname "Doe"/"Renamed".
+  *
+  * What the three runs exercise: run 1 = cold start (no previous snapshot,
+  * no comparatif, no global diff — the reference's missing-path branches);
+  * run 2 = cross-DAY global diff (same-day per-account diff correctly
+  * absent: the reference's discovery loop is same-day only); run 3 =
+  * same-day per-account diff + key-change (rename) rows + a global diff
+  * whose current side is the day's two-run union (the DAG's glob over the
+  * date's time subdirs), so matched keys drop against EITHER run's rows.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val runs = Seq((1, 20250301, 1100), (2, 20250302, 900), (3, 20250302, 1000))
+  private val accounts = Seq(("acct_a", 1), ("acct_b", 5))
+
+  private def members(run: Int): Seq[Int] = run match {
+    case 1 => Seq(1, 3, 5)
+    case 2 => Seq(3, 5, 7)
+    case _ => Seq(5, 7, 9)
+  }
+
+  /** The simulated Apify payload for one (account, run): a pretty-printed
+    * bare JSON list (normalizer branch 1 — the dominant real shape), built
+    * from the same pure-of-c_custkey derivations the oracle recomputes.
+    */
+  def payloadJson(s: SparkSession, sfDir: String, acctMod: Int, run: Int): String = {
+    val keys = Tables.customer(s, sfDir)
+      .where(col("c_custkey") % 8 === acctMod &&
+        (col("c_custkey") % 10).isin(members(run).map(Int.box): _*))
+      .select("c_custkey").orderBy("c_custkey").collect()
+      .map(_.getAs[Number](0).longValue).toSeq
+    require(keys.nonEmpty, s"empty payload for acctMod=$acctMod run=$run")
+    keys.map { k =>
+      val username = if (k % 7 == 0) s"Emma_$k" else s"u$k"
+      val fullName =
+        if (k % 11 == 0) "null"
+        else {
+          val first = (k % 5).toInt match {
+            case 0 => "James"; case 1 => "Mary"; case 2 => "Chris"
+            case 3 => "Kim"; case _ => "Robin"
+          }
+          val last = if (run == 3 && k % 13 == 0) "Renamed" else "Doe"
+          s""""$first $last""""
+        }
+      s"""  {"username": "$username", "full_name": $fullName}"""
+    }.mkString("[\n", ",\n", "\n]")
+  }
+
+  /** Run the 3-run timeline into a fresh lake root and return it. */
+  def replayTimeline(s: SparkSession, sfDir: String,
+      cfg0: Option[Pipeline.Config] = None): Pipeline.Config = {
+    val cfg = cfg0.getOrElse(Pipeline.Config(graft.util.Scratch.dir("pipeline")))
+    runs.foreach { case (run, date, time) =>
+      val payloads = accounts.map { case (a, m) => a -> payloadJson(s, sfDir, m, run) }
+      Pipeline.runHourly(s, cfg, date, time, payloads)
+    }
+    cfg
+  }
+
+  private val outCols = Seq("src", "run_date", "run_time", "username_scraped",
+    "username", "full_name", "predicted_gender", "confidence", "change")
+
+  /** Final-state read-back: the last run's `final_aggregated` and
+    * `final_comparatif` plus every `final_global_comparatif` snapshot,
+    * tagged by source table — the Postgres-shaped state a downstream
+    * consumer would see after the timeline.
+    */
+  def finalState(s: SparkSession, cfg: Pipeline.Config): DataFrame = {
+    val (lastDate, lastTime) = (runs.last._2, runs.last._3)
+    val agg = Layout.snapshotAt(s, Pipeline.aggregatedRef(cfg), lastDate, lastTime)
+      .withColumn("src", lit("agg"))
+      .withColumn("change", lit(null).cast("string"))
+    val cmp = Layout.snapshotAt(s, Pipeline.comparatifAggRef(cfg), lastDate, lastTime)
+      .withColumn("src", lit("cmp"))
+    val glb = Layout.snapshots(s, Pipeline.globalCompRef(cfg))
+      .withColumn("src", lit("glob"))
+    Seq(agg, cmp, glb).map(_.select(outCols.map(col): _*)).reduce(_ unionByName _)
+      .orderBy("src", "run_date", "run_time", "username", "change", "full_name")
+  }
+
+  // local[*] runs many tiny jobs here (per-run, per-account, per-layer):
+  // the data is fixture-scoped, so wide-shuffle defaults only add task
+  // overhead. Production runs size partitions to real volume instead.
+  private def withFewPartitions[T](s: SparkSession)(body: => T): T = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_pipeline_e2e" -> ((s, d) => withFewPartitions(s) {
+      val cfg = replayTimeline(s, d)
+      finalState(s, cfg)
+    })
+  )
+
+  /** The oracle rebuilds all three runs' scored tables from `customer`
+    * (`payload` CTE = the Scala payload builder's derivations), splices in
+    * the SAME generated gender fragment the gender queries use
+    * ([[Gender.genderedSelect]]/[[Gender.dictCte]] — dictionary drift is
+    * impossible), and re-derives each diff with NOT EXISTS on the
+    * composite key (null-never-matches, like the engine's join).
+    */
+  val oracles: Map[String, String] = Map(
+    "q_pipeline_e2e" ->
+      s"""WITH ${Gender.dictCte},
+         |members(run, run_date, run_time, k) AS (
+         |  SELECT r.run, r.run_date, r.run_time, c.c_custkey
+         |  FROM customer c
+         |  JOIN (VALUES (1, 20250301, 1100), (2, 20250302, 900), (3, 20250302, 1000))
+         |       AS r(run, run_date, run_time)
+         |    ON ((r.run = 1 AND c.c_custkey % 10 IN (1,3,5))
+         |     OR (r.run = 2 AND c.c_custkey % 10 IN (3,5,7))
+         |     OR (r.run = 3 AND c.c_custkey % 10 IN (5,7,9)))
+         |  WHERE c.c_custkey % 4 = 1
+         |),
+         |payload AS (
+         |  SELECT run, run_date, run_time,
+         |    CASE WHEN k % 8 = 1 THEN 'acct_a' ELSE 'acct_b' END AS account,
+         |    CASE WHEN k % 7 = 0 THEN 'Emma_' || CAST(k AS VARCHAR)
+         |         ELSE 'u' || CAST(k AS VARCHAR) END AS username,
+         |    CASE WHEN k % 11 = 0 THEN NULL
+         |         ELSE (CASE CAST(k % 5 AS INTEGER)
+         |                 WHEN 0 THEN 'James' WHEN 1 THEN 'Mary' WHEN 2 THEN 'Chris'
+         |                 WHEN 3 THEN 'Kim' ELSE 'Robin' END)
+         |              || ' ' ||
+         |              (CASE WHEN run = 3 AND k % 13 = 0 THEN 'Renamed' ELSE 'Doe' END)
+         |    END AS full_name
+         |  FROM members
+         |),
+         |scored AS (
+         |${Gender.genderedSelect("payload", "run, run_date, run_time, account, username, full_name")}
+         |),
+         |cmp AS (
+         |  SELECT a.account AS username_scraped, a.username, a.full_name,
+         |         a.predicted_gender, a.confidence, 'added' AS change
+         |  FROM scored a
+         |  WHERE a.run = 3 AND NOT EXISTS (
+         |    SELECT 1 FROM scored p WHERE p.run = 2
+         |      AND p.username = a.username AND p.full_name = a.full_name)
+         |  UNION ALL
+         |  SELECT p.account, p.username, p.full_name,
+         |         p.predicted_gender, p.confidence, 'deleted'
+         |  FROM scored p
+         |  WHERE p.run = 2 AND NOT EXISTS (
+         |    SELECT 1 FROM scored n WHERE n.run = 3
+         |      AND n.username = p.username AND n.full_name = p.full_name)
+         |),
+         |gdiff AS (
+         |  SELECT a.run_date, a.run_time, a.account AS username_scraped, a.username,
+         |         a.full_name, a.predicted_gender, a.confidence, 'added_global' AS change
+         |  FROM scored a
+         |  WHERE a.run = 2 AND NOT EXISTS (
+         |    SELECT 1 FROM scored p WHERE p.run = 1
+         |      AND p.username = a.username AND p.full_name = a.full_name)
+         |  UNION ALL
+         |  SELECT 20250302, 900, p.account, p.username,
+         |         p.full_name, p.predicted_gender, p.confidence, 'deleted_global'
+         |  FROM scored p
+         |  WHERE p.run = 1 AND NOT EXISTS (
+         |    SELECT 1 FROM scored n WHERE n.run = 2
+         |      AND n.username = p.username AND n.full_name = p.full_name)
+         |  UNION ALL
+         |  SELECT 20250302, 1000, c.account, c.username,
+         |         c.full_name, c.predicted_gender, c.confidence, 'added_global'
+         |  FROM scored c
+         |  WHERE c.run IN (2, 3) AND NOT EXISTS (
+         |    SELECT 1 FROM scored p WHERE p.run = 2
+         |      AND p.username = c.username AND p.full_name = c.full_name)
+         |  UNION ALL
+         |  SELECT 20250302, 1000, p.account, p.username,
+         |         p.full_name, p.predicted_gender, p.confidence, 'deleted_global'
+         |  FROM scored p
+         |  WHERE p.run = 2 AND NOT EXISTS (
+         |    SELECT 1 FROM scored c WHERE c.run IN (2, 3)
+         |      AND c.username = p.username AND c.full_name = p.full_name)
+         |)
+         |SELECT * FROM (
+         |  SELECT 'agg' AS src, CAST(20250302 AS INTEGER) AS run_date,
+         |         CAST(1000 AS INTEGER) AS run_time, account AS username_scraped,
+         |         username, full_name, predicted_gender, confidence,
+         |         CAST(NULL AS VARCHAR) AS change
+         |  FROM scored WHERE run IN (2, 3)
+         |  UNION ALL
+         |  SELECT 'cmp', 20250302, 1000, username_scraped, username, full_name,
+         |         predicted_gender, confidence, change FROM cmp
+         |  UNION ALL
+         |  SELECT 'glob', run_date, run_time, username_scraped, username, full_name,
+         |         predicted_gender, confidence, change FROM gdiff
+         |)
+         |ORDER BY src, run_date, run_time, username,
+         |         change NULLS FIRST, full_name NULLS FIRST""".stripMargin
+  )
+}

@@ -75,6 +75,35 @@ object Jdbc {
   def read(spark: SparkSession, cfg: JdbcConfig, table: String): DataFrame =
     spark.read.format("jdbc").options(options(cfg, table)).load()
 
+  /** Driver-side `DELETE FROM table WHERE predicate` — the building block
+    * for retry-idempotent appends (delete your own run stamp, then append;
+    * pipeline.Pipeline). A missing table is NOT an error: the first run of
+    * a pipeline deletes before any append has created the table, which is
+    * exactly the retry shape this exists for — but ONLY that SQLState
+    * family is swallowed (Derby 42X05, Postgres 42P01, SQL-standard 42S02);
+    * anything else (bad column, syntax) must surface, not silently skip
+    * the delete and let the append duplicate. The predicate is
+    * caller-built from trusted literals (run stamps), never user data;
+    * column names in it should be double-quoted, since Spark's JDBC writer
+    * creates case-sensitive quoted identifiers.
+    */
+  def deleteWhere(cfg: JdbcConfig, table: String, predicate: String): Unit = {
+    Class.forName(cfg.driver)
+    val props = new java.util.Properties()
+    cfg.user.foreach(props.setProperty("user", _))
+    cfg.password.foreach(props.setProperty("password", _))
+    val conn = java.sql.DriverManager.getConnection(cfg.url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DELETE FROM ${sanitizeTable(table)} WHERE $predicate")
+      catch {
+        case e: java.sql.SQLException
+          if Set("42X05", "42P01", "42S02")(e.getSQLState) => () // no table yet
+      }
+      finally st.close()
+    } finally conn.close()
+  }
+
   /** S8, scale tier: range-partitioned parallel read. Spark generates
     * `numPartitions` WHERE-sliced queries over `[lowerBound, upperBound)`
     * of a numeric/date `partitionColumn`, so the scan parallelizes across
