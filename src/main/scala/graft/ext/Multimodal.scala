@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Avi, Bmp, Wav}
+import graft.functions.{Avi, Bmp, Jpeg, Png, Wav}
 import graft.sources.Tables._
 
 /** A decoded media row (binary payload + typed metadata). */
@@ -46,6 +46,8 @@ object Multimodal {
   private val synthWav = udf((id: Long) => Wav.synth(id))
   private val synthBmp = udf((id: Long) => Bmp.synth(id))
   private val synthAvi = udf((id: Long) => Avi.synth(id))
+  private val synthPng = udf((id: Long) => Png.synth(id))
+  private val synthJpg = udf((id: Long) => Jpeg.synth(id))
 
   /** Synthesized media table: audio rows are real PCM16 WAV files, image
     * rows real 24-bit BMPs, video rows real uncompressed AVIs — all built
@@ -64,6 +66,18 @@ object Multimodal {
       when(col("doc_id") % 3 === 0, synthBmp(col("doc_id")))
         .when(col("doc_id") % 3 === 1, synthWav(col("doc_id")))
         .otherwise(synthAvi(col("doc_id"))).as("bytes"))
+
+  /** Compressed-image fixture table (X41): even docs are PNGs encoded by
+    * our own filter-0 deflate encoder, odd docs are JDK-baseline JPEGs —
+    * both real entropy-coded payloads, unlike the RIFF family above.
+    */
+  def mediaCompressed(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id").as("media_id"),
+      lit("image").as("media_type"),
+      when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("fmt"),
+      when(col("doc_id") % 2 === 0, synthPng(col("doc_id")))
+        .otherwise(synthJpg(col("doc_id"))).as("bytes"))
 
   /** Decode a payload to its signal: WAV → real PCM samples, BMP → real
     * top-down pixel bytes, AVI → real all-frames pixel bytes — each via
@@ -180,6 +194,40 @@ object Multimodal {
         }
         .toDF("media_id", "width", "height", "n_frames", "fps",
           "n_px_bytes", "sum_px")
+        .orderBy("media_id")
+    }),
+
+    // REAL PNG decode (X41), fully oracle-checked: inflate + unfilter via
+    // the JDK reader against payloads from OUR OWN spec-level encoder —
+    // a cross-implementation round trip whose decoded pixel sum the
+    // DuckDB twin recomputes in closed form.
+    "q_png_decode" -> ((s, d) => {
+      implicit val me = org.apache.spark.sql.Encoders.product[Media]
+      import s.implicits._
+      mediaCompressed(s, d).where(col("fmt") === "png").as[Media]
+        .map { m =>
+          val (info, px) = Png.parse(m.bytes)
+            .getOrElse(sys.error(s"unparseable png payload for media ${m.media_id}"))
+          (m.media_id, info.width.toLong, info.height.toLong,
+            px.length.toLong, px.foldLeft(0L)(_ + _))
+        }
+        .toDF("media_id", "width", "height", "n_px_bytes", "sum_px")
+        .orderBy("media_id")
+    }),
+
+    // Baseline-JPEG decode (X41): lossy, so the hash pins geometry and
+    // decoded byte counts (both closed-form); signal fidelity vs the
+    // source pattern is pinned with a tolerance in CompressedImageSpec.
+    "q_jpeg_decode" -> ((s, d) => {
+      implicit val me = org.apache.spark.sql.Encoders.product[Media]
+      import s.implicits._
+      mediaCompressed(s, d).where(col("fmt") === "jpeg").as[Media]
+        .map { m =>
+          val (info, px) = Jpeg.parse(m.bytes)
+            .getOrElse(sys.error(s"unparseable jpeg payload for media ${m.media_id}"))
+          (m.media_id, info.width.toLong, info.height.toLong, px.length.toLong)
+        }
+        .toDF("media_id", "width", "height", "n_px_bytes")
         .orderBy("media_id")
     }),
 
@@ -302,6 +350,26 @@ object Multimodal {
         |JOIN range(0, 5) y(i) ON y.i < d.height
         |JOIN range(0, 3) c(i) ON true
         |GROUP BY media_id, width, height, n_frames, fps, n_px_bytes
+        |ORDER BY media_id""".stripMargin,
+    "q_png_decode" ->
+      """SELECT media_id, width, height, n_px_bytes,
+        |       CAST(sum((media_id * 11 + y.i * 29 + x.i * 5 + c.i * 7) % 256) AS BIGINT) AS sum_px
+        |FROM (SELECT doc_id AS media_id,
+        |             CAST(4 + doc_id % 6 AS BIGINT) AS width,
+        |             CAST(3 + doc_id % 5 AS BIGINT) AS height,
+        |             CAST((4 + doc_id % 6) * (3 + doc_id % 5) * 3 AS BIGINT) AS n_px_bytes
+        |      FROM documents WHERE doc_id % 2 = 0) d
+        |JOIN range(0, 10) x(i) ON x.i < d.width
+        |JOIN range(0, 8) y(i) ON y.i < d.height
+        |JOIN range(0, 3) c(i) ON true
+        |GROUP BY media_id, width, height, n_px_bytes
+        |ORDER BY media_id""".stripMargin,
+    "q_jpeg_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(16 + doc_id % 16 AS BIGINT) AS width,
+        |       CAST(12 + doc_id % 8 AS BIGINT) AS height,
+        |       CAST((16 + doc_id % 16) * (12 + doc_id % 8) * 3 AS BIGINT) AS n_px_bytes
+        |FROM documents WHERE doc_id % 2 = 1
         |ORDER BY media_id""".stripMargin,
     "q_wav_decode" ->
       """SELECT media_id, sample_rate, n_channels, bits_per_sample, n_samples,
