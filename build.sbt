@@ -9,6 +9,11 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// The reference's own public Postgres driver artifact (postgresql:42.2.27),
+// test classpath only: PostgresSpec drives Spark JDBC through the real
+// driver against a pg_ctl-managed local server. The library itself takes
+// whatever driver the deployment provides (JdbcConfig.driver).
+Test / unmanagedJars += Attributed.blank(file("/root/reference/jars/postgresql-42.2.27.jar"))
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
