@@ -70,6 +70,60 @@ object Probe {
         exact.unpersist()
       }
     }
+    if (args.contains("make-scale")) {
+      // make-scale <dstDir> <factor>: key-offset replication of the whole
+      // fixture into a larger corpus — the sf×F bench point (VERDICT r3
+      // item 3). Fact tables replicate with disjoint key ranges so join
+      // fan-out per key stays constant (the honest scale-up: 10× rows,
+      // same selectivities); dimension tables (region/nation) stay fixed
+      // like TPC-H's. Documents get per-replica word perturbation and
+      // embeddings per-replica dimension noise so the near-dup/ANN pair
+      // structure replicates instead of exploding quadratically across
+      // replicas (a tagged-suffix copy would make every doc a near-dup of
+      // its 9 twins, changing the workload's shape, not just its size).
+      val ix = args.indexOf("make-scale")
+      val (dst, mult) = (args(ix + 1), args(ix + 2).toInt)
+      def rep(name: String)(tr: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit =
+        t(s"make $name x$mult") {
+          val base = sources.Tables.table(s, d, name)
+          val out = (0 until mult).map(i => tr(base, i)).reduce(_ unionByName _)
+          out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+          spark_read_count(s, s"$dst/$name.parquet")
+        }
+      def spark_read_count(ss: SparkSession, p: String): Long = ss.read.parquet(p).count()
+      val M = 1000000L
+      Seq("region", "nation").foreach(n => rep(n)((df, i) => if (i == 0) df else df.limit(0)))
+      rep("customer")((df, i) => df.withColumn("c_custkey", col("c_custkey") + i * M))
+      rep("supplier")((df, i) => df.withColumn("s_suppkey", col("s_suppkey") + i * M))
+      rep("part")((df, i) => df.withColumn("p_partkey", col("p_partkey") + i * M))
+      rep("orders")((df, i) => df
+        .withColumn("o_orderkey", col("o_orderkey") + i * 10 * M)
+        .withColumn("o_custkey", col("o_custkey") + i * M))
+      rep("lineitem")((df, i) => df
+        .withColumn("l_orderkey", col("l_orderkey") + i * 10 * M)
+        .withColumn("l_partkey", col("l_partkey") + i * M)
+        .withColumn("l_suppkey", col("l_suppkey") + i * M))
+      rep("events")((df, i) => df
+        .withColumn("event_id", col("event_id") + i * 100 * M)
+        .withColumn("user_id", col("user_id") + i * M))
+      rep("documents")((df, i) =>
+        (if (i == 0) df else df.withColumn("text",
+          // suffix every 3rd word, phase i%3: ~1/3 of shingles change per
+          // replica, pushing cross-replica Jaccard below near-dup range
+          // while keeping token counts and per-replica dup structure
+          array_join(transform(split(col("text"), " "), (w, j) =>
+            when(j % 3 === i % 3, concat(w, lit(s"~$i"))).otherwise(w)), " ")))
+          .withColumn("doc_id", col("doc_id") + i * M)
+          .withColumn("n_chars", length(col("text"))))
+      rep("embeddings")((df, i) => df
+        .withColumn("vec_id", col("vec_id") + i * M)
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else transform(col("embedding"), (x, j) =>
+            (x + lit(i * 0.02f) *
+              sin(j.cast("double") * 0.7 + col("vec_id").cast("double")).cast("float"))
+              .cast("float"))))
+    }
     if (args.contains("minhash-stages")) {
       t("docShingles compute")(ext.Dedup.docShingles(s, d).where(size(col("sh")) > 0).count())
       val t0 = System.nanoTime()

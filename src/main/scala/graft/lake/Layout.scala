@@ -67,13 +67,17 @@ object Layout {
     * failed hourly job (the reference retries tasks, `apify_dag.py:38-39`;
     * a plain append would duplicate the snapshot's rows on retry).
     */
-  def overwriteSnapshot(df: DataFrame, ref: TableRef, date: Int, time: Int): Unit = {
-    val conf = df.sparkSession.conf
-    val saved = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try writeSnapshot(df, ref, date, time, mode = "overwrite")
-    finally conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-  }
+  def overwriteSnapshot(df: DataFrame, ref: TableRef, date: Int, time: Int): Unit =
+    // dynamic mode as a PER-WRITE option, not a session-conf toggle: a
+    // save/set/restore around the write would race concurrent snapshot
+    // writers (pipeline.Pipeline commits account-scoped tables in
+    // parallel) and a static-mode loser would truncate the whole table
+    df.withColumn(runDateCol, lit(date))
+      .withColumn(runTimeCol, lit(time))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(runDateCol, runTimeCol)
+      .parquet(ref.dir)
 
   /** All snapshots of a table as ONE DataFrame with `run_date`/`run_time`
     * partition columns (partition discovery replaces the reference's

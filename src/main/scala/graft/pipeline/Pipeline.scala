@@ -102,32 +102,45 @@ object Pipeline {
   def runHourly(spark: SparkSession, cfg: Config, date: Int, time: Int,
       payloads: Seq[(String, String)]): Unit = {
 
-    // ---- stage 1: per-account ingest → enrich → layers → diff → JDBC
-    payloads.foreach { case (account, payload) =>
+    // ---- stage 1: per-account ingest → enrich → layers → diff → JDBC.
+    // Accounts run CONCURRENTLY, mirroring the reference's Airflow dynamic
+    // task mapping (one spark-submit per account in parallel,
+    // `apify_dag.py:83-91,336`); every table below is account-scoped, so
+    // the jobs share nothing but the SparkSession (which is thread-safe).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val accountRuns = payloads.map { case (account, payload) => Future {
       Ingest.landRaw(payload, cfg.root, cfg.group, account, date)
       val raw = Layout.rawFile(TableRef(cfg.root, Layout.rawLayer, cfg.group, account), date)
       val contracted = Ingest.toContract(Ingest.normalize(spark, raw), contract)
+      // cache: the scored table feeds 2-3 sinks and the diff's current
+      // side; without it each action re-parses (and re-INFERS — multiLine
+      // JSON inference is a full extra file pass) the raw payload
       val scored = Gender.withGender(spark, contracted)
         .select(dataCols.map(col): _*)
+        .cache()
+      try {
+        Layout.overwriteSnapshot(scored, formattedRef(cfg, account), date, time)
+        Layout.overwriteSnapshot(scored, usageRef(cfg, account), date, time)
 
-      Layout.overwriteSnapshot(scored, formattedRef(cfg, account), date, time)
-      Layout.overwriteSnapshot(scored, usageRef(cfg, account), date, time)
+        // same-DAY previous run only — the reference's discovery loop lists
+        // the current date's usage dir (`script_api_apify_to_spark.py:218-234`)
+        Layout.previousRunTime(spark, usageRef(cfg, account), date, time).foreach { pt =>
+          // current side = the rows just committed at (date, time) — the
+          // cached df, not a read-back (identical by the overwrite contract)
+          val prev = Layout.snapshotAt(spark, usageRef(cfg, account), date, pt)
+            .select(dataCols.map(col): _*)
+          val d = SnapshotDiff.diff(scored, prev, cfg.keys)
+          Layout.overwriteSnapshot(d, comparatifRef(cfg, account), date, time)
+        }
 
-      // same-DAY previous run only — the reference's discovery loop lists
-      // the current date's usage dir (`script_api_apify_to_spark.py:218-234`)
-      Layout.previousRunTime(spark, usageRef(cfg, account), date, time).foreach { pt =>
-        val cur = Layout.snapshotAt(spark, usageRef(cfg, account), date, time)
-          .select(dataCols.map(col): _*)
-        val prev = Layout.snapshotAt(spark, usageRef(cfg, account), date, pt)
-          .select(dataCols.map(col): _*)
-        val d = SnapshotDiff.diff(cur, prev, cfg.keys)
-        Layout.overwriteSnapshot(d, comparatifRef(cfg, account), date, time)
-      }
-
-      cfg.jdbc.foreach { j =>
-        appendRunIdempotent(scored, j, account, date, time)
-      }
-    }
+        cfg.jdbc.foreach { j =>
+          appendRunIdempotent(scored, j, account, date, time)
+        }
+      } finally scored.unpersist()
+    }}
+    accountRuns.foreach(Await.result(_, Duration.Inf))
 
     // ---- stage 2: cross-account aggregation over the DAY's snapshots
     val agg = payloads.map { case (account, _) =>
@@ -135,8 +148,8 @@ object Pipeline {
         .where(col(Layout.runDateCol) === date && col(Layout.runTimeCol) <= time)
         .select(dataCols.map(col): _*)
         .withColumn("username_scraped", lit(account))
-    }.reduce(_ unionByName _)
-    Layout.overwriteSnapshot(agg, aggregatedRef(cfg), date, time)
+    }.reduce(_ unionByName _).cache() // feeds its write + global diff + sinks
+    agg.count() // materialize once before the concurrent consumers below
 
     val compParts = payloads.collect {
       case (account, _) if exists(spark, comparatifRef(cfg, account)) =>
@@ -146,21 +159,33 @@ object Pipeline {
           .withColumn("username_scraped", lit(account))
     }
     val compAgg = compParts.reduceOption(_ unionByName _)
-    compAgg.foreach { c =>
-      Layout.overwriteSnapshot(c, comparatifAggRef(cfg), date, time)
-    }
 
-    // ---- stage 2b: global diff vs the latest aggregate before this run
-    Layout.snapshotAsOf(spark, aggregatedRef(cfg), date, time - 1).foreach {
-      case (pd, pt) =>
-        val aggCols = dataCols :+ "username_scraped"
-        val cur = Layout.snapshotAt(spark, aggregatedRef(cfg), date, time)
-          .select(aggCols.map(col): _*)
-        val old = Layout.snapshotAt(spark, aggregatedRef(cfg), pd, pt)
-          .select(aggCols.map(col): _*)
-        val g = SnapshotDiff.diff(cur, old, cfg.keys, "added_global", "deleted_global")
-        Layout.overwriteSnapshot(g, globalCompRef(cfg), date, time)
-    }
+    // the previous-aggregate lookup runs BEFORE this run's aggregate write
+    // so no reader ever lists the table mid-write (re-runs aside, the
+    // current partition doesn't exist yet; the time bound excludes it
+    // either way) — then the three stage-2 writes, which share no tables,
+    // commit concurrently
+    val prevAgg = // on the first run ever, the aggregate table has no dir yet
+      if (exists(spark, aggregatedRef(cfg)))
+        Layout.snapshotAsOf(spark, aggregatedRef(cfg), date, time - 1)
+      else None
+    val stage2 = Seq(
+      Future { Layout.overwriteSnapshot(agg, aggregatedRef(cfg), date, time) },
+      Future {
+        compAgg.foreach(c => Layout.overwriteSnapshot(c, comparatifAggRef(cfg), date, time))
+      },
+      Future {
+        // ---- stage 2b: global diff vs the latest aggregate before this run
+        prevAgg.foreach { case (pd, pt) =>
+          val aggCols = dataCols :+ "username_scraped"
+          val old = Layout.snapshotAt(spark, aggregatedRef(cfg), pd, pt)
+            .select(aggCols.map(col): _*)
+          // current side = the aggregate being committed (cached above)
+          val g = SnapshotDiff.diff(agg, old, cfg.keys, "added_global", "deleted_global")
+          Layout.overwriteSnapshot(g, globalCompRef(cfg), date, time)
+        }
+      })
+    stage2.foreach(Await.result(_, Duration.Inf))
 
     // ---- stage 2c/3: aggregates to Postgres-shaped JDBC + Elasticsearch
     cfg.jdbc.foreach { j =>
@@ -171,6 +196,7 @@ object Pipeline {
       Elastic.bulkIndexKeyed(agg, e, Elastic.aggregatedIndex)
       compAgg.foreach(c => Elastic.bulkIndexKeyed(c, e, Elastic.comparatifIndex))
     }
+    agg.unpersist()
   }
 
   /** Retry-idempotent JDBC append: rows carry the run stamp, and a re-run

@@ -102,4 +102,36 @@ class PipelineSpec extends SparkSpec {
     assert(tableRows("final_comparatif_usage") == cmp)
     assert(tableRows("acct_a") == acct)
   }
+
+  test("pipeline: aggregates flow to the ES _bulk endpoint keyed by username") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.HttpServer
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/_bulk", ex => {
+      received.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      val resp = """{"errors":false}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    try {
+      val es = graft.sinks.Elastic.EsConfig("127.0.0.1", server.getAddress.getPort)
+      val cfg = Pipeline.Config(graft.util.Scratch.dir("pipeline_es"), es = Some(es))
+      val payloads = Seq(("acct_a", 1), ("acct_b", 5)).map { case (a, m) =>
+        a -> PipelineQueries.payloadJson(spark, sf, m, 1)
+      }
+      Pipeline.runHourly(spark, cfg, 20250301, 1100, payloads)
+      val actions = received.toArray(Array.empty[String])
+        .flatMap(_.split("\n")).filter(_.contains("\"_index\""))
+      assert(actions.nonEmpty)
+      // run 1 has no comparatif → only the aggregated index is written
+      assert(actions.forall(_.contains(""""_index":"final_aggregated_index"""")))
+      // doc-id upsert keyed by username (the reference's es.mapping.id)
+      assert(actions.exists(_.matches(""".*"_id":"(u|Emma_)\d+".*""")))
+    } finally server.stop(0)
+  }
 }
