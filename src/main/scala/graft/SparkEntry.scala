@@ -29,7 +29,8 @@ object SparkEntry {
       lake.Compact.queries ++ ext.Profile.queries ++
       ext.Clusters.queries ++ ext.Split.queries ++
       ops.BloomJoin.queries ++ ext.EventAnalytics.queries ++
-      lake.ManifestTable.queries ++ pipeline.PipelineQueries.queries
+      lake.ManifestTable.queries ++ pipeline.PipelineQueries.queries ++
+      ext.Scrub.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -46,5 +47,6 @@ object SparkEntry {
       lake.Compact.oracles ++ ext.Profile.oracles ++
       ext.Clusters.oracles ++ ext.Split.oracles ++
       ops.BloomJoin.oracles ++ ext.EventAnalytics.oracles ++
-      lake.ManifestTable.oracles ++ pipeline.PipelineQueries.oracles
+      lake.ManifestTable.oracles ++ pipeline.PipelineQueries.oracles ++
+      ext.Scrub.oracles
 }

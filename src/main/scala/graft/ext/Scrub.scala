@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextNorm
+import graft.sources.Tables
+
+/** Corpus-hygiene passes of a training-data pipeline (X42–X44): PII
+  * scrubbing, Unicode normalization, and stratified (per-class rate)
+  * sampling — the steps that sit between raw ingest and dedup/tokenize.
+  *
+  * All three are single-pass, per-row column expressions or one
+  * combinable aggregate — no shuffle beyond the final groupBy, no UDFs on
+  * the scan path, embarrassingly parallel at 100 TB. Normalization runs
+  * through the native codegen'd [[graft.functions.NfcNormalize]]
+  * expression rather than a boxed Scala UDF.
+  */
+object Scrub {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Redaction patterns: deliberately RE2-compatible (no lookaround, no
+    * backrefs) so the DuckDB oracle applies the IDENTICAL pattern text —
+    * engine-dialect parity is part of what the hash pins.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+?\\d[\\d-]{6,}\\d"
+
+  /** Redact in fixed order — emails first (their local parts contain
+    * digit runs a later pattern could half-eat), then IPs (dotted digits),
+    * then phone-shaped digit runs over what remains.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "[EMAIL]"),
+        ipRe, "[IP]"),
+      phoneRe, "[PHONE]")
+
+  /** Deterministic injected-PII fixture: every doc gains one email, one
+    * phone, one IPv4, derived from doc_id (the synthetic corpus carries no
+    * PII of its own; parity of the injection is part of the oracle).
+    */
+  private def withPii(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" node 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7")).as("text"))
+
+  /** Decomposed-sequence fixture for normalization: combining acute/
+    * diaeresis marks that NFC composes ("e"+U+0301 → "é").
+    */
+  private def withDecomposed(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      // explicit combining marks (U+0301/U+0308/U+0300), NOT precomposed
+      // literals: the fixture must really be decomposed for NFC to act
+      concat(col("text"),
+        lit(" cafe\u0301 nai\u0308ve e\u0301le\u0300ve")).as("text"))
+
+  /** Per-class sampling rate (percent) — the data-mixing knob: languages
+    * are kept at different rates to rebalance the corpus.
+    */
+  def rateFor(lang: Column): Column =
+    when(lang === "en", 60).when(lang === "fr", 30).otherwise(10)
+
+  val queries: Map[String, Q] = Map(
+    // X42: PII scrub — counts from the pre-scrub text, then the scrubbed
+    // text itself pinned via md5 (byte-exact redaction, not just counts).
+    "q_pii_scrub" -> ((s, d) =>
+      withPii(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(ipRe), lit(0)))
+          .cast("long").as("n_ips"),
+        md5(scrubPii(col("text"))).as("scrub_md5"))
+        .orderBy("doc_id")),
+
+    // X43: Unicode NFC normalization through the native expression;
+    // length delta + md5 of the normalized text pin the composition.
+    "q_text_normalize" -> ((s, d) =>
+      withDecomposed(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(TextNorm.nfc_norm(col("text"))).cast("long").as("len_nfc"),
+        md5(TextNorm.nfc_norm(col("text"))).as("nfc_md5"))
+        .orderBy("doc_id")),
+
+    // X44: stratified sampling — deterministic md5-bucket thresholding
+    // per class (same mechanism as X35 splits: pure function of the key,
+    // re-run/backfill stable). The sum of kept ids pins membership, not
+    // just cardinality.
+    "q_stratified_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = Split.hashBucket(col("doc_id")) < rateFor(col("lang"))
+      docs.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        count(when(kept, 1)).as("n_sampled"),
+        sum(when(kept, col("doc_id"))).cast("long").as("sum_kept_ids"))
+        .orderBy("lang")
+    }),
+  )
+
+  private val piiTextSql =
+    """text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+      |'@mail.example.com or call +1-555-' ||
+      |lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'""".stripMargin
+      .replace("\n", " ")
+
+  val oracles: Map[String, String] = Map(
+    "q_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |        '$emailRe', '[EMAIL]', 'g'),
+         |        '$ipRe', '[IP]', 'g'),
+         |        '$phoneRe', '[PHONE]', 'g')) AS scrub_md5
+         |FROM (SELECT doc_id, $piiTextSql AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q_text_normalize" ->
+      s"""SELECT doc_id,
+         |  CAST(length(t) AS BIGINT) AS len_raw,
+         |  CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc,
+         |  md5(nfc_normalize(t)) AS nfc_md5
+         |FROM (SELECT doc_id,
+         |        text || ' cafe' || chr(769) || ' nai' || chr(776) || 've e' ||
+         |        chr(769) || 'le' || chr(768) || 've' AS t
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang,
+        |  count(*) AS n_docs,
+        |  count(CASE WHEN kept THEN 1 END) AS n_sampled,
+        |  CAST(sum(CASE WHEN kept THEN doc_id END) AS BIGINT) AS sum_kept_ids
+        |FROM (SELECT lang, doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100
+        |          < (CASE WHEN lang = 'en' THEN 60 WHEN lang = 'fr' THEN 30 ELSE 10 END) AS kept
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}
