@@ -192,7 +192,7 @@ object TextAnalysis {
     }),
   )
 
-  private val toksSql =
+  private[ext] val toksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
   private def countInSql(set: Seq[String]): String =
     set.mkString(s"len(list_filter($toksSql, t -> t IN ('", "','", "')))")
