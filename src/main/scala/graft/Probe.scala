@@ -136,7 +136,16 @@ object Probe {
       println(f"PROBE materialize sig           ${(System.nanoTime() - t1) / 1e9}%8.2f s")
     }
     args.filter(SparkEntry.queries.contains).foreach { q =>
-      t(q)(SparkEntry.queries(q)(s, d).count())
+      if (args.contains("explain")) {
+        val df = SparkEntry.queries(q)(s, d)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        println(s"PLAN === $q")
+        "ReadSchema: [^\n]*".r.findAllIn(plan).toList
+          .foreach(r => println("PLAN   " + r.take(160)))
+        println("PLAN   codegen spans: " +
+          "\\*\\(\\d+\\)".r.findAllIn(plan).toList.distinct.size)
+      } else t(q)(SparkEntry.queries(q)(s, d).count())
     }
     s.stop()
   }

@@ -30,7 +30,8 @@ object SparkEntry {
       ext.Clusters.queries ++ ext.Split.queries ++
       ops.BloomJoin.queries ++ ext.EventAnalytics.queries ++
       lake.ManifestTable.queries ++ pipeline.PipelineQueries.queries ++
-      ext.Scrub.queries ++ ext.Packing.queries ++ ext.Quantize.queries
+      ext.Scrub.queries ++ ext.Packing.queries ++ ext.Quantize.queries ++
+      lake.IncrementalAgg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -48,5 +49,6 @@ object SparkEntry {
       ext.Clusters.oracles ++ ext.Split.oracles ++
       ops.BloomJoin.oracles ++ ext.EventAnalytics.oracles ++
       lake.ManifestTable.oracles ++ pipeline.PipelineQueries.oracles ++
-      ext.Scrub.oracles ++ ext.Packing.oracles ++ ext.Quantize.oracles
+      ext.Scrub.oracles ++ ext.Packing.oracles ++ ext.Quantize.oracles ++
+      lake.IncrementalAgg.oracles
 }

@@ -1,0 +1,101 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Incremental aggregate maintenance (X47) — the scale fix for the
+  * reference's aggregation task, which rebuilds `final_aggregated` from
+  * EVERY snapshot of the day on EVERY hourly run
+  * (`airflow/dags/apify_dag.py:132-148`: glob all time subdirs, union,
+  * rewrite). At 24 runs/day that is O(day²) row-scans; at 100 TB it is
+  * the difference between touching the whole corpus hourly and touching
+  * one increment.
+  *
+  * Shape: the maintained state is a keyed aggregate table (count + exact
+  * DECIMAL sums — both COMBINABLE: state ⊕ delta needs only the delta's
+  * groups); each arriving batch is aggregated alone (one map-side-combined
+  * shuffle over just the increment) and merged into state with one
+  * full-outer join on the group keys. State versions are committed
+  * through [[ManifestTable]] (X39), so every increment is an atomic,
+  * time-travelable snapshot and a crashed increment can never publish a
+  * half-merged state.
+  *
+  * Sums stay DECIMAL(18,2) IN STATE — exact and order-independent, so
+  * incremental-vs-full-recompute equality is bit-true (the q_incr_agg
+  * oracle), not approximately-FP-equal. The double cast happens only at
+  * the read boundary.
+  */
+object IncrementalAgg {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec = DecimalType(18, 2)
+
+  /** Aggregate one increment alone: combinable (count, decimal-sum) per key. */
+  def delta(batch: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    batch.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col(valueCol).cast(dec)).as("sum_value"))
+
+  /** state ⊕ delta: one full-outer join on the keys; groups absent from
+    * the delta pass through untouched, new groups insert.
+    */
+  def combine(state: DataFrame, d: DataFrame, keys: Seq[String]): DataFrame = {
+    val s = state.alias("s")
+    val n = d.alias("n")
+    s.join(n, keys, "full_outer").select(
+      keys.map(col) ++ Seq(
+        (coalesce(col("s.n_rows"), lit(0L)) + coalesce(col("n.n_rows"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("s.sum_value"), lit(0).cast(dec)) +
+          coalesce(col("n.sum_value"), lit(0).cast(dec)))
+          .cast(dec).as("sum_value")): _*)
+  }
+
+  /** Fold one batch into the manifest-versioned state at `dir`; returns
+    * the committed version. The first increment bootstraps version 1.
+    */
+  def increment(spark: SparkSession, dir: String, batch: DataFrame,
+      keys: Seq[String], valueCol: String, date: Int, time: Int): Int = {
+    val d = delta(batch, keys, valueCol)
+    val next = ManifestTable.latestVersion(spark, dir) match {
+      case None => d
+      case Some(v) => combine(ManifestTable.readVersion(spark, dir, v), d, keys)
+    }
+    ManifestTable.commit(next, dir, date, time)
+  }
+
+  /** Read a state version at the double boundary (exact sums inside). */
+  private def external(df: DataFrame): DataFrame =
+    df.withColumn("sum_value", col("sum_value").cast("double"))
+
+  val queries: Map[String, Q] = Map(
+    // Three arrival batches of the events table (split by event_id mod 3,
+    // arbitrary but deterministic) folded one at a time into a per-type
+    // aggregate; the final state must equal the FULL recompute over all
+    // events — which is exactly what the oracle runs. Versions v1/v2
+    // remain time-travelable (pinned in IncrementalAggSpec).
+    "q_incr_agg" -> ((s, d) => {
+      val dir = graft.util.Scratch.dir("incr_agg")
+      val events = Tables.events(s, d)
+      (0 until 3).foreach { k =>
+        increment(s, dir, events.where(pmod(col("event_id"), lit(3)) === k),
+          Seq("event_type"), "value", 20250301, 900 + k * 100)
+      }
+      external(ManifestTable.readLatest(s, dir))
+        .orderBy("event_type")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_incr_agg" ->
+      """SELECT event_type,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+  )
+}
