@@ -31,7 +31,7 @@ object SparkEntry {
       ops.BloomJoin.queries ++ ext.EventAnalytics.queries ++
       lake.ManifestTable.queries ++ pipeline.PipelineQueries.queries ++
       ext.Scrub.queries ++ ext.Packing.queries ++ ext.Quantize.queries ++
-      lake.IncrementalAgg.queries
+      lake.IncrementalAgg.queries ++ lake.ZOrder.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -50,5 +50,5 @@ object SparkEntry {
       ops.BloomJoin.oracles ++ ext.EventAnalytics.oracles ++
       lake.ManifestTable.oracles ++ pipeline.PipelineQueries.oracles ++
       ext.Scrub.oracles ++ ext.Packing.oracles ++ ext.Quantize.oracles ++
-      lake.IncrementalAgg.oracles
+      lake.IncrementalAgg.oracles ++ lake.ZOrder.oracles
 }
