@@ -57,7 +57,32 @@ object Packing {
           min("doc_id").as("first_doc"),
           max("doc_id").as("last_doc"))
         .orderBy("lang", "pack_id")),
+
+    // X50: retrieval-side chunking — sliding token windows (chunkSize
+    // tokens, chunkStride apart → fixed overlap for boundary-context
+    // retention, the standard RAG chunker) with STABLE (doc_id,
+    // chunk_idx) identity: the id contract an index needs for
+    // incremental re-embedding. Pure per-row explode over the shared
+    // tokenization, no shuffle; chunk text pinned byte-exact via md5.
+    "q_doc_chunks" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 0)
+        .withColumn("last_w", expr(s"(size(tk) - 1) DIV $chunkStride"))
+        .select(col("doc_id"), col("tk"),
+          posexplode(sequence(lit(0), col("last_w"))))
+        .select(col("doc_id"),
+          col("col").cast("long").as("chunk_idx"),
+          slice(col("tk"), col("col") * chunkStride + 1, lit(chunkSize)).as("ch"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("ch")).cast("long").as("chunk_tokens"),
+          md5(array_join(col("ch"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
   )
+
+  /** RAG chunk geometry: 32-token windows every 24 tokens (8 overlap). */
+  val chunkSize = 32
+  val chunkStride = 24
 
   val oracles: Map[String, String] = Map(
     "q_seq_pack" ->
@@ -77,5 +102,16 @@ object Packing {
          |        FROM documents))
          |GROUP BY lang, pack_id
          |ORDER BY lang, pack_id""".stripMargin,
+    "q_doc_chunks" ->
+      s"""SELECT doc_id, CAST(w AS BIGINT) AS chunk_idx,
+         |       CAST(len(ch) AS BIGINT) AS chunk_tokens,
+         |       md5(array_to_string(ch, ' ')) AS chunk_md5
+         |FROM (
+         |  SELECT doc_id, w,
+         |    list_slice(tk, w * $chunkStride + 1, w * $chunkStride + $chunkSize) AS ch
+         |  FROM (SELECT doc_id, tk, unnest(range(0, (len(tk) - 1) // $chunkStride + 1)) AS w
+         |        FROM (SELECT doc_id, ${TextAnalysis.toksSql} AS tk FROM documents)
+         |        WHERE len(tk) > 0))
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

@@ -86,6 +86,33 @@ object SnapshotDiff {
       .select(outCols.toIndexedSeq: _*)
   }
 
+  /** CDC APPLY — the inverse of [[diff]] (X49): reconstruct the current
+    * snapshot from the previous one plus the change table, which is
+    * exactly what a downstream consumer of the reference's Postgres-landed
+    * diff tables does to maintain its own copy without re-reading full
+    * snapshots. `cur == applyDiff(prev, diff(cur, prev, keys), keys)`
+    * EXACTLY when keys are row-unique within each snapshot (the
+    * reference's model: the composite key IS the row identity); NULL-key
+    * rows reconstruct exactly too, because [[diff]] always re-emits them
+    * on both sides and the delete step below matches null-safely.
+    * Duplicate-key groups are the documented limit: matched groups drop
+    * from the diff, so their multiplicities are not representable in
+    * change rows (SnapshotDiffSpec pins the contract).
+    *
+    * One null-safe anti join + one union — same shuffle class as the diff
+    * that produced the input.
+    */
+  def applyDiff(prev: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
+    val dataCols = prev.columns.toSeq
+    val delKeys = changes.where(col("change") === "deleted")
+      .select(keys.map(col): _*)
+      .toDF(keys.map(k => s"__del_$k"): _*)
+    val addedRows = changes.where(col("change") === "added")
+      .select(dataCols.map(col): _*)
+    val cond = keys.map(k => prev(k) <=> delKeys(s"__del_$k")).reduce(_ && _)
+    prev.join(delKeys, cond, "left_anti").unionByName(addedRows)
+  }
+
   /** J1 alone: rows in `cur` missing from `prev` (reference `:242-244`). */
   def added(cur: DataFrame, prev: DataFrame, keys: Seq[String]): DataFrame =
     cur.join(prev, keys, "left_anti").withColumn("change", lit("added"))

@@ -92,6 +92,17 @@ object Core {
           SnapshotDiff.synthPrevious(s, d), SnapshotDiff.diffKeys)
         .orderBy("change", "c_custkey", "c_name")),
 
+    // X49: CDC apply — diff's algebraic inverse. Reconstructing current
+    // from previous + the change table must give back EXACTLY the current
+    // snapshot, so the oracle is simply the current snapshot itself.
+    "q_diff_apply" -> ((s, d) => {
+      val cur = SnapshotDiff.synthCurrent(s, d)
+      val prev = SnapshotDiff.synthPrevious(s, d)
+      SnapshotDiff.applyDiff(prev,
+          SnapshotDiff.diff(cur, prev, SnapshotDiff.diffKeys), SnapshotDiff.diffKeys)
+        .orderBy("c_custkey", "c_name")
+    }),
+
     // D1 variant: null-safe snapshot diff — NULL keys MATCH (<=>), so a
     // row with a NULL key present in both snapshots is unchanged, where
     // the reference's anti-join semantics double-tag it (both behaviors
@@ -218,6 +229,9 @@ object Core {
       (diffCtes +
         """SELECT * FROM (SELECT * FROM added UNION ALL SELECT * FROM deleted)
           |ORDER BY change, c_custkey, c_name""".stripMargin),
+    "q_diff_apply" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_custkey, c_name""".stripMargin,
     "q_diff_nullsafe" ->
       """WITH cur AS (
         |  SELECT c_custkey,

@@ -84,6 +84,28 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(lhs === rhs)
   }
 
+  test("applyDiff: apply(prev, diff(cur, prev)) == cur for key-unique snapshots") {
+    val prev = df(Seq(("a", "A"), ("b", "B"), ("gone", "X"), ("n", null)))
+    val cur = df(Seq(("a", "A"), ("b", "B2"), ("new", "N"), ("n", null)))
+    val rebuilt = SnapshotDiff.applyDiff(
+      prev, SnapshotDiff.diff(cur, prev, keys), keys)
+    assert(rebuilt.collect().map(_.toString).sorted.toSeq ==
+      cur.collect().map(_.toString).sorted.toSeq)
+    // the null-key row reconstructs exactly: diff double-tags it, apply
+    // deletes prev's copy null-safely and re-inserts cur's
+    assert(rebuilt.where("full_name IS NULL").count() == 1)
+  }
+
+  test("applyDiff: duplicate-key groups are the documented limit") {
+    // a matched key-group drops from the diff entirely, so multiplicity
+    // changes inside it are NOT representable — apply keeps prev's copies
+    val prev = df(Seq(("a", "A"), ("a", "A")))
+    val cur = df(Seq(("a", "A")))
+    val rebuilt = SnapshotDiff.applyDiff(
+      prev, SnapshotDiff.diff(cur, prev, keys), keys)
+    assert(rebuilt.count() == 2) // not 1: the contract is key-unique inputs
+  }
+
   test("synthesized snapshots diff as designed") {
     val out = SnapshotDiff.diff(
       SnapshotDiff.synthCurrent(spark, sf),
