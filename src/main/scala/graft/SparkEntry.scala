@@ -31,7 +31,8 @@ object SparkEntry {
       ops.BloomJoin.queries ++ ext.EventAnalytics.queries ++
       lake.ManifestTable.queries ++ pipeline.PipelineQueries.queries ++
       ext.Scrub.queries ++ ext.Packing.queries ++ ext.Quantize.queries ++
-      lake.IncrementalAgg.queries ++ lake.ZOrder.queries
+      lake.IncrementalAgg.queries ++ lake.ZOrder.queries ++
+      streaming.StreamIncrAgg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -50,5 +51,6 @@ object SparkEntry {
       ops.BloomJoin.oracles ++ ext.EventAnalytics.oracles ++
       lake.ManifestTable.oracles ++ pipeline.PipelineQueries.oracles ++
       ext.Scrub.oracles ++ ext.Packing.oracles ++ ext.Quantize.oracles ++
-      lake.IncrementalAgg.oracles ++ lake.ZOrder.oracles
+      lake.IncrementalAgg.oracles ++ lake.ZOrder.oracles ++
+      streaming.StreamIncrAgg.oracles
 }
