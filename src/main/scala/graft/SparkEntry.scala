@@ -32,7 +32,8 @@ object SparkEntry {
       lake.ManifestTable.queries ++ pipeline.PipelineQueries.queries ++
       ext.Scrub.queries ++ ext.Packing.queries ++ ext.Quantize.queries ++
       lake.IncrementalAgg.queries ++ lake.ZOrder.queries ++
-      streaming.StreamIncrAgg.queries
+      streaming.StreamIncrAgg.queries ++ ext.Repetition.queries ++
+      ext.Decontam.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -52,5 +53,6 @@ object SparkEntry {
       lake.ManifestTable.oracles ++ pipeline.PipelineQueries.oracles ++
       ext.Scrub.oracles ++ ext.Packing.oracles ++ ext.Quantize.oracles ++
       lake.IncrementalAgg.oracles ++ lake.ZOrder.oracles ++
-      streaming.StreamIncrAgg.oracles
+      streaming.StreamIncrAgg.oracles ++ ext.Repetition.oracles ++
+      ext.Decontam.oracles
 }
