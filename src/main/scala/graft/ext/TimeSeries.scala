@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Exact.dsum
+
+/** Time-series gap-fill + LOCF resample (X55): regularize an irregular
+  * event stream onto a dense per-key calendar grid — the feature-store /
+  * metrics-backfill primitive ("resample to daily, carry the last
+  * observation forward") that windowed aggregation (X6/X19) assumes as its
+  * input contract.
+  *
+  * Three stages, all keyed by `user_id`:
+  *   1. aggregate events to (user, day) — combinable count + exact DECIMAL
+  *      sum;
+  *   2. per user, explode `sequence(min_day, max_day)` into the dense grid
+  *      (grid size = the user's active span, not the global calendar — no
+  *      cross product with a calendar dimension);
+  *   3. left-join observations onto the grid and fill value gaps with
+  *      `last(..., ignoreNulls)` over the day order.
+  *
+  * Scale shape: one shuffle on `user_id` serves the aggregate, the span
+  * aggregate, the grid join, and the LOCF window (all partitionings are
+  * `user_id`-prefixed). The explode is per-row and bounded by span days.
+  * The LOCF picks an already-exact value (no FP arithmetic), so results
+  * are bit-identical to the oracle.
+  */
+object TimeSeries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Dense (user_id, day) grid over each user's active span with
+    * `n_events`, `is_gap`, and LOCF-filled `filled_value`.
+    */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+
+    val grid = daily
+      .groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+
+    val wLocf = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(daily, Seq("user_id", "day"), "left")
+      .withColumn("is_gap", col("n_events").isNull)
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_value", last("sum_value", ignoreNulls = true).over(wLocf))
+      .drop("sum_value")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_gap_fill" -> ((s, d) =>
+      gapFillDaily(Tables.events(s, d))
+        .orderBy("user_id", "day")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2
+        |),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1)
+        |)
+        |SELECT grid.user_id, grid.day,
+        |  coalesce(daily.n_events, 0) AS n_events,
+        |  daily.n_events IS NULL AS is_gap,
+        |  last_value(daily.sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY grid.user_id ORDER BY grid.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid LEFT JOIN daily ON grid.user_id = daily.user_id AND grid.day = daily.day
+        |ORDER BY grid.user_id, grid.day""".stripMargin,
+  )
+}

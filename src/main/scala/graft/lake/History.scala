@@ -1,0 +1,88 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** SCD2-style change history (X54): compress a row-per-observation table
+  * into one row per RUN of consecutive equal states per key, with
+  * `[valid_from, valid_to)` validity intervals and an `is_current` marker —
+  * the slowly-changing-dimension build that turns the reference's
+  * snapshot-per-run convention (added/deleted diffs,
+  * `script_api_apify_to_spark.py:218-234`) into a queryable history table.
+  *
+  * Gaps-and-islands shape: a `lag` marks state changes, a running sum of
+  * change marks numbers the runs, one combinable aggregate collapses each
+  * run, and a `lead` closes each interval with the next run's start.
+  *
+  * Scale shape: ONE shuffle. Every stage — both windows and the groupBy —
+  * is keyed by (or by a superset of) the partition key, and
+  * `HashPartitioning(key)` satisfies `ClusteredDistribution(key, version)`,
+  * so Catalyst reuses the first exchange for the aggregate and the closing
+  * window. Runs are contiguous in the sort the window already performs;
+  * no self-join, no driver state.
+  */
+object History {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Collapse `df` into SCD2 intervals.
+    *
+    * @param key   entity column
+    * @param ord   total ordering within the entity (ties must be broken —
+    *              pass a unique tiebreaker column last)
+    * @param state the tracked state column (non-null)
+    * @param ts    the event-time column validity intervals are built from
+    *              (usually `ord.head`)
+    */
+  def scd2(df: DataFrame, key: String, ord: Seq[String], state: String, ts: String): DataFrame = {
+    val wOrd = Window.partitionBy(key).orderBy(ord.map(col): _*)
+    val wRun = Window.partitionBy(key).orderBy("version")
+    val prev = lag(col(state), 1).over(wOrd)
+    df
+      .withColumn("chg",
+        when(prev.isNotNull && prev === col(state), 0L).otherwise(1L))
+      .withColumn("version",
+        sum("chg").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(key), col("version"))
+      .agg(
+        min(state).as(state), // constant within a run
+        min(ts).as("valid_from"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Customer order-status history: each customer's orders in
+    // (o_orderdate, o_orderkey) order, consecutive equal statuses
+    // collapsed into validity intervals.
+    "q_scd2_history" -> ((s, d) =>
+      scd2(Tables.orders(s, d), "o_custkey",
+        Seq("o_orderdate", "o_orderkey"), "o_orderstatus", "o_orderdate")
+        .orderBy("o_custkey", "version")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scd2_history" ->
+      """SELECT o_custkey, version,
+        |  min(o_orderstatus) AS o_orderstatus,
+        |  min(o_orderdate) AS valid_from,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  lead(min(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY version) AS valid_to,
+        |  lead(min(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL AS is_current
+        |FROM (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate,
+        |    CAST(sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM (
+        |    SELECT *, CASE WHEN lag(o_orderstatus) OVER w IS NOT NULL
+        |                    AND lag(o_orderstatus) OVER w = o_orderstatus
+        |              THEN 0 ELSE 1 END AS chg
+        |    FROM orders
+        |    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))
+        |GROUP BY o_custkey, version
+        |ORDER BY o_custkey, version""".stripMargin,
+  )
+}
