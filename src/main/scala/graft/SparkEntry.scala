@@ -33,7 +33,8 @@ object SparkEntry {
       ext.Scrub.queries ++ ext.Packing.queries ++ ext.Quantize.queries ++
       lake.IncrementalAgg.queries ++ lake.ZOrder.queries ++
       streaming.StreamIncrAgg.queries ++ ext.Repetition.queries ++
-      ext.Decontam.queries ++ lake.History.queries ++ ext.TimeSeries.queries
+      ext.Decontam.queries ++ lake.History.queries ++ ext.TimeSeries.queries ++
+      ext.Temperature.queries ++ lake.ZoneMap.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -54,5 +55,6 @@ object SparkEntry {
       ext.Scrub.oracles ++ ext.Packing.oracles ++ ext.Quantize.oracles ++
       lake.IncrementalAgg.oracles ++ lake.ZOrder.oracles ++
       streaming.StreamIncrAgg.oracles ++ ext.Repetition.oracles ++
-      ext.Decontam.oracles ++ lake.History.oracles ++ ext.TimeSeries.oracles
+      ext.Decontam.oracles ++ lake.History.oracles ++ ext.TimeSeries.oracles ++
+      ext.Temperature.oracles ++ lake.ZoneMap.oracles
 }

@@ -1,0 +1,68 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.util.Scratch
+
+/** X57 zone maps: pruning is real (files actually skipped), invisible
+  * (same rows as a full scan), and safe (no sidecar → no pruning).
+  */
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keyedRows = (0L until 800L).map(i => (i, i % 7, s"r$i"))
+    .toDF("k", "grp", "payload")
+
+  test("pruned range read returns exactly the full-scan-and-filter rows") {
+    val dir = Scratch.dir("zm_correct")
+    ZoneMap.commitWithStats(keyedRows.repartitionByRange(8, $"k"),
+      dir, 20250401, 900, Seq("k"))
+    val pruned = ZoneMap.readRange(spark, dir, 1, "k", 250, 449)
+      .select("k").as[Long].collect().sorted
+    assert(pruned.toSeq == (250L to 449L))
+  }
+
+  test("zone map actually skips files on a range-clustered commit") {
+    val dir = Scratch.dir("zm_skip")
+    ZoneMap.commitWithStats(keyedRows.repartitionByRange(8, $"k"),
+      dir, 20250401, 900, Seq("k"))
+    val total = ManifestTable.snapshots(spark, dir).head.files.size
+    val cand = ZoneMap.candidateFiles(spark, dir, 1, "k", 300, 399)
+    assert(total == 8)
+    // 100 keys out of 800 across 8 range files → at most 2 straddling files.
+    assert(cand.size <= 2, s"expected <=2 candidate files, got ${cand.size}")
+    // And stats must never prune a file that holds matching rows:
+    val full = spark.read.parquet(
+      ManifestTable.snapshots(spark, dir).head.files.map(f => s"$dir/$f"): _*)
+      .where($"k".between(300, 399)).count()
+    val viaCand = spark.read.parquet(cand.map(f => s"$dir/$f"): _*)
+      .where($"k".between(300, 399)).count()
+    assert(full == viaCand)
+  }
+
+  test("no sidecar → all files stay candidates (plain X39 commit)") {
+    val dir = Scratch.dir("zm_nosidecar")
+    ManifestTable.commit(keyedRows, dir, 20250401, 900)
+    val all = ManifestTable.snapshots(spark, dir).head.files
+    assert(ZoneMap.candidateFiles(spark, dir, 1, "k", 0, 10) == all)
+  }
+
+  test("disjoint predicate range prunes everything yet still answers") {
+    val dir = Scratch.dir("zm_empty")
+    ZoneMap.commitWithStats(keyedRows.repartitionByRange(4, $"k"),
+      dir, 20250401, 900, Seq("k"))
+    assert(ZoneMap.candidateFiles(spark, dir, 1, "k", 5000, 6000).isEmpty)
+    assert(ZoneMap.readRange(spark, dir, 1, "k", 5000, 6000).count() == 0)
+  }
+
+  test("stats sidecar lands before the manifest: commit remains the rename") {
+    val dir = Scratch.dir("zm_atomic")
+    ZoneMap.commitWithStats(keyedRows, dir, 20250401, 900, Seq("k"))
+    // Version 2 staged without manifest (crash window) — stats or not,
+    // readers still resolve only v1.
+    ManifestTable.writeDataFiles(keyedRows.where($"k" < 10), dir, 2)
+    assert(ManifestTable.latestVersion(spark, dir).contains(1))
+    assert(ZoneMap.fileStats(spark, dir, 1).nonEmpty)
+  }
+}
