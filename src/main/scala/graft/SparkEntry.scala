@@ -34,7 +34,8 @@ object SparkEntry {
       lake.IncrementalAgg.queries ++ lake.ZOrder.queries ++
       streaming.StreamIncrAgg.queries ++ ext.Repetition.queries ++
       ext.Decontam.queries ++ lake.History.queries ++ ext.TimeSeries.queries ++
-      ext.Temperature.queries ++ lake.ZoneMap.queries
+      ext.Temperature.queries ++ lake.ZoneMap.queries ++
+      streaming.StreamJdbc.queries ++ ext.PageRank.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -56,5 +57,6 @@ object SparkEntry {
       lake.IncrementalAgg.oracles ++ lake.ZOrder.oracles ++
       streaming.StreamIncrAgg.oracles ++ ext.Repetition.oracles ++
       ext.Decontam.oracles ++ lake.History.oracles ++ ext.TimeSeries.oracles ++
-      ext.Temperature.oracles ++ lake.ZoneMap.oracles
+      ext.Temperature.oracles ++ lake.ZoneMap.oracles ++
+      streaming.StreamJdbc.oracles ++ ext.PageRank.oracles
 }
