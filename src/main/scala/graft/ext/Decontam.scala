@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -19,16 +20,14 @@ import graft.sources.Tables
   * n-independent.
   *
   * Scale shape: the eval side is tiny by definition (a benchmark, not a
-  * corpus) — its distinct n-gram set builds in one combinable
-  * `distinct` and BROADCASTS to the train side, so the train-side scan
-  * explodes its own n-grams, probes the broadcast hash table (a broadcast
-  * semi/left join — no shuffle of the 100 TB side), and re-aggregates by
-  * `doc_id`, which is combinable map-side because exploded rows of a doc
-  * stay in their input partition. The only wide exchange is the final
-  * orderBy (hash-gate determinism, not production). At real scale the
-  * broadcast set would be n-gram *hashes* (8 bytes each) rather than
-  * strings; here the join key stays the string so the DuckDB oracle is
-  * hash-function-independent.
+  * corpus) — its distinct n-gram set builds once and BROADCASTS, so the
+  * train side probes a hash table instead of shuffling 100 TB through a
+  * join. The train side pays ONE `doc_id`-keyed exchange to assemble
+  * grams (posexplode + lead window, all codegen — see [[docNgrams]]),
+  * and the per-doc report aggregate reuses that same partitioning. At
+  * real scale the broadcast set would be n-gram *hashes* (8 bytes each)
+  * rather than strings; here the join key stays the string so the DuckDB
+  * oracle is hash-function-independent.
   *
   * Reference scope: extension surface (builder prompt; SURVEY §2 X53).
   */
@@ -41,25 +40,38 @@ object Decontam {
   /** Modulus defining the eval slice of the fixture corpus. */
   val evalMod = 97
 
+  /** Distinct `(doc_id, g)` n-gram rows via posexplode + lead window —
+    * the [[Dedup.docShingles]] shape: array HOFs (`transform`/`slice`)
+    * evaluate INTERPRETED (~15 µs/gram — an order of magnitude over this
+    * whole query's budget at sf0.1), while posexplode, `lead`, and
+    * `concat_ws` all stay inside whole-stage codegen. Costs one
+    * `doc_id`-keyed exchange for gram assembly, which the downstream
+    * per-doc aggregate then reuses.
+    */
+  private def docNgrams(df: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    df.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(i =>
+          if (i == 0) col("t") else lead("t", i).over(w)): _*).as("g"),
+        lead("t", n - 1).over(w).isNotNull.as("full"))
+      .where(col("full"))
+      .select("doc_id", "g")
+      .distinct()
+  }
+
   /** Per-train-doc contamination report against `eval`'s n-gram set.
     * Both inputs are `(doc_id, text)`-shaped; output is one row per train
     * doc with at least `ngramN` tokens.
     */
   def contamination(train: DataFrame, eval: DataFrame, n: Int = ngramN): DataFrame = {
-    def docNgrams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"),
-          array_distinct(Repetition.ngrams(TextAnalysis.tokens(col("text")), n)).as("ngs"))
-        .where(size(col("ngs")) > 0)
-
-    val evalNgrams = docNgrams(eval)
-      .select(explode(col("ngs")).as("g")).distinct()
-
-    docNgrams(train)
-      .select(col("doc_id"), size(col("ngs")).cast("long").as("n_ngrams"), explode(col("ngs")).as("g"))
+    val evalNgrams = docNgrams(eval, n).select("g").distinct()
+    docNgrams(train, n)
       .join(broadcast(evalNgrams.withColumn("hit", lit(1L))), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(
-        first("n_ngrams").as("n_ngrams"),
+        count(lit(1)).as("n_ngrams"),
         coalesce(sum("hit"), lit(0L)).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
   }

@@ -81,10 +81,18 @@ object PageRank {
   }
 
   val queries: Map[String, Q] = Map(
-    "q_pagerank" -> ((s, d) =>
-      pagerank(supplyEdges(s, d))
+    // The edge list is MATERIALIZED once (scratch parquet): the iteration
+    // loop references `edges` K times, and without cutting lineage each
+    // iteration would re-derive lineitem→distinct→union from the source
+    // scan — K redundant scans deep by the last iteration.
+    "q_pagerank" -> ((s, d) => {
+      val edgeDir = graft.util.FixtureCache.dir("pagerank_edges", d) { dir =>
+        supplyEdges(s, d).write.mode("overwrite").parquet(dir)
+      }
+      pagerank(s.read.parquet(edgeDir))
         .select(col("node"), col("r").as("rank_scaled"))
-        .orderBy("node")),
+        .orderBy("node")
+    }),
   )
 
   /** K chained-CTE iterations of the same integer recurrence. */
