@@ -35,7 +35,8 @@ object SparkEntry {
       streaming.StreamIncrAgg.queries ++ ext.Repetition.queries ++
       ext.Decontam.queries ++ lake.History.queries ++ ext.TimeSeries.queries ++
       ext.Temperature.queries ++ lake.ZoneMap.queries ++
-      streaming.StreamJdbc.queries ++ ext.PageRank.queries
+      streaming.StreamJdbc.queries ++ ext.PageRank.queries ++
+      lake.Evolution.queries ++ lake.Vacuum.queries ++ ext.SkewStats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -58,5 +59,6 @@ object SparkEntry {
       streaming.StreamIncrAgg.oracles ++ ext.Repetition.oracles ++
       ext.Decontam.oracles ++ lake.History.oracles ++ ext.TimeSeries.oracles ++
       ext.Temperature.oracles ++ lake.ZoneMap.oracles ++
-      streaming.StreamJdbc.oracles ++ ext.PageRank.oracles
+      streaming.StreamJdbc.oracles ++ ext.PageRank.oracles ++
+      lake.Evolution.oracles ++ lake.Vacuum.oracles ++ ext.SkewStats.oracles
 }

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Key-skew diagnostics (X62): the measurement that DECIDES when to reach
+  * for the X8 salted join or AQE skew handling — per-key frequency for
+  * the heaviest keys plus their share of the table, as a report. Guessing
+  * skew is how 1000-executor jobs end up waiting on one straggler task;
+  * this makes it one cheap aggregate.
+  *
+  * Scale shape: one combinable `groupBy(key).count()` (map-side partial —
+  * the shuffle carries #distinct-keys rows, not #rows), then a window
+  * over the KEY-SIZED count table for ranking and totals. The unbounded
+  * window is over per-key counts — bounded by key cardinality, the same
+  * contract as X25 heavy hitters. `frac` is one exact-integer division,
+  * IEEE-bit-identical to the oracle.
+  */
+object SkewStats {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Top `k` keys of `df` by frequency with their share of all rows. */
+  def topSkewedKeys(df: DataFrame, key: String, k: Int): DataFrame = {
+    val counts = df.groupBy(key).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy().orderBy(col("cnt").desc, col(key))
+    counts
+      .withColumn("total", sum("cnt").over(Window.partitionBy()))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(key), col("rank"), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("frac"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // The events stream's hottest users — exactly the keys a grouped or
+    // joined events pipeline would straggle on.
+    "q_skew_stats" -> ((s, d) =>
+      topSkewedKeys(Tables.events(s, d), "user_id", 10)
+        .orderBy("rank")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_skew_stats" ->
+      """SELECT user_id, rank, cnt,
+        |       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS frac
+        |FROM (
+        |  SELECT user_id, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT) AS rank,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS total
+        |  FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1))
+        |WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
+  )
+}

@@ -1,0 +1,134 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+import graft.util.Exact.dsum
+
+/** Schema evolution across manifest versions (X60): read a table's FULL
+  * version history as one frame even when the schema drifted between
+  * commits — columns added or dropped (X23's missing-column semantics)
+  * and, new here, primitive types WIDENED (int→long, float→double) the
+  * way long-lived lake tables actually drift. The reference rewrites its
+  * snapshot wholesale each run, so its history is exactly where drift
+  * accumulates (`script_api_apify_to_spark.py:218-234`).
+  *
+  * Reconciliation: for every column name, take the LEAST COMMON WIDER
+  * type across versions along the safe ladder byte<short<int<long and
+  * float<double (plus decimal precision/scale max) — lossless, so the
+  * oracle can recompute each version's aggregate from source rows.
+  * Anything else (e.g. long vs string) is a conflict and throws: silent
+  * coercion is how lakes corrupt history.
+  *
+  * Scale shape: schema work happens on driver-side StructTypes (bytes per
+  * version, via the manifests — no data read); the data path is per-file
+  * parquet scans + `unionByName(allowMissingColumns)` + casts, one narrow
+  * stage, no shuffle. Reading N versions costs N scans by definition —
+  * it's a history read, not a snapshot read.
+  */
+object Evolution {
+
+  /** Widen `a` and `b` to their least common type, or None if they
+    * conflict.
+    */
+  private val intLadder = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+
+  private[lake] def widen(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case _ if a == b => Some(a)
+    case _ if intLadder.contains(a) && intLadder.contains(b) =>
+      Some(intLadder(math.max(intLadder.indexOf(a), intLadder.indexOf(b))))
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+    case (dx: DecimalType, dy: DecimalType) =>
+      val scale = math.max(dx.scale, dy.scale)
+      val intDigits = math.max(dx.precision - dx.scale, dy.precision - dy.scale)
+      Some(DecimalType(math.min(38, intDigits + scale), scale))
+    // Everything else — including int↔float, which loses exactness for
+    // big longs — is a conflict that needs an explicit migration.
+    case _ => None
+  }
+
+  /** The widened union schema of all versions' schemas. */
+  private[lake] def unifiedSchema(schemas: Seq[StructType]): StructType = {
+    val names = schemas.flatMap(_.fields.map(_.name)).distinct
+    StructType(names.map { n =>
+      val types = schemas.flatMap(_.fields.find(_.name == n)).map(_.dataType)
+      val t = types.reduceLeft { (acc, next) =>
+        widen(acc, next).getOrElse(throw new IllegalArgumentException(
+          s"column $n: cannot evolve $acc to $next — add an explicit migration"))
+      }
+      StructField(n, t, nullable = true)
+    })
+  }
+
+  /** Every committed version, schema-reconciled, tagged with `version`.
+    * Absent columns read as NULL; narrower columns are widened.
+    */
+  def readHistory(spark: SparkSession, dir: String): DataFrame = {
+    val snaps = ManifestTable.snapshots(spark, dir)
+    require(snaps.nonEmpty, s"no committed snapshot at $dir")
+    val frames = snaps.map(s =>
+      s.version -> spark.read.parquet(s.files.map(f => s"$dir/$f"): _*))
+    val target = unifiedSchema(frames.map(_._2.schema))
+    frames.map { case (v, df) =>
+      val cols: Seq[Column] = target.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      df.select(cols: _*).withColumn("version", lit(v))
+    }.reduceLeft(_ unionByName _)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Three commits with drifting schemas — v1 (key, qty int), v2 widens
+    // qty to long and adds price, v3 drops qty — read back as one history
+    // and aggregated per version. The oracle recomputes each version's
+    // slice straight from orders.
+    "q_schema_evolution" -> ((s, d) => {
+      val dir = graft.util.FixtureCache.dir("evolution_hist", d) { dir =>
+        val o = Tables.orders(s, d)
+        ManifestTable.commit(
+          o.where(col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"), col("o_custkey").cast("int").as("qty")),
+          dir, 20250501, 900)
+        ManifestTable.commit(
+          o.where(col("o_orderkey") % 3 === 1)
+            .select(col("o_orderkey"), col("o_custkey").cast("long").as("qty"),
+              col("o_totalprice").as("price")),
+          dir, 20250501, 1000)
+        ManifestTable.commit(
+          o.where(col("o_orderkey") % 3 === 2)
+            .select(col("o_orderkey"), col("o_totalprice").as("price")),
+          dir, 20250501, 1100)
+      }
+      readHistory(s, dir)
+        .groupBy("version")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum("qty").as("sum_qty"), // null for v3 — absent column
+          dsum(col("price")).as("sum_price")) // null for v1
+        .orderBy("version")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_schema_evolution" ->
+      """SELECT * FROM (
+        |  SELECT 1 AS version, count(*) AS n_rows,
+        |         CAST(sum(o_custkey) AS BIGINT) AS sum_qty,
+        |         CAST(NULL AS DOUBLE) AS sum_price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, count(*), CAST(sum(o_custkey) AS BIGINT),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT 3, count(*), CAST(NULL AS BIGINT),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 3 = 2
+        |) ORDER BY version""".stripMargin,
+  )
+}

@@ -1,0 +1,111 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Exact.dsum
+
+/** Snapshot retention / VACUUM (X61): expire manifest versions beyond a
+  * retention window and reclaim their data files — the missing third leg
+  * of lake maintenance next to X32 compaction and X48 clustering. The
+  * reference accumulates every hourly snapshot forever
+  * (`script_api_apify_to_spark.py:125-137` — one directory per run, no
+  * GC); at 100 TB that is unbounded storage growth AND an
+  * ever-lengthening manifest list on every read.
+  *
+  * Deletion order is the crash-safe inverse of X39's commit order:
+  * manifest FIRST, then data files. A crash in between leaves orphaned
+  * data that a re-run reclaims, but never a manifest pointing at deleted
+  * files — expired means invisible-then-gone, not broken.
+  *
+  * Versions are full snapshots owning their `data/vNNNNNNNN/` directory
+  * (the X39 layout), so expiry is a directory delete — no reference
+  * counting across versions. Staged-but-uncommitted dirs are preserved:
+  * the only version a writer can be staging is `latest+1` (ManifestTable
+  * .commit's allocation rule), and everything at or below `latest` either
+  * has a manifest or is the current in-flight overwrite target.
+  *
+  * Driver-side work is the manifest listing (tiny by design); data
+  * deletion is one recursive remove per expired version.
+  */
+object Vacuum {
+
+  private val DataDirRe = """v(\d{8})""".r
+
+  /** Expire all but the newest `keepLast` committed versions. Returns the
+    * expired version numbers. Idempotent: vacuuming twice is a no-op, and
+    * a re-run also reclaims data-only orphans a crashed vacuum (or a
+    * crashed pre-manifest commit whose version number has since been
+    * passed) left behind.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "retention must keep at least the latest version")
+    val snaps = ManifestTable.snapshots(spark, dir)
+    if (snaps.isEmpty) return Seq.empty
+    val expired = snaps.dropRight(keepLast)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    expired.foreach { s =>
+      // Manifest first (the version atomically stops existing), stats
+      // sidecar with it, data last.
+      fs.delete(new Path(f"$dir/_manifests/v${s.version}%08d.json"), false)
+      fs.delete(new Path(f"$dir/_manifests/v${s.version}%08d.stats.json"), false)
+      fs.delete(new Path(f"$dir/data/v${s.version}%08d"), true)
+    }
+    // Orphan GC: any data dir at or below `latest` without a retained
+    // manifest is dead (the only version a live writer can be staging is
+    // latest+1 — ManifestTable.commit's allocation rule). Strictly-above
+    // dirs are left alone.
+    val latest = snaps.last.version
+    val retained = snaps.drop(expired.size).map(_.version).toSet
+    val dataRoot = new Path(s"$dir/data")
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).toSeq.foreach { st =>
+        st.getPath.getName match {
+          case DataDirRe(v) if v.toInt <= latest && !retained(v.toInt) =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    }
+    expired.map(_.version)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Three commits, retention of 2: v1 expires, v2/v3 survive byte-for-
+    // byte. The query aggregates both survivors; the oracle recomputes
+    // them from orders — vacuum must be invisible inside the window.
+    "q_vacuum_roundtrip" -> ((s, d) => {
+      val dir = graft.util.FixtureCache.dir("vacuum_rt", d) { dir =>
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        ManifestTable.commit(o.where(col("o_orderkey") % 4 === 0), dir, 20250601, 900)
+        ManifestTable.commit(o.where(col("o_orderkey") % 4 <= 1), dir, 20250601, 1000)
+        ManifestTable.commit(o.where(col("o_orderkey") % 4 <= 2), dir, 20250601, 1100)
+        val expired = vacuum(s, dir, keepLast = 2)
+        require(expired == Seq(1), s"expected to expire v1, got $expired")
+      }
+      def summarize(tag: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_total"))
+          .select(lit(tag).as("version"), col("n_rows"), col("sum_total"))
+      summarize("v2", ManifestTable.readVersion(s, dir, 2))
+        .unionByName(summarize("v3", ManifestTable.readVersion(s, dir, 3)))
+        .orderBy("version")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_vacuum_roundtrip" ->
+      """SELECT * FROM (
+        |  SELECT 'v2' AS version, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders WHERE o_orderkey % 4 <= 1
+        |  UNION ALL
+        |  SELECT 'v3' AS version, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders WHERE o_orderkey % 4 <= 2
+        |) ORDER BY version""".stripMargin,
+  )
+}

@@ -1,0 +1,51 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.util.Scratch
+
+/** X60 schema evolution: the widening lattice, conflict refusal, and the
+  * reconciled history read.
+  */
+class EvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("widen: integral ladder, float ladder, decimal max, conflicts refused") {
+    assert(Evolution.widen(IntegerType, LongType).contains(LongType))
+    assert(Evolution.widen(LongType, IntegerType).contains(LongType))
+    assert(Evolution.widen(ByteType, ShortType).contains(ShortType))
+    assert(Evolution.widen(FloatType, DoubleType).contains(DoubleType))
+    assert(Evolution.widen(DecimalType(10, 2), DecimalType(12, 4))
+      .contains(DecimalType(12, 4)))
+    assert(Evolution.widen(StringType, LongType).isEmpty)
+    assert(Evolution.widen(LongType, DoubleType).isEmpty) // lossy, refused
+    assert(Evolution.widen(StringType, StringType).contains(StringType))
+  }
+
+  test("history read reconciles added columns and widened types") {
+    val dir = Scratch.dir("evo_hist")
+    ManifestTable.commit(
+      Seq((1, 10)).toDF("k", "v").select($"k", $"v".cast("int")), dir, 20250501, 900)
+    ManifestTable.commit(
+      Seq((2L, 20L, "x")).toDF("k", "v", "w")
+        .select($"k".cast("int").as("k"), $"v".cast("long"), $"w"), dir, 20250501, 1000)
+
+    val hist = Evolution.readHistory(spark, dir).orderBy("version")
+    assert(hist.schema("v").dataType == LongType)
+    assert(hist.schema("w").dataType == StringType)
+    val rows = hist.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("v") == 10L && rows(0).getAs[String]("w") == null)
+    assert(rows(1).getAs[Long]("v") == 20L && rows(1).getAs[String]("w") == "x")
+  }
+
+  test("incompatible drift throws instead of silently coercing") {
+    val dir = Scratch.dir("evo_conflict")
+    ManifestTable.commit(Seq((1, "a")).toDF("k", "v"), dir, 20250501, 900)
+    ManifestTable.commit(Seq((2, 5L)).toDF("k", "v"), dir, 20250501, 1000)
+    val e = intercept[IllegalArgumentException](Evolution.readHistory(spark, dir))
+    assert(e.getMessage.contains("column v"))
+  }
+}

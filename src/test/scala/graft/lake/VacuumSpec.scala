@@ -1,0 +1,80 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+import graft.util.Scratch
+
+/** X61 vacuum: expiry boundary, survivor integrity, idempotency, in-flight
+  * stage preservation, delete-order crash safety.
+  */
+class VacuumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def commit3(dir: String): Unit = {
+    ManifestTable.commit(Seq((1, "a")).toDF("k", "s"), dir, 20250601, 900)
+    ManifestTable.commit(Seq((2, "b")).toDF("k", "s"), dir, 20250601, 1000)
+    ManifestTable.commit(Seq((3, "c")).toDF("k", "s"), dir, 20250601, 1100)
+  }
+
+  test("expires exactly the versions beyond retention; survivors read intact") {
+    val dir = Scratch.dir("vac_basic")
+    commit3(dir)
+    assert(Vacuum.vacuum(spark, dir, keepLast = 2) == Seq(1))
+    assert(ManifestTable.snapshots(spark, dir).map(_.version) == Seq(2, 3))
+    assert(intercept[NoSuchElementException](
+      ManifestTable.readVersion(spark, dir, 1)).getMessage.contains("version 1"))
+    assert(ManifestTable.readVersion(spark, dir, 2)
+      .select("s").as[String].collect().toSeq == Seq("b"))
+    // Expired data directory is actually reclaimed, not just unlisted.
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$dir/data/v00000001")))
+    assert(fs.exists(new Path(s"$dir/data/v00000002")))
+  }
+
+  test("idempotent: a second vacuum expires nothing") {
+    val dir = Scratch.dir("vac_idem")
+    commit3(dir)
+    Vacuum.vacuum(spark, dir, keepLast = 2)
+    assert(Vacuum.vacuum(spark, dir, keepLast = 2).isEmpty)
+    assert(ManifestTable.snapshots(spark, dir).map(_.version) == Seq(2, 3))
+  }
+
+  test("staged-but-uncommitted latest+1 write survives vacuum") {
+    val dir = Scratch.dir("vac_staged")
+    commit3(dir)
+    ManifestTable.writeDataFiles(Seq((4, "d")).toDF("k", "s"), dir, 4) // in-flight
+    Vacuum.vacuum(spark, dir, keepLast = 1)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$dir/data/v00000004")))
+    // ...and the in-flight writer can still complete its commit.
+    ManifestTable.commitManifest(spark, dir, 4, 20250601, 1200,
+      fs.listStatus(new Path(s"$dir/data/v00000004")).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s"data/v00000004/${s.getPath.getName}"))
+    assert(ManifestTable.latestVersion(spark, dir).contains(4))
+  }
+
+  test("manifest-before-data delete order: a data-only orphan is invisible") {
+    val dir = Scratch.dir("vac_order")
+    commit3(dir)
+    // Simulate a crash AFTER the manifest delete but before the data
+    // delete: remove v1's manifest by hand; the snapshot list must not
+    // serve v1 even though its data files still exist.
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$dir/_manifests/v00000001.json"), false)
+    assert(ManifestTable.snapshots(spark, dir).map(_.version) == Seq(2, 3))
+    // A re-run's orphan GC reclaims the data-only leftover...
+    Vacuum.vacuum(spark, dir, keepLast = 2)
+    assert(!fs.exists(new Path(s"$dir/data/v00000001")))
+    // ...while the retained versions' data stays.
+    assert(fs.exists(new Path(s"$dir/data/v00000002")))
+    assert(fs.exists(new Path(s"$dir/data/v00000003")))
+  }
+
+  test("retention must keep at least one version") {
+    val dir = Scratch.dir("vac_guard")
+    commit3(dir)
+    intercept[IllegalArgumentException](Vacuum.vacuum(spark, dir, keepLast = 0))
+  }
+}
