@@ -36,7 +36,8 @@ object SparkEntry {
       ext.Decontam.queries ++ lake.History.queries ++ ext.TimeSeries.queries ++
       ext.Temperature.queries ++ lake.ZoneMap.queries ++
       streaming.StreamJdbc.queries ++ ext.PageRank.queries ++
-      lake.Evolution.queries ++ lake.Vacuum.queries ++ ext.SkewStats.queries
+      lake.Evolution.queries ++ lake.Vacuum.queries ++ ext.SkewStats.queries ++
+      streaming.StreamEnrich.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -60,5 +61,6 @@ object SparkEntry {
       ext.Decontam.oracles ++ lake.History.oracles ++ ext.TimeSeries.oracles ++
       ext.Temperature.oracles ++ lake.ZoneMap.oracles ++
       streaming.StreamJdbc.oracles ++ ext.PageRank.oracles ++
-      lake.Evolution.oracles ++ lake.Vacuum.oracles ++ ext.SkewStats.oracles
+      lake.Evolution.oracles ++ lake.Vacuum.oracles ++ ext.SkewStats.oracles ++
+      streaming.StreamEnrich.oracles
 }
