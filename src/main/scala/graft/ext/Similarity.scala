@@ -31,22 +31,45 @@ object Similarity {
   val nQueries = 8
   val nPlanes = 6
 
+  /** Upper bound of the plane pool — 2^24 buckets is enough for ~500M
+    * vectors at the default occupancy target.
+    */
+  val maxPlanes = 24
+
   /** Deterministic pseudo-random Gaussian hyperplanes (fixed seed, 64-dim —
     * the fixture embedding dimensionality). Float32, matching the embedding
     * column, so the codegen'd dot product runs on homogeneous arrays.
+    * One sequential draw stream ⇒ PREFIX-STABLE: `planePool.take(n)` for
+    * any n ≤ [[maxPlanes]] gives the same planes regardless of how many a
+    * caller uses, so growing the plane count refines buckets without
+    * reshuffling the old sign bits.
     */
-  lazy val planes: Array[Array[Float]] = {
+  lazy val planePool: Array[Array[Float]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(nPlanes)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    Array.fill(maxPlanes)(Array.fill(64)(rnd.nextGaussian().toFloat))
   }
 
-  /** Sign-pattern bucket id of an `array<float>` embedding column. Each
-    * plane projection is the native codegen'd `vec_dot` against a constant
-    * plane literal — the whole bucket id stays inside whole-stage codegen.
+  lazy val planes: Array[Array[Float]] = planePool.take(nPlanes)
+
+  /** Hyperplane count for a corpus of `count` vectors targeting ~`target`
+    * vectors per bucket: expected occupancy n/2^p stays CONSTANT as the
+    * corpus grows, which keeps the within-bucket candidate join linear in
+    * n instead of quadratic — the difference between a 10× corpus costing
+    * 10× and costing 100×.
     */
-  def bucketOf(emb: Column): Column =
-    (0 until nPlanes).map { j =>
-      when(VectorOps.dot(emb, lit(planes(j))) > 0, lit(1 << j)).otherwise(lit(0))
+  def adaptivePlanes(count: Long, target: Long = 32L): Int = {
+    val needed = math.ceil(math.log(math.max(1.0, count.toDouble / target)) / math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(nPlanes, needed))
+  }
+
+  /** Sign-pattern bucket id of an `array<float>` embedding column over the
+    * first `n` pool planes. Each plane projection is the native codegen'd
+    * `vec_dot` against a constant plane literal — the whole bucket id stays
+    * inside whole-stage codegen.
+    */
+  def bucketOf(emb: Column, n: Int = nPlanes): Column =
+    (0 until n).map { j =>
+      when(VectorOps.dot(emb, lit(planePool(j))) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
   val ivfK = 16
