@@ -135,6 +135,53 @@ object Probe {
       val sig = ext.Dedup.materializePublic(s, ext.Dedup.minhashSigs(sh), "probe_sig")
       println(f"PROBE materialize sig           ${(System.nanoTime() - t1) / 1e9}%8.2f s")
     }
+    if (args.contains("stream-live")) {
+      // live-run wall cost of every streaming operator and the composed
+      // pipeline replay, with FRESH checkpoint/state per run — the cost
+      // the memoized bench read-backs deliberately exclude; published in
+      // README so it stays measured instead of argued
+      Seq("q_stream_diff", "q_stream_window", "q_stream_dedup",
+        "q_stream_join", "q_stream_incr_agg")
+        .foreach(q => SparkEntry.queries(q)(s, d).count()) // build inputs once
+      def cached(tag: String) = util.FixtureCache.dir(tag, d)(_ =>
+        sys.error(s"input fixture $tag not built"))
+      def live(tag: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        body
+        println(f"PROBE live $tag%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      val evW = sources.Tables.events(s, d)
+        .select("user_id", "event_id", "event_type", "ts", "value")
+      val evJ = sources.Tables.events(s, d).select("user_id", "event_id", "ts")
+      val evI = sources.Tables.events(s, d).select("event_id", "event_type", "value")
+      val prevSchema = lake.SnapshotDiff.synthPrevious(s, d).schema
+      live("stream_diff") {
+        val b = util.Scratch.dir("live_sdiff")
+        streaming.StreamDiff.run(s, cached("stream_in"), s"$b/state", s"$b/out",
+          prevSchema, lake.SnapshotDiff.diffKeys)
+      }
+      live("stream_window") {
+        val b = util.Scratch.dir("live_swin")
+        streaming.WindowAgg.run(s, cached("swin_in"), s"$b/chk", s"$b/out", evW.schema)
+      }
+      live("stream_dedup") {
+        val b = util.Scratch.dir("live_sdedup")
+        streaming.StreamDedup.run(s, cached("sdedup_in"), s"$b/chk", s"$b/out", evW.schema)
+      }
+      live("stream_join") {
+        val b = util.Scratch.dir("live_sjoin")
+        val in = cached("sjoin_in")
+        streaming.StreamJoin.run(s, s"$in/a", s"$in/b", s"$b/chk", s"$b/out", evJ.schema)
+      }
+      live("stream_incr_agg") {
+        val b = util.Scratch.dir("live_sincr")
+        streaming.StreamIncrAgg.run(s, cached("sincr_in"), s"$b/state", s"$b/chk",
+          evI.schema, Seq("event_type"), "value")
+      }
+      live("pipeline_replay") {
+        pipeline.PipelineQueries.replayTimeline(s, d)
+      }
+    }
     args.filter(SparkEntry.queries.contains).foreach { q =>
       if (args.contains("explain")) {
         val df = SparkEntry.queries(q)(s, d)

