@@ -1,0 +1,170 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Exact.dsum
+
+/** Merge-on-read row-level deletes — deletion vectors (X64).
+  *
+  * The reference's model rewrites a whole snapshot per run
+  * (`scripts/script_api_apify_to_spark.py:194,208`); deleting a handful of
+  * rows from a 100 TB table that way costs a full rewrite. The lakehouse
+  * answer (Delta deletion vectors, Iceberg position deletes) is
+  * merge-on-read: a delete commit keeps every data file untouched and
+  * publishes only a sidecar of `(file, row position)` tombstones; readers
+  * subtract the tombstones at scan time. Compaction (here
+  * [[materialize]]) folds the tombstones back into fresh data files when
+  * their read-side cost outweighs the write-side saving.
+  *
+  * Representation: one parquet sidecar per delete commit under
+  * `deletes/vNNNNNNNN/`, rows `(file: String, pos: Long)` where `file` is
+  * the manifest-relative data path and `pos` the parquet row index
+  * (`_metadata.row_index`). Each delete commit writes the version's FULL
+  * cumulative vector (prior tombstones unioned in), so a read touches
+  * exactly one sidecar — version N's — never a chain.
+  *
+  * Commit protocol is X39's unchanged: stage the sidecar, then publish a
+  * manifest referencing the SAME data files plus the sidecar via an atomic
+  * rename. A crash before the rename leaves the delete invisible; time
+  * travel to any pre-delete version still sees every row.
+  *
+  * Scale shape: the delete build scans only the predicate's column
+  * footprint (+ file/position metadata); the sidecar is bounded by rows
+  * ever deleted, not table size, and the read-side subtraction is a
+  * BROADCAST left-anti hash probe inside whole-stage codegen — zero
+  * shuffle of the data side. A tombstone set too big to broadcast is the
+  * signal to [[materialize]] (exactly the heuristic Delta applies).
+  */
+object DeleteVectors {
+
+  /** Matches a manifest-relative data path at the end of an absolute
+    * `_metadata.file_path` URI.
+    */
+  private val RelPathRe = """data/v\d{8}/[^/]+$"""
+
+  private def relFile: Column =
+    regexp_extract(col("_metadata.file_path"), RelPathRe, 0)
+
+  /** Apply `snap`'s deletion vector to `df`, which must be a parquet scan
+    * over (a subset of) `snap`'s data files. No-deletes versions return
+    * `df` unchanged — the bare-scan plan, pinned in DeleteVectorSpec.
+    */
+  def applyTo(spark: SparkSession, dir: String, snap: ManifestTable.Snapshot,
+      df: DataFrame): DataFrame = {
+    if (snap.deletes.isEmpty) df
+    else {
+      val dv = spark.read.parquet(snap.deletes.map(f => s"$dir/$f"): _*)
+        .withColumnRenamed("file", "__dv_file")
+        .withColumnRenamed("pos", "__dv_pos")
+      df.select(col("*"), relFile.as("__dv_file"),
+          col("_metadata.row_index").as("__dv_pos"))
+        .join(broadcast(dv), Seq("__dv_file", "__dv_pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+    }
+  }
+
+  /** Delete the current version's rows matching `predicate` without
+    * touching any data file: commits a new version with the same file list
+    * and a cumulative deletion-vector sidecar. Rows already deleted stay
+    * deleted (the new vector unions the old); a predicate matching nothing
+    * still commits (an auditable no-op version). Returns the new version.
+    */
+  def deleteWhere(spark: SparkSession, dir: String, predicate: Column,
+      date: Int, time: Int): Int = {
+    val snaps = ManifestTable.snapshots(spark, dir)
+    require(snaps.nonEmpty, s"no committed snapshot at $dir")
+    val latest = snaps.last
+    val version = latest.version + 1
+
+    // Raw scan (tombstones NOT applied): re-deleting an already-deleted
+    // position writes the same (file, pos) row, and the union dedups it.
+    val raw = spark.read.parquet(latest.files.map(f => s"$dir/$f"): _*)
+    val newDel = raw.where(predicate)
+      .select(relFile.as("file"), col("_metadata.row_index").as("pos"))
+    val oldDel =
+      if (latest.deletes.isEmpty) newDel.limit(0)
+      else spark.read.parquet(latest.deletes.map(f => s"$dir/$f"): _*)
+    val rel = f"deletes/v$version%08d"
+    oldDel.unionByName(newDel).dropDuplicates("file", "pos")
+      .write.mode("overwrite").parquet(s"$dir/$rel")
+
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delFiles = fs.listStatus(new Path(s"$dir/$rel")).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$rel/${s.getPath.getName}")
+      .sorted
+    ManifestTable.commitManifest(spark, dir, version, date, time,
+      latest.files, deletes = delFiles)
+    version
+  }
+
+  /** Fold the latest version's tombstones into fresh data files — the
+    * merge-on-read → copy-on-write compaction. The new version carries no
+    * deletion vector, so [[Vacuum]] can later reclaim both the old data
+    * files and the sidecars. Returns the new version.
+    */
+  def materialize(spark: SparkSession, dir: String, date: Int, time: Int): Int = {
+    val v = ManifestTable.latestVersion(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot at $dir"))
+    ManifestTable.commit(ManifestTable.readVersion(spark, dir, v), dir, date, time)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // v1 commits orders whole (8 files); v2 and v3 are delete commits
+    // (composing cumulatively); v4 materializes. Latest, v4, v2 and the
+    // untouched v1 are each aggregated; the oracle recomputes all four
+    // states from the plain orders table with the inverse predicates.
+    "q_delete_vectors" -> ((s, d) => {
+      val dir = graft.util.FixtureCache.dir("dv_fixture", d) { dir =>
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .repartition(8)
+        ManifestTable.commit(o, dir, 20250801, 900)
+        deleteWhere(s, dir,
+          col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0,
+          20250801, 1000)
+        deleteWhere(s, dir, col("o_orderkey") % 7 === 3, 20250801, 1100)
+        materialize(s, dir, 20250801, 1200)
+      }
+      def summarize(tag: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_total"))
+          .select(lit(tag).as("version"), col("n_rows"), col("sum_total"))
+      summarize("v1", ManifestTable.readVersion(s, dir, 1))
+        .unionByName(summarize("v2", ManifestTable.readVersion(s, dir, 2)))
+        .unionByName(summarize("v3", ManifestTable.readVersion(s, dir, 3)))
+        .unionByName(summarize("v4_compacted", ManifestTable.readLatest(s, dir)))
+        .orderBy("version")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_delete_vectors" ->
+      """SELECT * FROM (
+        |  SELECT 'v1' AS version, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'v2', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+        |  UNION ALL
+        |  SELECT 'v3', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+        |    AND NOT (o_orderkey % 7 = 3)
+        |  UNION ALL
+        |  SELECT 'v4_compacted', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+        |    AND NOT (o_orderkey % 7 = 3)
+        |) ORDER BY version""".stripMargin,
+  )
+}

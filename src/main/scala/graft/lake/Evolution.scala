@@ -69,7 +69,10 @@ object Evolution {
     val snaps = ManifestTable.snapshots(spark, dir)
     require(snaps.nonEmpty, s"no committed snapshot at $dir")
     val frames = snaps.map(s =>
-      s.version -> spark.read.parquet(s.files.map(f => s"$dir/$f"): _*))
+      // X64 tombstones subtract before schema reconciliation, so a
+      // history read sees each version exactly as readVersion serves it
+      s.version -> DeleteVectors.applyTo(spark, dir, s,
+        spark.read.parquet(s.files.map(f => s"$dir/$f"): _*)))
     val target = unifiedSchema(frames.map(_._2.schema))
     frames.map { case (v, df) =>
       val cols: Seq[Column] = target.fields.toSeq.map { f =>

@@ -38,7 +38,12 @@ import org.json4s.jackson.JsonMethods
   */
 object ManifestTable {
 
-  case class Snapshot(version: Int, runDate: Int, runTime: Int, files: Seq[String])
+  /** `deletes` (X64) lists the version's deletion-vector sidecar files —
+    * empty for ordinary full-snapshot commits, so pre-DV manifests parse
+    * unchanged.
+    */
+  case class Snapshot(version: Int, runDate: Int, runTime: Int,
+      files: Seq[String], deletes: Seq[String] = Nil)
 
   private def manifestDir(dir: String) = s"$dir/_manifests"
   private def manifestName(version: Int) = f"v$version%08d.json"
@@ -69,13 +74,17 @@ object ManifestTable {
     * all of it. Fails if the version was already committed (lost race).
     */
   def commitManifest(spark: SparkSession, dir: String, version: Int,
-      date: Int, time: Int, files: Seq[String]): Unit = {
+      date: Int, time: Int, files: Seq[String],
+      deletes: Seq[String] = Nil): Unit = {
     val fs = fsFor(spark, dir)
     val mdir = new Path(manifestDir(dir))
     fs.mkdirs(mdir)
+    val delField =
+      if (deletes.isEmpty) ""
+      else s""",\n "deletes": [${deletes.map("\"" + _ + "\"").mkString(", ")}]"""
     val json =
       s"""{"version": $version, "run_date": $date, "run_time": $time,
-         | "files": [${files.map("\"" + _ + "\"").mkString(", ")}]}""".stripMargin
+         | "files": [${files.map("\"" + _ + "\"").mkString(", ")}]$delField}""".stripMargin
     val tmp = new Path(mdir, s".v$version.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -117,7 +126,8 @@ object ManifestTable {
         implicit val fmts: Formats = DefaultFormats
         val j = JsonMethods.parse(text)
         Snapshot((j \ "version").extract[Int], (j \ "run_date").extract[Int],
-          (j \ "run_time").extract[Int], (j \ "files").extract[Seq[String]])
+          (j \ "run_time").extract[Int], (j \ "files").extract[Seq[String]],
+          (j \ "deletes").extractOpt[Seq[String]].getOrElse(Nil))
       }
       .sortBy(_.version)
   }
@@ -127,13 +137,16 @@ object ManifestTable {
 
   /** Time travel: the table exactly as committed at `version` — a scan of
     * that manifest's file list only, immune to in-flight writes of later
-    * versions (their data files are staged but unreferenced).
+    * versions (their data files are staged but unreferenced). Versions
+    * carrying deletion vectors (X64) get them applied; plain versions keep
+    * the bare-scan plan (pinned in DeleteVectorSpec).
     */
   def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame = {
     val snap = snapshots(spark, dir).find(_.version == version)
       .getOrElse(throw new NoSuchElementException(
         s"no committed version $version at $dir"))
-    spark.read.parquet(snap.files.map(f => s"$dir/$f"): _*)
+    DeleteVectors.applyTo(spark, dir, snap,
+      spark.read.parquet(snap.files.map(f => s"$dir/$f"): _*))
   }
 
   def readLatest(spark: SparkSession, dir: String): DataFrame = {

@@ -20,12 +20,14 @@ import graft.util.Exact.dsum
   * data that a re-run reclaims, but never a manifest pointing at deleted
   * files — expired means invisible-then-gone, not broken.
   *
-  * Versions are full snapshots owning their `data/vNNNNNNNN/` directory
-  * (the X39 layout), so expiry is a directory delete — no reference
-  * counting across versions. Staged-but-uncommitted dirs are preserved:
-  * the only version a writer can be staging is `latest+1` (ManifestTable
-  * .commit's allocation rule), and everything at or below `latest` either
-  * has a manifest or is the current in-flight overwrite target.
+  * Reclamation is reference-counted over the RETAINED manifests: X64
+  * delete commits share their predecessor's data files, so a data (or
+  * deletion-vector) directory at or below `latest` survives exactly when
+  * some retained manifest still references a file inside it. The
+  * manifests are driver-side and tiny, so the live set costs nothing to
+  * compute. Staged-but-uncommitted dirs are preserved: the only version a
+  * writer can be staging is `latest+1` (ManifestTable.commit's allocation
+  * rule), and strictly-above-latest dirs are never touched.
   *
   * Driver-side work is the manifest listing (tiny by design); data
   * deletion is one recursive remove per expired version.
@@ -45,27 +47,34 @@ object Vacuum {
     val snaps = ManifestTable.snapshots(spark, dir)
     if (snaps.isEmpty) return Seq.empty
     val expired = snaps.dropRight(keepLast)
+    val retained = snaps.drop(expired.size)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     expired.foreach { s =>
       // Manifest first (the version atomically stops existing), stats
-      // sidecar with it, data last.
+      // sidecar with it; file dirs follow in the reference-counted sweep.
       fs.delete(new Path(f"$dir/_manifests/v${s.version}%08d.json"), false)
       fs.delete(new Path(f"$dir/_manifests/v${s.version}%08d.stats.json"), false)
-      fs.delete(new Path(f"$dir/data/v${s.version}%08d"), true)
     }
-    // Orphan GC: any data dir at or below `latest` without a retained
-    // manifest is dead (the only version a live writer can be staging is
-    // latest+1 — ManifestTable.commit's allocation rule). Strictly-above
-    // dirs are left alone.
+    // Reference-counted sweep + orphan GC in one pass: a data/ or
+    // deletes/ version dir at or below `latest` is dead unless a RETAINED
+    // manifest references a file inside it (X64 delete commits share
+    // their predecessor's data dir, so ownership is per-file-reference,
+    // not per-version). Strictly-above dirs (the in-flight latest+1
+    // staging) are left alone.
     val latest = snaps.last.version
-    val retained = snaps.drop(expired.size).map(_.version).toSet
-    val dataRoot = new Path(s"$dir/data")
-    if (fs.exists(dataRoot)) {
-      fs.listStatus(dataRoot).toSeq.foreach { st =>
-        st.getPath.getName match {
-          case DataDirRe(v) if v.toInt <= latest && !retained(v.toInt) =>
-            fs.delete(st.getPath, true)
-          case _ => ()
+    val live: Set[String] = retained.flatMap(s => (s.files ++ s.deletes)
+      .filter(_.count(_ == '/') >= 2)
+      .map(_.split('/').take(2).mkString("/"))).toSet
+    Seq("data", "deletes").foreach { rootName =>
+      val root = new Path(s"$dir/$rootName")
+      if (fs.exists(root)) {
+        fs.listStatus(root).toSeq.foreach { st =>
+          st.getPath.getName match {
+            case DataDirRe(v) if v.toInt <= latest &&
+                !live(s"$rootName/${st.getPath.getName}") =>
+              fs.delete(st.getPath, true)
+            case _ => ()
+          }
         }
       }
     }

@@ -130,7 +130,11 @@ object ZoneMap {
       // Empty result with the right schema: scan the full version, filter.
       ManifestTable.readVersion(spark, dir, version).where(pred)
     } else {
-      spark.read.parquet(cand.map(f => s"$dir/$f"): _*).where(pred)
+      // X64 tombstones still subtract on the pruned scan — zone maps
+      // narrow the file list, never the delete semantics
+      val snap = ManifestTable.snapshots(spark, dir).find(_.version == version).get
+      DeleteVectors.applyTo(spark, dir, snap,
+        spark.read.parquet(cand.map(f => s"$dir/$f"): _*)).where(pred)
     }
   }
 
