@@ -37,7 +37,8 @@ object SparkEntry {
       ext.Temperature.queries ++ lake.ZoneMap.queries ++
       streaming.StreamJdbc.queries ++ ext.PageRank.queries ++
       lake.Evolution.queries ++ lake.Vacuum.queries ++ ext.SkewStats.queries ++
-      streaming.StreamEnrich.queries
+      streaming.StreamEnrich.queries ++ lake.DeleteVectors.queries ++
+      ops.FuzzyJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -62,5 +63,6 @@ object SparkEntry {
       ext.Temperature.oracles ++ lake.ZoneMap.oracles ++
       streaming.StreamJdbc.oracles ++ ext.PageRank.oracles ++
       lake.Evolution.oracles ++ lake.Vacuum.oracles ++ ext.SkewStats.oracles ++
-      streaming.StreamEnrich.oracles
+      streaming.StreamEnrich.oracles ++ lake.DeleteVectors.oracles ++
+      ops.FuzzyJoin.oracles
 }
