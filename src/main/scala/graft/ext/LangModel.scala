@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** N-gram LM familiarity scoring (X68) — the CCNet-shaped quality filter:
+  * score each document by how familiar its word sequences are to the
+  * corpus-level language model, and flag the tail (boilerplate, lorem
+  * ipsum, mojibake score low; fluent text scores high).
+  *
+  * The model is a bigram table built from the corpus itself (one explode
+  * + combinable count, vocabulary²-bounded output); the score is the
+  * integer-exact proxy
+  * `fam = ⌊10⁶ · Σ count(bigramᵢ) / (n_bigrams · total_bigrams)⌋` — the
+  * average corpus frequency of the doc's bigrams in parts-per-million.
+  * Keeping the arithmetic in BIGINT with a single floored division makes
+  * the score bit-oracled across engines (a log-likelihood would hinge on
+  * `ln` rounding, which neither engine guarantees); a real KenLM scorer
+  * drops into the SAME dataflow — per-row probes of a broadcast n-gram
+  * table — swapping only the per-bigram statistic.
+  *
+  * Scale shape: the corpus shuffles once keyed on bigram to build the
+  * model and once keyed on doc_id to re-aggregate scores; the model table
+  * itself is vocabulary-bounded, so the probe join broadcasts. Docs with
+  * fewer than 2 tokens have no bigrams and are excluded (their quality
+  * signal belongs to the X4/E4 length gates).
+  */
+object LangModel {
+
+  /** "w₁ w₂" bigram strings of the shared tokenization (empty below 2
+    * tokens) — pure array expressions, no explode until the caller needs
+    * rows.
+    */
+  def bigrams(text: Column): Column = {
+    val t = TextAnalysis.tokens(text)
+    zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** `bigram → count` over the corpus. */
+  def bigramCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(bigrams(col("text"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c"))
+
+  /** Per-doc familiarity: `(doc_id, n_bigrams, sum_cnt, fam_ppm)`. */
+  def familiarity(docs: DataFrame): DataFrame = {
+    val model = bigramCounts(docs)
+    val total = model.agg(sum("c").cast("long").as("total"))
+    docs.select(col("doc_id"), explode(bigrams(col("text"))).as("bigram"))
+      .join(broadcast(model), Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("c").cast("long").as("sum_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_cnt"),
+        expr("(1000000 * sum_cnt) DIV (n_bigrams * total)").as("fam_ppm"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Every bigram of every doc is in the model by construction (the
+    // model is built from the same corpus), so n_bigrams doubles as the
+    // doc's bigram count — the oracle recomputes all three statistics
+    // with identical integer arithmetic.
+    "q_lm_familiarity" -> ((s, d) =>
+      familiarity(Tables.documents(s, d)).orderBy("doc_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_lm_familiarity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${TextAnalysis.toksSql} AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM toks WHERE len(t) >= 2),
+         |model AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bg)
+         |SELECT doc_id,
+         |       count(*) AS n_bigrams,
+         |       CAST(sum(c) AS BIGINT) AS sum_cnt,
+         |       (1000000 * CAST(sum(c) AS BIGINT))
+         |         // (CAST(count(*) AS BIGINT) * (SELECT total FROM tot)) AS fam_ppm
+         |FROM bg JOIN model USING (bigram)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+  )
+}

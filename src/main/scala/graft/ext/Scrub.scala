@@ -103,6 +103,27 @@ object Scrub {
         sum(when(kept, col("doc_id"))).cast("long").as("sum_kept_ids"))
         .orderBy("lang")
     }),
+
+    // X67: per-source document caps — the C4/Gopher-style crawl-hygiene
+    // rule that no single domain dominates the corpus. Keep the `cap`
+    // docs with the LOWEST md5(doc_id) per source: a deterministic,
+    // re-run/backfill-stable subset (unlike "first N seen", which depends
+    // on scan order). One shuffle keyed on source; a mega-domain skewing
+    // that shuffle is exactly what X62 diagnoses and, because "keep
+    // lowest-k hashes" is combinable, a per-partition pre-cap bounds its
+    // cost before the exchange at real scale.
+    "q_source_cap" -> ((s, d) => {
+      val cap = 15
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("rk") <= cap, 1)).as("n_kept"),
+          sum(when(col("rk") <= cap, col("doc_id"))).cast("long").as("sum_kept_ids"))
+        .orderBy("source")
+    }),
   )
 
   private val piiTextSql =
@@ -143,5 +164,15 @@ object Scrub {
         |          < (CASE WHEN lang = 'en' THEN 60 WHEN lang = 'fr' THEN 30 ELSE 10 END) AS kept
         |      FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_source_cap" ->
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  count(CASE WHEN rk <= 15 THEN 1 END) AS n_kept,
+        |  CAST(sum(CASE WHEN rk <= 15 THEN doc_id END) AS BIGINT) AS sum_kept_ids
+        |FROM (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Inverted index build + conjunctive boolean search (X66) — the
+  * retrieval-side complement of X4 BM25 (which scores a given candidate
+  * set): materialize `term → sorted posting list` once, then answer
+  * `AND(term₁..termₖ)` queries from the index alone, never rescanning the
+  * corpus.
+  *
+  * Index build: per-doc DISTINCT terms (one explode of the shared
+  * [[TextAnalysis.tokens]] pipeline) → `groupBy(term)` with a combinable
+  * `collect_list` — one corpus shuffle keyed on term, vocabulary-sized
+  * output. Search: fetch the k query terms' postings (an `isin` filter on
+  * a term-keyed table — at 100 TB a bucketed/sorted layout makes this k
+  * point lookups), explode, and keep doc_ids hit exactly k times — the
+  * classic merge-intersection expressed as one combinable aggregate.
+  *
+  * Scale shape: search cost tracks Σ|postings(termᵢ)| (the true result
+  * driver), not corpus size; hot terms with corpus-scale postings are the
+  * signal to re-chunk postings by doc-id range (the Lucene segment
+  * shape), which this layout admits without semantic change.
+  */
+object Search {
+
+  /** `term → (df, sorted postings)` over the documents' distinct terms. */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sort_array(collect_list("doc_id")).as("postings"))
+
+  /** Doc ids containing ALL `terms`, answered from the index alone. */
+  def searchIndex(index: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be distinct")
+    index.where(col("term").isin(terms: _*))
+      .select(explode(col("postings")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .where(col("n_hit") === terms.length)
+      .select("doc_id")
+  }
+
+  /** The same conjunction evaluated by scanning the corpus — the spec for
+    * [[searchIndex]] (SearchSpec pins equality).
+    */
+  def searchScan(docs: DataFrame, terms: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .where(col("n_hit") === terms.length)
+      .select("doc_id")
+
+  /** The fixture conjunction: common enough to exercise real posting-list
+    * intersection, selective enough that the AND bites.
+    */
+  val queryTerms: Seq[String] = Seq("spark", "vector", "sort")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Index materialized once (the build is FixtureCache'd like the E2
+    // signature tables); the timed query is the index-only search, joined
+    // back to doc metadata. The oracle recomputes the conjunction from
+    // the corpus with the shared tokenizer.
+    "q_inverted_search" -> ((s, d) => {
+      val idxDir = graft.util.FixtureCache.dir("inv_index", d) { dir =>
+        invertedIndex(Tables.documents(s, d))
+          .write.mode("overwrite").parquet(s"$dir/index.parquet")
+      }
+      val index = s.read.parquet(s"$idxDir/index.parquet")
+      searchIndex(index, queryTerms)
+        .join(Tables.documents(s, d).select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_inverted_search" ->
+      s"""WITH hits AS (
+         |  SELECT doc_id
+         |  FROM (SELECT doc_id, unnest(list_distinct(${TextAnalysis.toksSql})) AS term
+         |        FROM documents)
+         |  WHERE term IN ('${queryTerms.mkString("','")}')
+         |  GROUP BY doc_id
+         |  HAVING count(*) = ${queryTerms.length}
+         |)
+         |SELECT h.doc_id, d.lang, d.n_chars
+         |FROM hits h JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+  )
+}
