@@ -36,10 +36,14 @@ import graft.util.Exact.dsum
   */
 object ZoneMap {
 
-  /** Per-file `[lo, hi]` ranges for the stat columns (values as strings;
-    * numeric comparisons parse back through the column's own ordering).
+  /** Per-file `[lo, hi]` ranges for the stat columns, plus the file's row
+    * count (X69 stats-only aggregates). `rows = -1` marks a pre-X69
+    * sidecar without counts — readers then degrade to scanning, never to
+    * a wrong answer (json4s fills the default when the field is absent,
+    * pinned in ZoneMapSpec).
     */
-  case class FileStats(file: String, lo: Map[String, Long], hi: Map[String, Long])
+  case class FileStats(file: String, lo: Map[String, Long], hi: Map[String, Long],
+      rows: Long = -1L)
 
   private def statsName(version: Int) = f"v$version%08d.stats.json"
   private def statsPath(dir: String, version: Int) =
@@ -57,7 +61,8 @@ object ZoneMap {
     // One combinable aggregate pass over the files just staged.
     val staged = spark.read.parquet(f"$dir/data/v$version%08d")
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c")))
+      Seq(min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c"))) :+
+      count(lit(1)).as("n_rows")
     val rows = staged
       .groupBy(col("_metadata.file_path").as("file_path"))
       .agg(aggs.head, aggs.tail: _*)
@@ -69,14 +74,15 @@ object ZoneMap {
         throw new IllegalStateException(s"staged file $name missing from listing"))
       FileStats(rel,
         statsCols.map(c => c -> r.getAs[Long](s"lo_$c")).toMap,
-        statsCols.map(c => c -> r.getAs[Long](s"hi_$c")).toMap)
+        statsCols.map(c => c -> r.getAs[Long](s"hi_$c")).toMap,
+        r.getAs[Long]("n_rows"))
     }.toSeq.sortBy(_.file)
 
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val json = stats.map { s =>
       val los = s.lo.toSeq.sortBy(_._1).map { case (c, v) => s""""$c": $v""" }.mkString(", ")
       val his = s.hi.toSeq.sortBy(_._1).map { case (c, v) => s""""$c": $v""" }.mkString(", ")
-      s"""{"file": "${s.file}", "lo": {$los}, "hi": {$his}}"""
+      s"""{"file": "${s.file}", "lo": {$los}, "hi": {$his}, "rows": ${s.rows}}"""
     }.mkString("[", ",\n ", "]")
     val out = fs.create(statsPath(dir, version), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -138,6 +144,64 @@ object ZoneMap {
     }
   }
 
+  /** X69 stats-only aggregates — the Iceberg/Delta "metadata query" trick:
+    * `count(*)` (and range counts) answered from the sidecar row counts,
+    * scanning at most the files that STRADDLE the predicate boundary.
+    */
+
+  /** Full-table `count(*)` from stats alone — zero data files opened.
+    * None when any file lacks a row count (pre-X69 sidecar or no sidecar):
+    * degrade to scanning, never guess.
+    */
+  def metaCount(spark: SparkSession, dir: String, version: Int): Option[Long] = {
+    val all = ManifestTable.snapshots(spark, dir).find(_.version == version)
+      .getOrElse(throw new NoSuchElementException(s"no version $version at $dir")).files
+    fileStats(spark, dir, version).flatMap { stats =>
+      val byFile = stats.map(s => s.file -> s.rows).toMap
+      val counts = all.map(f => byFile.getOrElse(f, -1L))
+      if (counts.exists(_ < 0)) None else Some(counts.sum)
+    }
+  }
+
+  /** `(skip, inside, straddle)` classification of `version`'s files for
+    * `column BETWEEN lo AND hi`. Files without usable stats classify as
+    * straddling (scan — absence of evidence never prunes, X57 rule).
+    */
+  def classifyRange(spark: SparkSession, dir: String, version: Int,
+      column: String, lo: Long, hi: Long): (Seq[String], Seq[FileStats], Seq[String]) = {
+    val all = ManifestTable.snapshots(spark, dir).find(_.version == version)
+      .getOrElse(throw new NoSuchElementException(s"no version $version at $dir")).files
+    fileStats(spark, dir, version) match {
+      case None => (Nil, Nil, all)
+      case Some(stats) =>
+        val byFile = stats.filter(s => s.lo.contains(column)).map(s => s.file -> s).toMap
+        val (skip, inside, straddle) = all.foldLeft(
+          (Vector.empty[String], Vector.empty[FileStats], Vector.empty[String])) {
+          case ((sk, in, st), f) => byFile.get(f) match {
+            case Some(s) if s.hi(column) < lo || s.lo(column) > hi => (sk :+ f, in, st)
+            case Some(s) if s.rows >= 0 && lo <= s.lo(column) && s.hi(column) <= hi =>
+              (sk, in :+ s, st)
+            case _ => (sk, in, st :+ f)
+          }
+        }
+        (skip, inside, straddle)
+    }
+  }
+
+  /** `count(*) WHERE column BETWEEN lo AND hi`: fully-inside files answer
+    * from their stats row counts; only straddling files are scanned.
+    * Returns `(count, files scanned)`.
+    */
+  def countRange(spark: SparkSession, dir: String, version: Int,
+      column: String, lo: Long, hi: Long): (Long, Int) = {
+    val (_, inside, straddle) = classifyRange(spark, dir, version, column, lo, hi)
+    val boundary =
+      if (straddle.isEmpty) 0L
+      else spark.read.parquet(straddle.map(f => s"$dir/$f"): _*)
+        .where(col(column) >= lo && col(column) <= hi).count()
+    (inside.map(_.rows).sum + boundary, straddle.size)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Fixture predicate: the middle fifth of the orderkey space. */
@@ -146,21 +210,40 @@ object ZoneMap {
     (2 * mx / 5, 3 * mx / 5)
   }
 
+  /** Range-clustered stats commit shared by `q_stats_prune`/`q_meta_count`. */
+  private def prunedCommitDir(s: SparkSession, d: String): String =
+    graft.util.FixtureCache.dir("zonemap_prune", d) { dir =>
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey"))
+      commitWithStats(o, dir, 20250401, 900, Seq("o_orderkey"))
+    }
+
   val queries: Map[String, Q] = Map(
     // Range-clustered commit + zone-map-pruned range read; the oracle is
     // the plain table with the same BETWEEN — pruning must be invisible.
     "q_stats_prune" -> ((s, d) => {
-      val dir = graft.util.FixtureCache.dir("zonemap_prune", d) { dir =>
-        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
-          .repartitionByRange(8, col("o_orderkey"))
-        commitWithStats(o, dir, 20250401, 900, Seq("o_orderkey"))
-      }
+      val dir = prunedCommitDir(s, d)
       val (lo, hi) = keyBounds(s, d)
       readRange(s, dir, 1, "o_orderkey", lo, hi)
         .agg(count(lit(1)).as("n_rows"),
           dsum(col("o_totalprice")).as("sum_total"),
           min("o_orderkey").as("min_key"),
           max("o_orderkey").as("max_key"))
+    }),
+
+    // X69: the full count comes from stats alone (zero files opened) and
+    // the range count scans only boundary-straddling files — both must
+    // equal the plain scans the oracle runs (ZoneMapSpec pins the actual
+    // file-open counts; here only the answers are observable).
+    "q_meta_count" -> ((s, d) => {
+      import s.implicits._
+      val dir = prunedCommitDir(s, d)
+      val (lo, hi) = keyBounds(s, d)
+      val full = metaCount(s, dir, 1).getOrElse(
+        sys.error(s"stats sidecar missing at $dir"))
+      val (rangeCnt, _) = countRange(s, dir, 1, "o_orderkey", lo, hi)
+      Seq(("full", full), ("range", rangeCnt)).toDF("scope", "n_rows")
+        .orderBy("scope")
     }),
   )
 
@@ -173,5 +256,13 @@ object ZoneMap {
         |FROM orders
         |WHERE o_orderkey >= (SELECT 2 * max(o_orderkey) // 5 FROM orders)
         |  AND o_orderkey <= (SELECT 3 * max(o_orderkey) // 5 FROM orders)""".stripMargin,
+    "q_meta_count" ->
+      """SELECT * FROM (
+        |  SELECT 'full' AS scope, count(*) AS n_rows FROM orders
+        |  UNION ALL
+        |  SELECT 'range', count(*) FROM orders
+        |  WHERE o_orderkey >= (SELECT 2 * max(o_orderkey) // 5 FROM orders)
+        |    AND o_orderkey <= (SELECT 3 * max(o_orderkey) // 5 FROM orders)
+        |) ORDER BY scope""".stripMargin,
   )
 }

@@ -65,4 +65,46 @@ class ZoneMapSpec extends SparkSpec {
     assert(ManifestTable.latestVersion(spark, dir).contains(1))
     assert(ZoneMap.fileStats(spark, dir, 1).nonEmpty)
   }
+
+  test("X69: full count answered from stats alone, range count scans only straddlers") {
+    val dir = Scratch.dir("zm_count")
+    ZoneMap.commitWithStats(keyedRows.repartitionByRange(8, $"k"),
+      dir, 20250401, 900, Seq("k"))
+    assert(ZoneMap.metaCount(spark, dir, 1).contains(800L))
+    // 100-key files; [250, 449] covers files [200,299]..[400,499] with the
+    // endpoints straddling: 1 fully-inside file, 2 boundary scans
+    val (skip, inside, straddle) = ZoneMap.classifyRange(spark, dir, 1, "k", 250, 449)
+    assert(skip.size + inside.size + straddle.size == 8)
+    assert(inside.nonEmpty && straddle.size <= 2,
+      s"classification skip=${skip.size} inside=${inside.size} straddle=${straddle.size}")
+    val (cnt, scanned) = ZoneMap.countRange(spark, dir, 1, "k", 250, 449)
+    assert(cnt == 200L)
+    assert(scanned == straddle.size && scanned <= 2)
+    // a range aligned exactly on file boundaries scans nothing at all
+    val (cnt2, scanned2) = ZoneMap.countRange(spark, dir, 1, "k", 200, 499)
+    assert(cnt2 == 300L && scanned2 == 0)
+  }
+
+  test("X69: a pre-X69 sidecar without row counts degrades to scanning, never guesses") {
+    val dir = Scratch.dir("zm_oldstats")
+    ZoneMap.commitWithStats(keyedRows.repartitionByRange(4, $"k"),
+      dir, 20250401, 900, Seq("k"))
+    // rewrite the sidecar the way the pre-X69 writer would have (no
+    // "rows" field) — json4s must fill the -1 default
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_manifests/v00000001.stats.json")
+    val text = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val stripped = text.replaceAll(""",\s*"rows":\s*-?\d+""", "")
+    val out = fs.create(p, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    assert(ZoneMap.fileStats(spark, dir, 1).get.forall(_.rows == -1L))
+    assert(ZoneMap.metaCount(spark, dir, 1).isEmpty)
+    val (cnt, scanned) = ZoneMap.countRange(spark, dir, 1, "k", 100, 299)
+    assert(cnt == 200L)
+    assert(scanned > 0, "rows-less stats cannot answer from metadata")
+  }
 }
