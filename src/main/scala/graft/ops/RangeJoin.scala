@@ -49,6 +49,33 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval-overlap join (X70): all pairs with
+    * `[aLo,aHi] ∩ [bLo,bHi] ≠ ∅` (inclusive bounds), optionally
+    * co-keyed on `extraKeys` — concurrent-session / double-booking
+    * analytics. Both sides explode to the bins they cover and equi-join
+    * on `(bin, extraKeys)`; a pair sharing k bins would surface k times,
+    * so the join keeps only the OWNER BIN — the one containing
+    * `max(aLo, bLo)`, the overlap start, which lies inside both
+    * intervals and is therefore always among the shared bins. Exactly
+    * one bin passes → no dedup shuffle at all; the exact overlap
+    * predicate still refines (bin collisions are candidates, not
+    * answers). Cost: Σ spans/binWidth exploded rows, one hash shuffle,
+    * zero products — same scale contract as [[pointInInterval]].
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      binWidth: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val ax = a.withColumn("__bin",
+      explode(sequence(binOf(col(aLo), binWidth), binOf(col(aHi), binWidth))))
+    val bx = b.withColumn("__bin",
+      explode(sequence(binOf(col(bLo), binWidth), binOf(col(bHi), binWidth))))
+    ax.join(bx, ("__bin" +: extraKeys).toSeq)
+      .where(col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
+        binOf(greatest(col(aLo), col(bLo)), binWidth) === col("__bin"))
+      .drop("__bin")
+  }
+
   private val hourUs = 3600L * 1000000
 
   val queries: Map[String, Q] = Map(
@@ -70,6 +97,29 @@ object RangeJoin {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
         .orderBy("interval_id")
     }),
+
+    // X70: per-user concurrent intervals — each event opens a 30–150 min
+    // interval (duration a pure function of event_id); even-id intervals
+    // overlap-join odd-id intervals of the SAME user. The oracle runs the
+    // naive quadratic overlap join — binning and the owner-bin trick must
+    // be invisible.
+    "q_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).where(col("user_id") % 8 === 1)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("lo_us"))
+        .withColumn("hi_us",
+          col("lo_us") + (lit(1) + col("event_id") % 5) * lit(1800L * 1000000))
+      def side(tag: String, parity: Int) =
+        ev.where(col("event_id") % 2 === parity)
+          .select(col("user_id"), col("event_id").as(s"${tag}_id"),
+            col("lo_us").as(s"${tag}_lo"), col("hi_us").as(s"${tag}_hi"))
+      intervalOverlap(side("a", 0), side("b", 1),
+          "a_lo", "a_hi", "b_lo", "b_hi", hourUs, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a_id") + col("b_id")).cast("long").as("pair_sum"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -86,5 +136,20 @@ object RangeJoin {
          |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM ev JOIN iv ON ev.ts_us BETWEEN iv.lo_us AND iv.hi_us
          |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+    "q_interval_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS lo_us,
+        |         epoch_us(CAST(ts AS TIMESTAMP))
+        |           + (1 + event_id % 5) * 1800000000 AS hi_us
+        |  FROM events WHERE user_id % 8 = 1),
+        |a AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+        |b AS (SELECT * FROM ev WHERE event_id % 2 = 1)
+        |SELECT a.user_id AS user_id, count(*) AS n_pairs,
+        |       CAST(sum(a.event_id + b.event_id) AS BIGINT) AS pair_sum
+        |FROM a JOIN b
+        |  ON a.user_id = b.user_id
+        | AND a.lo_us <= b.hi_us AND b.lo_us <= a.hi_us
+        |GROUP BY a.user_id ORDER BY user_id""".stripMargin,
   )
 }
