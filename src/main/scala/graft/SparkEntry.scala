@@ -38,7 +38,8 @@ object SparkEntry {
       streaming.StreamJdbc.queries ++ ext.PageRank.queries ++
       lake.Evolution.queries ++ lake.Vacuum.queries ++ ext.SkewStats.queries ++
       streaming.StreamEnrich.queries ++ lake.DeleteVectors.queries ++
-      ops.FuzzyJoin.queries ++ ext.Search.queries ++ ext.LangModel.queries
+      ops.FuzzyJoin.queries ++ ext.Search.queries ++ ext.LangModel.queries ++
+      lake.TableDiff.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -64,5 +65,6 @@ object SparkEntry {
       streaming.StreamJdbc.oracles ++ ext.PageRank.oracles ++
       lake.Evolution.oracles ++ lake.Vacuum.oracles ++ ext.SkewStats.oracles ++
       streaming.StreamEnrich.oracles ++ lake.DeleteVectors.oracles ++
-      ops.FuzzyJoin.oracles ++ ext.Search.oracles ++ ext.LangModel.oracles
+      ops.FuzzyJoin.oracles ++ ext.Search.oracles ++ ext.LangModel.oracles ++
+      lake.TableDiff.oracles
 }
