@@ -189,6 +189,29 @@ object Similarity {
         .where(col("rank") <= k)
         .orderBy("qid", "rank")
     }),
+
+    // X72: per-label elementwise centroids — class prototypes (the
+    // nearest-class-mean classifier, IVF seeding, embedding-drift
+    // monitoring). One posexplode → one combinable (label, dim) groupBy:
+    // the shuffle carries |labels|·dim rows per map partition, never the
+    // corpus. Sums are fixed-point 2⁻³⁰ units (X59's integer-exactness
+    // move): float→double widens exactly, ×2³⁰ is an exact exponent
+    // shift, floor → BIGINT — so the nondeterministic reduce order can't
+    // wiggle the hash and no engine's double↔decimal conversion quirks
+    // enter (DECIMAL-of-double rounds via scaled float math in DuckDB).
+    // 2⁻³⁰ sits below float's own resolution for |v| ≥ 2⁻⁶, so the
+    // quantization is invisible at embedding magnitudes.
+    "q_vec_centroid" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(floor(col("v").cast("double") * (1L << 30))).as("sum_fp"))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("n_vecs"),
+          col("sum_fp"),
+          (col("sum_fp").cast("double") / lit(1073741824.0) / col("n_vecs"))
+            .as("mean_val"))
+        .orderBy("label", "dim")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -205,5 +228,13 @@ object Similarity {
          |  FROM embeddings q JOIN embeddings c
          |    ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
          |WHERE rank <= $k ORDER BY qid, rank""".stripMargin,
+    "q_vec_centroid" ->
+      """SELECT label, i.i AS dim, count(*) AS n_vecs,
+        |       CAST(sum(CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1073741824) AS BIGINT)) AS BIGINT) AS sum_fp,
+        |       CAST(sum(CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1073741824) AS BIGINT)) AS DOUBLE)
+        |         / 1073741824.0 / count(*) AS mean_val
+        |FROM embeddings JOIN range(0, 256) i(i) ON i.i < len(embedding)
+        |GROUP BY label, i.i
+        |ORDER BY label, dim""".stripMargin,
   )
 }

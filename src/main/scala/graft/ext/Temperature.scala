@@ -49,6 +49,37 @@ object Temperature {
     docs.join(broadcast(keepRates(docs)), Seq("lang"))
       .withColumn("kept", hashUniform(col("doc_id")) < col("keep_rate"))
 
+  /** X73 — the upsampling mirror: per-language replication rates
+    * `sqrt(n_max / n_l)` ≥ 1 (the LARGEST language is kept whole, smaller
+    * ones duplicate toward it — expected per-language size
+    * `sqrt(n_l·n_max)`, the same α = 0.5 exponent mix approached from
+    * below). Copies are `⌊r⌋` plus one md5-Bernoulli copy for the
+    * fractional part — deterministic, re-run-stable oversampling with
+    * replacement, the standard low-resource-language epoch-mixing knob.
+    * floor/sqrt/the 2⁻³² division are correctly-rounded IEEE ops, so the
+    * copy counts bit-agree with the SQL oracle.
+    */
+  def upsampleRates(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val nMax = counts.agg(max("n_total").as("n_max"))
+    counts.crossJoin(broadcast(nMax))
+      .select(col("lang"), col("n_total"),
+        sqrt(col("n_max").cast("double") / col("n_total").cast("double"))
+          .as("up_rate"))
+  }
+
+  /** Replicated rows, each tagged `copy_idx ∈ [1, n_copies]` — the
+    * per-row explode is the operator's whole data path (no shuffle beyond
+    * the broadcast rate lookup).
+    */
+  def upsample(docs: DataFrame): DataFrame =
+    docs.join(broadcast(upsampleRates(docs)), Seq("lang"))
+      .withColumn("n_copies",
+        floor(col("up_rate")).cast("long") +
+          when(hashUniform(col("doc_id")) < col("up_rate") - floor(col("up_rate")), 1L)
+            .otherwise(0L))
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
+
   val queries: Map[String, Q] = Map(
     // Per-language report: rate, kept count, and the sum of kept ids —
     // membership is pinned, not just cardinality.
@@ -60,6 +91,19 @@ object Temperature {
           first("keep_rate").as("keep_rate"),
           count(when(col("kept"), 1)).as("n_sampled"),
           sum(when(col("kept"), col("doc_id"))).cast("long").as("sum_kept_ids"))
+        .orderBy("lang")),
+
+    // X73: the replicated-row stream re-aggregated per language — the
+    // copy-count total and the id⋅copies checksum pin the exact multiset
+    // of emitted rows, not just its size.
+    "q_upsample" -> ((s, d) =>
+      upsample(Tables.documents(s, d))
+        .groupBy("lang")
+        .agg(
+          first("n_total").as("n_total"),
+          first("up_rate").as("up_rate"),
+          count(lit(1)).as("n_upsampled"),
+          sum(col("doc_id")).cast("long").as("sum_id_copies"))
         .orderBy("lang")),
   )
 
@@ -84,5 +128,30 @@ object Temperature {
         |FROM documents d JOIN rates r ON d.lang = r.lang
         |GROUP BY d.lang
         |ORDER BY d.lang""".stripMargin,
+    "q_upsample" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_total FROM documents GROUP BY 1
+        |),
+        |rates AS (
+        |  SELECT lang, n_total,
+        |    sqrt(CAST((SELECT max(n_total) FROM counts) AS DOUBLE)
+        |         / CAST(n_total AS DOUBLE)) AS up_rate
+        |  FROM counts
+        |),
+        |copies AS (
+        |  SELECT d.lang, d.doc_id, r.n_total, r.up_rate,
+        |    CAST(floor(r.up_rate) AS BIGINT) +
+        |    CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+        |              / 4294967296.0 < r.up_rate - floor(r.up_rate) THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN rates r ON d.lang = r.lang
+        |)
+        |SELECT lang,
+        |  any_value(n_total) AS n_total,
+        |  any_value(up_rate) AS up_rate,
+        |  CAST(sum(n_copies) AS BIGINT) AS n_upsampled,
+        |  CAST(sum(doc_id * n_copies) AS BIGINT) AS sum_id_copies
+        |FROM copies
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
   )
 }

@@ -111,4 +111,26 @@ class SimilaritySpec extends SparkSpec {
       .agg(min("b"), max("b")).head()
     assert(b.getInt(0) >= 0 && b.getInt(1) < (1 << Similarity.nPlanes))
   }
+
+  test("X72 centroid golden: fixed-point sums match hand arithmetic exactly") {
+    import spark.implicits._
+    // label 1: vectors (0.25, -0.5) and (0.75, 1.0) → sums (2^30, 2^29);
+    // label 2: single vector (2.0, -2.0) — all exactly representable, so
+    // floor(v·2^30) introduces no truncation at all here
+    val df = Seq((1, Array(0.25f, -0.5f)), (1, Array(0.75f, 1.0f)),
+      (2, Array(2.0f, -2.0f))).toDF("label", "embedding")
+    val out = df
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum(floor(col("v").cast("double") * (1L << 30))).as("sum_fp"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "dim")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val s = 1L << 30
+    assert(out == Seq(
+      (1, 0, s, 2L), // 0.25 + 0.75 = 1.0
+      (1, 1, s / 2, 2L), // -0.5 + 1.0 = 0.5
+      (2, 0, 2 * s, 1L),
+      (2, 1, -2 * s, 1L)))
+  }
 }

@@ -44,4 +44,29 @@ class TemperatureSpec extends SparkSpec {
     val keptSkew = out.map(_._3).max.toDouble / out.map(_._3).min
     assert(keptSkew < rawSkew, s"kept mix ($keptSkew) should be flatter than raw ($rawSkew)")
   }
+
+  test("X73 upsampling: rates ≥ 1, largest language exactly whole, expected growth") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rates = Temperature.upsampleRates(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rates.forall(_._3 >= 1.0), "upsample rates must never shrink a language")
+    val maxLang = rates.maxBy(_._2)
+    assert(maxLang._3 == 1.0, "the largest language is kept whole")
+    val up = Temperature.upsample(docs)
+    val perLang = up.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    rates.foreach { case (lang, n, r) =>
+      val got = perLang(lang)
+      // n·⌊r⌋ ≤ emitted ≤ n·⌈r⌉, and each doc appears ≥ once
+      assert(got >= n * math.floor(r).toLong && got <= n * math.ceil(r).toLong,
+        s"$lang: emitted $got outside [${n * math.floor(r).toLong}, ${n * math.ceil(r).toLong}]")
+    }
+    // every source doc survives with copy_idx starting at 1
+    assert(up.where(col("copy_idx") === 1).count() == docs.count())
+    // determinism: a second run emits the identical multiset
+    val again = Temperature.upsample(docs).groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(again == perLang)
+  }
 }
