@@ -163,6 +163,23 @@ object ZoneMap {
     }
   }
 
+  /** Stats-only `(min, max)` of `column` — exact because zone-map bounds
+    * are attained values (per-file min/max), unlike row counts they need
+    * no boundary scan ever. None when any file lacks bounds for the
+    * column.
+    */
+  def metaMinMax(spark: SparkSession, dir: String, version: Int,
+      column: String): Option[(Long, Long)] = {
+    val all = ManifestTable.snapshots(spark, dir).find(_.version == version)
+      .getOrElse(throw new NoSuchElementException(s"no version $version at $dir")).files
+    fileStats(spark, dir, version).flatMap { stats =>
+      val byFile = stats.filter(_.lo.contains(column)).map(s => s.file -> s).toMap
+      if (all.exists(f => !byFile.contains(f)) || all.isEmpty) None
+      else Some((all.map(f => byFile(f).lo(column)).min,
+        all.map(f => byFile(f).hi(column)).max))
+    }
+  }
+
   /** `(skip, inside, straddle)` classification of `version`'s files for
     * `column BETWEEN lo AND hi`. Files without usable stats classify as
     * straddling (scan — absence of evidence never prunes, X57 rule).

@@ -149,6 +149,25 @@ object Sessionize {
     "q_sessionize" -> ((s, d) =>
       sessionizeBatch(events(s, d))
         .orderBy("user_id", "session_seq")),
+
+    // X74: Spark's NATIVE session windows — `session_window(ts, gap)` in a
+    // plain batch groupBy (the same call drops into a watermarked stream
+    // unchanged, which is the API's point). One shuffle on (user_id) with
+    // session merging inside the aggregation — no window-function double
+    // pass. Boundary semantics MATCH the custom tier: an event arriving
+    // EXACTLY gap after the last one still merges (only a strictly
+    // greater gap breaks — pinned against a hand fixture in
+    // StreamingSpec), so the gaps-and-islands oracle uses the same `>`
+    // break as q_sessionize and only the output shape (window bounds vs
+    // session_seq) differs.
+    "q_session_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), Sessionize.gap).as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.util.Exact.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("w_start"),
+          col("sw.end").as("w_end"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "w_start")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -168,5 +187,24 @@ object Sessionize {
         |    FROM events))
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "q_session_window" ->
+      """SELECT user_id,
+        |       CAST(min(ts) AS TIMESTAMP) AS w_start,
+        |       CAST(max(ts) + INTERVAL 12 HOUR AS TIMESTAMP) AS w_end,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+        |  FROM (
+        |    SELECT user_id, event_id, ts, value,
+        |           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                  OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                       + INTERVAL 12 HOUR
+        |                THEN 1 ELSE 0 END AS brk
+        |    FROM events))
+        |GROUP BY user_id, grp
+        |ORDER BY user_id, w_start""".stripMargin,
   )
 }

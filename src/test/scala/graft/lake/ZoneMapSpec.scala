@@ -83,6 +83,9 @@ class ZoneMapSpec extends SparkSpec {
     // a range aligned exactly on file boundaries scans nothing at all
     val (cnt2, scanned2) = ZoneMap.countRange(spark, dir, 1, "k", 200, 499)
     assert(cnt2 == 300L && scanned2 == 0)
+    // min/max answer from stats alone, exactly (bounds are attained values)
+    assert(ZoneMap.metaMinMax(spark, dir, 1, "k").contains((0L, 799L)))
+    assert(ZoneMap.metaMinMax(spark, dir, 1, "nosuchcol").isEmpty)
   }
 
   test("X69: a pre-X69 sidecar without row counts degrades to scanning, never guesses") {

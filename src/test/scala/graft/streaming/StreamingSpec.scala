@@ -88,6 +88,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("X74 session_window boundary: exactly-gap merges, one past the gap breaks — both tiers agree") {
+    import spark.implicits._
+    val h = 3600L * 1000
+    def ts(msec: Long) = new java.sql.Timestamp(msec)
+    // user 1: events exactly 12 h apart (the gap); user 2: 12 h + 1 s apart
+    val ev = Seq((1L, 1L, ts(0), 1.0), (1L, 2L, ts(12 * h), 1.0),
+      (2L, 3L, ts(0), 1.0), (2L, 4L, ts(12 * h + 1000), 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val native = ev.groupBy(col("user_id"), session_window(col("ts"), Sessionize.gap))
+      .count().groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(native == Map(1L -> 1L, 2L -> 2L),
+      "session_window merges at exactly gap, breaks strictly past it")
+    // the custom tier draws the identical boundary (`>` break)
+    val custom = Sessionize.sessionizeBatch(ev.select("user_id", "event_id", "ts"))
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(custom == native)
+  }
+
   test("interval-merge sessionizer is order-independent and never buffers events") {
     import org.apache.spark.sql.streaming.TestGroupState
     val rnd = new scala.util.Random(7)
