@@ -51,33 +51,46 @@ object Multimodal {
 
   /** Synthesized media table: audio rows are real PCM16 WAV files, image
     * rows real 24-bit BMPs, video rows real uncompressed AVIs — all built
-    * from deterministic fixture signals. (The UDFs only synthesize the
-    * fixture — they are not on any operator's read path.)
+    * from deterministic fixture signals. The table is ENCODED once per
+    * JVM into a parquet fixture (the synth UDFs only build it — they are
+    * not on any operator's read path, and repeat invocations time the
+    * DECODE operators, not the fixture encoder).
     */
-  def media(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
-      col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("media_type"),
-      when(col("doc_id") % 3 === 0, "bmp")
-        .when(col("doc_id") % 3 === 1, "wav")
-        .otherwise("avi").as("fmt"),
-      when(col("doc_id") % 3 === 0, synthBmp(col("doc_id")))
-        .when(col("doc_id") % 3 === 1, synthWav(col("doc_id")))
-        .otherwise(synthAvi(col("doc_id"))).as("bytes"))
+  def media(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.util.FixtureCache.dir("media_tbl", d) { dir =>
+      documents(s, d).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        when(col("doc_id") % 3 === 0, "bmp")
+          .when(col("doc_id") % 3 === 1, "wav")
+          .otherwise("avi").as("fmt"),
+        when(col("doc_id") % 3 === 0, synthBmp(col("doc_id")))
+          .when(col("doc_id") % 3 === 1, synthWav(col("doc_id")))
+          .otherwise(synthAvi(col("doc_id"))).as("bytes"))
+        .write.mode("overwrite").parquet(s"$dir/t")
+    }
+    s.read.parquet(s"$dir/t")
+  }
 
   /** Compressed-image fixture table (X41): even docs are PNGs encoded by
     * our own filter-0 deflate encoder, odd docs are JDK-baseline JPEGs —
     * both real entropy-coded payloads, unlike the RIFF family above.
+    * Encoded once per JVM like [[media]].
     */
-  def mediaCompressed(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
-      col("doc_id").as("media_id"),
-      lit("image").as("media_type"),
-      when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("fmt"),
-      when(col("doc_id") % 2 === 0, synthPng(col("doc_id")))
-        .otherwise(synthJpg(col("doc_id"))).as("bytes"))
+  def mediaCompressed(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.util.FixtureCache.dir("media_comp_tbl", d) { dir =>
+      documents(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("image").as("media_type"),
+        when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("fmt"),
+        when(col("doc_id") % 2 === 0, synthPng(col("doc_id")))
+          .otherwise(synthJpg(col("doc_id"))).as("bytes"))
+        .write.mode("overwrite").parquet(s"$dir/t")
+    }
+    s.read.parquet(s"$dir/t")
+  }
 
   /** Decode a payload to its signal: WAV → real PCM samples, BMP → real
     * top-down pixel bytes, AVI → real all-frames pixel bytes — each via

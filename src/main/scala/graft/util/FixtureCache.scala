@@ -14,12 +14,25 @@ object FixtureCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The fixture directory for (tag, sfDir), building it with `build` on
-    * first request in this JVM and reusing it afterwards.
+    * first request in this JVM and reusing it afterwards. REENTRANT:
+    * builds may request other fixtures (a cluster fixture materializing
+    * the shingle table it is built from), which
+    * `ConcurrentHashMap.computeIfAbsent` would reject as a recursive
+    * update — hence the double-checked synchronized block (same-thread
+    * reentry is fine; concurrent first-builds serialize, which they did
+    * per-key before too).
     */
-  def dir(tag: String, sfDir: String)(build: String => Unit): String =
-    cache.computeIfAbsent(s"$tag|$sfDir", _ => {
+  def dir(tag: String, sfDir: String)(build: String => Unit): String = {
+    val key = s"$tag|$sfDir"
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    synchronized {
+      val again = cache.get(key)
+      if (again != null) return again
       val d = Scratch.dir(tag)
       build(d)
+      cache.put(key, d)
       d
-    })
+    }
+  }
 }
