@@ -39,7 +39,8 @@ object SparkEntry {
       lake.Evolution.queries ++ lake.Vacuum.queries ++ ext.SkewStats.queries ++
       streaming.StreamEnrich.queries ++ lake.DeleteVectors.queries ++
       ops.FuzzyJoin.queries ++ ext.Search.queries ++ ext.LangModel.queries ++
-      lake.TableDiff.queries
+      lake.TableDiff.queries ++ lake.ChangeFeed.queries ++
+      lake.Expectations.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -66,5 +67,6 @@ object SparkEntry {
       lake.Evolution.oracles ++ lake.Vacuum.oracles ++ ext.SkewStats.oracles ++
       streaming.StreamEnrich.oracles ++ lake.DeleteVectors.oracles ++
       ops.FuzzyJoin.oracles ++ ext.Search.oracles ++ ext.LangModel.oracles ++
-      lake.TableDiff.oracles
+      lake.TableDiff.oracles ++ lake.ChangeFeed.oracles ++
+      lake.Expectations.oracles
 }

@@ -114,23 +114,30 @@ object DeleteVectors {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared X64/X75 fixture timeline (built once per JVM): v1 full commit
+    * of orders across 8 files, v2/v3 cumulative delete commits, v4
+    * materialize.
+    */
+  private[lake] def fixtureDir(s: SparkSession, d: String): String =
+    graft.util.FixtureCache.dir("dv_fixture", d) { dir =>
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(8)
+      ManifestTable.commit(o, dir, 20250801, 900)
+      deleteWhere(s, dir,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0,
+        20250801, 1000)
+      deleteWhere(s, dir, col("o_orderkey") % 7 === 3, 20250801, 1100)
+      materialize(s, dir, 20250801, 1200)
+    }
+
   val queries: Map[String, Q] = Map(
     // v1 commits orders whole (8 files); v2 and v3 are delete commits
     // (composing cumulatively); v4 materializes. Latest, v4, v2 and the
     // untouched v1 are each aggregated; the oracle recomputes all four
     // states from the plain orders table with the inverse predicates.
     "q_delete_vectors" -> ((s, d) => {
-      val dir = graft.util.FixtureCache.dir("dv_fixture", d) { dir =>
-        val o = Tables.orders(s, d)
-          .select("o_orderkey", "o_orderstatus", "o_totalprice")
-          .repartition(8)
-        ManifestTable.commit(o, dir, 20250801, 900)
-        deleteWhere(s, dir,
-          col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0,
-          20250801, 1000)
-        deleteWhere(s, dir, col("o_orderkey") % 7 === 3, 20250801, 1100)
-        materialize(s, dir, 20250801, 1200)
-      }
+      val dir = fixtureDir(s, d)
       def summarize(tag: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_total"))
           .select(lit(tag).as("version"), col("n_rows"), col("sum_total"))

@@ -1,0 +1,71 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** X76 commit gates + X75 change feed: bad data never becomes a version,
+  * and the feed reports exactly the content deltas.
+  */
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_exp").toString
+
+  private def rows = (1L to 50L).map(i => (i, i * 2.0)).toDF("id", "price")
+
+  test("violating commit is refused atomically: no manifest, no staged files") {
+    val dir = tmpTable()
+    val rules = Seq(Expectations.Rule("price_cap", "price < 50"))
+    val e = intercept[IllegalArgumentException] {
+      Expectations.commitChecked(rows, dir, 20250901, 900, rules)
+    }
+    assert(e.getMessage.contains("price_cap=26"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$dir/_manifests")), "manifest dir created on refusal")
+    assert(!fs.exists(new Path(s"$dir/data")), "data staged despite refusal")
+  }
+
+  test("passing commit lands; a violation budget tolerates bounded dirt") {
+    val dir = tmpTable()
+    val clean = Seq(Expectations.Rule("pos", "price > 0"),
+      Expectations.Rule("key", "id IS NOT NULL"))
+    assert(Expectations.commitChecked(rows, dir, 20250901, 900, clean) == 1)
+    assert(ManifestTable.readLatest(spark, dir).count() == 50)
+    // 26 violations > budget 10 → refused; budget 30 → lands as v2
+    val capped = Seq(Expectations.Rule("price_cap", "price < 50"))
+    intercept[IllegalArgumentException] {
+      Expectations.commitChecked(rows, dir, 20250901, 1000, capped, maxViolations = 10)
+    }
+    assert(ManifestTable.latestVersion(spark, dir).contains(1))
+    assert(Expectations.commitChecked(rows, dir, 20250901, 1000, capped,
+      maxViolations = 30) == 2)
+  }
+
+  test("NULL predicate results count as violations, not passes") {
+    val df = Seq((1L, Some(5.0)), (2L, None)).toDF("id", "price")
+    val got = Expectations.evaluate(df, Seq(Expectations.Rule("pos", "price > 0")))
+    assert(got("pos") == 1L, "NULL > 0 is unknown — must count as a violation")
+  }
+
+  test("X75 change feed: delete commits surface rows, materialize is silent") {
+    val dir = tmpTable()
+    ManifestTable.commit((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4), dir, 20250901, 900)
+    DeleteVectors.deleteWhere(spark, dir, col("id") % 4 === 0, 20250901, 1000)
+    DeleteVectors.materialize(spark, dir, 20250901, 1100)
+    ManifestTable.commit(
+      (1L to 40L).filter(i => i % 4 != 0).map(i => (i, s"v$i")).toDF("id", "v")
+        .unionByName(Seq((99L, "new")).toDF("id", "v")), dir, 20250901, 1200)
+    val feed = ChangeFeed.changeFeed(spark, dir, 1, 4, Seq("id"))
+      .groupBy("from_version", "change").count()
+      .as[(Int, String, Long)].collect().toSet
+    assert(feed == Set(
+      (1, "deleted", 10L), // the delete commit's tombstoned rows
+      // v2 → v3 materialize: NO rows (same logical content)
+      (3, "added", 1L) // the appended id 99
+    ), s"unexpected feed: $feed")
+  }
+}
