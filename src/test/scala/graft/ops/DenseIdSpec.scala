@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** X77: dense ids must equal the global row_number WITHOUT its plan — no
+  * single-partition exchange anywhere.
+  */
+class DenseIdSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ids are 1..n dense in key order, across skewed and shuffled input") {
+    val keys = (1L to 500L).map(_ * 7 % 1000).distinct // gappy, unordered
+    val df = new scala.util.Random(3).shuffle(keys).toDF("k")
+      .repartition(13)
+    val got = DenseId.assign(df, "k", 8)
+      .select("k", "rid").as[(Long, Long)].collect().sortBy(_._1)
+    val expect = keys.sorted.zipWithIndex.map { case (k, i) => (k, i + 1L) }
+    assert(got.toSeq == expect)
+  }
+
+  test("the plan never collapses to a single partition") {
+    val df = graft.sources.Tables.customer(spark, sf).select("c_custkey")
+    val plan = DenseId.assign(df, "c_custkey", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"dense-id plan collapsed to one partition:\n$plan")
+    // the trap, for contrast: a bare global row_number DOES collapse
+    val trap = df.withColumn("rid", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy("c_custkey")))
+      .queryExecution.executedPlan.toString
+    assert(trap.contains("SinglePartition"))
+  }
+
+  test("degenerate splits (constant-heavy key space) still produce dense ids") {
+    // quantile splits collapse to few distinct values; buckets merge but
+    // ids stay correct because offsets follow the ACTUAL bucket counts
+    val df = ((1L to 50L) ++ (200L to 210L)).toDF("k")
+    val got = DenseId.assign(df, "k", 8)
+      .select("rid").as[Long].collect().sorted
+    assert(got.toSeq == (1L to 61L))
+  }
+}
