@@ -56,6 +56,23 @@ object DenseId {
       .drop("__pid", "__offset")
   }
 
+  /** Equi-depth bucketing (global NTILE without its single-partition
+    * plan): SQL NTILE gives the first `n mod k` buckets `⌈n/k⌉` rows and
+    * the rest `⌊n/k⌋` — reproduced exactly from the dense id with integer
+    * arithmetic, so the whole histogram still runs bucket-parallel.
+    */
+  def equiDepth(df: DataFrame, orderCol: String, k: Int, parts: Int): DataFrame = {
+    val withId = assign(df, orderCol, parts)
+    val n = df.count()
+    val q = n / k
+    val rem = n % k
+    withId.withColumn("bucket",
+      when(col("rid") <= (q + 1) * rem,
+        expr(s"(rid - 1) DIV ${q + 1}")) // integer division, no FP detour
+        .otherwise(lit(rem) + expr(s"(rid - 1 - ${(q + 1) * rem}) DIV $q"))
+        .cast("long") + 1)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -68,6 +85,25 @@ object DenseId {
         .select(col("c_custkey"), col("rid").cast("long").as("rid"))
         .orderBy("c_custkey")
     }),
+
+    // Equi-depth histogram of account balances in 7 buckets (7 ∤ n, so
+    // the uneven-bucket arm of the NTILE formula is load-bearing):
+    // per-bucket count/min/max vs the NTILE window oracle. c_acctbal has
+    // duplicates at sf≥0.1, so order (and bucket membership at bucket
+    // edges) is made unique by the composite sort key — mirrored in the
+    // oracle's ORDER BY.
+    "q_equidepth" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          (round(col("c_acctbal") * 100).cast("long") * 1000000 +
+            col("c_custkey")).as("sort_key"))
+      equiDepth(c, "sort_key", 7, 8)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("c_custkey").cast("long").as("first_key"),
+          max("c_custkey").cast("long").as("last_key"))
+        .orderBy("bucket")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -76,5 +112,17 @@ object DenseId {
         |       row_number() OVER (ORDER BY c_custkey) AS rid
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q_equidepth" ->
+      """WITH keyed AS (
+        |  SELECT c_custkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey AS sort_key
+        |  FROM customer),
+        |nt AS (
+        |  SELECT c_custkey, ntile(7) OVER (ORDER BY sort_key) AS bucket FROM keyed)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
+        |       min(c_custkey) AS first_key, max(c_custkey) AS last_key
+        |FROM nt
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
   )
 }

@@ -33,6 +33,21 @@ class DenseIdSpec extends SparkSpec {
     assert(trap.contains("SinglePartition"))
   }
 
+  test("equi-depth buckets reproduce SQL NTILE sizes exactly (uneven arm included)") {
+    // n = 23, k = 4 → NTILE sizes 6,6,6,5
+    val df = (1L to 23L).map(_ * 3).toDF("k")
+    val sizes = DenseId.equiDepth(df, "k", 4, 3)
+      .groupBy("bucket").count().orderBy("bucket")
+      .as[(Long, Long)].collect().toSeq
+    assert(sizes == Seq((1L, 6L), (2L, 6L), (3L, 6L), (4L, 5L)))
+    // and bucket order follows key order
+    val b1max = DenseId.equiDepth(df, "k", 4, 3)
+      .where(col("bucket") === 1).agg(max("k")).head.getLong(0)
+    val b2min = DenseId.equiDepth(df, "k", 4, 3)
+      .where(col("bucket") === 2).agg(min("k")).head.getLong(0)
+    assert(b1max < b2min)
+  }
+
   test("degenerate splits (constant-heavy key space) still produce dense ids") {
     // quantile splits collapse to few distinct values; buckets merge but
     // ids stay correct because offsets follow the ACTUAL bucket counts
