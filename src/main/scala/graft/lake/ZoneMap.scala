@@ -37,23 +37,26 @@ import graft.util.Exact.dsum
 object ZoneMap {
 
   /** Per-file `[lo, hi]` ranges for the stat columns, plus the file's row
-    * count (X69 stats-only aggregates). `rows = -1` marks a pre-X69
-    * sidecar without counts — readers then degrade to scanning, never to
-    * a wrong answer (json4s fills the default when the field is absent,
-    * pinned in ZoneMapSpec).
+    * count (X69 stats-only aggregates) and string-typed bounds (X78 —
+    * date strings, ULIDs; lexicographic pruning). `rows = -1` and the
+    * empty string maps mark older sidecars — readers then degrade to
+    * scanning, never to a wrong answer (json4s fills the defaults when
+    * fields are absent, pinned in ZoneMapSpec).
     */
   case class FileStats(file: String, lo: Map[String, Long], hi: Map[String, Long],
-      rows: Long = -1L)
+      rows: Long = -1L,
+      slo: Map[String, String] = Map.empty, shi: Map[String, String] = Map.empty)
 
   private def statsName(version: Int) = f"v$version%08d.stats.json"
   private def statsPath(dir: String, version: Int) =
     new Path(s"$dir/_manifests", statsName(version))
 
   /** Commit `df` as the next version with zone-map stats on `statsCols`
-    * (long-comparable columns). Returns the committed version.
+    * (long-comparable columns) and `strCols` (string columns, X78 —
+    * lexicographic bounds). Returns the committed version.
     */
   def commitWithStats(df: DataFrame, dir: String, date: Int, time: Int,
-      statsCols: Seq[String]): Int = {
+      statsCols: Seq[String], strCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     val version = ManifestTable.latestVersion(spark, dir).getOrElse(0) + 1
     val files = ManifestTable.writeDataFiles(df, dir, version)
@@ -61,7 +64,9 @@ object ZoneMap {
     // One combinable aggregate pass over the files just staged.
     val staged = spark.read.parquet(f"$dir/data/v$version%08d")
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c"))) :+
+      Seq(min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c"))) ++
+      strCols.flatMap(c =>
+        Seq(min(col(c)).cast("string").as(s"slo_$c"), max(col(c)).cast("string").as(s"shi_$c"))) :+
       count(lit(1)).as("n_rows")
     val rows = staged
       .groupBy(col("_metadata.file_path").as("file_path"))
@@ -75,14 +80,24 @@ object ZoneMap {
       FileStats(rel,
         statsCols.map(c => c -> r.getAs[Long](s"lo_$c")).toMap,
         statsCols.map(c => c -> r.getAs[Long](s"hi_$c")).toMap,
-        r.getAs[Long]("n_rows"))
+        r.getAs[Long]("n_rows"),
+        strCols.map(c => c -> r.getAs[String](s"slo_$c")).toMap,
+        strCols.map(c => c -> r.getAs[String](s"shi_$c")).toMap)
     }.toSeq.sortBy(_.file)
 
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def jstr(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val json = stats.map { s =>
       val los = s.lo.toSeq.sortBy(_._1).map { case (c, v) => s""""$c": $v""" }.mkString(", ")
       val his = s.hi.toSeq.sortBy(_._1).map { case (c, v) => s""""$c": $v""" }.mkString(", ")
-      s"""{"file": "${s.file}", "lo": {$los}, "hi": {$his}, "rows": ${s.rows}}"""
+      val strField =
+        if (s.slo.isEmpty) ""
+        else {
+          val sl = s.slo.toSeq.sortBy(_._1).map { case (c, v) => s""""$c": ${jstr(v)}""" }.mkString(", ")
+          val sh = s.shi.toSeq.sortBy(_._1).map { case (c, v) => s""""$c": ${jstr(v)}""" }.mkString(", ")
+          s""", "slo": {$sl}, "shi": {$sh}"""
+        }
+      s"""{"file": "${s.file}", "lo": {$los}, "hi": {$his}, "rows": ${s.rows}$strField}"""
     }.mkString("[", ",\n ", "]")
     val out = fs.create(statsPath(dir, version), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -142,6 +157,32 @@ object ZoneMap {
       DeleteVectors.applyTo(spark, dir, snap,
         spark.read.parquet(cand.map(f => s"$dir/$f"): _*)).where(pred)
     }
+  }
+
+  /** X78: read `version` with `column BETWEEN lo AND hi` on a STRING
+    * column, scanning only files whose lexicographic bounds intersect —
+    * the date-string/ULID pruning path. Same safety rules as [[readRange]]:
+    * missing bounds keep a file in scope, and the predicate still applies.
+    */
+  def readRangeStr(spark: SparkSession, dir: String, version: Int,
+      column: String, lo: String, hi: String): DataFrame = {
+    val snap = ManifestTable.snapshots(spark, dir).find(_.version == version)
+      .getOrElse(throw new NoSuchElementException(s"no version $version at $dir"))
+    val pred: Column = col(column) >= lo && col(column) <= hi
+    val cand = fileStats(spark, dir, version) match {
+      case None => snap.files
+      case Some(stats) =>
+        val ranged = stats.filter(s =>
+          s.slo.contains(column) && s.shi(column) >= lo && s.slo(column) <= hi)
+          .map(_.file)
+        val known = stats.filter(_.slo.contains(column)).map(_.file).toSet
+        ranged ++ snap.files.filterNot(known.contains)
+    }
+    if (cand.isEmpty)
+      ManifestTable.readVersion(spark, dir, version).where(pred)
+    else
+      DeleteVectors.applyTo(spark, dir, snap,
+        spark.read.parquet(cand.map(f => s"$dir/$f"): _*)).where(pred)
   }
 
   /** X69 stats-only aggregates — the Iceberg/Delta "metadata query" trick:
@@ -248,6 +289,36 @@ object ZoneMap {
           max("o_orderkey").as("max_key"))
     }),
 
+    // X78: string zone maps — orders clustered by a yyyy-MM-dd date
+    // string, pruned BETWEEN two data-derived date strings (middle
+    // quarter-to-half of the span, exact integer epoch arithmetic both
+    // engines). The oracle is the plain table with the same predicate —
+    // lexicographic pruning must be invisible.
+    "q_str_prune" -> ((s, d) => {
+      val dir = graft.util.FixtureCache.dir("zonemap_str", d) { dir =>
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"))
+          .repartitionByRange(8, col("d_str"))
+        commitWithStats(o, dir, 20250401, 900, Nil, strCols = Seq("d_str"))
+      }
+      // o_orderdate is TIMESTAMP_NTZ; the UTC session timezone makes the
+      // cast a pure reinterpretation, matching DuckDB's naive epoch_us
+      val mm = Tables.orders(s, d)
+        .agg(min(unix_micros(col("o_orderdate").cast("timestamp"))).as("mn"),
+          max(unix_micros(col("o_orderdate").cast("timestamp"))).as("mx")).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      def dstr(us: Long) =
+        java.time.Instant.ofEpochSecond(us / 1000000).atZone(java.time.ZoneOffset.UTC)
+          .toLocalDate.toString
+      val (lo, hi) = (dstr(mn + (mx - mn) / 4), dstr(mn + (mx - mn) / 2))
+      readRangeStr(s, dir, 1, "d_str", lo, hi)
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("sum_total"),
+          min("d_str").as("first_day"),
+          max("d_str").as("last_day"))
+    }),
+
     // X69: the full count comes from stats alone (zero files opened) and
     // the range count scans only boundary-straddling files — both must
     // equal the plain scans the oracle runs (ZoneMapSpec pins the actual
@@ -273,6 +344,20 @@ object ZoneMap {
         |FROM orders
         |WHERE o_orderkey >= (SELECT 2 * max(o_orderkey) // 5 FROM orders)
         |  AND o_orderkey <= (SELECT 3 * max(o_orderkey) // 5 FROM orders)""".stripMargin,
+    "q_str_prune" ->
+      """WITH mm AS (
+        |  SELECT epoch_us(min(o_orderdate)) AS mn, epoch_us(max(o_orderdate)) AS mx
+        |  FROM orders),
+        |b AS (
+        |  SELECT strftime(make_timestamp(mn + (mx - mn) // 4), '%Y-%m-%d') AS lo,
+        |         strftime(make_timestamp(mn + (mx - mn) // 2), '%Y-%m-%d') AS hi
+        |  FROM mm)
+        |SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |       min(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+        |       max(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+        |FROM orders, b
+        |WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN b.lo AND b.hi""".stripMargin,
     "q_meta_count" ->
       """SELECT * FROM (
         |  SELECT 'full' AS scope, count(*) AS n_rows FROM orders

@@ -88,6 +88,31 @@ class ZoneMapSpec extends SparkSpec {
     assert(ZoneMap.metaMinMax(spark, dir, 1, "nosuchcol").isEmpty)
   }
 
+  test("X78: string bounds prune files lexicographically and stay invisible") {
+    val dir = Scratch.dir("zm_str")
+    val rows = (0 until 600).map { i =>
+      (i.toLong, f"2025-${1 + i / 50}%02d-${1 + i % 28}%02d") // 12 months
+    }.toDF("id", "day")
+    ZoneMap.commitWithStats(rows.repartitionByRange(6, $"day"),
+      dir, 20250401, 900, Nil, strCols = Seq("day"))
+    val stats = ZoneMap.fileStats(spark, dir, 1).get
+    assert(stats.forall(s => s.slo.contains("day") && s.shi("day") >= s.slo("day")))
+    // the March–April window lives in a prefix of the range-clustered
+    // files; the pruned read must equal the full filter
+    val got = ZoneMap.readRangeStr(spark, dir, 1, "day", "2025-03-01", "2025-04-31")
+      .select("id").as[Long].collect().toSet
+    val expect = rows.where($"day".between("2025-03-01", "2025-04-31"))
+      .select("id").as[Long].collect().toSet
+    assert(got == expect && expect.nonEmpty)
+    // pruning is real: a one-day window touches fewer files than exist
+    val oneDay = stats.count(s =>
+      s.shi("day") >= "2025-06-01" && s.slo("day") <= "2025-06-01")
+    assert(oneDay < stats.size, "string bounds pruned nothing")
+    // disjoint window: empty but answerable
+    assert(ZoneMap.readRangeStr(spark, dir, 1, "day", "2030-01-01", "2030-12-31")
+      .count() == 0)
+  }
+
   test("X69: a pre-X69 sidecar without row counts degrades to scanning, never guesses") {
     val dir = Scratch.dir("zm_oldstats")
     ZoneMap.commitWithStats(keyedRows.repartitionByRange(4, $"k"),
