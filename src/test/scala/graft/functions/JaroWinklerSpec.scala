@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+import graft.SparkSpec
+import graft.ops.JaroJoin
+
+/** Pins for the native Jaro–Winkler expression (X83) and the
+  * length-banded similarity join built on it.
+  */
+class JaroWinklerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jwOf(a: String, b: String): Double =
+    Seq((a, b)).toDF("a", "b")
+      .select(StringSim.jaroWinkler(col("a"), col("b")).as("jw"))
+      .head.getDouble(0)
+
+  test("golden values match the classic Jaro–Winkler definition (DuckDB-checked)") {
+    // Each expected value verified against DuckDB's
+    // jaro_winkler_similarity (the oracle engine) to 10 decimals.
+    assert(math.abs(jwOf("MARTHA", "MARHTA") - 0.9611111111) < 1e-9)
+    assert(math.abs(jwOf("DIXON", "DICKSONX") - 0.8133333333) < 1e-9)
+    assert(math.abs(jwOf("JELLYFISH", "SMELLYFISH") - 0.8962962963) < 1e-9)
+    assert(math.abs(jwOf("CRATE", "TRACE") - 0.7333333333) < 1e-9)
+    assert(math.abs(jwOf("hello world", "hello wrold") - 0.9818181818) < 1e-9)
+    assert(jwOf("abc", "abc") == 1.0)
+  }
+
+  test("boost threshold: no Winkler boost at jaro <= 0.7") {
+    // "ax"/"ay": jaro = 2/3 with a 1-char common prefix — a boosted
+    // implementation returns 0.7, the classic-threshold one 2/3.
+    assert(math.abs(jwOf("ax", "ay") - 2.0 / 3.0) < 1e-9)
+    // Well above the threshold the boost applies (prefix capped at 4).
+    assert(math.abs(jwOf("aaaaaaaaab", "aaaaaaaaba") - 0.98) < 1e-9)
+  }
+
+  test("degenerate inputs: empty strings and zero matches score 0") {
+    assert(jwOf("", "") == 0.0)
+    assert(jwOf("abc", "") == 0.0)
+    assert(jwOf("a", "b") == 0.0)
+    // window 0 at length 2: transposed pair has no in-window match
+    assert(jwOf("ab", "ba") == 0.0)
+  }
+
+  test("null propagates") {
+    val r = Seq(("x", Option.empty[String])).toDF("a", "b")
+      .select(StringSim.jaroWinkler(col("a"), col("b")).as("jw"))
+      .head
+    assert(r.isNullAt(0))
+  }
+
+  test("SQL registration: jaro_winkler callable from spark.sql") {
+    StringSim.register(spark)
+    val r = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw").head.getDouble(0)
+    assert(math.abs(r - 0.9611111111) < 1e-9)
+  }
+
+  test("length-banded blocking is lossless: blocked join == brute force") {
+    // Variable-length random strings over a small alphabet so that
+    // near-misses (and cross-length pairs near the ratio-2 boundary)
+    // actually occur.
+    val rnd = new Random(7)
+    val rows = (1 to 120).map { i =>
+      val len = 1 + rnd.nextInt(12)
+      (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = rows.toDF("id", "s")
+    val tau = 0.9
+
+    val blocked = JaroJoin.join(df, df, "id", "s", tau, selfJoin = true)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    val a = df.select(col("id").as("a_id"), col("s").as("a_s"))
+    val b = df.select(col("id").as("b_id"), col("s").as("b_s"))
+    val brute = a.crossJoin(b)
+      .where(col("a_id") < col("b_id") &&
+        StringSim.jaroWinkler(col("a_s"), col("b_s")) >= tau)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    assert(brute.nonEmpty, "fixture must produce at least one qualifying pair")
+    assert(blocked == brute)
+  }
+
+  test("tau below 0.9 is rejected (blocking would not be lossless)") {
+    val df = Seq((1L, "ab")).toDF("id", "s")
+    intercept[IllegalArgumentException] {
+      JaroJoin.join(df, df, "id", "s", tau = 0.8)
+    }
+  }
+}
