@@ -40,7 +40,8 @@ object SparkEntry {
       streaming.StreamEnrich.queries ++ lake.DeleteVectors.queries ++
       ops.FuzzyJoin.queries ++ ext.Search.queries ++ ext.LangModel.queries ++
       lake.TableDiff.queries ++ lake.ChangeFeed.queries ++
-      lake.Expectations.queries ++ ops.DenseId.queries ++ ops.JaroJoin.queries
+      lake.Expectations.queries ++ ops.DenseId.queries ++ ops.JaroJoin.queries ++
+      functions.TopKAgg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -68,5 +69,6 @@ object SparkEntry {
       streaming.StreamEnrich.oracles ++ lake.DeleteVectors.oracles ++
       ops.FuzzyJoin.oracles ++ ext.Search.oracles ++ ext.LangModel.oracles ++
       lake.TableDiff.oracles ++ lake.ChangeFeed.oracles ++
-      lake.Expectations.oracles ++ ops.DenseId.oracles ++ ops.JaroJoin.oracles
+      lake.Expectations.oracles ++ ops.DenseId.oracles ++ ops.JaroJoin.oracles ++
+      functions.TopKAgg.oracles
 }
