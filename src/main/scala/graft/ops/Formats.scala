@@ -47,6 +47,28 @@ object Formats {
           .select("fmt", "n", "sum_cust", "sum_total", "min_date", "max_date", "n_status")
       }.reduce(_ unionByName _).orderBy("fmt")
     }),
+
+    // X86: XML round-trip — the fourth built-in text format (Spark 4
+    // absorbed spark-xml). Same type-fidelity contract as
+    // q_format_roundtrip: longs, shortest-repr doubles, timestamps and
+    // quoted strings must survive write → read; element escaping (&, <)
+    // is XML's own quoting concern, exercised by the comment-bearing
+    // status/priority strings. The oracle is the parquet truth.
+    "q_format_xml" -> ((s, d) => {
+      val o = orders(s, d).where(col("o_orderkey") % 8 === 0)
+      val base = graft.util.Scratch.dir("formats_xml")
+      o.write.mode("overwrite").option("rowTag", "order")
+        .format("xml").save(s"$base/xml")
+      s.read.schema(o.schema).option("rowTag", "order")
+        .format("xml").load(s"$base/xml")
+        .agg(count(lit(1)).as("n"),
+          sum("o_custkey").as("sum_cust"),
+          dsum(col("o_totalprice")).as("sum_total"),
+          min("o_orderdate").as("min_date"), max("o_orderdate").as("max_date"),
+          countDistinct("o_orderstatus").as("n_status"))
+        .withColumn("fmt", lit("xml"))
+        .select("fmt", "n", "sum_cust", "sum_total", "min_date", "max_date", "n_status")
+    }),
   )
 
   private val statsSql =
@@ -65,5 +87,8 @@ object Formats {
          |  UNION ALL
          |  SELECT 'orc' AS fmt, $statsSql FROM o
          |) ORDER BY fmt""".stripMargin,
+    "q_format_xml" ->
+      s"""SELECT 'xml' AS fmt, $statsSql
+         |FROM orders WHERE o_orderkey % 8 = 0""".stripMargin,
   )
 }
