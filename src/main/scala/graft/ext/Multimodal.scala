@@ -170,6 +170,27 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // X87: Goertzel tone power per audio row — decode the PCM payload and
+    // measure three DFT bins with the O(N)/O(1)-state recurrence; the
+    // DuckDB twin recomputes each bin in direct DFT form (cos/sin-weighted
+    // sums of the closed-form fixture samples), so both the decode and
+    // the recurrence must agree to the 4-decimal log-power rounding.
+    "q_audio_tone" -> ((s, d) => {
+      implicit val me = org.apache.spark.sql.Encoders.product[Media]
+      import s.implicits._
+      val bins = Seq(1, 3, 7)
+      media(s, d).where(col("fmt") === "wav").as[Media]
+        .flatMap { m =>
+          val (_, samples) = Wav.parse(m.bytes)
+            .getOrElse(sys.error(s"unparseable wav payload for media ${m.media_id}"))
+          bins.map(k =>
+            (m.media_id, k.toLong, graft.functions.Goertzel.logPower(samples, k)))
+        }
+        .toDF("media_id", "bin", "lp")
+        .select(col("media_id"), col("bin"), round(col("lp"), 4).as("lp4"))
+        .orderBy("media_id", "bin")
+    }),
+
     // REAL BMP decode, fully oracle-checked: parse the header and undo the
     // bottom-up padded row layout; the DuckDB twin recomputes dimensions,
     // byte counts, and the decoded pixel sum from the closed-form pixel
@@ -384,6 +405,19 @@ object Multimodal {
         |       CAST((16 + doc_id % 16) * (12 + doc_id % 8) * 3 AS BIGINT) AS n_px_bytes
         |FROM documents WHERE doc_id % 2 = 1
         |ORDER BY media_id""".stripMargin,
+    "q_audio_tone" ->
+      """SELECT media_id, k AS bin,
+        |       round(log10(1 + pow(sum(x * cos(2 * pi() * k * i / n)), 2)
+        |                     + pow(sum(x * sin(2 * pi() * k * i / n)), 2)), 4) AS lp4
+        |FROM (SELECT doc_id AS media_id,
+        |             CAST(50 + doc_id % 100 AS BIGINT) AS n
+        |      FROM documents WHERE doc_id % 3 = 1) d
+        |JOIN range(0, 150) t(i) ON t.i < d.n
+        |CROSS JOIN (SELECT CAST(unnest([1, 3, 7]) AS BIGINT) AS k) ks,
+        |LATERAL (SELECT ((media_id * 31 + i * 7) % 4096) - 2048 AS x) xs
+        |GROUP BY media_id, k
+        |ORDER BY media_id, bin""".stripMargin,
+
     "q_wav_decode" ->
       """SELECT media_id, sample_rate, n_channels, bits_per_sample, n_samples,
         |       CAST(sum(((media_id * 31 + i * 7) % 4096) - 2048) AS BIGINT) AS sum_samples

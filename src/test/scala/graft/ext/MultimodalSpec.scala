@@ -193,4 +193,34 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.getAs[Array[Byte]]("f0").length == Multimodal.frameBytes)
     assert(frames.getAs[Array[Byte]]("f1").length == 300 - Multimodal.frameBytes)
   }
+
+  test("goertzel recurrence equals the direct DFT sums; pure tone peaks at its bin") {
+    import graft.functions.Goertzel
+    // Direct-form twin of the recurrence (the oracle's formulation).
+    def direct(x: Array[Short], k: Int): Double = {
+      val n = x.length
+      var re = 0.0; var im = 0.0
+      var i = 0
+      while (i < n) {
+        val ang = 2 * math.Pi * k * i / n
+        re += x(i) * math.cos(ang); im += x(i) * math.sin(ang)
+        i += 1
+      }
+      re * re + im * im
+    }
+    val rnd = new scala.util.Random(3)
+    val noise = Array.fill(147)((rnd.nextInt(4096) - 2048).toShort)
+    for (k <- Seq(0, 1, 5, 20)) {
+      val g = Goertzel.power(noise, k)
+      val d = direct(noise, k)
+      assert(math.abs(g - d) <= 1e-6 * math.max(d, 1.0),
+        s"bin $k: goertzel $g vs direct $d")
+    }
+    // A pure sine at bin 5 of 128 samples dominates every other bin.
+    val tone = Array.tabulate(128)(i =>
+      (1000 * math.sin(2 * math.Pi * 5 * i / 128)).toShort)
+    val p5 = Goertzel.power(tone, 5)
+    for (k <- Seq(1, 3, 4, 6, 10))
+      assert(Goertzel.power(tone, k) < p5 / 100, s"bin $k should be quiet")
+  }
 }
