@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables._
+
+/** Distributed BPE merge-rule training (X85) — the tokenizer-vocabulary
+  * half of an LLM data pipeline: learn the first k byte-pair merges from
+  * the corpus, textbook-style (Sennrich 2016): count adjacent symbol
+  * pairs weighted by word frequency, merge the globally most frequent
+  * pair, repeat.
+  *
+  * Distribution shape: the corpus collapses ONCE into a word-frequency
+  * table (one shuffle, map-side combinable — the same reduction as
+  * q_text_tokens), and every round after that runs over the VOCABULARY,
+  * not the corpus: explode each word's adjacent symbol pairs, one
+  * combinable groupBy, and a single-row argmax to the driver (the one
+  * genuine sync point BPE has — the chosen pair — k rounds = k scalar
+  * fetches). At 100 TB the corpus pass dominates and parallelizes
+  * perfectly; the per-round cost is bounded by vocabulary size, which is
+  * why production BPE trainers (HuggingFace, SentencePiece) use exactly
+  * this word-frequency formulation rather than streaming the corpus per
+  * round.
+  *
+  * Symbol strings are space-joined and space-PADDED (` h e l l o `), so
+  * a merge applies as a plain `replace(sym, ' a b ', ' ab ')`:
+  * left-to-right non-overlapping (both engines' replace semantics —
+  * textbook BPE greedy application), and the surrounding-space guard
+  * makes an intra-symbol false match impossible (symbols never contain
+  * spaces). Pair counting splits on spaces, so counts are
+  * symbol-accurate. The oracle replays all k rounds as chained CTEs
+  * with identical tie-breaks — a counting, argmax, or application bug
+  * in any round cascades into every later round's hash.
+  */
+object Bpe {
+
+  /** Word-frequency table: lowercase whitespace tokens of `textCol`. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Train `k` merge rules. Returns (round, pair, merged, cnt) — the
+    * chosen pair per round with its weighted count at selection time.
+    * Ties break (count desc, pair asc), matching the oracle.
+    */
+  def trainMerges(words: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = words.select(
+      concat(lit(" "),
+        regexp_replace(col("w"), "(.)", "$1 ")).as("sym"),
+      col("cnt"))
+      .cache()
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    while (r <= k) {
+      val best = vocab
+        .select(split(trim(col("sym")), " ").as("syms"), col("cnt"))
+        .where(size(col("syms")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => concat(element_at(col("syms"), i), lit(" "),
+            element_at(col("syms"), i + 1)))).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair").asc)
+        .limit(1).collect() // ONE row — the BPE sync point
+      if (best.isEmpty) {
+        r = k + 1 // vocabulary fully merged — nothing left to learn
+      } else {
+        val pair = best.head.getAs[String]("pair")
+        val cnt = best.head.getAs[Long]("c")
+        val merged = pair.replace(" ", "")
+        out += ((r, pair, merged, cnt))
+        val next = vocab.select(
+          regexp_replace(col("sym"), java.util.regex.Pattern.quote(s" $pair "),
+            java.util.regex.Matcher.quoteReplacement(s" $merged ")).as("sym"),
+          col("cnt")).cache()
+        vocab.unpersist()
+        vocab = next
+        r += 1
+      }
+    }
+    vocab.unpersist()
+    out.result()
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val Rounds = 6
+
+  val queries: Map[String, Q] = Map(
+    // First 6 BPE merges over the documents corpus; the oracle replays
+    // the identical rounds as chained CTEs.
+    "q_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      val merges = trainMerges(wordFreq(documents(s, d), "text"), Rounds)
+      merges.map { case (r, p, m, c) => (r.toLong, p, m, c) }
+        .toDF("round", "pair", "merged", "cnt")
+        .orderBy("round")
+    }),
+  )
+
+  /** One oracle round: best pair over `v`, then the merged vocabulary. */
+  private def roundSql(r: Int): String =
+    s"""r$r AS (
+       |  SELECT pair, replace(pair, ' ', '') AS merged, c FROM (
+       |    SELECT syms[i] || ' ' || syms[i+1] AS pair, sum(cnt) AS c
+       |    FROM (SELECT string_split(trim(sym), ' ') AS syms, cnt FROM v${r - 1}),
+       |         LATERAL (SELECT unnest(range(1, len(syms))) AS i) ix
+       |    GROUP BY 1)
+       |  ORDER BY c DESC, pair ASC LIMIT 1),
+       |v$r AS (
+       |  SELECT replace(sym, ' ' || (SELECT pair FROM r$r) || ' ',
+       |                 ' ' || (SELECT merged FROM r$r) || ' ') AS sym, cnt
+       |  FROM v${r - 1})""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> {
+      val rounds = (1 to Rounds).map(roundSql).mkString(",\n")
+      val sel = (1 to Rounds)
+        .map(r => s"SELECT $r AS round, pair, merged, c AS cnt FROM r$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE length(w) > 0 GROUP BY w),
+         |v0 AS (
+         |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, cnt
+         |  FROM words),
+         |$rounds
+         |SELECT CAST(round AS BIGINT) AS round, pair, merged, CAST(cnt AS BIGINT) AS cnt
+         |FROM ($sel) ORDER BY round""".stripMargin
+    },
+  )
+}

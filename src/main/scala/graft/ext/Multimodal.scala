@@ -170,7 +170,7 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
-    // X87: Goertzel tone power per audio row — decode the PCM payload and
+    // X83: Goertzel tone power per audio row — decode the PCM payload and
     // measure three DFT bins with the O(N)/O(1)-state recurrence; the
     // DuckDB twin recomputes each bin in direct DFT form (cos/sin-weighted
     // sums of the closed-form fixture samples), so both the decode and

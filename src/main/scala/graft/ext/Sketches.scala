@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables._
 
-/** Mergeable HLL sketch partials (X88) — incremental distinct counting,
+/** Mergeable HLL sketch partials (X84) — incremental distinct counting,
   * the Iceberg/Delta "theta/HLL in the manifest" trick: materialize a
   * KB-sized Apache DataSketches HLL per partition/snapshot/day at write
   * time, and answer `COUNT(DISTINCT …)` over ANY window of them by

@@ -1,6 +1,6 @@
 package graft.functions
 
-/** Goertzel single-bin DFT power (X87) — tone detection / spectral
+/** Goertzel single-bin DFT power (X83) — tone detection / spectral
   * features over decoded PCM audio columns without an FFT dependency.
   *
   * For a k-th DFT bin over N samples the Goertzel recurrence computes

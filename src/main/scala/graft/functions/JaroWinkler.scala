@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Jaro–Winkler string similarity as a native codegen'd Catalyst
-  * expression (X83) — the entity-resolution scorer for human-entered
+  * expression (X79) — the entity-resolution scorer for human-entered
   * names (customers, suppliers, authors) where X65's edit-distance-1
   * neighborhood is too strict: JW tolerates transpositions and weights a
   * shared prefix, which is how record-linkage literature (Winkler 1990,

@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.sources.Tables
 
 /** Exact per-group top-k most frequent values as a custom
-  * `TypedImperativeAggregate` (X84) — the "top 3 priorities per nation" /
+  * `TypedImperativeAggregate` (X80) — the "top 3 priorities per nation" /
   * "top sources per domain" shape every corpus report needs.
   *
   * The declarative plan for this is two shuffles: `GROUP BY (g, v)` to

@@ -15,7 +15,7 @@ import org.json4s.jackson.JsonMethods
 
 import graft.sources.Tables
 
-/** Per-file Bloom index on manifest commits (X85) — the point-lookup
+/** Per-file Bloom index on manifest commits (X81) — the point-lookup
   * complement to X57's zone maps. Zone maps prune RANGE predicates and
   * only when the file layout is clustered on the predicate column; a
   * primary-key lookup against a table clustered by time (the layout

@@ -48,7 +48,7 @@ object Formats {
       }.reduce(_ unionByName _).orderBy("fmt")
     }),
 
-    // X86: XML round-trip — the fourth built-in text format (Spark 4
+    // X82: XML round-trip — the fourth built-in text format (Spark 4
     // absorbed spark-xml). Same type-fidelity contract as
     // q_format_roundtrip: longs, shortest-repr doubles, timestamps and
     // quoted strings must survive write → read; element escaping (&, <)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.StringSim
 import graft.sources.Tables
 
-/** Jaro–Winkler similarity self-join (X83) — name-variant pairing above a
+/** Jaro–Winkler similarity self-join (X79) — name-variant pairing above a
   * similarity threshold, the record-linkage join the reference's Apify
   * profiles would need to reconcile display-name drift across snapshots
   * (`scripts/script_api_apify_to_spark.py:160-176` keys rows on handle

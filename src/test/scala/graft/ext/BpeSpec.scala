@@ -1,0 +1,46 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Pins for the X85 distributed BPE merge trainer. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Sennrich-style golden corpus: merges follow weighted pair counts") {
+    // low×5 lower×2 newest×6 widest×3 — the canonical BPE example.
+    val docs = Seq(
+      (("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3))
+    ).toDF("text")
+    val merges = Bpe.trainMerges(Bpe.wordFreq(docs, "text"), 4)
+    // est: e+s (9: newest 6 + widest 3), then es+t (9), then
+    // (l,o) 7 vs (ne,?) 6 ... → 'l o' 7, then 'lo w' 7.
+    assert(merges.map(m => (m._2, m._4)) ==
+      Seq(("e s", 9L), ("es t", 9L), (("l o", 7L)), ("lo w", 7L)),
+      s"got $merges")
+  }
+
+  test("merged symbol strings stay space-padded and single-spaced") {
+    val docs = Seq("aaa aaa aaa aa").toDF("text")
+    val merges = Bpe.trainMerges(Bpe.wordFreq(docs, "text"), 2)
+    // 'a a' appears 2× in aaa (overlap-counted, weight 3) + 1× in aa:
+    // weighted 2·3 + 1 = 7; applied greedily 'aaa' → 'aa a'.
+    assert(merges.head._2 == "a a" && merges.head._4 == 7L)
+    // round 2: vocab is {' aa a ':3, ' aa ':1} → best pair 'aa a' ×3.
+    assert(merges(1)._2 == "aa a" && merges(1)._4 == 3L)
+  }
+
+  test("runs out of pairs gracefully: k larger than learnable merges") {
+    val docs = Seq("ab ab ab").toDF("text")
+    val merges = Bpe.trainMerges(Bpe.wordFreq(docs, "text"), 10)
+    // one merge fully collapses the single 2-char word
+    assert(merges == Seq((1, "a b", "ab", 3L)))
+  }
+
+  test("partition-count invariant") {
+    val docs = (1 to 50).map(i => s"alpha beta gamma delta epsilon tok$i")
+      .toDF("text")
+    val one = Bpe.trainMerges(Bpe.wordFreq(docs.coalesce(1), "text"), 5)
+    val many = Bpe.trainMerges(Bpe.wordFreq(docs.repartition(7), "text"), 5)
+    assert(one == many)
+  }
+}

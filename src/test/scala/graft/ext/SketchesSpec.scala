@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Pins for X88 mergeable HLL sketch partials. */
+/** Pins for X84 mergeable HLL sketch partials. */
 class SketchesSpec extends SparkSpec {
   import spark.implicits._
 

@@ -6,7 +6,7 @@ import scala.util.Random
 import graft.SparkSpec
 import graft.ops.JaroJoin
 
-/** Pins for the native Jaro–Winkler expression (X83) and the
+/** Pins for the native Jaro–Winkler expression (X79) and the
   * length-banded similarity join built on it.
   */
 class JaroWinklerSpec extends SparkSpec {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Pins for the X84 exact grouped top-k aggregate. */
+/** Pins for the X80 exact grouped top-k aggregate. */
 class TopKAggSpec extends SparkSpec {
   import spark.implicits._
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Pins for the X85 per-file Bloom index: pruning actually skips files,
+/** Pins for the X81 per-file Bloom index: pruning actually skips files,
   * never loses rows, and degrades safely without a sidecar.
   */
 class BloomIndexSpec extends SparkSpec {
