@@ -94,7 +94,19 @@ object Probe {
       val M = 1000000L
       Seq("region", "nation").foreach(n => rep(n)((df, i) => if (i == 0) df else df.limit(0)))
       rep("customer")((df, i) => df.withColumn("c_custkey", col("c_custkey") + i * M))
-      rep("supplier")((df, i) => df.withColumn("s_suppkey", col("s_suppkey") + i * M))
+      // Supplier names feed the string-similarity joins (X65 fuzzy, X79
+      // Jaro–Winkler); replicating them verbatim would give every name 9
+      // identical twins and explode the true-pair count quadratically
+      // across replicas — the same workload-shape distortion the document
+      // word perturbation exists to prevent. Two per-replica letters
+      // (position-wise distinct, replica 0 keeps the original spelling)
+      // push every cross-replica pair below both operators' thresholds
+      // (jw ≤ ~0.966 < 0.97; edit distance 2 > 1) while leaving
+      // within-replica pair structure identical to the base corpus.
+      rep("supplier")((df, i) => df
+        .withColumn("s_suppkey", col("s_suppkey") + i * M)
+        .withColumn("s_name", regexp_replace(col("s_name"), "^Suppl..r#",
+          s"Suppl${"iabcdfghjk".charAt(i % 10)}${"emnoqstvwx".charAt(i % 10)}r#")))
       rep("part")((df, i) => df.withColumn("p_partkey", col("p_partkey") + i * M))
       rep("orders")((df, i) => df
         .withColumn("o_orderkey", col("o_orderkey") + i * 10 * M)

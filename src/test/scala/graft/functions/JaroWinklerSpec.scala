@@ -57,30 +57,48 @@ class JaroWinklerSpec extends SparkSpec {
     assert(math.abs(r - 0.9611111111) < 1e-9)
   }
 
-  test("length-banded blocking is lossless: blocked join == brute force") {
-    // Variable-length random strings over a small alphabet so that
-    // near-misses (and cross-length pairs near the ratio-2 boundary)
-    // actually occur.
-    val rnd = new Random(7)
-    val rows = (1 to 120).map { i =>
-      val len = 1 + rnd.nextInt(12)
-      (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+  test("blocking (length bands ∧ rare-char prefix filter) is lossless vs brute force") {
+    // Several regimes: tiny alphabet (duplicate-heavy sorted multisets —
+    // the prefix-filter tie edge), wider alphabet, skewed char
+    // frequencies, and two thresholds including the τ=0.9 soundness
+    // boundary of the length band.
+    val cases = Seq(
+      (7, 3, 12, 0.90), (11, 3, 12, 0.95), (13, 8, 10, 0.90),
+      (29, 5, 16, 0.93))
+    for ((seed, alpha, maxLen, tau) <- cases) {
+      val rnd = new Random(seed)
+      val rows = (1 to 120).map { i =>
+        val len = 1 + rnd.nextInt(maxLen)
+        // skew: char 'a' twice as likely — uneven corpus frequencies
+        (i.toLong, (0 until len).map { _ =>
+          val r = rnd.nextInt(alpha + 1)
+          ('a' + (if (r == alpha) 0 else r)).toChar
+        }.mkString)
+      }
+      val df = rows.toDF("id", "s")
+
+      val blocked = JaroJoin.join(df, df, "id", "s", tau, selfJoin = true)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+      val a = df.select(col("id").as("a_id"), col("s").as("a_s"))
+      val b = df.select(col("id").as("b_id"), col("s").as("b_s"))
+      val brute = a.crossJoin(b)
+        .where(col("a_id") < col("b_id") &&
+          StringSim.jaroWinkler(col("a_s"), col("b_s")) >= tau)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+      assert(brute.nonEmpty, s"case $seed: fixture must produce qualifying pairs")
+      assert(blocked == brute, s"case ($seed,$alpha,$maxLen,$tau): " +
+        s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
     }
-    val df = rows.toDF("id", "s")
-    val tau = 0.9
+  }
 
-    val blocked = JaroJoin.join(df, df, "id", "s", tau, selfJoin = true)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-
-    val a = df.select(col("id").as("a_id"), col("s").as("a_s"))
-    val b = df.select(col("id").as("b_id"), col("s").as("b_s"))
-    val brute = a.crossJoin(b)
-      .where(col("a_id") < col("b_id") &&
-        StringSim.jaroWinkler(col("a_s"), col("b_s")) >= tau)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-
-    assert(brute.nonEmpty, "fixture must produce at least one qualifying pair")
-    assert(blocked == brute)
+  test("blocked join plans as a hash equi-join — no nested-loop product") {
+    val df = Seq((1L, "alpha"), (2L, "alphb"), (3L, "beta")).toDF("id", "s")
+    val plan = JaroJoin.join(df, df, "id", "s", tau = 0.95, selfJoin = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"candidate generation must be an equi-join:\n$plan")
   }
 
   test("tau below 0.9 is rejected (blocking would not be lossless)") {
