@@ -21,11 +21,17 @@ import graft.util.Exact.dsum
   * but not content, produces NO feed rows: compaction is invisible to
   * consumers, exactly the contract.
   *
-  * Scale shape: an incremental consumer reads ONE step per sync (one
-  * join); the multi-step union is the backfill path and unions
-  * independent joins. At real scale, append-mostly tables skip the join
-  * entirely for versions whose manifest marks pure appends — the manifest
-  * already carries the file lists to detect that.
+  * Scale shape: an incremental consumer reads ONE step per sync; the
+  * multi-step union is the backfill path and unions independent steps.
+  * The manifest itself routes each step to the cheapest sound plan: a
+  * step whose two versions share the SAME data file list can only be a
+  * delete commit (or a no-op), so its feed rows are EXACTLY the
+  * tombstones the step added — read from the tombstone-touched files
+  * alone, no full-outer join and no scan of untouched files (this is how
+  * Delta CDF answers delete commits from metadata). Only steps that
+  * rewrite files (appends, X64 materialize, compaction) fall back to the
+  * content diff — and the materialize step still produces NO rows there:
+  * compaction stays invisible to consumers.
   */
 object ChangeFeed {
 
@@ -35,13 +41,64 @@ object ChangeFeed {
   def changeFeed(spark: SparkSession, dir: String, fromV: Int, toV: Int,
       keys: Seq[String]): DataFrame = {
     require(fromV < toV, s"empty feed range [$fromV, $toV]")
+    val snaps = ManifestTable.snapshots(spark, dir)
+    def snap(v: Int) = snaps.find(_.version == v)
+      .getOrElse(throw new NoSuchElementException(s"no version $v at $dir"))
     (fromV until toV).map { v =>
-      SnapshotDiff.diff(
-        ManifestTable.readVersion(spark, dir, v + 1),
-        ManifestTable.readVersion(spark, dir, v), keys)
-        .withColumn("from_version", lit(v))
+      val (sOld, sNew) = (snap(v), snap(v + 1))
+      val step =
+        if (sNew.op == "materialize")
+          // content-preserving by the commit's own recorded contract
+          // (X64 materialize): zero feed rows, no version read at all
+          emptyStep(spark, dir, sNew)
+        else if (sNew.files == sOld.files) dvOnlyStep(spark, dir, sOld, sNew)
+        else SnapshotDiff.diff(
+          ManifestTable.readVersion(spark, dir, v + 1),
+          ManifestTable.readVersion(spark, dir, v), keys)
+      step.withColumn("from_version", lit(v))
         .withColumn("to_version", lit(v + 1))
     }.reduce(_ unionByName _)
+  }
+
+  /** Zero rows with the diff-shaped schema of `snap`'s table. */
+  private def emptyStep(spark: SparkSession, dir: String,
+      snap: ManifestTable.Snapshot): DataFrame =
+    spark.read.parquet(snap.files.map(f => s"$dir/$f"): _*)
+      .limit(0).withColumn("change", lit("deleted"))
+
+  /** Feed rows for a step that changed ONLY the deletion vector: the
+    * tombstones added in the step surface as `deleted` (and, defensively,
+    * tombstones removed as `added` — not constructible through the X64
+    * API, but soundness shouldn't rest on that). Scans only the files
+    * the tombstone delta touches.
+    */
+  private def dvOnlyStep(spark: SparkSession, dir: String,
+      sOld: ManifestTable.Snapshot, sNew: ManifestTable.Snapshot): DataFrame = {
+    import spark.implicits._
+    def dv(files: Seq[String]): DataFrame =
+      if (files.isEmpty) Seq.empty[(String, Long)].toDF("file", "pos")
+      else spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    val dNew = dv(sNew.deletes)
+    val dOld = dv(sOld.deletes)
+
+    /** Rows of `sNew`'s data files sitting at `tomb`'s (file, pos). */
+    def rowsAt(tomb: DataFrame, tag: String): Option[DataFrame] = {
+      val files = tomb.select("file").distinct().as[String].collect().sorted
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files.map(f => s"$dir/$f").toIndexedSeq: _*)
+        .select(col("*"), DeleteVectors.relFile.as("__cf_file"),
+          col("_metadata.row_index").as("__cf_pos"))
+        .join(broadcast(tomb.select(col("file").as("__cf_file"),
+          col("pos").as("__cf_pos"))), Seq("__cf_file", "__cf_pos"), "left_semi")
+        .drop("__cf_file", "__cf_pos")
+        .withColumn("change", lit(tag)))
+    }
+
+    val parts =
+      rowsAt(dNew.join(dOld, Seq("file", "pos"), "left_anti"), "deleted").toSeq ++
+        rowsAt(dOld.join(dNew, Seq("file", "pos"), "left_anti"), "added").toSeq
+    if (parts.isEmpty) emptyStep(spark, dir, sNew) // no-op delete commit
+    else parts.reduce(_ unionByName _)
   }
 
   type Q = (SparkSession, String) => DataFrame

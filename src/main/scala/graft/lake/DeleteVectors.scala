@@ -43,9 +43,9 @@ object DeleteVectors {
   /** Matches a manifest-relative data path at the end of an absolute
     * `_metadata.file_path` URI.
     */
-  private val RelPathRe = """data/v\d{8}/[^/]+$"""
+  private[lake] val RelPathRe = """data/v\d{8}/[^/]+$"""
 
-  private def relFile: Column =
+  private[lake] def relFile: Column =
     regexp_extract(col("_metadata.file_path"), RelPathRe, 0)
 
   /** Apply `snap`'s deletion vector to `df`, which must be a parquet scan
@@ -109,7 +109,15 @@ object DeleteVectors {
   def materialize(spark: SparkSession, dir: String, date: Int, time: Int): Int = {
     val v = ManifestTable.latestVersion(spark, dir).getOrElse(
       throw new NoSuchElementException(s"no committed snapshot at $dir"))
-    ManifestTable.commit(ManifestTable.readVersion(spark, dir, v), dir, date, time)
+    val version = v + 1
+    val files = ManifestTable.writeDataFiles(
+      ManifestTable.readVersion(spark, dir, v), dir, version)
+    // op = "materialize" records the commit's content-preservation
+    // contract in the manifest (pinned below and in DeleteVectorSpec), so
+    // X75 feed consumers skip the step without reading either version.
+    ManifestTable.commitManifest(spark, dir, version, date, time, files,
+      op = "materialize")
+    version
   }
 
   type Q = (SparkSession, String) => DataFrame

@@ -40,10 +40,15 @@ object ManifestTable {
 
   /** `deletes` (X64) lists the version's deletion-vector sidecar files —
     * empty for ordinary full-snapshot commits, so pre-DV manifests parse
-    * unchanged.
+    * unchanged. `op` records WHAT the commit did ("write" by default;
+    * "materialize" marks an X64 MOR→CoW rewrite whose CONTENT equals the
+    * previous version by contract) — the operation metadata Delta commits
+    * carry, letting consumers (X75 change feed) route without reading
+    * data. Pre-op manifests parse as "write" — absence of metadata never
+    * claims content equality.
     */
   case class Snapshot(version: Int, runDate: Int, runTime: Int,
-      files: Seq[String], deletes: Seq[String] = Nil)
+      files: Seq[String], deletes: Seq[String] = Nil, op: String = "write")
 
   private def manifestDir(dir: String) = s"$dir/_manifests"
   private def manifestName(version: Int) = f"v$version%08d.json"
@@ -75,16 +80,17 @@ object ManifestTable {
     */
   def commitManifest(spark: SparkSession, dir: String, version: Int,
       date: Int, time: Int, files: Seq[String],
-      deletes: Seq[String] = Nil): Unit = {
+      deletes: Seq[String] = Nil, op: String = "write"): Unit = {
     val fs = fsFor(spark, dir)
     val mdir = new Path(manifestDir(dir))
     fs.mkdirs(mdir)
     val delField =
       if (deletes.isEmpty) ""
       else s""",\n "deletes": [${deletes.map("\"" + _ + "\"").mkString(", ")}]"""
+    val opField = if (op == "write") "" else s""",\n "op": "$op""""
     val json =
       s"""{"version": $version, "run_date": $date, "run_time": $time,
-         | "files": [${files.map("\"" + _ + "\"").mkString(", ")}]$delField}""".stripMargin
+         | "files": [${files.map("\"" + _ + "\"").mkString(", ")}]$delField$opField}""".stripMargin
     val tmp = new Path(mdir, s".v$version.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -127,7 +133,8 @@ object ManifestTable {
         val j = JsonMethods.parse(text)
         Snapshot((j \ "version").extract[Int], (j \ "run_date").extract[Int],
           (j \ "run_time").extract[Int], (j \ "files").extract[Seq[String]],
-          (j \ "deletes").extractOpt[Seq[String]].getOrElse(Nil))
+          (j \ "deletes").extractOpt[Seq[String]].getOrElse(Nil),
+          (j \ "op").extractOpt[String].getOrElse("write"))
       }
       .sortBy(_.version)
   }
