@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables._
@@ -35,6 +35,45 @@ import graft.sources.Tables._
 object Sketches {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Count-min sketch (X90) parameters: d independent md5-derived hash
+    * rows × w buckets. Every hash is a pure deterministic function of
+    * (row index, key), so unlike most sketches the WHOLE structure — and
+    * every point estimate — is bit-reproducible in any engine: the oracle
+    * rebuilds the identical sketch in SQL and must agree exactly, not
+    * just within error bounds.
+    */
+  val cmsDepth = 4
+  val cmsWidth = 512
+
+  /** Bucket of `key` (string column) for hash row `j`. */
+  def cmsBucket(j: Column, key: Column): Column =
+    conv(substring(md5(concat(j.cast("string"), lit(":"), key)), 1, 8), 16, 10)
+      .cast("long") % cmsWidth
+
+  /** The (j, bucket, cnt) counter table for a column of keys. One
+    * combinable aggregate over a d-way explode: partials collapse to at
+    * most d·w rows per map partition before the shuffle, the mergeable-
+    * sketch shape (X84) — counters of separate splits ADD, pinned in the
+    * spec by building per-half sketches and summing.
+    */
+  def cmsBuild(keys: DataFrame, keyCol: String): DataFrame =
+    keys.select(col(keyCol).cast("string").as("k"),
+        explode(sequence(lit(0), lit(cmsDepth - 1))).as("j"))
+      .groupBy(col("j"), cmsBucket(col("j"), col("k")).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates: min over the d counters each probe key hashes to.
+    * Missing counters read as 0 (an empty bucket row is simply absent).
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String): DataFrame =
+    probes.select(col(keyCol),
+        col(keyCol).cast("string").as("__k"),
+        explode(sequence(lit(0), lit(cmsDepth - 1))).as("j"))
+      .withColumn("b", cmsBucket(col("j"), col("__k")))
+      .join(sketch, Seq("j", "b"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
   val queries: Map[String, Q] = Map(
     // Distinct users per event type, computed three ways: exact, one
     // whole-pass sketch, and a union of per-half sketch partials (the
@@ -61,9 +100,49 @@ object Sketches {
             .as("approx_ok"))
         .orderBy("event_type")
     }),
+
+    // X90: user-frequency CMS over events; probe a deterministic key
+    // subset and report estimate beside exact count. The estimate itself
+    // is hash-compared against the oracle's identically-built sketch —
+    // the strongest check a sketch can get — and est ≥ exact (the CMS
+    // guarantee) is pinned for EVERY key in the spec.
+    "q_cms_est" -> ((s, d) => {
+      val ev = events(s, d).select("user_id")
+      val sketch = cmsBuild(ev, "user_id")
+      val probes = ev.where(col("user_id") % 7 === 3).distinct()
+      val exact = ev.where(col("user_id") % 7 === 3)
+        .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      cmsEstimate(sketch, probes, "user_id")
+        .join(exact, "user_id")
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cms_est" ->
+      s"""WITH keys AS (
+         |  SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+         |counters AS (
+         |  SELECT j.j,
+         |         CAST(('0x' || substr(md5(j.j || ':' || CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         |           % $cmsWidth AS b,
+         |         sum(c) AS cnt
+         |  FROM keys CROSS JOIN range($cmsDepth) j(j)
+         |  GROUP BY 1, 2),
+         |probes AS (SELECT user_id, c FROM keys WHERE user_id % 7 = 3),
+         |est AS (
+         |  SELECT p.user_id,
+         |         min(coalesce(ct.cnt, 0)) AS cms_est
+         |  FROM probes p CROSS JOIN range($cmsDepth) j(j)
+         |  LEFT JOIN counters ct
+         |    ON ct.j = j.j
+         |   AND ct.b = CAST(('0x' || substr(md5(j.j || ':' || CAST(p.user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         |           % $cmsWidth
+         |  GROUP BY 1)
+         |SELECT e.user_id, CAST(e.cms_est AS BIGINT) AS cms_est,
+         |       CAST(p.c AS BIGINT) AS exact_n
+         |FROM est e JOIN probes p ON p.user_id = e.user_id
+         |ORDER BY e.user_id""".stripMargin,
     // merge_lossless is the Spark-side mergeability assertion (TRUE here:
     // DuckDB cannot merge Spark's sketches, it pins that the property
     // held); approx_ok is each engine's own sketch vs its own exact

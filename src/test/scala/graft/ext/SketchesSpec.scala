@@ -37,4 +37,40 @@ class SketchesSpec extends SparkSpec {
       assert(r.getAs[Boolean]("approx_ok"), s"estimate out of bound: $r")
     }
   }
+
+  test("CMS estimate never undercounts, for EVERY key (X90 guarantee)") {
+    val ev = graft.sources.Tables.events(spark, sf).select("user_id")
+    val sketch = Sketches.cmsBuild(ev, "user_id")
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val bad = Sketches.cmsEstimate(sketch, exact.select("user_id"), "user_id")
+      .join(exact, "user_id")
+      .where(col("cms_est") < col("n"))
+      .count()
+    assert(bad == 0, s"$bad keys undercounted")
+  }
+
+  test("CMS split sketches sum elementwise to the whole sketch (mergeability)") {
+    val df = (1L to 4000L).map(i => ((i * 131) % 97, i % 2)).toDF("k", "half")
+    val whole = Sketches.cmsBuild(df, "k")
+      .select("j", "b", "cnt").as[(Int, Long, Long)].collect()
+      .map { case (j, b, c) => ((j, b), c) }.toMap
+    val summed = Seq(0L, 1L)
+      .map(h => Sketches.cmsBuild(df.where(col("half") === h), "k"))
+      .map(_.select("j", "b", "cnt").as[(Int, Long, Long)].collect()
+        .map { case (j, b, c) => ((j, b), c) }.toMap)
+      .reduce((m1, m2) => (m1.keySet ++ m2.keySet)
+        .map(k => k -> (m1.getOrElse(k, 0L) + m2.getOrElse(k, 0L))).toMap)
+    assert(whole == summed)
+  }
+
+  test("CMS point estimate on a hand-checked tiny multiset") {
+    val df = Seq("a", "a", "a", "b", "c", "c").toDF("k")
+    val got = Sketches.cmsEstimate(Sketches.cmsBuild(df, "k"),
+        df.distinct(), "k")
+      .as[(String, Long)].collect().toMap
+    // d=4 rows over w=512 buckets with 3 keys: collisions are possible in
+    // principle but the estimate is still lower-bounded by the true count
+    assert(got("a") >= 3 && got("b") >= 1 && got("c") >= 2)
+    assert(got.values.forall(_ <= 6))
+  }
 }
