@@ -104,9 +104,40 @@ object DenseId {
           max("c_custkey").cast("long").as("last_key"))
         .orderBy("bucket")
     }),
+
+    // Global percent_rank/cume_dist WITHOUT the single-partition window:
+    // with a unique sort key, rank ≡ dense id, so
+    // percent_rank = (rid−1)/(n−1) and cume_dist = rid/n — one exact
+    // integer division each (operands < 2^53, correctly-rounded IEEE ⇒
+    // bit-equal to the oracle's native window functions), computed on the
+    // bucket-parallel X77 path. The naive percent_rank().over(orderBy)
+    // plan is pinned in DenseIdSpec to HAVE the SinglePartition this
+    // avoids.
+    "q_percent_rank" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          (round(col("c_acctbal") * 100).cast("long") * 1000000 +
+            col("c_custkey")).as("sort_key"))
+      val n = c.count()
+      assign(c, "sort_key", 8)
+        .select(col("c_custkey"),
+          ((col("rid") - 1).cast("double") / lit((n - 1).toDouble)).as("pr"),
+          (col("rid").cast("double") / lit(n.toDouble)).as("cd"))
+        .orderBy("c_custkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_percent_rank" ->
+      """WITH keyed AS (
+        |  SELECT c_custkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey AS sort_key
+        |  FROM customer)
+        |SELECT c_custkey,
+        |       percent_rank() OVER (ORDER BY sort_key) AS pr,
+        |       cume_dist() OVER (ORDER BY sort_key) AS cd
+        |FROM keyed
+        |ORDER BY c_custkey""".stripMargin,
     "q_dense_ids" ->
       """SELECT c_custkey,
         |       row_number() OVER (ORDER BY c_custkey) AS rid

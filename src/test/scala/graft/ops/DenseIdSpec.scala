@@ -56,4 +56,34 @@ class DenseIdSpec extends SparkSpec {
       .select("rid").as[Long].collect().sorted
     assert(got.toSeq == (1L to 61L))
   }
+
+  test("q_percent_rank plan stays bucket-parallel; naive percent_rank collapses") {
+    val plan = DenseId.queries("q_percent_rank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"percent_rank plan collapsed to one partition:\n$plan")
+    val trap = graft.sources.Tables.customer(spark, sf)
+      .withColumn("pr", percent_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy("c_custkey")))
+      .queryExecution.executedPlan.toString
+    assert(trap.contains("SinglePartition"))
+  }
+
+  test("percent_rank/cume_dist values match the native window bit-for-bit") {
+    val got = DenseId.queries("q_percent_rank")(spark, sf)
+      .select("c_custkey", "pr", "cd")
+      .as[(Long, Double, Double)].collect()
+    val exp = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("sort_key")
+      graft.sources.Tables.customer(spark, sf)
+        .select(col("c_custkey"),
+          (round(col("c_acctbal") * 100).cast("long") * 1000000 +
+            col("c_custkey")).as("sort_key"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .select("c_custkey", "pr", "cd")
+        .as[(Long, Double, Double)].collect()
+    }
+    assert(got.sortBy(_._1).toSeq == exp.sortBy(_._1).toSeq)
+  }
 }
