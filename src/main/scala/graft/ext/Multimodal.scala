@@ -210,6 +210,29 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // X93: decode → nearest-neighbor resize to a fixed 8×6 thumbnail —
+    // the index map is pure integer arithmetic, so the oracle recomputes
+    // every RESIZED pixel from the closed-form source formula composed
+    // with the same map. The position-weighted sum pins byte ORDER, not
+    // just the multiset (a transposed or row-flipped resize has the same
+    // sum_px but a different wsum_px).
+    "q_image_resize" -> ((s, d) => {
+      implicit val me = org.apache.spark.sql.Encoders.product[Media]
+      import s.implicits._
+      media(s, d).where(col("fmt") === "bmp").as[Media]
+        .map { m =>
+          val (info, px) = Bmp.parse(m.bytes)
+            .getOrElse(sys.error(s"unparseable bmp payload for media ${m.media_id}"))
+          val out = Bmp.resizeNearest(px, info.width, info.height, 8, 6)
+          var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < out.length) { sum += out(i); wsum += out(i).toLong * (i + 1); i += 1 }
+          (m.media_id, 8L, 6L, out.length.toLong, sum, wsum)
+        }
+        .toDF("media_id", "out_w", "out_h", "n_out", "sum_px", "wsum_px")
+        .orderBy("media_id")
+    }),
+
     // REAL AVI decode, fully oracle-checked: walk the RIFF chunks of each
     // video payload, read geometry/rate from hdrl/strl, undo each 00db
     // frame's bottom-up padded rows, and aggregate the decoded pixels; the
@@ -368,6 +391,28 @@ object Multimodal {
         |JOIN range(0, 5) y(i) ON y.i < d.height
         |JOIN range(0, 3) c(i) ON true
         |GROUP BY media_id, width, height, bpp, n_px_bytes
+        |ORDER BY media_id""".stripMargin,
+    // X93: every resized pixel recomputed from the closed-form source
+    // formula composed with the integer nearest-neighbor index map;
+    // wsum_px weights by output byte position to pin layout order.
+    "q_image_resize" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |                  CAST(3 + doc_id % 5 AS BIGINT) AS w,
+        |                  CAST(2 + doc_id % 4 AS BIGINT) AS h
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT media_id,
+        |         (media_id * 7 + ((yo.i * h) // 6) * 31 + ((xo.i * w) // 8) * 3 + c.i) % 256 AS v,
+        |         (yo.i * 8 + xo.i) * 3 + c.i + 1 AS pos
+        |  FROM d
+        |  JOIN range(0, 8) xo(i) ON true
+        |  JOIN range(0, 6) yo(i) ON true
+        |  JOIN range(0, 3) c(i) ON true)
+        |SELECT media_id, CAST(8 AS BIGINT) AS out_w, CAST(6 AS BIGINT) AS out_h,
+        |       CAST(144 AS BIGINT) AS n_out,
+        |       CAST(sum(v) AS BIGINT) AS sum_px,
+        |       CAST(sum(v * pos) AS BIGINT) AS wsum_px
+        |FROM px GROUP BY media_id
         |ORDER BY media_id""".stripMargin,
     "q_video_frames" ->
       """SELECT media_id, width, height, n_frames, fps, n_px_bytes,

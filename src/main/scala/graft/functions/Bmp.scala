@@ -73,6 +73,35 @@ object Bmp {
     * is undone and padding stripped. None for anything that is not a
     * 24-bit BI_RGB BMP or is truncated.
     */
+  /** Nearest-neighbor resize (X93) of a decoded top-down (y, x, channel)
+    * pixel array: source coordinate `⌊out·src/outDim⌋` — pure integer
+    * arithmetic, so the resampling is bit-reproducible in SQL (the oracle
+    * recomputes every output pixel from the closed-form source formula
+    * composed with the same index map). The standard deterministic
+    * downscale/thumbnail tier for training-data image pipelines; bilinear
+    * and friends belong behind the same signature but trade SQL
+    * reproducibility for smoothness.
+    */
+  def resizeNearest(px: Array[Int], w: Int, h: Int,
+      outW: Int, outH: Int): Array[Int] = {
+    require(w > 0 && h > 0 && outW > 0 && outH > 0)
+    val out = new Array[Int](outW * outH * 3)
+    var i = 0
+    var yo = 0
+    while (yo < outH) {
+      val sy = yo * h / outH
+      var xo = 0
+      while (xo < outW) {
+        val sx = xo * w / outW
+        var c = 0
+        while (c < 3) { out(i) = px((sy * w + sx) * 3 + c); i += 1; c += 1 }
+        xo += 1
+      }
+      yo += 1
+    }
+    out
+  }
+
   def parse(bytes: Array[Byte]): Option[(BmpInfo, Array[Int])] = {
     if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

@@ -223,4 +223,25 @@ class MultimodalSpec extends SparkSpec {
     for (k <- Seq(1, 3, 4, 6, 10))
       assert(Goertzel.power(tone, k) < p5 / 100, s"bin $k should be quiet")
   }
+
+  test("X93 nearest-neighbor resize: hand-computed map, identity, and decode round-trip") {
+    import graft.functions.Bmp
+    // 2×1 source (pixels A=(0,0), B=(1,0)) doubled to 4×1: A A B B
+    val src = Array(1, 2, 3, 10, 20, 30) // two BGR pixels
+    val up = Bmp.resizeNearest(src, 2, 1, 4, 1)
+    assert(up.toSeq == Seq(1, 2, 3, 1, 2, 3, 10, 20, 30, 10, 20, 30))
+    // identity resize is a no-op
+    assert(Bmp.resizeNearest(src, 2, 1, 2, 1).toSeq == src.toSeq)
+    // 2×2 → 1×1 keeps the top-left pixel (floor map)
+    val q = Array.tabulate(12)(identity)
+    assert(Bmp.resizeNearest(q, 2, 2, 1, 1).toSeq == Seq(0, 1, 2))
+    // decode→resize on a synthesized payload matches pixelAt through the map
+    val id = 9L
+    val (info, px) = Bmp.parse(Bmp.synth(id)).get
+    val out = Bmp.resizeNearest(px, info.width, info.height, 8, 6)
+    for (yo <- 0 until 6; xo <- 0 until 8; c <- 0 until 3) {
+      val exp = Bmp.pixelAt(id, xo * info.width / 8, yo * info.height / 6, c)
+      assert(out((yo * 8 + xo) * 3 + c) == exp)
+    }
+  }
 }
