@@ -39,7 +39,8 @@ object StreamOuterJoin {
   val joinWindow = "1 hour"
 
   def run(s: SparkSession, aDir: String, bDir: String, chkDir: String,
-      outDir: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+      outDir: String, schema: org.apache.spark.sql.types.StructType,
+      joinType: String = "left_outer"): Unit = {
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
@@ -53,8 +54,12 @@ object StreamOuterJoin {
       // would never reach the watermark and pending outer rows would
       // silently never flush. Sentinels flow through the join (they only
       // pair with each other) and are filtered at read-back.
-      val joined = a.join(b, expr(StreamJoin.joinCondSql), "left_outer")
-        .select(col("a.user_id").as("user_id"),
+      // full-outer (X94): the b side's unmatched rows flush under the same
+      // sentinels — the time bound works both ways (a.ts ∈ [b.ts−1h, b.ts]
+      // for a b-row's candidates), so b-state eviction is watermark-bounded
+      // exactly like a-state
+      val joined = a.join(b, expr(StreamJoin.joinCondSql), joinType)
+        .select(coalesce(col("a.user_id"), col("b.user_id")).as("user_id"),
           col("a.event_id").as("a_id"), col("b.event_id").as("b_id"),
           col("a.ts").as("a_ts"), col("b.ts").as("b_ts"))
       val q = joined.writeStream
@@ -134,6 +139,19 @@ object StreamOuterJoin {
         .where(col("user_id") >= 0)
         .orderBy(col("a_id"), coalesce(col("b_id"), lit(-1L)))
     }),
+
+    // X94: both sides' unmatched rows, same fixture and sentinel flush;
+    // both order keys are nullable so both coalesce in the total order.
+    "q_stream_full_join" -> ((s, d) => {
+      val in = buildInput(s, d)
+      val base = graft.util.FixtureCache.dir("sfull_run", d) { b =>
+        run(s, s"$in/a", s"$in/b", s"$b/chk", s"$b/out",
+          eventsSlice(s, d).schema, "full_outer")
+      }
+      s.read.parquet(s"$base/out")
+        .where(col("user_id") >= 0)
+        .orderBy(coalesce(col("a_id"), lit(-1L)), coalesce(col("b_id"), lit(-1L)))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,5 +167,18 @@ object StreamOuterJoin {
          |  ON a.user_id = b.user_id
          | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL $joinWindow
          |ORDER BY a_id, coalesce(b_id, -1)""".stripMargin,
+    "q_stream_full_join" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+         |  WHERE user_id % 4 = 2),
+         |a AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+         |b AS (SELECT * FROM ev WHERE event_id % 2 = 1)
+         |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+         |       a.event_id AS a_id, b.event_id AS b_id,
+         |       a.ts AS a_ts, b.ts AS b_ts
+         |FROM a FULL JOIN b
+         |  ON a.user_id = b.user_id
+         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL $joinWindow
+         |ORDER BY coalesce(a_id, -1), coalesce(b_id, -1)""".stripMargin,
   )
 }

@@ -47,4 +47,21 @@ class StreamOuterJoinSpec extends SparkSpec {
   test("no sentinel rows leak into the output") {
     assert(streamed.forall(_._1 >= 0))
   }
+
+  test("full-outer stream join equals the batch full join, both null sides included") {
+    val got = StreamOuterJoin.queries("q_stream_full_join")(spark, sf)
+      .select("user_id", "a_id", "b_id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    val ev = StreamOuterJoin.eventsSlice(spark, sf)
+    val a = ev.where(col("event_id") % 2 === 0).alias("a")
+    val b = ev.where(col("event_id") % 2 === 1).alias("b")
+    val exp = a.join(b, expr(StreamJoin.joinCondSql), "full_outer")
+      .select(coalesce(col("a.user_id"), col("b.user_id")).as("user_id"),
+        col("a.event_id").as("a_id"), col("b.event_id").as("b_id"))
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == exp)
+    assert(got.exists(r => r._2.isEmpty), "expected unmatched b rows")
+    assert(got.exists(r => r._3.isEmpty), "expected unmatched a rows")
+    assert(got.exists(r => r._2.isDefined && r._3.isDefined), "expected matches")
+  }
 }
