@@ -54,7 +54,7 @@ object ManifestTable {
   private def manifestName(version: Int) = f"v$version%08d.json"
   private val ManifestRe = """v(\d{8})\.json""".r
 
-  private def fsFor(spark: SparkSession, path: String): FileSystem =
+  private[lake] def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Stage the data files for `version` WITHOUT committing them — step 1

@@ -1,0 +1,89 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** X95 branches/tags: isolation both directions, tag immutability,
+  * fast-forward semantics with loud divergence refusal, ref atomicity.
+  */
+class BranchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(tag: String): String = {
+    val dir = s"${graft.util.Scratch.dir(tag)}/t"
+    ManifestTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, 20250810, 900)
+    Branches.createBranch(spark, dir, "main", 1)
+    dir
+  }
+
+  test("branch commits are isolated in both directions") {
+    val dir = freshTable("br_iso")
+    Branches.createBranch(spark, dir, "exp", 1, Some("main"))
+    Branches.commitToBranch(
+      Branches.readBranch(spark, dir, "exp")
+        .unionByName(Seq((3L, "c")).toDF("k", "v")), dir, "exp", 20250810, 1000)
+    assert(Branches.readBranch(spark, dir, "main").count() == 2)
+    assert(Branches.readBranch(spark, dir, "exp").count() == 3)
+    Branches.commitToBranch(
+      Branches.readBranch(spark, dir, "main")
+        .unionByName(Seq((9L, "z")).toDF("k", "v")), dir, "main", 20250810, 1100)
+    assert(Branches.readBranch(spark, dir, "exp").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("tags are immutable: committing to one refuses") {
+    val dir = freshTable("br_tag")
+    Branches.createTag(spark, dir, "rel", 1, Some("main"))
+    val e = intercept[IllegalArgumentException] {
+      Branches.commitToBranch(Seq((7L, "x")).toDF("k", "v"), dir, "rel", 20250810, 1000)
+    }
+    assert(e.getMessage.contains("immutable"))
+    assert(Branches.readBranch(spark, dir, "rel").count() == 2)
+  }
+
+  test("fast-forward advances a stale branch; divergence refuses loudly") {
+    val dir = freshTable("br_ff")
+    Branches.createBranch(spark, dir, "exp", 1, Some("main"))
+    Branches.commitToBranch(
+      Branches.readBranch(spark, dir, "exp")
+        .unionByName(Seq((3L, "c")).toDF("k", "v")), dir, "exp", 20250810, 1000)
+    // main hasn't moved → FF succeeds and main reads exp's content
+    Branches.fastForward(spark, dir, "main", "exp")
+    assert(Branches.readBranch(spark, dir, "main").count() == 3)
+    // now diverge: commit to both — FF must refuse
+    Branches.commitToBranch(Branches.readBranch(spark, dir, "main")
+      .unionByName(Seq((4L, "d")).toDF("k", "v")), dir, "main", 20250810, 1100)
+    Branches.commitToBranch(Branches.readBranch(spark, dir, "exp")
+      .unionByName(Seq((5L, "e")).toDF("k", "v")), dir, "exp", 20250810, 1200)
+    val e = intercept[IllegalArgumentException] {
+      Branches.fastForward(spark, dir, "main", "exp")
+    }
+    assert(e.getMessage.contains("diverge"))
+  }
+
+  test("a torn ref write (tmp without rename) leaves the old ref served") {
+    val dir = freshTable("br_crash")
+    // simulate the crash: write a garbage tmp ref beside the real one
+    val fs = ManifestTable.fsFor(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_refs/.main.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write("{corrupt".getBytes("UTF-8")) finally out.close()
+    assert(Branches.readRef(spark, dir, "main").head == 1)
+    assert(Branches.readBranch(spark, dir, "main").count() == 2)
+  }
+
+  test("branch lineage supports per-branch history (head walks the chain)") {
+    val dir = freshTable("br_lineage")
+    Branches.createBranch(spark, dir, "exp", 1, Some("main"))
+    Branches.commitToBranch(Branches.readBranch(spark, dir, "exp")
+      .unionByName(Seq((3L, "c")).toDF("k", "v")), dir, "exp", 20250810, 1000)
+    Branches.commitToBranch(Branches.readBranch(spark, dir, "main")
+      .unionByName(Seq((9L, "z")).toDF("k", "v")), dir, "main", 20250810, 1100)
+    assert(Branches.readRef(spark, dir, "exp").lineage == Seq(1, 2))
+    assert(Branches.readRef(spark, dir, "main").lineage == Seq(1, 3))
+    // reading an ancestor version off the lineage reproduces old content
+    val prior = Branches.readRef(spark, dir, "exp").lineage.head
+    assert(ManifestTable.readVersion(spark, dir, prior).count() == 2)
+  }
+}
