@@ -191,11 +191,18 @@ object Dedup {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= col("n_sh") - expr("(4 * n_sh + 4) div 5") + 1)
         .select("doc_id", "shingle")
+      // INLINE REFINE (the move that fixed the Jaro join's sf1 bottleneck,
+      // BASELINE.md 10.5 → 2.73 s): the candidate MULTISET flows straight
+      // into exact verification — no distinct() shuffle of the quadratic
+      // pair stream — and the dedup happens on the verified SURVIVORS,
+      // whose count is output-sized, not candidate-sized. A pair surfaces
+      // once per shared prefix shingle (multiplicity ≤ prefix length), so
+      // the repeated intersects cost map-side compute, while the removed
+      // distinct cost a full shuffle of every candidate occurrence.
       val cand = prefix.as("a")
         .join(prefix.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-        .distinct()
       cand
         .join(sh.as("sa"), col("ia") === col("sa.doc_id"))
         .join(sh.as("sb"), col("ib") === col("sb.doc_id"))
@@ -204,6 +211,7 @@ object Dedup {
           size(col("sa.sh")).cast("long").as("na"),
           size(col("sb.sh")).cast("long").as("nb"))
         .where(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 4)
+        .dropDuplicates("ia", "ib")
         .withColumn("jac_permille", expr("shared * 1000 div (na + nb - shared)"))
         .orderBy("ia", "ib")
     }),

@@ -37,6 +37,16 @@ object ChangeFeed {
 
   /** `added`/`deleted` rows for every step in `(fromV, toV]`, tagged
     * `(from_version, to_version)`.
+    *
+    * CONTRACT: `keys` must uniquely identify rows in every version of the
+    * range (the same requirement [[IncrJoinView]] states). The metadata-
+    * routed plans (tombstone-position reads for delete commits, appended-
+    * file reads for append commits) and the fallback SnapshotDiff
+    * key-presence join agree EXACTLY when keys are unique; under
+    * duplicate keys they would surface different rows for the same step
+    * — position-level vs key-level changes — so which plan fires would
+    * silently change the feed's semantics. Uniqueness is the caller's
+    * promise, as in Delta CDF's merge-key requirement.
     */
   def changeFeed(spark: SparkSession, dir: String, fromV: Int, toV: Int,
       keys: Seq[String]): DataFrame = {
@@ -52,12 +62,30 @@ object ChangeFeed {
           // (X64 materialize): zero feed rows, no version read at all
           emptyStep(spark, dir, sNew)
         else if (sNew.files == sOld.files) dvOnlyStep(spark, dir, sOld, sNew)
+        else if (sNew.op == "append" && sNew.deletes == sOld.deletes &&
+            sOld.files.forall(sNew.files.toSet))
+          appendStep(spark, dir, sOld, sNew)
         else SnapshotDiff.diff(
           ManifestTable.readVersion(spark, dir, v + 1),
           ManifestTable.readVersion(spark, dir, v), keys)
       step.withColumn("from_version", lit(v))
         .withColumn("to_version", lit(v + 1))
     }.reduce(_ unionByName _)
+  }
+
+  /** Feed rows for an X96 append commit that kept the predecessor's files
+    * and tombstones: the step's changes are EXACTLY the rows of the
+    * appended files (minus any tombstones landing inside them), so only
+    * those files are scanned — the Delta CDF metadata-routed answer for
+    * append commits; untouched files never enter the plan.
+    */
+  private def appendStep(spark: SparkSession, dir: String,
+      sOld: ManifestTable.Snapshot, sNew: ManifestTable.Snapshot): DataFrame = {
+    val appended = sNew.files.filterNot(sOld.files.toSet)
+    if (appended.isEmpty) emptyStep(spark, dir, sNew)
+    else DeleteVectors.applyTo(spark, dir, sNew,
+        spark.read.parquet(appended.map(f => s"$dir/$f"): _*))
+      .withColumn("change", lit("added"))
   }
 
   /** Zero rows with the diff-shaped schema of `snap`'s table. */
@@ -80,10 +108,18 @@ object ChangeFeed {
       else spark.read.parquet(files.map(f => s"$dir/$f"): _*)
     val dNew = dv(sNew.deletes)
     val dOld = dv(sOld.deletes)
+    val delTomb = dNew.join(dOld, Seq("file", "pos"), "left_anti")
+    val addTomb = dOld.join(dNew, Seq("file", "pos"), "left_anti")
+
+    // ONE driver job resolves both directions' touched-file lists (the
+    // sidecars are tombstone-sized); the semi-joins themselves then ride
+    // the caller's single action instead of costing a job each.
+    val fileTags = delTomb.select(col("file"), lit("deleted").as("side"))
+      .unionByName(addTomb.select(col("file"), lit("added").as("side")))
+      .distinct().as[(String, String)].collect()
 
     /** Rows of `sNew`'s data files sitting at `tomb`'s (file, pos). */
-    def rowsAt(tomb: DataFrame, tag: String): Option[DataFrame] = {
-      val files = tomb.select("file").distinct().as[String].collect().sorted
+    def rowsAt(files: Seq[String], tomb: DataFrame, tag: String): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(spark.read.parquet(files.map(f => s"$dir/$f").toIndexedSeq: _*)
         .select(col("*"), DeleteVectors.relFile.as("__cf_file"),
@@ -92,11 +128,13 @@ object ChangeFeed {
           col("pos").as("__cf_pos"))), Seq("__cf_file", "__cf_pos"), "left_semi")
         .drop("__cf_file", "__cf_pos")
         .withColumn("change", lit(tag)))
-    }
+
+    def filesOf(side: String): Seq[String] =
+      fileTags.collect { case (f, s) if s == side => f }.sorted.toIndexedSeq
 
     val parts =
-      rowsAt(dNew.join(dOld, Seq("file", "pos"), "left_anti"), "deleted").toSeq ++
-        rowsAt(dOld.join(dNew, Seq("file", "pos"), "left_anti"), "added").toSeq
+      rowsAt(filesOf("deleted"), delTomb, "deleted").toSeq ++
+        rowsAt(filesOf("added"), addTomb, "added").toSeq
     if (parts.isEmpty) emptyStep(spark, dir, sNew) // no-op delete commit
     else parts.reduce(_ unionByName _)
   }

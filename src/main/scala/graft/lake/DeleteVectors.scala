@@ -41,9 +41,10 @@ import graft.util.Exact.dsum
 object DeleteVectors {
 
   /** Matches a manifest-relative data path at the end of an absolute
-    * `_metadata.file_path` URI.
+    * `_metadata.file_path` URI — version-named (`v<8 digits>`) and
+    * writer-unique staged (`w<8 hex>`) dirs alike.
     */
-  private[lake] val RelPathRe = """data/v\d{8}/[^/]+$"""
+  private[lake] val RelPathRe = """data/[vw][0-9a-f]{8}/[^/]+$"""
 
   private[lake] def relFile: Column =
     regexp_extract(col("_metadata.file_path"), RelPathRe, 0)
@@ -73,7 +74,43 @@ object DeleteVectors {
     * still commits (an auditable no-op version). Returns the new version.
     */
   def deleteWhere(spark: SparkSession, dir: String, predicate: Column,
-      date: Int, time: Int): Int = {
+      date: Int, time: Int): Int =
+    deleteAttempt(spark, dir, predicate, date, time, sidecarRel = None)
+
+  /** DELETE commit with optimistic concurrency (X96): losing the rename
+    * race RECOMPUTES the tombstones against the new latest version rather
+    * than rebasing the old sidecar — the concurrent commit may have
+    * appended or rewritten rows the predicate must see, so re-evaluation
+    * is the only rebase rule that keeps the delete serializable as
+    * "predicate applied to my parent version". Each attempt stages its
+    * sidecar under a writer-unique `deletes/w<8 hex>` dir so concurrent
+    * delete writers can never clobber each other's staged vectors.
+    */
+  def deleteWhereRetrying(spark: SparkSession, dir: String, predicate: Column,
+      date: Int, time: Int, maxRetries: Int = 5): Int = {
+    var tries = 0
+    while (true) {
+      val rel = s"deletes/w${java.util.UUID.randomUUID.toString.take(8)}"
+      try return deleteAttempt(spark, dir, predicate, date, time, Some(rel))
+      catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.startsWith("concurrent commit") =>
+          tries += 1
+          if (tries > maxRetries) throw new IllegalStateException(
+            s"delete commit at $dir lost $tries consecutive races; giving up", e)
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** One delete-commit attempt against the CURRENT latest snapshot.
+    * `sidecarRel = None` stages at the version-named dir (single-writer
+    * layout, pinned in DeleteVectorSpec); retrying callers pass a
+    * writer-unique dir instead.
+    */
+  private def deleteAttempt(spark: SparkSession, dir: String,
+      predicate: Column, date: Int, time: Int,
+      sidecarRel: Option[String]): Int = {
     val snaps = ManifestTable.snapshots(spark, dir)
     require(snaps.nonEmpty, s"no committed snapshot at $dir")
     val latest = snaps.last
@@ -87,7 +124,7 @@ object DeleteVectors {
     val oldDel =
       if (latest.deletes.isEmpty) newDel.limit(0)
       else spark.read.parquet(latest.deletes.map(f => s"$dir/$f"): _*)
-    val rel = f"deletes/v$version%08d"
+    val rel = sidecarRel.getOrElse(f"deletes/v$version%08d")
     oldDel.unionByName(newDel).dropDuplicates("file", "pos")
       .write.mode("overwrite").parquet(s"$dir/$rel")
 

@@ -30,11 +30,26 @@ import org.json4s.jackson.JsonMethods
   * time travel is "read the files of version N", and as-of-T resolution
   * is a scan of the (tiny, driver-side) manifest list — no data listing.
   *
-  * Concurrency: single writer per table (the reference's hourly job);
-  * rename-as-commit makes a concurrent second committer FAIL loudly
-  * (rename onto an existing manifest returns false) instead of silently
-  * interleaving. Readers are always safe: a manifest is either fully
-  * present or absent, and data files are immutable once published.
+  * Concurrency: [[commit]] is the single-writer fast path (the
+  * reference's hourly job) — rename-as-commit makes a concurrent second
+  * committer FAIL loudly (rename onto an existing manifest returns
+  * false) instead of silently interleaving. [[commitRetrying]] /
+  * [[appendRetrying]] layer Delta/Iceberg-style OPTIMISTIC CONCURRENCY
+  * on top: data files are staged once under a writer-unique directory
+  * (so concurrent stagers can never clobber each other), and on a lost
+  * rename race only the tiny manifest is rebased against the new latest
+  * version and re-attempted, bounded-N times. Rebase rules by commit
+  * taxonomy (the X75 step kinds): a REPLACE commit carries its own full
+  * file list, so the rebase is just a version bump (last-replace-wins,
+  * both commits land in serializable version order); an APPEND commit
+  * re-reads the new latest and carries `latest.files ++ staged` plus
+  * `latest.deletes` (tombstones reference immutable files still in the
+  * list, so they stay valid); a DELETE commit re-evaluates its predicate
+  * against the new latest ([[DeleteVectors.deleteWhereRetrying]]) —
+  * recomputing, not rebasing, because the concurrent commit may have
+  * added or rewritten rows the predicate must see. Readers are always
+  * safe: a manifest is either fully present or absent, and data files
+  * are immutable once published.
   */
 object ManifestTable {
 
@@ -91,7 +106,11 @@ object ManifestTable {
     val json =
       s"""{"version": $version, "run_date": $date, "run_time": $time,
          | "files": [${files.map("\"" + _ + "\"").mkString(", ")}]$delField$opField}""".stripMargin
-    val tmp = new Path(mdir, s".v$version.json.tmp")
+    // writer-unique temp name: two committers racing the SAME version must
+    // never share a temp file, or one's rename could publish the other's
+    // half-written bytes under its own version number
+    val tmp = new Path(mdir,
+      s".v$version.${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new Path(mdir, manifestName(version)))) {
@@ -110,6 +129,85 @@ object ManifestTable {
     val files = writeDataFiles(df, dir, version)
     commitManifest(spark, dir, version, date, time, files)
     version
+  }
+
+  /** Stage data files under a WRITER-UNIQUE directory (`data/w<8 hex>`),
+    * detached from any version number — step 1 of the optimistic-
+    * concurrency commit. Unlike [[writeDataFiles]]' version-named dirs,
+    * two concurrent stagers can never overwrite each other here, which is
+    * what makes manifest-only rebase sound: the staged bytes are
+    * immutable for the rest of the attempt loop. Returns table-relative
+    * paths.
+    */
+  def stageDataFiles(df: DataFrame, dir: String): Seq[String] = {
+    val rel = s"data/w${java.util.UUID.randomUUID.toString.take(8)}"
+    val dataDir = s"$dir/$rel"
+    df.write.mode("error").parquet(dataDir)
+    val fs = fsFor(df.sparkSession, dataDir)
+    fs.listStatus(new Path(dataDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$rel/${s.getPath.getName}")
+      .sorted
+  }
+
+  /** Bounded optimistic-commit loop: re-resolve the latest snapshot,
+    * attempt the manifest publish, and on a lost rename race try again
+    * against the new latest. Only manifest metadata is rebuilt per
+    * attempt — data files were staged once.
+    */
+  private def retryLoop(spark: SparkSession, dir: String, maxRetries: Int)(
+      attempt: Option[Snapshot] => Int): Int = {
+    var tries = 0
+    while (true) {
+      val latest = snapshots(spark, dir).lastOption
+      try return attempt(latest)
+      catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.startsWith("concurrent commit") =>
+          tries += 1
+          if (tries > maxRetries) throw new IllegalStateException(
+            s"commit at $dir lost $tries consecutive races; giving up", e)
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** REPLACE commit with optimistic concurrency: the snapshot carries its
+    * own complete file list, so losing a race only bumps the target
+    * version — both writers' commits land, in serializable (version)
+    * order, last replace wins the final state. Returns the committed
+    * version.
+    */
+  def commitRetrying(df: DataFrame, dir: String, date: Int, time: Int,
+      maxRetries: Int = 5): Int = {
+    val spark = df.sparkSession
+    val files = stageDataFiles(df, dir)
+    retryLoop(spark, dir, maxRetries) { latest =>
+      val v = latest.map(_.version).getOrElse(0) + 1
+      commitManifest(spark, dir, v, date, time, files)
+      v
+    }
+  }
+
+  /** APPEND commit with optimistic concurrency: the new version is
+    * `latest.files ++ staged`, re-read on every attempt so a concurrent
+    * append or delete is never lost — its files (and its deletion-vector
+    * sidecars, which reference immutable files still in the list) carry
+    * forward into the rebased manifest. Marked `op = "append"` so X75
+    * feed consumers can answer the step from the appended files alone.
+    * Returns the committed version.
+    */
+  def appendRetrying(df: DataFrame, dir: String, date: Int, time: Int,
+      maxRetries: Int = 5): Int = {
+    val spark = df.sparkSession
+    val staged = stageDataFiles(df, dir)
+    retryLoop(spark, dir, maxRetries) { latest =>
+      val v = latest.map(_.version).getOrElse(0) + 1
+      commitManifest(spark, dir, v, date, time,
+        latest.map(_.files).getOrElse(Nil) ++ staged,
+        deletes = latest.map(_.deletes).getOrElse(Nil), op = "append")
+      v
+    }
   }
 
   /** All committed snapshots, oldest first — one listing of the manifest

@@ -35,14 +35,21 @@ import graft.util.Exact.dsum
 object Vacuum {
 
   private val DataDirRe = """v(\d{8})""".r
+  private val StagedDirRe = """w[0-9a-f]{8}""".r
 
   /** Expire all but the newest `keepLast` committed versions. Returns the
     * expired version numbers. Idempotent: vacuuming twice is a no-op, and
     * a re-run also reclaims data-only orphans a crashed vacuum (or a
     * crashed pre-manifest commit whose version number has since been
-    * passed) left behind.
+    * passed) left behind. Writer-unique staged dirs (`w<8 hex>`, the X96
+    * optimistic-commit staging) carry no version ordering, so an
+    * unreferenced one is reclaimed only once its modification time is
+    * older than `stagedOrphanAgeMs` — younger ones may belong to an
+    * in-flight commit attempt (the retention-clock rule Delta's VACUUM
+    * applies to its UUID-named data files).
     */
-  def vacuum(spark: SparkSession, dir: String, keepLast: Int): Seq[Int] = {
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int,
+      stagedOrphanAgeMs: Long = 24L * 3600 * 1000): Seq[Int] = {
     require(keepLast >= 1, "retention must keep at least the latest version")
     val snaps = ManifestTable.snapshots(spark, dir)
     if (snaps.isEmpty) return Seq.empty
@@ -68,10 +75,14 @@ object Vacuum {
     Seq("data", "deletes").foreach { rootName =>
       val root = new Path(s"$dir/$rootName")
       if (fs.exists(root)) {
+        val now = System.currentTimeMillis()
         fs.listStatus(root).toSeq.foreach { st =>
           st.getPath.getName match {
             case DataDirRe(v) if v.toInt <= latest &&
                 !live(s"$rootName/${st.getPath.getName}") =>
+              fs.delete(st.getPath, true)
+            case StagedDirRe() if !live(s"$rootName/${st.getPath.getName}") &&
+                now - st.getModificationTime > stagedOrphanAgeMs =>
               fs.delete(st.getPath, true)
             case _ => ()
           }

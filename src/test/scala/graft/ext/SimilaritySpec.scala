@@ -65,15 +65,17 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.3, s"mean IVF recall@${Similarity.k} = $mean too low")
     // the coarse quantizer must actually partition: every cluster id in
-    // range, and probing reads at most ivfProbes/ivfK of a balanced corpus
+    // range, and probing reads at most nProbes/k of a balanced corpus —
+    // exercised through the ADAPTIVE path q_sim_ivf itself uses
     val e = graft.sources.Tables.embeddings(spark, sf).select("vec_id", "embedding")
-    val cents = Similarity.ivfCentroids(spark, e)
-    assert(cents.length == Similarity.ivfK)
+    val (cents, nProbes) = Similarity.quantizerFor(spark, sf, e)
+    assert(cents.length == Similarity.adaptiveIvfK(e.count()))
+    assert(nProbes == Similarity.adaptiveProbes(cents.length))
     val sizes = Similarity.assignClusters(e, cents)
       .groupBy("cluster").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(sizes.keySet.forall(c => c >= 0 && c < Similarity.ivfK))
-    assert(sizes.size > Similarity.ivfProbes, "quantizer collapsed to too few clusters")
+    assert(sizes.keySet.forall(c => c >= 0 && c < cents.length))
+    assert(sizes.size > nProbes, "quantizer collapsed to too few clusters")
   }
 
   test("IVF candidates' cosines match the exact tier's for shared pairs") {

@@ -69,6 +69,81 @@ class ManifestSpec extends SparkSpec {
     assert(ManifestTable.snapshots(spark, dir).map(_.runTime) == Seq(900))
   }
 
+  test("X96 two-writer append interleave: both commits land, serializable order, no lost update") {
+    val dir = tmpTable()
+    ManifestTable.commit(Seq((0L, "base")).toDF("id", "v"), dir, 20250401, 800)
+    val rounds = 4
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    // two writers, barrier-synced per round so both resolve the SAME
+    // latest version and race the same rename target — the loser's
+    // bounded retry must rebase onto the winner's commit, never drop it
+    def writer(tag: String): Seq[Int] = (1 to rounds).map { i =>
+      val df = Seq((s"$tag$i".hashCode.toLong, tag)).toDF("id", "v")
+      barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      ManifestTable.appendRetrying(df, dir, 20250401, 900 + i)
+    }
+    val fa = java.util.concurrent.CompletableFuture.supplyAsync(() => writer("a"))
+    val fb = java.util.concurrent.CompletableFuture.supplyAsync(() => writer("b"))
+    val (va, vb) = (fa.get(), fb.get())
+    // serializable: each writer's versions strictly increase, and the two
+    // writers' version sets partition a contiguous 2..9 with no gaps
+    assert(va == va.sorted && vb == vb.sorted)
+    assert((va ++ vb).sorted == (2 to 1 + 2 * rounds))
+    assert(ManifestTable.snapshots(spark, dir).map(_.version) == (1 to 1 + 2 * rounds))
+    // no lost update: every append from both writers is in the final state
+    val got = ManifestTable.readLatest(spark, dir)
+      .groupBy("v").count().as[(String, Long)].collect().toMap
+    assert(got == Map("base" -> 1L, "a" -> rounds.toLong, "b" -> rounds.toLong))
+  }
+
+  test("X96 append/delete interleave: delete recomputes against the new latest") {
+    val dir = tmpTable()
+    ManifestTable.commit((1L to 10L).toDF("id").withColumn("v", lit("base")),
+      dir, 20250401, 800)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val fa = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+      barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      ManifestTable.appendRetrying(
+        Seq((11L, "late"), (12L, "late")).toDF("id", "v"), dir, 20250401, 900)
+    }
+    val fb = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+      barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      DeleteVectors.deleteWhereRetrying(spark, dir, col("id") % 2 === 0,
+        20250401, 901)
+    }
+    val (va, vb) = (fa.get(), fb.get())
+    assert(Set(va, vb) == Set(2, 3), s"expected versions 2 and 3, got $va/$vb")
+    val ids = ManifestTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().toSet
+    // whichever serial order the race produced, it must be ONE of the two
+    // serializable outcomes: delete-then-append keeps the late evens,
+    // append-then-delete drops them; odds always survive, base evens never
+    val oddsAnd = ids.filter(_ <= 10) == Set(1L, 3L, 5L, 7L, 9L)
+    assert(oddsAnd, s"base evens must be deleted, odds kept: $ids")
+    if (vb > va) // append committed first, delete saw its rows
+      assert(ids.filter(_ > 10) == Set(11L), s"append-then-delete: $ids")
+    else // delete committed first, append landed after
+      assert(ids.filter(_ > 10) == Set(11L, 12L), s"delete-then-append: $ids")
+  }
+
+  test("X96 replace interleave: both land as versions, last replace wins the state") {
+    val dir = tmpTable()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def replace(tag: String) = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+      barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      ManifestTable.commitRetrying(Seq((1L, tag)).toDF("id", "v"), dir, 20250401, 900)
+    }
+    val (fa, fb) = (replace("a"), replace("b"))
+    val (va, vb) = (fa.get(), fb.get())
+    assert(Set(va, vb) == Set(1, 2), s"got $va/$vb")
+    val winner = if (va > vb) "a" else "b"
+    assert(ManifestTable.readLatest(spark, dir)
+      .as[(Long, String)].collect().toSeq == Seq((1L, winner)))
+    // both versions remain time-travelable
+    assert(ManifestTable.readVersion(spark, dir, 1).count() == 1)
+    assert(ManifestTable.readVersion(spark, dir, 2).count() == 1)
+  }
+
   test("in-flight temp manifests and unreferenced files are ignored by readers") {
     val dir = tmpTable()
     ManifestTable.commit(Seq((1L, "x")).toDF("id", "v"), dir, 20250301, 900)

@@ -60,6 +60,30 @@ class GenderSpec extends SparkSpec {
     }
   }
 
+  test("breadth panel: out-of-fixture names resolve through the extended dictionary") {
+    // none of these first names appear in the 17 golden profiles — they
+    // exercise the round-5 breadth extension (international coverage and
+    // the mostly_*/andy tiers) end-to-end through the decision table
+    val panel = Seq(
+      ("Sebastian Vettel", "male", 0.9f), ("Priyanka Chopra", "female", 0.9f),
+      ("Wolfgang Amadeus", "male", 0.9f), ("Svetlana Petrova", "female", 0.9f),
+      ("Giovanni Ferrari", "male", 0.9f), ("Ingeborg Bachmann", "female", 0.9f),
+      ("Kwame Mensah", "male", 0.9f), ("Ngozi Adichie", "female", 0.9f),
+      ("Mahmoud Darwish", "male", 0.9f), ("Zeynep Kaya", "female", 0.9f),
+      ("Rajesh Kumar", "male", 0.9f), ("Anjali Sharma", "female", 0.9f),
+      ("Satoshi Nakamoto", "male", 0.9f), ("Yukiko Tanaka", "female", 0.9f),
+      ("Harper Lee", "female", 0.9f), // mostly_female tier
+      ("Hayden Fox", "male", 0.9f), // mostly_male tier
+      ("Oakley Smith", "unknown", 0.5f), // andy tier
+      ("Zxcvb Qwerty", "unknown", 0.5f)) // still a dictionary miss
+    panel.foreach { case (fullName, g, c) =>
+      val got = Gender.guess(fullName, "x1")
+      assert((got.predicted_gender, got.confidence) === ((g, c)), fullName)
+    }
+    assert(NamesDict.entries.size >= 1500,
+      s"breadth extension missing: ${NamesDict.entries.size} entries")
+  }
+
   test("property: outputs confined to the reference domains") {
     val gen = Gen.zip(Gen.asciiPrintableStr, Gen.asciiPrintableStr)
     (1 to 300).foreach { seed =>
