@@ -11,6 +11,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional comma-separated subset (SPARK_GRAFT_QUERIES) — used for the
+    // large-scale points where timing the full inventory is wasteful
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,7 +30,9 @@ object Bench {
     // bench dir itself when the small fixture isn't on this host)
     val warmDir = Seq("/root/testdata/sf0.001").find(new java.io.File(_).isDirectory)
       .getOrElse(sfDir)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // best of 3 runs per query: a single local[32] run carries ±15% noise
@@ -36,7 +42,7 @@ object Bench {
     // estimate of what each plan actually costs (~25 s extra wall per
     // bench run — the first repeat also absorbs each query's one-time
     // sfDir fixture build, see util.FixtureCache).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }

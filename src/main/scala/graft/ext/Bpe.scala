@@ -23,15 +23,20 @@ import graft.sources.Tables._
   * this word-frequency formulation rather than streaming the corpus per
   * round.
   *
-  * Symbol strings are space-joined and space-PADDED (` h e l l o `), so
-  * a merge applies as a plain `replace(sym, ' a b ', ' ab ')`:
-  * left-to-right non-overlapping (both engines' replace semantics —
-  * textbook BPE greedy application), and the surrounding-space guard
-  * makes an intra-symbol false match impossible (symbols never contain
-  * spaces). Pair counting splits on spaces, so counts are
-  * symbol-accurate. The oracle replays all k rounds as chained CTEs
-  * with identical tie-breaks — a counting, argmax, or application bug
-  * in any round cascades into every later round's hash.
+  * Symbol strings are WRAPPED — every symbol owns its delimiters
+  * (` h  e  l  l  o `: each symbol space-padded, so neighbors sit two
+  * spaces apart). A merge then applies as a plain
+  * `replace(sym, ' a  b ', ' ab ')`, and because adjacent matches share
+  * NO characters, one left-to-right non-overlapping pass merges every
+  * occurrence including CONSECUTIVE runs (`a b a b` → `ab ab`) — exactly
+  * textbook/HF greedy application, where a single-space joint
+  * representation would merge only the first of a consecutive run per
+  * pass (the shared delimiter space is consumed by the match). The space
+  * guard also makes intra-symbol false matches impossible (symbols never
+  * contain spaces). Pair counting splits on the double-space joint, so
+  * counts are symbol-accurate. The oracle replays all k rounds as
+  * chained CTEs with identical tie-breaks — a counting, argmax, or
+  * application bug in any round cascades into every later round's hash.
   */
 object Bpe {
 
@@ -47,15 +52,14 @@ object Bpe {
     */
   def trainMerges(words: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
     var vocab = words.select(
-      concat(lit(" "),
-        regexp_replace(col("w"), "(.)", "$1 ")).as("sym"),
+      regexp_replace(col("w"), "(.)", " $1 ").as("sym"),
       col("cnt"))
       .cache()
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     while (r <= k) {
       val best = vocab
-        .select(split(trim(col("sym")), " ").as("syms"), col("cnt"))
+        .select(split(trim(col("sym")), "  ").as("syms"), col("cnt"))
         .where(size(col("syms")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
           i => concat(element_at(col("syms"), i), lit(" "),
@@ -71,8 +75,9 @@ object Bpe {
         val merged = pair.replace(" ", "")
         out += ((r, pair, merged, cnt))
         if (r < k) { // the last round's merged vocabulary is never read
+          val wrappedPair = " " + pair.replace(" ", "  ") + " "
           val next = vocab.select(
-            regexp_replace(col("sym"), java.util.regex.Pattern.quote(s" $pair "),
+            regexp_replace(col("sym"), java.util.regex.Pattern.quote(wrappedPair),
               java.util.regex.Matcher.quoteReplacement(s" $merged ")).as("sym"),
             col("cnt")).cache()
           vocab.unpersist()
@@ -112,12 +117,12 @@ object Bpe {
     s"""r$r AS (
        |  SELECT pair, replace(pair, ' ', '') AS merged, c FROM (
        |    SELECT syms[i] || ' ' || syms[i+1] AS pair, sum(cnt) AS c
-       |    FROM (SELECT string_split(trim(sym), ' ') AS syms, cnt FROM v${r - 1}),
+       |    FROM (SELECT string_split(trim(sym), '  ') AS syms, cnt FROM v${r - 1}),
        |         LATERAL (SELECT unnest(range(1, len(syms))) AS i) ix
        |    GROUP BY 1)
        |  ORDER BY c DESC, pair ASC LIMIT 1),
        |v$r AS (
-       |  SELECT replace(sym, ' ' || (SELECT pair FROM r$r) || ' ',
+       |  SELECT replace(sym, ' ' || replace((SELECT pair FROM r$r), ' ', '  ') || ' ',
        |                 ' ' || (SELECT merged FROM r$r) || ' ') AS sym, cnt
        |  FROM v${r - 1})""".stripMargin
 
@@ -133,7 +138,7 @@ object Bpe {
          |    FROM documents)
          |  WHERE length(w) > 0 GROUP BY w),
          |v0 AS (
-         |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, cnt
+         |  SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS sym, cnt
          |  FROM words),
          |$rounds
          |SELECT CAST(round AS BIGINT) AS round, pair, merged, CAST(cnt AS BIGINT) AS cnt

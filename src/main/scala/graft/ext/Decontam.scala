@@ -76,10 +76,48 @@ object Decontam {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** Per-EVAL-item contamination profile (the reverse report): for each
+    * benchmark item, how many of its n-grams appear anywhere in the
+    * training corpus and how many distinct train docs share at least one
+    * — the view a benchmark owner needs ("is item 42 still a valid test?"),
+    * where [[contamination]] answers the corpus owner's question ("which
+    * train docs must I drop?").
+    *
+    * Scale shape: same broadcast discipline — the eval n-gram set (tiny)
+    * broadcasts TWICE: once as a semi-filter the train side probes, once
+    * for eval-doc attribution of the sparse survivors. The train corpus
+    * never shuffles beyond its one gram-assembly exchange; the attribution
+    * join fans out only on actually-overlapping grams, which sparse
+    * overlap keeps output-sized.
+    */
+  def contaminationProfile(train: DataFrame, eval: DataFrame,
+      n: Int = ngramN): DataFrame = {
+    val evalG = docNgrams(eval, n) // (doc_id, g) — benchmark-sized
+    val evalTotals = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+    val hits = docNgrams(train, n).withColumnRenamed("doc_id", "train_id")
+      .join(broadcast(evalG), Seq("g")) // filter + attribute in one probe
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hit_ngrams"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+    evalTotals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_hit_ngrams"), lit(0L)).as("n_hit_ngrams"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+      .withColumn("compromised", col("n_hit_ngrams") > 0)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       contamination(
+        docs.where(col("doc_id") % evalMod =!= 0),
+        docs.where(col("doc_id") % evalMod === 0))
+        .orderBy("doc_id")
+    }),
+
+    "q_decontam_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      contaminationProfile(
         docs.where(col("doc_id") % evalMod =!= 0),
         docs.where(col("doc_id") % evalMod === 0))
         .orderBy("doc_id")
@@ -110,5 +148,36 @@ object Decontam {
          |FROM tr LEFT JOIN ev ON tr.g = ev.g
          |GROUP BY tr.doc_id
          |ORDER BY tr.doc_id""".stripMargin,
+
+    "q_decontam_eval" ->
+      s"""WITH ng AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(tk) - ${ngramN - 2}),
+         |           i -> array_to_string(list_slice(tk, i, i + ${ngramN - 1}), ' '))) AS ngs
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+         |),
+         |ev AS (
+         |  SELECT doc_id AS eval_id, unnest(ngs) AS g
+         |  FROM ng WHERE doc_id % $evalMod = 0
+         |),
+         |evn AS (
+         |  SELECT doc_id AS eval_id, len(ngs) AS n_ngrams
+         |  FROM ng WHERE doc_id % $evalMod = 0 AND len(ngs) > 0
+         |),
+         |tr AS (
+         |  SELECT doc_id AS train_id, unnest(ngs) AS g
+         |  FROM ng WHERE doc_id % $evalMod <> 0
+         |),
+         |hits AS (
+         |  SELECT ev.eval_id, tr.train_id, ev.g FROM ev JOIN tr USING (g)
+         |)
+         |SELECT evn.eval_id AS doc_id,
+         |  CAST(evn.n_ngrams AS BIGINT) AS n_ngrams,
+         |  CAST(count(DISTINCT hits.g) AS BIGINT) AS n_hit_ngrams,
+         |  CAST(count(DISTINCT hits.train_id) AS BIGINT) AS n_train_docs,
+         |  count(DISTINCT hits.g) > 0 AS compromised
+         |FROM evn LEFT JOIN hits ON evn.eval_id = hits.eval_id
+         |GROUP BY evn.eval_id, evn.n_ngrams
+         |ORDER BY doc_id""".stripMargin,
   )
 }

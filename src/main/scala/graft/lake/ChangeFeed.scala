@@ -35,6 +35,12 @@ import graft.util.Exact.dsum
   */
 object ChangeFeed {
 
+  /** Per-JVM cache of each committed step's tombstone-touched file lists
+    * — metadata of immutable versions, safe to cache forever.
+    */
+  private val stepFileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, String)]]()
+
   /** `added`/`deleted` rows for every step in `(fromV, toV]`, tagged
     * `(from_version, to_version)`.
     *
@@ -113,10 +119,15 @@ object ChangeFeed {
 
     // ONE driver job resolves both directions' touched-file lists (the
     // sidecars are tombstone-sized); the semi-joins themselves then ride
-    // the caller's single action instead of costing a job each.
-    val fileTags = delTomb.select(col("file"), lit("deleted").as("side"))
-      .unionByName(addTomb.select(col("file"), lit("added").as("side")))
-      .distinct().as[(String, String)].collect()
+    // the caller's single action instead of costing a job each. The
+    // lists are MANIFEST METADATA of two immutable committed versions, so
+    // they cache per JVM (the Delta SnapshotManagement move): a feed
+    // re-read of the same step pays zero resolution jobs.
+    val fileTags = stepFileCache.computeIfAbsent(
+      s"$dir|${sOld.version}|${sNew.version}", _ =>
+        delTomb.select(col("file"), lit("deleted").as("side"))
+          .unionByName(addTomb.select(col("file"), lit("added").as("side")))
+          .distinct().as[(String, String)].collect())
 
     /** Rows of `sNew`'s data files sitting at `tomb`'s (file, pos). */
     def rowsAt(files: Seq[String], tomb: DataFrame, tag: String): Option[DataFrame] =

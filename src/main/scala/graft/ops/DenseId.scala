@@ -75,6 +75,26 @@ object DenseId {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Customer with a COLLISION-FREE composite sort key: cents-scaled
+    * balance times a stride derived from `max(c_custkey) + 1`, plus the
+    * key. A fixed stride (the old 1e6) silently collides once custkey
+    * outgrows it, breaking assign()'s unique-key contract and diverging
+    * tie handling from the oracle at large base scale; deriving it from
+    * the actual key range keeps `a·stride + b` order-preserving and
+    * injective at ANY scale (one tiny max() job; overflow needs
+    * |cents| · stride ≥ 2^63, i.e. ~9e12 customers at TPC-H balances).
+    * The oracle derives the same stride with a scalar subquery.
+    */
+  private def keyedCustomer(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val stride = cust.agg(max("c_custkey")).head.getAs[Number](0).longValue() + 1
+    cust.select(col("c_custkey"),
+      (round(col("c_acctbal") * 100).cast("long") * stride +
+        col("c_custkey")).as("sort_key"))
+  }
+
+  private val strideSql = "(SELECT max(c_custkey) + 1 FROM customer)"
+
   val queries: Map[String, Q] = Map(
     // Dense ids over customer by key: the answer IS row_number's — but the
     // plan is the parallel one (no single-partition exchange, pinned in
@@ -93,10 +113,7 @@ object DenseId {
     // edges) is made unique by the composite sort key — mirrored in the
     // oracle's ORDER BY.
     "q_equidepth" -> ((s, d) => {
-      val c = Tables.customer(s, d)
-        .select(col("c_custkey"),
-          (round(col("c_acctbal") * 100).cast("long") * 1000000 +
-            col("c_custkey")).as("sort_key"))
+      val c = keyedCustomer(s, d)
       equiDepth(c, "sort_key", 7, 8)
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_rows"),
@@ -114,10 +131,7 @@ object DenseId {
     // plan is pinned in DenseIdSpec to HAVE the SinglePartition this
     // avoids.
     "q_percent_rank" -> ((s, d) => {
-      val c = Tables.customer(s, d)
-        .select(col("c_custkey"),
-          (round(col("c_acctbal") * 100).cast("long") * 1000000 +
-            col("c_custkey")).as("sort_key"))
+      val c = keyedCustomer(s, d)
       val n = c.count()
       assign(c, "sort_key", 8)
         .select(col("c_custkey"),
@@ -129,9 +143,9 @@ object DenseId {
 
   val oracles: Map[String, String] = Map(
     "q_percent_rank" ->
-      """WITH keyed AS (
+      s"""WITH keyed AS (
         |  SELECT c_custkey,
-        |         CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey AS sort_key
+        |         CAST(round(c_acctbal * 100) AS BIGINT) * $strideSql + c_custkey AS sort_key
         |  FROM customer)
         |SELECT c_custkey,
         |       percent_rank() OVER (ORDER BY sort_key) AS pr,
@@ -144,9 +158,9 @@ object DenseId {
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
     "q_equidepth" ->
-      """WITH keyed AS (
+      s"""WITH keyed AS (
         |  SELECT c_custkey,
-        |         CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey AS sort_key
+        |         CAST(round(c_acctbal * 100) AS BIGINT) * $strideSql + c_custkey AS sort_key
         |  FROM customer),
         |nt AS (
         |  SELECT c_custkey, ntile(7) OVER (ORDER BY sort_key) AS bucket FROM keyed)

@@ -29,6 +29,19 @@ class BpeSpec extends SparkSpec {
     assert(merges(1)._2 == "aa a" && merges(1)._4 == 3L)
   }
 
+  test("consecutive pair occurrences merge in ONE pass (textbook greedy)") {
+    val docs = Seq("abab abab ab").toDF("text")
+    val merges = Bpe.trainMerges(Bpe.wordFreq(docs, "text"), 2)
+    // 'a b': 2 occurrences in each 'abab' (×2) + 1 in 'ab' = 5
+    assert(merges.head._2 == "a b" && merges.head._4 == 5L, s"got $merges")
+    // the wrapped representation merges BOTH occurrences of 'a b' in
+    // 'a b a b' in one pass → vocab {' ab  ab ':2, ' ab ':1}, so round 2
+    // must find 'ab ab' ×2 (the single-space joint would leave
+    // ' ab a b ' and pick 'a b' again via the tie-break — the exact
+    // consecutive-run deviation this representation eliminates)
+    assert(merges(1)._2 == "ab ab" && merges(1)._4 == 2L, s"got $merges")
+  }
+
   test("runs out of pairs gracefully: k larger than learnable merges") {
     val docs = Seq("ab ab ab").toDF("text")
     val merges = Bpe.trainMerges(Bpe.wordFreq(docs, "text"), 10)
