@@ -194,6 +194,52 @@ object Probe {
         pipeline.PipelineQueries.replayTimeline(s, d)
       }
     }
+    if (args.contains("lake-live")) {
+      // live-run wall cost of every MEMOIZED lake/ingest fixture build —
+      // the writer-side work the bench read-backs deliberately exclude
+      // (round-5 memoizations); published in README next to stream-live
+      def live(tag: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        body
+        println(f"PROBE live $tag%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      import org.apache.spark.sql.functions._
+      live("dv_timeline") {
+        lake.DeleteVectors.buildTimeline(s, d, util.Scratch.dir("live_dv"))
+      }
+      live("incr_agg_timeline") {
+        lake.IncrementalAgg.buildTimeline(s, d, util.Scratch.dir("live_incr"))
+      }
+      live("compact_rewrite") {
+        val frag = util.Scratch.dir("live_frag")
+        sources.Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartition(64).write.mode("overwrite").parquet(frag)
+        lake.Compact.compact(s, frag, util.Scratch.dir("live_compact"),
+          targetBytes = 8L * 1024 * 1024)
+      }
+      live("format_staging") {
+        val o = sources.Tables.orders(s, d).where(col("o_orderkey") % 8 === 0)
+        val b = util.Scratch.dir("live_formats")
+        o.write.mode("overwrite").option("header", "true").csv(s"$b/csv")
+        o.write.mode("overwrite").json(s"$b/jsonl")
+        o.write.mode("overwrite").orc(s"$b/orc")
+        o.write.mode("overwrite").option("rowTag", "order")
+          .format("xml").save(s"$b/xml")
+      }
+      live("json_landing") {
+        sources.Ingest.landFixture(s, d, util.Scratch.dir("live_ingest"))
+      }
+      live("lm_train") {
+        val b = util.Scratch.dir("live_lm")
+        ext.LangModel.bigramCounts(sources.Tables.documents(s, d))
+          .write.mode("overwrite").parquet(s"$b/t")
+      }
+      live("ivf_train") {
+        val e = sources.Tables.embeddings(s, d).select("vec_id", "embedding")
+        ext.Similarity.ivfCentroids(s, e,
+          ext.Similarity.adaptiveIvfK(e.count()))
+      }
+    }
     args.filter(SparkEntry.queries.contains).foreach { q =>
       if (args.contains("explain")) {
         val df = SparkEntry.queries(q)(s, d)

@@ -1,0 +1,203 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Multi-table atomic commits (extension X99) — one transaction spanning
+  * several manifest tables, visible all-or-nothing.
+  *
+  * The reference's hourly DAG writes accounts AND followers snapshots as
+  * separate steps (`airflow/dags/apify_dag.py:83-91`), so a reader
+  * between the two writes sees accounts from run N and followers from
+  * run N−1 — a torn cross-table view no single-table log (X39) can fix.
+  * The standard cure is a CATALOG pointer above the table logs (the
+  * Nessie/HMS-atomic-swap shape): each table keeps its own X39 manifest
+  * log, and a catalog version is a tiny JSON mapping table name → table
+  * version, published with the same rename-as-commit + optimistic-retry
+  * discipline as X96. Readers that resolve through a catalog version get
+  * a CONSISTENT cross-table cut; a crash between table commits and the
+  * catalog publish leaves newer table versions committed-but-unreferenced
+  * (harmless — exactly X39's staged-data story, one level up), and the
+  * catalog still serves the old cut for every table.
+  *
+  * Layout under one catalog root:
+  * {{{
+  *   _catalog/v00000001.json        -- {"tables": {"accounts": 1, ...}}
+  *   accounts/_manifests/...        -- ordinary X39 table
+  *   followers/_manifests/...
+  * }}}
+  *
+  * At 100 TB this is pure metadata: a transaction moves one small JSON
+  * per table plus one for the catalog — data bytes are staged by the
+  * table commits themselves, and no data is ever rewritten to join or
+  * leave a transaction.
+  */
+object Catalog {
+
+  /** A committed catalog version: a consistent cut across tables. */
+  case class CatalogSnapshot(version: Int, runDate: Int, runTime: Int,
+      tables: Map[String, Int])
+
+  private def catalogDir(root: String) = s"$root/_catalog"
+  private val VersionRe = """v(\d{8})\.json""".r
+
+  /** All committed catalog versions, oldest first — one tiny listing +
+    * one driver-side JSON read per version, no table or data listing.
+    */
+  def snapshots(spark: SparkSession, root: String): Seq[CatalogSnapshot] = {
+    val fs = ManifestTable.fsFor(spark, root)
+    val cdir = new Path(catalogDir(root))
+    if (!fs.exists(cdir)) return Seq.empty
+    fs.listStatus(cdir).toSeq
+      .flatMap(s => s.getPath.getName match {
+        case VersionRe(_) => Some(s.getPath)
+        case _ => None // in-flight .tmp files are not commits
+      })
+      .map { p =>
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        implicit val fmts: Formats = DefaultFormats
+        val j = JsonMethods.parse(text)
+        CatalogSnapshot((j \ "version").extract[Int],
+          (j \ "run_date").extract[Int], (j \ "run_time").extract[Int],
+          (j \ "tables").extract[Map[String, Int]])
+      }
+      .sortBy(_.version)
+  }
+
+  def latestVersion(spark: SparkSession, root: String): Option[Int] =
+    snapshots(spark, root).lastOption.map(_.version)
+
+  /** Step 1 of a transaction: commit every table write on its OWN log
+    * (X96 optimistic replace — concurrent single-table writers compose),
+    * returning table → committed version. Nothing is visible through the
+    * catalog yet; a crash after this step leaves the catalog cut intact.
+    */
+  def commitTableVersions(root: String, date: Int, time: Int,
+      writes: Seq[(String, DataFrame)]): Map[String, Int] =
+    writes.map { case (name, df) =>
+      require(!name.startsWith("_") && name.matches("[A-Za-z0-9._-]+"),
+        s"illegal table name '$name'")
+      name -> ManifestTable.commitRetrying(df, s"$root/$name", date, time)
+    }.toMap
+
+  /** Step 2 — THE commit point: publish a new catalog version whose table
+    * map is the previous cut overlaid with this transaction's versions.
+    * Rename-as-commit with bounded optimistic retry: a lost race re-reads
+    * the new latest cut and re-overlays (the transaction's table versions
+    * are already durable, so only this tiny JSON is rebuilt).
+    */
+  def publishCatalog(spark: SparkSession, root: String, date: Int, time: Int,
+      tableVersions: Map[String, Int], maxRetries: Int = 5): Int = {
+    val fs = ManifestTable.fsFor(spark, root)
+    val cdir = new Path(catalogDir(root))
+    fs.mkdirs(cdir)
+    var tries = 0
+    while (true) {
+      val latest = snapshots(spark, root).lastOption
+      val v = latest.map(_.version).getOrElse(0) + 1
+      val cut = latest.map(_.tables).getOrElse(Map.empty) ++ tableVersions
+      val body = cut.toSeq.sortBy(_._1)
+        .map { case (n, tv) => s""""$n": $tv""" }.mkString(", ")
+      val json = s"""{"version": $v, "run_date": $date, "run_time": $time,
+                    | "tables": {$body}}""".stripMargin
+      val tmp = new Path(cdir,
+        s".v$v.${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (fs.rename(tmp, new Path(cdir, f"v$v%08d.json"))) return v
+      fs.delete(tmp, false)
+      tries += 1
+      if (tries > maxRetries) throw new IllegalStateException(
+        s"catalog commit at $root lost $tries consecutive races; giving up")
+    }
+    -1 // unreachable
+  }
+
+  /** One atomic multi-table transaction: commit each table, then publish
+    * the catalog cut. Returns the catalog version.
+    */
+  def transact(spark: SparkSession, root: String, date: Int, time: Int,
+      writes: Seq[(String, DataFrame)]): Int =
+    publishCatalog(spark, root, date, time,
+      commitTableVersions(root, date, time, writes))
+
+  /** Read `table` as of catalog version `asOf` (latest cut if omitted) —
+    * resolution is ONLY catalog cut → table version → X39 manifest, so
+    * concurrent transactions can never tear the view.
+    */
+  def readTable(spark: SparkSession, root: String, table: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val snaps = snapshots(spark, root)
+    require(snaps.nonEmpty, s"no committed catalog version at $root")
+    val cut = asOf match {
+      case Some(v) => snaps.find(_.version == v).getOrElse(
+        throw new NoSuchElementException(s"no catalog version $v at $root"))
+      case None => snaps.last
+    }
+    val tv = cut.tables.getOrElse(table, throw new NoSuchElementException(
+      s"table '$table' not in catalog version ${cut.version}"))
+    ManifestTable.readVersion(spark, s"$root/$table", tv)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Timeline: tx1 writes a consistent pair (orders slice + lineitem
+    * slice, both keyed `% 3 === 0`); tx2 replaces both with the wider
+    * `% 3 <= 1` cut. Reading both tables through both catalog versions
+    * must reproduce the four predicate-defined contents — cross-table
+    * consistency in both directions of time.
+    */
+  val queries: Map[String, Q] = Map(
+    "q_catalog_tx" -> ((s, d) => {
+      import graft.util.Exact.dsum
+      import org.apache.spark.sql.functions._
+      val root = graft.util.FixtureCache.dir("catalog_tx", d) { root =>
+        val o = graft.sources.Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice")
+        val l = graft.sources.Tables.lineitem(s, d)
+          .select("l_orderkey", "l_quantity")
+        transact(s, root, 20250301, 900, Seq(
+          "ord" -> o.where(col("o_orderkey") % 3 === 0),
+          "li" -> l.where(col("l_orderkey") % 3 === 0)))
+        transact(s, root, 20250301, 1000, Seq(
+          "ord" -> o.where(col("o_orderkey") % 3 <= 1),
+          "li" -> l.where(col("l_orderkey") % 3 <= 1)))
+      }
+      def cut(cv: Int, tbl: String, valueCol: String): DataFrame =
+        readTable(s, root, tbl, Some(cv))
+          .agg(count(lit(1)).as("n_rows"), dsum(col(valueCol)).as("sum_val"))
+          .select(lit(cv.toLong).as("cat_version"), lit(tbl).as("tbl"),
+            col("n_rows"), col("sum_val"))
+      cut(1, "ord", "o_totalprice")
+        .unionByName(cut(1, "li", "l_quantity"))
+        .unionByName(cut(2, "ord", "o_totalprice"))
+        .unionByName(cut(2, "li", "l_quantity"))
+        .orderBy("cat_version", "tbl")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_catalog_tx" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS cat_version, 'ord' AS tbl, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 1, 'li', count(*),
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM lineitem WHERE l_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, 'ord', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 3 <= 1
+        |  UNION ALL
+        |  SELECT 2, 'li', count(*),
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM lineitem WHERE l_orderkey % 3 <= 1
+        |) ORDER BY cat_version, tbl""".stripMargin,
+  )
+}

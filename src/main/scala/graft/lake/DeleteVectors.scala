@@ -164,17 +164,23 @@ object DeleteVectors {
     * materialize.
     */
   private[lake] def fixtureDir(s: SparkSession, d: String): String =
-    graft.util.FixtureCache.dir("dv_fixture", d) { dir =>
-      val o = Tables.orders(s, d)
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .repartition(8)
-      ManifestTable.commit(o, dir, 20250801, 900)
-      deleteWhere(s, dir,
-        col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0,
-        20250801, 1000)
-      deleteWhere(s, dir, col("o_orderkey") % 7 === 3, 20250801, 1100)
-      materialize(s, dir, 20250801, 1200)
-    }
+    graft.util.FixtureCache.dir("dv_fixture", d)(buildTimeline(s, d, _))
+
+  /** The X64 timeline body — also run FRESH by `Probe lake-live` to
+    * publish the live commit/delete/materialize cost the memoized bench
+    * excludes.
+    */
+  def buildTimeline(s: SparkSession, d: String, dir: String): Unit = {
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .repartition(8)
+    ManifestTable.commit(o, dir, 20250801, 900)
+    deleteWhere(s, dir,
+      col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0,
+      20250801, 1000)
+    deleteWhere(s, dir, col("o_orderkey") % 7 === 3, 20250801, 1100)
+    materialize(s, dir, 20250801, 1200)
+  }
 
   val queries: Map[String, Q] = Map(
     // v1 commits orders whole (8 files); v2 and v3 are delete commits

@@ -1,0 +1,174 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Hidden partitioning via partition TRANSFORMS (extension X101) — the
+  * Iceberg idea: the table declares `days(ts)` / `bucket(n, key)` /
+  * `truncate(w, col)` transforms once at write time, queries keep
+  * filtering on the RAW columns, and the reader derives the matching
+  * partition predicate mechanically. The reference's layout bakes the
+  * run date into directory names and makes every consumer spell the
+  * date math out by hand (`scripts/script_api_apify_to_spark.py:125-137`)
+  * — the failure mode Iceberg calls out: users who forget the partition
+  * column full-scan the table.
+  *
+  * Why this matters at 100 TB: directory-level partition pruning is the
+  * cheapest filter in the stack — it happens on the DRIVER against
+  * listing metadata, before any task launches or any footer is read
+  * (zone maps (X57) and bloom sidecars (X81) still prune WITHIN the
+  * surviving partitions). `days(ts)` keeps time-range scans proportional
+  * to the range; `bucket(n, key)` turns point lookups into single-
+  * directory reads and enables storage-partitioned joins (X12).
+  *
+  * Derivation rules (each transform is monotone or exact on its raw
+  * column, which is what makes the rewrite sound):
+  *   - `day`:       ts ∈ [lo, hi]  ⇒  p_day ∈ [date(lo), date(hi)]
+  *   - `bucket(n)`: key = v        ⇒  p_bucket = murmur3(v) mod n
+  *   - `truncate(w)`: x ∈ [lo, hi] ⇒  p_trunc ∈ [⌊lo/w⌋w, ⌊hi/w⌋w]
+  * Range predicates on a bucket transform derive nothing (hashing is not
+  * monotone) — they fall back to row filtering within all partitions,
+  * exactly Iceberg's behavior.
+  */
+object HiddenPartition {
+
+  /** One declared transform; `param` is n for bucket, w for truncate. */
+  case class Transform(col: String, kind: String, param: Long = 0) {
+    def pcol: String = kind match {
+      case "day" => s"p_${col}_day"
+      case "bucket" => s"p_${col}_b$param"
+      case "truncate" => s"p_${col}_t$param"
+    }
+    def apply(c: Column): Column = kind match {
+      case "day" => to_date(c)
+      case "bucket" => pmod(hash(c), lit(param.toInt))
+      case "truncate" => floor(c / param) * param
+    }
+  }
+
+  /** Raw-column predicates the deriver understands. */
+  sealed trait Pred { def col: String }
+  case class Eq(col: String, value: Any) extends Pred
+  case class Between(col: String, lo: Any, hi: Any) extends Pred
+
+  private def specPath(dir: String) = s"$dir/_partition.json"
+
+  /** Write `df` partitioned by the declared transforms, persisting the
+    * transform spec beside the data so readers never re-guess it.
+    */
+  def write(df: DataFrame, dir: String, transforms: Seq[Transform]): Unit = {
+    val out = transforms.foldLeft(df)((d, t) => d.withColumn(t.pcol, t(col(t.col))))
+    out.write.mode("overwrite").partitionBy(transforms.map(_.pcol): _*)
+      .parquet(s"$dir/data")
+    val fs = ManifestTable.fsFor(df.sparkSession, dir)
+    val body = transforms.map(t =>
+      s"""{"col": "${t.col}", "kind": "${t.kind}", "param": ${t.param}}""")
+      .mkString("[", ", ", "]")
+    val os = fs.create(new Path(specPath(dir)), true)
+    try os.write(s"""{"transforms": $body}""".getBytes("UTF-8")) finally os.close()
+  }
+
+  def transformsOf(spark: SparkSession, dir: String): Seq[Transform] = {
+    val fs = ManifestTable.fsFor(spark, dir)
+    val in = fs.open(new Path(specPath(dir)))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    implicit val fmts: Formats = DefaultFormats
+    (JsonMethods.parse(text) \ "transforms").extract[Seq[JValue]].map { j =>
+      Transform((j \ "col").extract[String], (j \ "kind").extract[String],
+        (j \ "param").extract[Long])
+    }
+  }
+
+  /** The derived PARTITION predicate for one raw predicate under one
+    * transform — None when the transform cannot serve it (range over a
+    * hash bucket). Literal-only expressions: Catalyst constant-folds
+    * them, so they land in PartitionFilters and prune directories on the
+    * driver.
+    */
+  private def derive(t: Transform, p: Pred): Option[Column] = (t.kind, p) match {
+    case (_, Eq(_, v)) =>
+      Some(col(t.pcol) === t(lit(v))) // exact: same transform, same value
+    case ("bucket", _) => None // hash is not monotone — no range mapping
+    case (_, Between(_, lo, hi)) =>
+      Some(col(t.pcol).between(t(lit(lo)), t(lit(hi)))) // monotone transforms
+  }
+
+  private def rowFilter(p: Pred): Column = p match {
+    case Eq(c, v) => col(c) === lit(v)
+    case Between(c, lo, hi) => col(c).between(lit(lo), lit(hi))
+  }
+
+  /** Scan with raw-column predicates: every predicate applies as a row
+    * filter, and each one that matches a declared transform ALSO applies
+    * as a derived partition predicate (directory pruning). Partition
+    * columns stay hidden — the result has the raw schema.
+    */
+  def scan(spark: SparkSession, dir: String, preds: Seq[Pred]): DataFrame = {
+    val ts = transformsOf(spark, dir)
+    val raw = spark.read.parquet(s"$dir/data")
+    val derived = for (p <- preds; t <- ts if t.col == p.col; d <- derive(t, p)) yield d
+    val filtered = (preds.map(rowFilter) ++ derived)
+      .foldLeft(raw)((d, f) => d.where(f))
+    filtered.drop(ts.map(_.pcol): _*)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Events written under three transform layouts (`days(ts)`,
+    * `bucket(8, user_id)`, `truncate(500, event_id)` — one transform per
+    * layout: stacking all three would shatter the table into
+    * days×buckets×widths near-empty directories, the small-files failure
+    * Iceberg's spec warns against); three raw-predicate scans (time
+    * range, user point lookup, id band) must each return exactly the
+    * plain-SQL rows while pruning directories (pinned in the spec).
+    */
+  val queries: Map[String, Q] = Map(
+    "q_hidden_partition" -> ((s, d) => {
+      import graft.util.Exact.dsum
+      val dir = fixtureDir(s, d)
+      def agg(tag: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_val"))
+          .select(lit(tag).as("probe"), col("n_rows"), col("sum_val"))
+      val byTime = scan(s, s"$dir/bytime", Seq(Between("ts",
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-12 23:59:59.999999"))))
+      val byUser = scan(s, s"$dir/byuser", Seq(Eq("user_id", 101L)))
+      val byId = scan(s, s"$dir/byid", Seq(Between("event_id", 2500L, 3499L)))
+      agg("id_band", byId)
+        .unionByName(agg("time_range", byTime))
+        .unionByName(agg("user_point", byUser))
+        .orderBy("probe")
+    }),
+  )
+
+  private[lake] def fixtureDir(s: SparkSession, d: String): String =
+    graft.util.FixtureCache.dir("hidden_part", d) { dir =>
+      val ev = graft.sources.Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      write(ev, s"$dir/bytime", Seq(Transform("ts", "day")))
+      write(ev, s"$dir/byuser", Seq(Transform("user_id", "bucket", 8)))
+      write(ev, s"$dir/byid", Seq(Transform("event_id", "truncate", 500)))
+    }
+
+  val oracles: Map[String, String] = Map(
+    "q_hidden_partition" ->
+      """SELECT * FROM (
+        |  SELECT 'id_band' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |  FROM events WHERE event_id BETWEEN 2500 AND 3499
+        |  UNION ALL
+        |  SELECT 'time_range', count(*),
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |                           AND TIMESTAMP '2024-01-12 23:59:59.999999'
+        |  UNION ALL
+        |  SELECT 'user_point', count(*),
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM events WHERE user_id = 101
+        |) ORDER BY probe""".stripMargin,
+  )
+}

@@ -71,6 +71,18 @@ object IncrementalAgg {
   private def external(df: DataFrame): DataFrame =
     df.withColumn("sum_value", col("sum_value").cast("double"))
 
+  /** The 3-increment fixture timeline (events split by `event_id mod 3`,
+    * folded one batch at a time) — also run FRESH by `Probe lake-live` to
+    * publish the live per-increment cost the memoized bench excludes.
+    */
+  def buildTimeline(s: SparkSession, d: String, dir: String): Unit = {
+    val events = Tables.events(s, d)
+    (0 until 3).foreach { k =>
+      increment(s, dir, events.where(pmod(col("event_id"), lit(3)) === k),
+        Seq("event_type"), "value", 20250301, 900 + k * 100)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Three arrival batches of the events table (split by event_id mod 3,
     // arbitrary but deterministic) folded one at a time into a per-type
@@ -83,13 +95,7 @@ object IncrementalAgg {
       // writer per bench repeat only measures parquet commit throughput,
       // not the maintenance operator. Live per-increment cost is published
       // honestly by `Probe stream-live`.
-      val dir = graft.util.FixtureCache.dir("incr_agg", d) { dir =>
-        val events = Tables.events(s, d)
-        (0 until 3).foreach { k =>
-          increment(s, dir, events.where(pmod(col("event_id"), lit(3)) === k),
-            Seq("event_type"), "value", 20250301, 900 + k * 100)
-        }
-      }
+      val dir = graft.util.FixtureCache.dir("incr_agg", d)(buildTimeline(s, d, _))
       external(ManifestTable.readLatest(s, dir))
         .orderBy("event_type")
     }),

@@ -117,6 +117,36 @@ object Ingest {
     * layer, normalize each branch, and union with a lineage tag. The DuckDB
     * oracle recomputes the same rows straight from the parquet tables.
     */
+  /** Land the three JSON shapes (list / items-wrapper / columnar dict)
+    * derived from nation+region into `root`'s raw layer — the fixture
+    * body, also run FRESH by `Probe lake-live` to publish its live cost.
+    */
+  def landFixture(s: SparkSession, d: String, root: String): Unit = {
+    val date = 20250301
+    def jsonItems(rows: Seq[(Long, String)]): String =
+      rows.map { case (k, n) => s"""  {"k": $k, "name": "$n"}""" }.mkString(",\n")
+
+    // branch 1: bare pretty-printed list (nation)
+    val nations = Tables.nation(s, d).select("n_nationkey", "n_name")
+      .orderBy("n_nationkey").collect()
+      .map(r => (r.getAs[Number]("n_nationkey").longValue, r.getString(1))).toSeq
+    landRaw(s"[\n${jsonItems(nations)}\n]", root, "apify", "acct_list", date)
+
+    // branch 2: {"items": [...]} wrapper (region)
+    val regions = Tables.region(s, d).select("r_regionkey", "r_name")
+      .orderBy("r_regionkey").collect()
+      .map(r => (r.getAs[Number]("r_regionkey").longValue, r.getString(1))).toSeq
+    landRaw(s"""{\n"items": [\n${jsonItems(regions)}\n]\n}""",
+      root, "apify", "acct_items", date)
+
+    // branch 3: bare dict of parallel arrays (first 3 nations, columnar)
+    val cols = nations.take(3)
+    landRaw(
+      s"""{\n  "k": [${cols.map(_._1).mkString(", ")}],\n  "name": [${
+        cols.map("\"" + _._2 + "\"").mkString(", ")}]\n}""",
+      root, "apify", "acct_dict", date)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_json_ingest" -> ((s, d) => {
       val date = 20250301
@@ -126,30 +156,7 @@ object Ingest {
       // projection over all three landing shapes). The LIVE landing path
       // (HTTP server → landRaw) is exercised by IngestSpec's real-server
       // round-trip.
-      val root = graft.util.FixtureCache.dir("ingest", d) { root =>
-        def jsonItems(rows: Seq[(Long, String)]): String =
-          rows.map { case (k, n) => s"""  {"k": $k, "name": "$n"}""" }.mkString(",\n")
-
-        // branch 1: bare pretty-printed list (nation)
-        val nations = Tables.nation(s, d).select("n_nationkey", "n_name")
-          .orderBy("n_nationkey").collect()
-          .map(r => (r.getAs[Number]("n_nationkey").longValue, r.getString(1))).toSeq
-        landRaw(s"[\n${jsonItems(nations)}\n]", root, "apify", "acct_list", date)
-
-        // branch 2: {"items": [...]} wrapper (region)
-        val regions = Tables.region(s, d).select("r_regionkey", "r_name")
-          .orderBy("r_regionkey").collect()
-          .map(r => (r.getAs[Number]("r_regionkey").longValue, r.getString(1))).toSeq
-        landRaw(s"""{\n"items": [\n${jsonItems(regions)}\n]\n}""",
-          root, "apify", "acct_items", date)
-
-        // branch 3: bare dict of parallel arrays (first 3 nations, columnar)
-        val cols = nations.take(3)
-        landRaw(
-          s"""{\n  "k": [${cols.map(_._1).mkString(", ")}],\n  "name": [${
-            cols.map("\"" + _._2 + "\"").mkString(", ")}]\n}""",
-          root, "apify", "acct_dict", date)
-      }
+      val root = graft.util.FixtureCache.dir("ingest", d)(landFixture(s, d, _))
 
       val contract = StructType.fromDDL("k BIGINT, name STRING")
       Seq("acct_list", "acct_items", "acct_dict")

@@ -1,0 +1,89 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** X99: multi-table atomic commits — a catalog version is a consistent
+  * cross-table cut; the catalog rename is THE commit point of a
+  * transaction, so a crash between table commits and the publish leaves
+  * every catalog reader on the old cut for every table.
+  */
+class CatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_catalog").toString
+
+  private def rows(root: String, tbl: String, asOf: Option[Int] = None): Set[(Long, String)] =
+    Catalog.readTable(spark, root, tbl, asOf)
+      .as[(Long, String)].collect().toSet
+
+  test("transaction is all-or-nothing: crash before publish serves the old cut") {
+    val root = tmpRoot()
+    Catalog.transact(spark, root, 20250301, 900, Seq(
+      "a" -> Seq((1L, "a1")).toDF("id", "v"),
+      "b" -> Seq((1L, "b1")).toDF("id", "v")))
+    // tx2 crashes AFTER both table logs committed, BEFORE the catalog
+    // publish — the exact torn window the reference's two-step DAG has
+    val staged = Catalog.commitTableVersions(root, 20250301, 1000, Seq(
+      "a" -> Seq((1L, "a2")).toDF("id", "v"),
+      "b" -> Seq((1L, "b2")).toDF("id", "v")))
+    assert(staged == Map("a" -> 2, "b" -> 2))
+    assert(Catalog.latestVersion(spark, root) == Some(1))
+    assert(rows(root, "a") == Set((1L, "a1")), "catalog reader saw an unpublished table commit")
+    assert(rows(root, "b") == Set((1L, "b1")))
+    // the retried job completes the publish: both tables flip together
+    val cv = Catalog.publishCatalog(spark, root, 20250301, 1000, staged)
+    assert(cv == 2)
+    assert(rows(root, "a") == Set((1L, "a2")))
+    assert(rows(root, "b") == Set((1L, "b2")))
+    // and the old cut stays time-travelable
+    assert(rows(root, "a", Some(1)) == Set((1L, "a1")))
+    assert(rows(root, "b", Some(1)) == Set((1L, "b1")))
+  }
+
+  test("partial-table transactions overlay the previous cut") {
+    val root = tmpRoot()
+    Catalog.transact(spark, root, 20250301, 900, Seq(
+      "a" -> Seq((1L, "a1")).toDF("id", "v"),
+      "b" -> Seq((1L, "b1")).toDF("id", "v")))
+    Catalog.transact(spark, root, 20250301, 1000, Seq(
+      "a" -> Seq((1L, "a2")).toDF("id", "v")))
+    assert(rows(root, "a") == Set((1L, "a2")))
+    assert(rows(root, "b") == Set((1L, "b1")), "untouched table must carry forward")
+  }
+
+  test("lost catalog race rebases the cut instead of dropping the other writer") {
+    val root = tmpRoot()
+    Catalog.transact(spark, root, 20250301, 900, Seq(
+      "a" -> Seq((1L, "a1")).toDF("id", "v"),
+      "b" -> Seq((1L, "b1")).toDF("id", "v")))
+    val w1 = Catalog.commitTableVersions(root, 20250301, 1000, Seq(
+      "a" -> Seq((1L, "a2")).toDF("id", "v")))
+    // writer 2 publishes FIRST (wins the race for catalog v2)
+    val w2 = Catalog.commitTableVersions(root, 20250301, 1001, Seq(
+      "b" -> Seq((1L, "b2")).toDF("id", "v")))
+    assert(Catalog.publishCatalog(spark, root, 20250301, 1001, w2) == 2)
+    // writer 1's publish loses the v2 rename, retries, lands at v3 with
+    // BOTH transactions' effects in the final cut
+    assert(Catalog.publishCatalog(spark, root, 20250301, 1000, w1) == 3)
+    assert(rows(root, "a") == Set((1L, "a2")))
+    assert(rows(root, "b") == Set((1L, "b2")), "lost race dropped the winner's tables")
+    // middle cut: writer 2 only
+    assert(rows(root, "a", Some(2)) == Set((1L, "a1")))
+    assert(rows(root, "b", Some(2)) == Set((1L, "b2")))
+  }
+
+  test("unknown table and unknown catalog version fail loudly") {
+    val root = tmpRoot()
+    Catalog.transact(spark, root, 20250301, 900, Seq(
+      "a" -> Seq((1L, "a1")).toDF("id", "v")))
+    intercept[NoSuchElementException](Catalog.readTable(spark, root, "nope"))
+    intercept[NoSuchElementException](Catalog.readTable(spark, root, "a", Some(9)))
+    intercept[IllegalArgumentException](
+      Catalog.commitTableVersions(root, 20250301, 901, Seq(
+        "_catalog" -> Seq((1L, "x")).toDF("id", "v"))))
+  }
+}

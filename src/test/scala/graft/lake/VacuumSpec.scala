@@ -72,6 +72,27 @@ class VacuumSpec extends SparkSpec {
     assert(fs.exists(new Path(s"$dir/data/v00000003")))
   }
 
+  test("X96 staged writer dirs: referenced or young survive, old orphans reclaim") {
+    val dir = Scratch.dir("vac_staged")
+    commit3(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed optimistic writer's staged-but-never-committed data
+    val orphan = ManifestTable.stageDataFiles(Seq((9, "x")).toDF("k", "s"), dir)
+    // a COMMITTED optimistic append — its w-dir is referenced by a manifest
+    ManifestTable.appendRetrying(Seq((4, "d")).toDF("k", "s"), dir, 20250601, 1200)
+    val orphanDir = new Path(s"$dir/${orphan.head.split('/').take(2).mkString("/")}")
+    // default retention clock: the young orphan is preserved (in-flight?)
+    Vacuum.vacuum(spark, dir, keepLast = 2)
+    assert(fs.exists(orphanDir), "young staged dir must survive the default age guard")
+    // age guard waived: the unreferenced orphan reclaims, the referenced
+    // append dir must NOT (it is live data of the retained v4)
+    Vacuum.vacuum(spark, dir, keepLast = 2, stagedOrphanAgeMs = 0L)
+    assert(!fs.exists(orphanDir), "aged unreferenced staged dir must reclaim")
+    assert(ManifestTable.readLatest(spark, dir)
+      .select("s").as[String].collect().toSet == Set("c", "d"),
+      "the committed append's staged dir must survive as live data")
+  }
+
   test("retention must keep at least one version") {
     val dir = Scratch.dir("vac_guard")
     commit3(dir)
