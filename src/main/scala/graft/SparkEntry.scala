@@ -43,7 +43,8 @@ object SparkEntry {
       lake.Expectations.queries ++ ops.DenseId.queries ++ ops.JaroJoin.queries ++
       functions.TopKAgg.queries ++ lake.BloomIndex.queries ++ ext.Sketches.queries ++ ext.Bpe.queries ++ ext.Outliers.queries ++ ext.Triangles.queries ++ lake.IncrJoinView.queries ++
       streaming.StreamOuterJoin.queries ++ ext.FreqPairs.queries ++
-      lake.Branches.queries ++ lake.Catalog.queries
+      lake.Branches.queries ++ lake.Catalog.queries ++
+      lake.HiddenPartition.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -74,5 +75,6 @@ object SparkEntry {
       lake.Expectations.oracles ++ ops.DenseId.oracles ++ ops.JaroJoin.oracles ++
       functions.TopKAgg.oracles ++ lake.BloomIndex.oracles ++ ext.Sketches.oracles ++ ext.Bpe.oracles ++ ext.Outliers.oracles ++ ext.Triangles.oracles ++ lake.IncrJoinView.oracles ++
       streaming.StreamOuterJoin.oracles ++ ext.FreqPairs.oracles ++
-      lake.Branches.oracles ++ lake.Catalog.oracles
+      lake.Branches.oracles ++ lake.Catalog.oracles ++
+      lake.HiddenPartition.oracles
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** Hidden partitioning via partition TRANSFORMS (extension X101) — the
+/** Hidden partitioning via partition TRANSFORMS (extension X100) — the
   * Iceberg idea: the table declares `days(ts)` / `bucket(n, key)` /
   * `truncate(w, col)` transforms once at write time, queries keep
   * filtering on the RAW columns, and the reader derives the matching
