@@ -239,6 +239,12 @@ object Probe {
         ext.Similarity.ivfCentroids(s, e,
           ext.Similarity.adaptiveIvfK(e.count()))
       }
+      live("bpe_vocab") {
+        val wf = ext.Bpe.wordFreqDir(s, d)
+        ext.Bpe.tokenizedVocab(s.read.parquet(s"$wf/t"), ext.Bpe.Rounds)
+          .write.mode("overwrite")
+          .parquet(util.Scratch.dir("live_bpe") + "/t")
+      }
     }
     args.filter(SparkEntry.queries.contains).foreach { q =>
       if (args.contains("explain")) {

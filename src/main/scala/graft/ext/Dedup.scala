@@ -320,8 +320,13 @@ object Dedup {
       // linear in n, not quadratic. Planted exact-direction duplicates
       // differ in ZERO sign bits under ANY plane set, so recall of the
       // oracle's pairs is plane-count-independent.
+      // occupancy target 8 (vs the ANN tier's 32): candidates grow as
+      // n·(p+1)·occupancy, and the dedup rerank threshold (cos ≥ 0.99)
+      // keeps recall plane-count-independent for exact-direction dups, so
+      // the extra 2 bits of bucket depth are pure candidate reduction
+      // (~3.5× fewer cosine evaluations at any n)
       val nPlanes = Similarity.adaptivePlanes(
-        base.count() + base.where(col("vec_id") % 25 === 0).count())
+        base.count() + base.where(col("vec_id") % 25 === 0).count(), target = 8L)
       val corpus = materializeCached(s,
         base.unionByName(dups)
           .withColumn("bucket", Similarity.bucketOf(col("embedding"), nPlanes).cast("int")),

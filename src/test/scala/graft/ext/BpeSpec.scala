@@ -49,6 +49,19 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq((1, "a b", "ab", 3L)))
   }
 
+  test("X101 encode: tokenized vocabulary applies every merge in order") {
+    val docs = Seq("abab abab abab ab ab cd").toDF("text")
+    val words = Bpe.wordFreq(docs, "text")
+    // r1: 'a b' (2 per abab ×3 + 1 per ab ×2 = 8) → r2: 'ab ab' (×3)
+    val vocab = Bpe.tokenizedVocab(words, 2)
+      .as[(String, Long)].collect().toMap
+    assert(vocab == Map("abab" -> 1L, "ab" -> 1L, "cd" -> 2L), s"got $vocab")
+    // one merge fewer: 'abab' stays two 'ab' symbols
+    val vocab1 = Bpe.tokenizedVocab(words, 1)
+      .as[(String, Long)].collect().toMap
+    assert(vocab1 == Map("abab" -> 2L, "ab" -> 1L, "cd" -> 2L), s"got $vocab1")
+  }
+
   test("partition-count invariant") {
     val docs = (1 to 50).map(i => s"alpha beta gamma delta epsilon tok$i")
       .toDF("text")
