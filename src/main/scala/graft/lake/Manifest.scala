@@ -240,6 +240,30 @@ object ManifestTable {
   def latestVersion(spark: SparkSession, dir: String): Option[Int] =
     snapshots(spark, dir).lastOption.map(_.version)
 
+  /** The table's commit log as a DataFrame (X102 — the DESCRIBE HISTORY
+    * surface): one row per version with the operation KIND and file
+    * counts, derived from manifests ALONE — zero data bytes read, so the
+    * log of a 100 TB table costs the same as a 100 MB one. Kinds: the
+    * manifest's own `op` when it carries one ("append"/"materialize");
+    * otherwise "delete" when the version keeps its parent's exact file
+    * list but changes the deletion-vector set (X64's tombstone-only
+    * commit), else "write" (full replace).
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val snaps = snapshots(spark, dir)
+    val rows = snaps.zip(None +: snaps.map(Option(_))).map { case (s, prev) =>
+      val kind =
+        if (s.op != "write") s.op
+        else if (prev.exists(p => p.files == s.files && p.deletes != s.deletes))
+          "delete"
+        else "write"
+      (s.version.toLong, s.runDate, s.runTime, kind,
+        s.files.size.toLong, s.deletes.size.toLong)
+    }
+    spark.createDataFrame(rows)
+      .toDF("version", "run_date", "run_time", "op", "n_files", "n_delete_files")
+  }
+
   /** Time travel: the table exactly as committed at `version` — a scan of
     * that manifest's file list only, immune to in-flight writes of later
     * versions (their data files are staged but unreferenced). Versions
@@ -299,6 +323,21 @@ object ManifestTable {
         .unionByName(summarize("v1", readVersion(s, dir, 1)))
         .orderBy("version")
     }),
+    // Commit log over the X64 timeline (write → delete → delete →
+    // materialize): operation kinds derive from manifest metadata only;
+    // per-version row counts join in from time-travel reads so the oracle
+    // can rebuild every line from the fixture's predicates.
+    "q_commit_log" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = DeleteVectors.fixtureDir(s, d)
+      val counts = snapshots(s, dir).map(_.version).map { v =>
+        readVersion(s, dir, v).agg(count(lit(1)).as("n_rows"))
+          .select(lit(v.toLong).as("version"), col("n_rows"))
+      }.reduce(_ unionByName _)
+      history(s, dir).select("version", "op")
+        .join(counts, "version")
+        .orderBy("version")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -311,6 +350,22 @@ object ManifestTable {
         |  SELECT 'v1' AS version, count(*) AS n_rows,
         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |  FROM orders WHERE o_orderkey % 3 = 0
+        |) ORDER BY version""".stripMargin,
+    "q_commit_log" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, 'write' AS op, count(*) AS n_rows
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 2, 'delete', count(*) FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+        |  UNION ALL
+        |  SELECT 3, 'delete', count(*) FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+        |    AND NOT (o_orderkey % 7 = 3)
+        |  UNION ALL
+        |  SELECT 4, 'materialize', count(*) FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+        |    AND NOT (o_orderkey % 7 = 3)
         |) ORDER BY version""".stripMargin,
   )
 }

@@ -165,4 +165,26 @@ class ManifestSpec extends SparkSpec {
     assert(got == Seq((1L, "x")),
       "reader must resolve files from the manifest list, not directory listing")
   }
+
+  test("X102 history: operation kinds derive from manifest metadata alone") {
+    val dir = tmpTable()
+    ManifestTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").repartition(2),
+      dir, 20250301, 900)
+    ManifestTable.appendRetrying(Seq((4L, "d")).toDF("id", "v"), dir, 20250301, 1000)
+    DeleteVectors.deleteWhere(spark, dir, col("id") === 2, 20250301, 1100)
+    DeleteVectors.materialize(spark, dir, 20250301, 1200)
+    val h = ManifestTable.history(spark, dir)
+      .select("version", "op", "n_files", "n_delete_files")
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(h.map(_._2) == Seq("write", "append", "delete", "materialize"), h)
+    assert(h(0)._3 == 2, s"v1 file count: $h")
+    assert(h(1)._3 == 3, s"append must add one file: $h")
+    assert(h(2)._3 == 3 && h(2)._4 > 0,
+      s"delete keeps files, adds tombstone sidecars: $h")
+    assert(h(3)._4 == 0, s"materialize folds tombstones away: $h")
+    // zero data bytes: history of a 4-version table reads 4 tiny JSONs
+    assert(ManifestTable.readVersion(spark, dir, 3)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (3L, "c"), (4L, "d")))
+  }
 }
