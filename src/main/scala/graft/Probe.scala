@@ -95,18 +95,24 @@ object Probe {
       Seq("region", "nation").foreach(n => rep(n)((df, i) => if (i == 0) df else df.limit(0)))
       rep("customer")((df, i) => df.withColumn("c_custkey", col("c_custkey") + i * M))
       // Supplier names feed the string-similarity joins (X65 fuzzy, X79
-      // Jaro–Winkler); replicating them verbatim would give every name 9
-      // identical twins and explode the true-pair count quadratically
-      // across replicas — the same workload-shape distortion the document
-      // word perturbation exists to prevent. Two per-replica letters
-      // (position-wise distinct, replica 0 keeps the original spelling)
-      // push every cross-replica pair below both operators' thresholds
-      // (jw ≤ ~0.966 < 0.97; edit distance 2 > 1) while leaving
-      // within-replica pair structure identical to the base corpus.
+      // Jaro–Winkler); replicating them verbatim would give every name
+      // mult−1 identical twins and explode the true-pair count
+      // quadratically across replicas — the same workload-shape
+      // distortion the document word perturbation exists to prevent.
+      // TWO 2-char codes (positions 2-3 keyed by i mod 10, positions 5-6
+      // by i div 10, both alphabets injective and identity at i = 0) make
+      // ANY two replicas in 0..99 differ in ≥ 2 characters — a single
+      // 2-position code is not enough at mult > 10, because replicas
+      // sharing one coordinate would differ in just 1 char and land at
+      // jw ≈ 0.989 > τ. Two separated substitutions give jw ≤ ~0.94
+      // < 0.97 and edit distance ≥ 2 > 1, so cross-replica pairs clear
+      // both operators' thresholds while within-replica structure stays
+      // identical to the base corpus.
       rep("supplier")((df, i) => df
         .withColumn("s_suppkey", col("s_suppkey") + i * M)
-        .withColumn("s_name", regexp_replace(col("s_name"), "^Suppl..r#",
-          s"Suppl${"iabcdfghjk".charAt(i % 10)}${"emnoqstvwx".charAt(i % 10)}r#")))
+        .withColumn("s_name", regexp_replace(col("s_name"), "^Su..l..r#",
+          s"Su${"pabcdfghjk".charAt(i % 10)}${"pbcdfghjkm".charAt(i % 10)}l" +
+            s"${"imnoqstvwx".charAt(i / 10 % 10)}${"enoqstvwxy".charAt(i / 10 % 10)}r#")))
       rep("part")((df, i) => df.withColumn("p_partkey", col("p_partkey") + i * M))
       rep("orders")((df, i) => df
         .withColumn("o_orderkey", col("o_orderkey") + i * 10 * M)
@@ -127,14 +133,23 @@ object Probe {
             when(j % 3 === i % 3, concat(w, lit(s"~$i"))).otherwise(w)), " ")))
           .withColumn("doc_id", col("doc_id") + i * M)
           .withColumn("n_chars", length(col("text"))))
+      // Per-replica embedding noise must be (a) big enough that a replica
+      // is NOT a cos ≥ 0.99 near-dup of its source, and (b) INDEPENDENT
+      // across replicas — the previous sinusoidal perturbation stepped
+      // its phase by ≈ −0.36 rad per replica, so replica pairs ~17 apart
+      // carried near-identical noise and landed back above the dedup
+      // threshold (measured: 131000× output growth at 100×). Murmur3 of
+      // (vec_id, dim, replica) decorrelates every axis; ±0.35 uniform on
+      // N(0,1) components puts source↔replica at cos ≈ 0.98 and
+      // replica↔replica at cos ≈ 0.97 — both safely below 0.99, so pair
+      // structure replicates instead of exploding.
       rep("embeddings")((df, i) => df
         .withColumn("vec_id", col("vec_id") + i * M)
         .withColumn("embedding",
           if (i == 0) col("embedding")
           else transform(col("embedding"), (x, j) =>
-            (x + lit(i * 0.02f) *
-              sin(j.cast("double") * 0.7 + col("vec_id").cast("double")).cast("float"))
-              .cast("float"))))
+            (x + (pmod(hash(col("vec_id"), j, lit(i)), lit(2001)) - 1000)
+              .cast("float") * lit(0.00035f)).cast("float"))))
     }
     if (args.contains("minhash-stages")) {
       t("docShingles compute")(ext.Dedup.docShingles(s, d).where(size(col("sh")) > 0).count())
