@@ -102,19 +102,89 @@ object HiddenPartition {
     case Between(c, lo, hi) => col(c).between(lit(lo), lit(hi))
   }
 
-  /** Scan with raw-column predicates: every predicate applies as a row
-    * filter, and each one that matches a declared transform ALSO applies
-    * as a derived partition predicate (directory pruning). Partition
-    * columns stay hidden — the result has the raw schema.
+  /** One layout's pruned scan: every predicate applies as a row filter,
+    * and each one matching a declared transform ALSO applies as a derived
+    * partition predicate (directory pruning). Partition columns stay
+    * hidden — the result has the raw schema.
     */
-  def scan(spark: SparkSession, dir: String, preds: Seq[Pred]): DataFrame = {
-    val ts = transformsOf(spark, dir)
-    val raw = spark.read.parquet(s"$dir/data")
+  private def scanLayout(spark: SparkSession, dataPath: String,
+      ts: Seq[Transform], preds: Seq[Pred]): DataFrame = {
+    val raw = spark.read.parquet(dataPath)
     val derived = for (p <- preds; t <- ts if t.col == p.col; d <- derive(t, p)) yield d
     val filtered = (preds.map(rowFilter) ++ derived)
       .foldLeft(raw)((d, f) => d.where(f))
     filtered.drop(ts.map(_.pcol): _*)
   }
+
+  /** Scan a single-spec table written by [[write]]. */
+  def scan(spark: SparkSession, dir: String, preds: Seq[Pred]): DataFrame =
+    scanLayout(spark, s"$dir/data", transformsOf(spark, dir), preds)
+
+  // ---- partition-spec EVOLUTION (X103): the Iceberg headline case -----
+  //
+  // A table's partitioning is a tuning decision, not a schema fact — a
+  // year of day-partitioned history should not need rewriting when the
+  // workload outgrows it. Each spec change starts a new GENERATION
+  // (g0, g1, ...): old generations keep their layout and their files
+  // untouched, new data lands under the new spec, and a scan prunes each
+  // generation with the predicates ITS OWN transforms can serve, then
+  // unions the raw-schema results. Queries never mention partitioning, so
+  // they are oblivious to the evolution — exactly Iceberg's contract.
+
+  private def gensPath(dir: String) = s"$dir/_generations.json"
+
+  /** The evolution spec: ordered generations, each with its transforms. */
+  def generationsOf(spark: SparkSession, dir: String): Seq[Seq[Transform]] = {
+    val fs = ManifestTable.fsFor(spark, dir)
+    if (!fs.exists(new Path(gensPath(dir)))) return Seq.empty
+    val in = fs.open(new Path(gensPath(dir)))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    implicit val fmts: Formats = DefaultFormats
+    (JsonMethods.parse(text) \ "generations").extract[Seq[JValue]].map { g =>
+      (g \ "transforms").extract[Seq[JValue]].map { j =>
+        Transform((j \ "col").extract[String], (j \ "kind").extract[String],
+          (j \ "param").extract[Long])
+      }
+    }
+  }
+
+  /** Write `df` under `transforms`, starting a NEW generation when the
+    * spec differs from the latest one (appending into the latest
+    * generation's layout when it matches). Old generations' files are
+    * never touched — evolution is a metadata append plus a directory.
+    */
+  def writeEvolved(df: DataFrame, dir: String, transforms: Seq[Transform]): Unit = {
+    val spark = df.sparkSession
+    val gens = generationsOf(spark, dir)
+    val (gid, newGens) =
+      if (gens.nonEmpty && gens.last == transforms) (gens.size - 1, gens)
+      else (gens.size, gens :+ transforms)
+    val out = transforms.foldLeft(df)((d, t) => d.withColumn(t.pcol, t(col(t.col))))
+    out.write.mode("append").partitionBy(transforms.map(_.pcol): _*)
+      .parquet(s"$dir/g$gid/data")
+    val fs = ManifestTable.fsFor(spark, dir)
+    val body = newGens.zipWithIndex.map { case (ts, i) =>
+      val tbody = ts.map(t =>
+        s"""{"col": "${t.col}", "kind": "${t.kind}", "param": ${t.param}}""")
+        .mkString("[", ", ", "]")
+      s"""{"id": $i, "transforms": $tbody}"""
+    }.mkString("[", ", ", "]")
+    val os = fs.create(new Path(gensPath(dir)), true)
+    try os.write(s"""{"generations": $body}""".getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Scan an evolved table: each generation prunes with the predicates
+    * its own spec serves (an old day-partitioned generation still prunes
+    * time ranges after the table evolved to day+bucket), and the raw-
+    * schema results union. Generations whose layout serves NONE of a
+    * predicate's transforms still row-filter correctly — pruning is an
+    * optimization, never a semantic.
+    */
+  def scanEvolved(spark: SparkSession, dir: String, preds: Seq[Pred]): DataFrame =
+    generationsOf(spark, dir).zipWithIndex
+      .map { case (ts, gid) => scanLayout(spark, s"$dir/g$gid/data", ts, preds) }
+      .reduce(_ unionByName _)
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -143,7 +213,36 @@ object HiddenPartition {
         .unionByName(agg("user_point", byUser))
         .orderBy("probe")
     }),
+    // Evolution (X103): half the events landed day-partitioned (g0), the
+    // other half after the spec evolved to day+bucket (g1). The probes
+    // never mention partitioning; the oracle is plain SQL over the whole
+    // table — evolution must be invisible to results, and each
+    // generation prunes with whatever its own spec serves.
+    "q_partition_evolution" -> ((s, d) => {
+      import graft.util.Exact.dsum
+      val dir = evoFixtureDir(s, d)
+      def agg(tag: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_val"))
+          .select(lit(tag).as("probe"), col("n_rows"), col("sum_val"))
+      val byTime = scanEvolved(s, dir, Seq(Between("ts",
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-07 23:59:59.999999"))))
+      val byUser = scanEvolved(s, dir, Seq(Eq("user_id", 77L)))
+      agg("time_range", byTime)
+        .unionByName(agg("user_point", byUser))
+        .orderBy("probe")
+    }),
   )
+
+  private[lake] def evoFixtureDir(s: SparkSession, d: String): String =
+    graft.util.FixtureCache.dir("hidden_evo", d) { dir =>
+      val ev = graft.sources.Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      writeEvolved(ev.where(col("event_id") % 2 === 0), dir,
+        Seq(Transform("ts", "day")))
+      writeEvolved(ev.where(col("event_id") % 2 === 1), dir,
+        Seq(Transform("ts", "day"), Transform("user_id", "bucket", 8)))
+    }
 
   private[lake] def fixtureDir(s: SparkSession, d: String): String =
     graft.util.FixtureCache.dir("hidden_part", d) { dir =>
@@ -169,6 +268,17 @@ object HiddenPartition {
         |  SELECT 'user_point', count(*),
         |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |  FROM events WHERE user_id = 101
+        |) ORDER BY probe""".stripMargin,
+    "q_partition_evolution" ->
+      """SELECT * FROM (
+        |  SELECT 'time_range' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |  FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+        |                           AND TIMESTAMP '2024-01-07 23:59:59.999999'
+        |  UNION ALL
+        |  SELECT 'user_point', count(*),
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM events WHERE user_id = 77
         |) ORDER BY probe""".stripMargin,
   )
 }

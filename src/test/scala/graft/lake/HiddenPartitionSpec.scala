@@ -89,6 +89,44 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(dirs.length == 8, s"unsound bucket pruning: $dirs")
   }
 
+  test("X103 evolution: generations prune independently, results union raw") {
+    val root = graft.util.Scratch.dir("hp_evo")
+    // g0: first half, day-partitioned; g1: second half after the spec
+    // evolved to day+bucket; a same-spec write appends into g1
+    writeEvolved(frame.where(col("id") < 200), root, Seq(Transform("ts", "day")))
+    writeEvolved(frame.where(col("id") >= 200 && col("id") < 300), root,
+      Seq(Transform("ts", "day"), Transform("key", "bucket", 4)))
+    writeEvolved(frame.where(col("id") >= 300), root,
+      Seq(Transform("ts", "day"), Transform("key", "bucket", 4)))
+    assert(generationsOf(spark, root).size == 2,
+      "matching spec must append into the existing generation, not fork one")
+
+    // full scan loses nothing and stays raw-schema
+    val all = scanEvolved(spark, root, Nil)
+    assert(all.count() == 400)
+    assert(all.columns.toSeq == Seq("id", "ts", "key", "tag"))
+
+    // a day-range probe prunes BOTH generations' day dimension
+    val dayScan = scanEvolved(spark, root, Seq(Between("ts",
+      java.sql.Timestamp.valueOf("2024-03-05 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-06 23:59:59"))))
+    assert(dayScan.count() == 40)
+    val dayDirs = filesPlanned(dayScan)
+    assert(dayDirs.nonEmpty &&
+      dayDirs.map(_.split("/p_ts_day=")(1).take(10)).distinct.sorted ==
+        Seq("2024-03-05", "2024-03-06"), s"evolved day pruning read $dayDirs")
+
+    // a key point probe: g1 prunes its bucket dim; g0 (no key transform)
+    // is row-filtered but never wrongly pruned
+    val keyScan = scanEvolved(spark, root, Seq(Eq("key", 7L)))
+    assert(keyScan.select("id").as[Long].collect().toSet ==
+      frame.where(col("key") === 7).select("id").as[Long].collect().toSet)
+    val g1Dirs = filesPlanned(keyScan).filter(_.contains("/g1/"))
+    assert(g1Dirs.nonEmpty &&
+      g1Dirs.map(_.split("/p_key_b4=")(1).split("/")(0)).distinct.length == 1,
+      s"g1 bucket not pruned: $g1Dirs")
+  }
+
   test("the spec JSON round-trips and an unknown dir fails loudly") {
     val root = graft.util.Scratch.dir("hp_spec")
     val ts = Seq(Transform("ts", "day"), Transform("key", "bucket", 16),
