@@ -148,6 +148,31 @@ object Dedup {
           .reduce(_ + _).as("sig"))
   }
 
+  /** Span-level dedup (X104): chunk `corpus(doc_id, text)` into fixed
+    * `spanWords`-word spans, drop every span occurring ≥ `minRepeats`
+    * times anywhere in the corpus, and reassemble each document from its
+    * surviving spans in order (a document losing every span disappears —
+    * it was all boilerplate). One explode + one combinable span count +
+    * a broadcast anti-join on the (tiny by construction) hot-span set +
+    * one per-doc reassembly shuffle.
+    */
+  def spanDedup(corpus: DataFrame, spanWords: Int, minRepeats: Int): DataFrame = {
+    val spans = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          ((size(col("w")) + lit(spanWords - 1)) / lit(spanWords)).cast("int") - 1),
+        i => array_join(slice(col("w"), i * spanWords + 1, lit(spanWords)), " "))))
+      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "span")
+    val hot = spans.groupBy("span").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minRepeats).select("span")
+    spans.join(broadcast(hot), Seq("span"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ci"), col("span")))),
+        x => x.getField("span")), " ").as("kept_text"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup on a content fingerprint. Corpus = documents ∪ a
     // whitespace/case-perturbed copy of every 10th doc; normalization
@@ -161,6 +186,25 @@ object Dedup {
         .groupBy(md5(TextAnalysis.normText(col("text"))).as("fp"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id")
+    }),
+
+    // Span-level (C4-style) dedup (X104): documents chunk into fixed
+    // 10-word spans; spans repeated ≥ 3 times ANYWHERE in the corpus
+    // (boilerplate — cookie banners, license headers) are dropped from
+    // every document, and each document reassembles from its surviving
+    // spans in order. C4 removed repeated 3-sentence spans exactly this
+    // way; at 100 TB the shape is one explode + one combinable span
+    // count + a broadcast anti-join (the hot-span set is tiny by
+    // construction — it's the spans repeated across MANY docs) + one
+    // per-doc reassembly shuffle. Fixture plants a 10-word boilerplate
+    // prefix on every 7th doc, which aligns exactly on the first span so
+    // the rest of the document chunks identically to the unplanted copy.
+    "q_line_dedup" -> ((s, d) => {
+      val bp = "the quick brown fox jumps over the lazy dog again"
+      val corpus = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit(bp + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      spanDedup(corpus, spanWords = 10, minRepeats = 3).orderBy("doc_id")
     }),
 
     // n-gram Jaccard near-dup at threshold 0.8, with PREFIX FILTERING
@@ -366,6 +410,21 @@ object Dedup {
         |SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_line_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN 'the quick brown fox jumps over the lazy dog again ' || text
+        |              ELSE text END AS text
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, ci, array_to_string(w[ci*10+1 : ci*10+10], ' ') AS span
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |       LATERAL (SELECT unnest(range(0, CAST(ceil(len(w)/10.0) AS INT))) AS ci) t),
+        |hot AS (SELECT span FROM spans GROUP BY span HAVING count(*) >= 3)
+        |SELECT doc_id, string_agg(span, ' ' ORDER BY ci) AS kept_text
+        |FROM spans WHERE span NOT IN (SELECT span FROM hot)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s
          |            FROM (SELECT doc_id, $toksSql AS l FROM documents)),

@@ -134,4 +134,30 @@ class DedupSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(got - 1.0) < 1e-12)
   }
+
+  test("X104 span dedup: only globally repeated spans drop, order survives") {
+    import spark.implicits._
+    val bp = (1 to 5).map(i => s"b$i").mkString(" ") // one 5-word span
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$bp ${uniq("x", 5)}"),        // bp + unique span
+      (2L, s"${uniq("y", 5)} $bp"),        // bp in SECOND position
+      (3L, s"$bp ${uniq("z", 7)}"),        // bp + unique + short tail span
+      (4L, uniq("w", 8)),                  // no bp: 5-word + 3-word spans
+      (5L, bp)                             // all boilerplate: disappears
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, spanWords = 5, minRepeats = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, uniq("x", 5)),
+      (2L, uniq("y", 5)),
+      (3L, s"${uniq("z", 5)} z6 z7"),
+      (4L, uniq("w", 8))), s"got $got")
+    // below the repeat threshold nothing drops
+    val loose = Dedup.spanDedup(docs, spanWords = 5, minRepeats = 5)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(loose.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L) &&
+      loose.forall { case (i, t) =>
+        t == docs.where(col("doc_id") === i).head().getString(1) })
+  }
 }
