@@ -110,6 +110,31 @@ object Branches {
     ref
   }
 
+  /** All refs of the table — one tiny `_refs` listing + one JSON read per
+    * ref; empty for a table that never branched.
+    */
+  def listRefs(spark: SparkSession, dir: String): Seq[Ref] = {
+    val fs = ManifestTable.fsFor(spark, dir)
+    val rdir = new org.apache.hadoop.fs.Path(refsDir(dir))
+    if (!fs.exists(rdir)) return Seq.empty
+    fs.listStatus(rdir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .map(s => readRef(spark, dir, s.getPath.getName.stripSuffix(".json")))
+      .sortBy(_.name)
+  }
+
+  /** Versions X61's vacuum must NOT expire on behalf of refs (X105):
+    * every tag's target is pinned forever (a tag IS a retention promise),
+    * and each branch keeps the newest `keepLast` versions of ITS OWN
+    * lineage — the same retention window the global log gets, applied
+    * per branch, so a diverged branch's history expires on the same
+    * policy instead of blocking retention or being silently broken.
+    */
+  def protectedVersions(spark: SparkSession, dir: String, keepLast: Int): Set[Int] =
+    listRefs(spark, dir).flatMap { r =>
+      if (r.kind == "tag") Seq(r.head) else r.lineage.takeRight(keepLast)
+    }.toSet
+
   /** Commit `df` as the next global version and advance the branch ref.
     * Tags refuse: they are immutable by contract.
     *

@@ -143,6 +143,29 @@ object Catalog {
     ManifestTable.readVersion(spark, s"$root/$table", tv)
   }
 
+  /** Catalog-aware retention (X105): expire all but the newest `keepLast`
+    * catalog cuts, then vacuum every table with the versions the RETAINED
+    * cuts resolve to pinned — a table version an old-but-retained
+    * cross-table cut still references is not garbage, no matter how far
+    * the table's own log has advanced. Returns expired catalog versions.
+    */
+  def vacuumCatalog(spark: SparkSession, root: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "retention must keep at least the latest cut")
+    val snaps = snapshots(spark, root)
+    if (snaps.isEmpty) return Seq.empty
+    val expired = snaps.dropRight(keepLast)
+    val retained = snaps.drop(expired.size)
+    val fs = ManifestTable.fsFor(spark, root)
+    expired.foreach(s =>
+      fs.delete(new Path(catalogDir(root), f"v${s.version}%08d.json"), false))
+    val tables = retained.flatMap(_.tables.keys).distinct
+    tables.foreach { t =>
+      val pinned = retained.flatMap(_.tables.get(t)).toSet
+      Vacuum.vacuum(spark, s"$root/$t", keepLast, protect = pinned)
+    }
+    expired.map(_.version)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Timeline: tx1 writes a consistent pair (orders slice + lineitem

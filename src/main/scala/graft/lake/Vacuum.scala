@@ -49,12 +49,21 @@ object Vacuum {
     * applies to its UUID-named data files).
     */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int,
-      stagedOrphanAgeMs: Long = 24L * 3600 * 1000): Seq[Int] = {
+      stagedOrphanAgeMs: Long = 24L * 3600 * 1000,
+      protect: Set[Int] = Set.empty): Seq[Int] = {
     require(keepLast >= 1, "retention must keep at least the latest version")
     val snaps = ManifestTable.snapshots(spark, dir)
     if (snaps.isEmpty) return Seq.empty
-    val expired = snaps.dropRight(keepLast)
-    val retained = snaps.drop(expired.size)
+    // Ref-aware retention (X105): a version any ref still resolves to is
+    // NOT garbage — tags pin their target forever, branches keep the
+    // newest keepLast of their own lineage (same policy as the global
+    // log, per branch). `protect` adds externally-referenced versions —
+    // Catalog.vacuumCatalog passes the table versions its retained
+    // cross-table cuts resolve to.
+    val pinned = protect ++ Branches.protectedVersions(spark, dir, keepLast)
+    val expired = snaps.dropRight(keepLast).filterNot(s => pinned(s.version))
+    val expiredSet = expired.map(_.version).toSet
+    val retained = snaps.filterNot(s => expiredSet(s.version))
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     expired.foreach { s =>
       // Manifest first (the version atomically stops existing), stats
@@ -114,6 +123,27 @@ object Vacuum {
         .unionByName(summarize("v3", ManifestTable.readVersion(s, dir, 3)))
         .orderBy("version")
     }),
+    // Ref-aware retention (X105): a tag at v1 pins it through a
+    // keepLast=1 vacuum that expires the unreferenced v2; both the tag
+    // read and the latest read must survive byte-for-byte.
+    "q_vacuum_refs" -> ((s, d) => {
+      val dir = graft.util.FixtureCache.dir("vacuum_refs", d) { dir =>
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        ManifestTable.commit(o.where(col("o_orderkey") % 5 === 0), dir, 20250601, 900)
+        ManifestTable.commit(o.where(col("o_orderkey") % 5 <= 1), dir, 20250601, 1000)
+        ManifestTable.commit(o.where(col("o_orderkey") % 5 <= 2), dir, 20250601, 1100)
+        Branches.createTag(s, dir, "rel1", atVersion = 1)
+        val expired = vacuum(s, dir, keepLast = 1)
+        require(expired == Seq(2),
+          s"expected the tag to pin v1 and retention to expire only v2, got $expired")
+      }
+      def summarize(tag: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_total"))
+          .select(lit(tag).as("probe"), col("n_rows"), col("sum_total"))
+      summarize("latest", ManifestTable.readLatest(s, dir))
+        .unionByName(summarize("rel1", Branches.readBranch(s, dir, "rel1")))
+        .orderBy("probe")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -127,5 +157,15 @@ object Vacuum {
         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |  FROM orders WHERE o_orderkey % 4 <= 2
         |) ORDER BY version""".stripMargin,
+    "q_vacuum_refs" ->
+      """SELECT * FROM (
+        |  SELECT 'latest' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders WHERE o_orderkey % 5 <= 2
+        |  UNION ALL
+        |  SELECT 'rel1' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |) ORDER BY probe""".stripMargin,
   )
 }

@@ -93,6 +93,53 @@ class VacuumSpec extends SparkSpec {
       "the committed append's staged dir must survive as live data")
   }
 
+  test("X105 ref-aware retention: tags pin forever, branches keep their own window") {
+    val dir = Scratch.dir("vac_refs")
+    commit3(dir) // v1..v3 on main history
+    Branches.createTag(spark, dir, "rel", atVersion = 1)
+    // a diverged branch: forked at v1, committed v4 — its lineage is [1, 4]
+    Branches.createBranch(spark, dir, "exp", fromVersion = 1)
+    Branches.commitToBranch(Seq((9, "x")).toDF("k", "s"), dir, "exp", 20250601, 1200)
+    // keepLast=1 of the global log would expire v1..v3; the tag pins v1,
+    // the branch head pins v4 (already latest), branch lineage keeps only
+    // its newest 1 → v2 and v3 are the only garbage
+    assert(Vacuum.vacuum(spark, dir, keepLast = 1) == Seq(2, 3))
+    // both refs still read intact
+    assert(Branches.readBranch(spark, dir, "rel").select("s").as[String]
+      .collect().toSet == Set("a"))
+    assert(Branches.readBranch(spark, dir, "exp").select("s").as[String]
+      .collect().toSet == Set("x"))
+    // idempotent; and the expired middle is really gone
+    assert(Vacuum.vacuum(spark, dir, keepLast = 1).isEmpty)
+    intercept[NoSuchElementException](ManifestTable.readVersion(spark, dir, 2))
+  }
+
+  test("X105 catalog-aware retention: retained cuts pin their table versions") {
+    val root = Scratch.dir("vac_cat")
+    def tx(n: Int): Unit = Catalog.transact(spark, root, 20250601, 900 + n, Seq(
+      "a" -> Seq((n.toLong, s"a$n")).toDF("id", "v"),
+      "b" -> Seq((n.toLong, s"b$n")).toDF("id", "v")))
+    tx(1); tx(2); tx(3) // catalog cuts 1..3; each table at versions 1..3
+    assert(Catalog.vacuumCatalog(spark, root, keepLast = 2) == Seq(1))
+    // cut 2 retained → table versions 2 survive though keepLast=2 alone
+    // would keep {2,3} anyway; cut 1's table versions 1 are the garbage
+    intercept[NoSuchElementException](Catalog.readTable(spark, root, "a", Some(1)))
+    assert(Catalog.readTable(spark, root, "a", Some(2)).select("v").as[String]
+      .collect().toSet == Set("a2"))
+    intercept[NoSuchElementException](
+      ManifestTable.readVersion(spark, s"$root/a", 1))
+    // a lagging table: only 'a' advances in cuts 4-5; 'b' stays at v3
+    Catalog.transact(spark, root, 20250601, 1000, Seq(
+      "a" -> Seq((4L, "a4")).toDF("id", "v")))
+    Catalog.transact(spark, root, 20250601, 1001, Seq(
+      "a" -> Seq((5L, "a5")).toDF("id", "v")))
+    assert(Catalog.vacuumCatalog(spark, root, keepLast = 2) == Seq(2, 3))
+    // b's v3 is ancient in b's log but still referenced by both retained
+    // cuts — it must survive b's keepLast=2 window
+    assert(Catalog.readTable(spark, root, "b").select("v").as[String]
+      .collect().toSet == Set("b3"))
+  }
+
   test("retention must keep at least one version") {
     val dir = Scratch.dir("vac_guard")
     commit3(dir)
