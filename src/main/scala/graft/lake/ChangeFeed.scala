@@ -63,9 +63,10 @@ object ChangeFeed {
     (fromV until toV).map { v =>
       val (sOld, sNew) = (snap(v), snap(v + 1))
       val step =
-        if (sNew.op == "materialize")
+        if (sNew.op == "materialize" || sNew.op == "optimize")
           // content-preserving by the commit's own recorded contract
-          // (X64 materialize): zero feed rows, no version read at all
+          // (X64 materialize / X106 optimize): zero feed rows, no
+          // version read at all
           emptyStep(spark, dir, sNew)
         else if (sNew.files == sOld.files) dvOnlyStep(spark, dir, sOld, sNew)
         else if (sNew.op == "append" && sNew.deletes == sOld.deletes &&

@@ -62,6 +62,34 @@ object ZOrder {
     ((lo1, hi1), (lo2, hi2))
   }
 
+  /** OPTIMIZE ZORDER BY as a manifest commit (X106): fold the latest
+    * version — tombstones applied — into `nFiles` z-clustered files,
+    * committed atomically with a fresh X57 zone-map sidecar and
+    * `op = "optimize"`, the same content-preservation contract as X64's
+    * materialize (X75 feed consumers skip the step without reading either
+    * version; time travel to the fragmented parent still works; X61 can
+    * later reclaim the old files). This is the warehouse maintenance
+    * loop: ingest fragments + deletes accumulate → one background
+    * OPTIMIZE restores multi-dimensional skipping, readers never notice.
+    */
+  def optimize(spark: SparkSession, dir: String, c1: String, c2: String,
+      nFiles: Int, date: Int, time: Int): Int = {
+    val v = ManifestTable.latestVersion(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot at $dir"))
+    val cur = ManifestTable.readVersion(spark, dir, v)
+    val r = cur.agg(
+      min(col(c1).cast("double")), max(col(c1).cast("double")),
+      min(col(c2).cast("double")), max(col(c2).cast("double"))).first()
+    val zv = zValue(bucket(col(c1), r.getDouble(0), r.getDouble(1)),
+      bucket(col(c2), r.getDouble(2), r.getDouble(3)))
+    val clustered = cur.withColumn("__zv", zv)
+      .repartitionByRange(nFiles, col("__zv"))
+      .sortWithinPartitions("__zv")
+      .drop("__zv")
+    ZoneMap.commitWithStats(clustered, dir, date, time,
+      statsCols = Seq(c1, c2), op = "optimize")
+  }
+
   /** Per-file fraction of each dimension's span covered — the skipping
     * quality metric ZOrderSpec compares against a linear sort (smaller
     * product = tighter hyper-rectangle = more files pruned per filter).
@@ -86,11 +114,42 @@ object ZOrder {
         dir, "o_custkey", "o_totalprice", 16)
       s.read.parquet(dir).orderBy("o_orderkey")
     }),
+    // OPTIMIZE as a commit (X106): fragmented ingest + a delete, then one
+    // optimize; the latest content and a zone-pruned band read must both
+    // equal the predicate-rebuilt oracle — maintenance is invisible to
+    // readers (the skipping gain + feed skip are pinned in ZOrderSpec).
+    "q_optimize" -> ((s, d) => {
+      import graft.util.Exact.dsum
+      val dir = graft.util.FixtureCache.dir("optimize_fx", d) { dir =>
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice").repartition(16)
+        ManifestTable.commit(o, dir, 20250701, 900)
+        DeleteVectors.deleteWhere(s, dir, col("o_orderkey") % 9 === 4, 20250701, 1000)
+        optimize(s, dir, "o_custkey", "o_orderkey", 16, 20250701, 1100)
+      }
+      def agg(tag: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_total"))
+          .select(lit(tag).as("probe"), col("n_rows"), col("sum_total"))
+      agg("all", ManifestTable.readLatest(s, dir))
+        .unionByName(agg("band",
+          ZoneMap.readRange(s, dir, 3, "o_custkey", 400L, 600L)))
+        .orderBy("probe")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
     "q_zorder_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_optimize" ->
+      """SELECT * FROM (
+        |  SELECT 'all' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders WHERE o_orderkey % 9 <> 4
+        |  UNION ALL
+        |  SELECT 'band', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 9 <> 4 AND o_custkey BETWEEN 400 AND 600
+        |) ORDER BY probe""".stripMargin,
   )
 }

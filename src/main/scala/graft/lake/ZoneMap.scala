@@ -56,7 +56,8 @@ object ZoneMap {
     * lexicographic bounds). Returns the committed version.
     */
   def commitWithStats(df: DataFrame, dir: String, date: Int, time: Int,
-      statsCols: Seq[String], strCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String], strCols: Seq[String] = Nil,
+      op: String = "write"): Int = {
     val spark = df.sparkSession
     val version = ManifestTable.latestVersion(spark, dir).getOrElse(0) + 1
     val files = ManifestTable.writeDataFiles(df, dir, version)
@@ -102,7 +103,7 @@ object ZoneMap {
     val out = fs.create(statsPath(dir, version), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
 
-    ManifestTable.commitManifest(spark, dir, version, date, time, files)
+    ManifestTable.commitManifest(spark, dir, version, date, time, files, op = op)
     version
   }
 

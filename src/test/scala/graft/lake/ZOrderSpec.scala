@@ -21,6 +21,42 @@ class ZOrderSpec extends SparkSpec {
     assert(out.toSeq == Seq(0L, 1L, 2L, 3L, 0xEL, 0x55555555L))
   }
 
+  test("X106 optimize: content-preserving commit that restores skipping") {
+    val dir = graft.util.Scratch.dir("opt_commit")
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice").repartition(16)
+    ManifestTable.commit(o, dir, 20250701, 900)
+    DeleteVectors.deleteWhere(spark, dir, col("o_orderkey") % 9 === 4, 20250701, 1000)
+    val v3 = ZOrder.optimize(spark, dir, "o_custkey", "o_orderkey", 16, 20250701, 1100)
+    assert(v3 == 3)
+    // content identical to the tombstoned parent, row for row
+    val parent = ManifestTable.readVersion(spark, dir, 2)
+    val opt = ManifestTable.readVersion(spark, dir, 3)
+    assert(SnapshotDiff.diffNullSafe(opt, parent, parent.columns.toSeq).count() == 0)
+    // the optimize commit carries no tombstones and 16 fresh files
+    val snap = ManifestTable.snapshots(spark, dir).last
+    assert(snap.op == "optimize" && snap.deletes.isEmpty && snap.files.size == 16)
+    // zone maps on the new layout prune a mid-band on EITHER dimension;
+    // the fragmented v1 had no stats, so its candidate set is all files
+    val (loC, hiC) = {
+      val r = parent.agg(min("o_custkey"), max("o_custkey")).first()
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
+    }
+    val band = (loC + (hiC - loC) * 45 / 100, loC + (hiC - loC) * 55 / 100)
+    val cand = ZoneMap.candidateFiles(spark, dir, 3, "o_custkey", band._1, band._2)
+    assert(cand.size <= 12, s"custkey band hit ${cand.size}/16 files after optimize")
+    val candK = ZoneMap.candidateFiles(spark, dir, 3, "o_orderkey", 1L, 50L)
+    assert(candK.size <= 8, s"orderkey band hit ${candK.size}/16 files after optimize")
+    assert(ZoneMap.candidateFiles(spark, dir, 1, "o_custkey", band._1, band._2)
+      .size == ManifestTable.snapshots(spark, dir).head.files.size,
+      "fragmented v1 has no stats — nothing may prune")
+    // feed consumers skip the step from op metadata alone
+    assert(ChangeFeed.changeFeed(spark, dir, 2, 3, Seq("o_orderkey")).count() == 0)
+    // time travel to the fragmented original still works
+    assert(ManifestTable.readVersion(spark, dir, 1).count() ==
+      Tables.orders(spark, sf).count())
+  }
+
   test("zorder: expression stays inside whole-stage codegen") {
     val df = spark.range(8).select(
       ZOrder.zValue(col("id"), col("id") + 1).as("z"))
