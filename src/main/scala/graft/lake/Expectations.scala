@@ -57,6 +57,43 @@ object Expectations {
     ManifestTable.commit(df, dir, date, time)
   }
 
+  /** The rules' conjunction as one codegen'd boolean column — NULL is a
+    * violation, matching [[evaluate]]'s counting exactly.
+    */
+  private def passes(rules: Seq[Rule]): org.apache.spark.sql.Column =
+    rules.map(r => coalesce(expr(r.predicate), lit(false))).reduce(_ && _)
+
+  /** Quarantine mode (X107 — DLT's "expect or drop" with a dead-letter
+    * table): instead of refusing the whole commit, rows failing ANY rule
+    * route to `<table>_quarantine` — tagged with the names of the rules
+    * they broke, for replay after upstream fixes — and the clean rows
+    * commit to `table`. BOTH tables land in ONE X99 catalog transaction,
+    * so no reader cut ever sees clean data without its quarantine ledger
+    * (or vice versa). Cost: the rules evaluate as one codegen'd boolean
+    * per side of a single split — two scans of the input (or one plus a
+    * cached exchange under AQE), no extra shuffle beyond the writes.
+    * Returns (catalog version, clean rows, quarantined rows).
+    */
+  def commitQuarantined(spark: SparkSession, root: String, table: String,
+      df: DataFrame, date: Int, time: Int,
+      rules: Seq[Rule]): (Int, Long, Long) = {
+    require(rules.nonEmpty, "no rules given")
+    val ok = passes(rules)
+    val clean = df.where(ok)
+    val broken = rules.map(r =>
+      when(coalesce(expr(r.predicate), lit(false)), null)
+        .otherwise(lit(r.name)))
+    val quarantined = df.where(!ok)
+      .withColumn("_violated",
+        array_join(array_compact(array(broken: _*)), ","))
+    val cv = Catalog.transact(spark, root, date, time, Seq(
+      table -> clean,
+      s"${table}_quarantine" -> quarantined))
+    (cv,
+      Catalog.readTable(spark, root, table).count(),
+      Catalog.readTable(spark, root, s"${table}_quarantine").count())
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** The fixture rule set over orders: three holding expectations and one
@@ -81,6 +118,28 @@ object Expectations {
       fixtureRules.map(r => (r.name, report(r.name))).toDF("rule", "n_violations")
         .orderBy("rule")
     }),
+    // Quarantine mode (X107): clean rows and the tagged dead-letter table
+    // land in one catalog transaction; the oracle rebuilds both sides
+    // from the rules' predicates (the fixture's P rows violate exactly
+    // no_partial, so their tag is that one rule name).
+    "q_quarantine" -> ((s, d) => {
+      import graft.util.Exact.dsum
+      val root = graft.util.FixtureCache.dir("quarantine_fx", d) { root =>
+        commitQuarantined(s, root, "orders_gold",
+          Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          20250801, 900, fixtureRules)
+      }
+      val clean = Catalog.readTable(s, root, "orders_gold")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_total"))
+        .select(lit("clean").as("side"), lit("").as("violated"),
+          col("n_rows"), col("sum_total"))
+      val quar = Catalog.readTable(s, root, "orders_gold_quarantine")
+        .groupBy(col("_violated").as("violated"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_total"))
+        .select(lit("quarantine").as("side"), col("violated"),
+          col("n_rows"), col("sum_total"))
+      clean.unionByName(quar).orderBy("side", "violated")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -100,5 +159,18 @@ object Expectations {
         |  SELECT 'no_partial',
         |         CAST(sum(CASE WHEN o_orderstatus <> 'P' THEN 0 ELSE 1 END) AS BIGINT) FROM orders
         |) ORDER BY rule""".stripMargin,
+    "q_quarantine" ->
+      """SELECT * FROM (
+        |  SELECT 'clean' AS side, '' AS violated, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_totalprice > 0
+        |    AND o_orderstatus IN ('F', 'O', 'P') AND o_orderstatus <> 'P'
+        |  UNION ALL
+        |  SELECT 'quarantine', 'no_partial', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE NOT (o_orderkey IS NOT NULL AND o_totalprice > 0
+        |    AND o_orderstatus IN ('F', 'O', 'P') AND o_orderstatus <> 'P')
+        |) ORDER BY side, violated""".stripMargin,
   )
 }

@@ -68,4 +68,35 @@ class ExpectationsSpec extends SparkSpec {
       (3, "added", 1L) // the appended id 99
     ), s"unexpected feed: $feed")
   }
+
+  test("X107 quarantine: multi-rule tags, nothing lost, one atomic cut") {
+    val root = java.nio.file.Files.createTempDirectory("graft_quar").toString
+    val rules = Seq(
+      Expectations.Rule("id_pos", "id > 0"),
+      Expectations.Rule("v_short", "length(v) <= 3"),
+      Expectations.Rule("v_known", "v IS NOT NULL"))
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "ok"), (2L, "als"), // clean
+      (-3L, "bad"), // id_pos only
+      (4L, "toolong"), // v_short only
+      (-5L, null), // id_pos + v_known (and v_short passes NULL→fail too!)
+      (6L, null) // v_known only... length(NULL) IS NULL → v_short fails too
+    ).toDF("id", "v")
+    val (cv, nClean, nQuar) =
+      Expectations.commitQuarantined(spark, root, "t", df, 20250901, 900, rules)
+    assert(cv == 1 && nClean == 2 && nQuar == 4, s"got $cv/$nClean/$nQuar")
+    val quar = Catalog.readTable(spark, root, "t_quarantine")
+      .select("id", "_violated").as[(Long, String)].collect().toMap
+    // tags list every broken rule in declaration order; NULL predicate
+    // results count as violations (the evaluate() contract)
+    assert(quar == Map(
+      -3L -> "id_pos",
+      4L -> "v_short",
+      -5L -> "id_pos,v_short,v_known",
+      6L -> "v_short,v_known"), s"got $quar")
+    // both sides resolve through the same catalog cut — no torn view
+    assert(Catalog.snapshots(spark, root).last.tables ==
+      Map("t" -> 1, "t_quarantine" -> 1))
+    assert(Catalog.readTable(spark, root, "t").count() + nQuar == df.count())
+  }
 }
