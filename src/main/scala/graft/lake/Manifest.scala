@@ -240,6 +240,73 @@ object ManifestTable {
   def latestVersion(spark: SparkSession, dir: String): Option[Int] =
     snapshots(spark, dir).lastOption.map(_.version)
 
+  /** Deep clone (X108 — Delta CLONE's shape): copy one version's data
+    * files (and deletion-vector sidecars) byte-for-byte to `dstDir` and
+    * commit them there as version 1 of an independent table. The clone
+    * shares NOTHING with its source afterwards — vacuuming or rewriting
+    * the source can never break it (pinned in ManifestSpec), which is
+    * the contract that matters for "hand this snapshot to another team".
+    * Copy cost is data-proportional and embarrassingly parallel (the
+    * driver loop moves manifests' worth of file names; bytes stream
+    * file-by-file — on a real cluster this is a distcp-shaped job).
+    * A shallow clone would reference the source's files instead: cheap
+    * but lifetime-coupled — our manifests are dir-relative by design, so
+    * the safe variant is the deep one.
+    */
+  def cloneVersion(spark: SparkSession, srcDir: String, dstDir: String,
+      date: Int, time: Int, version: Option[Int] = None): Int = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val v = version.getOrElse(latestVersion(spark, srcDir).getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot at $srcDir")))
+    val snap = snapshots(spark, srcDir).find(_.version == v).getOrElse(
+      throw new NoSuchElementException(s"no version $v at $srcDir"))
+    val fs = fsFor(spark, srcDir)
+    require(!fs.exists(new Path(manifestDir(dstDir))),
+      s"clone target $dstDir already has a manifest log")
+    // Files land under WRITER-UNIQUE `w<8 hex>` dirs (one per source
+    // dir, names preserved): keeping the source's version-numbered dirs
+    // would collide with the clone's OWN future commits (its first
+    // delete would overwrite-and-orphan a preserved `deletes/v...`
+    // dir), and X96 staging already guarantees w-dirs never collide
+    // with version-named writes. X64 tombstones key data files by
+    // relative path, so the sidecar contents are REWRITTEN through the
+    // same dir mapping — tombstones follow their files.
+    val dirMap: Map[String, String] =
+      (snap.files ++ snap.deletes)
+        .map(_.split('/').dropRight(1).mkString("/")).distinct
+        .map(od => od -> (od.split('/').head +
+          s"/w${java.util.UUID.randomUUID.toString.take(8)}"))
+        .toMap
+    def remap(rel: String): String =
+      s"${dirMap(rel.split('/').dropRight(1).mkString("/"))}/${rel.split('/').last}"
+    val files = snap.files.map { rel =>
+      val dst = new Path(s"$dstDir/${remap(rel)}")
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new Path(s"$srcDir/$rel"), fs, dst, false, true,
+        spark.sparkContext.hadoopConfiguration)
+      remap(rel)
+    }.sorted
+    val deletes =
+      if (snap.deletes.isEmpty) Nil
+      else {
+        val remapped = dirMap.foldLeft(
+          spark.read.parquet(snap.deletes.map(f => s"$srcDir/$f"): _*)) {
+          case (df, (od, nd)) => df.withColumn("file",
+            regexp_replace(col("file"),
+              "^" + java.util.regex.Pattern.quote(od) + "/",
+              java.util.regex.Matcher.quoteReplacement(nd) + "/"))
+        }
+        val delDir = s"deletes/w${java.util.UUID.randomUUID.toString.take(8)}"
+        remapped.write.mode("error").parquet(s"$dstDir/$delDir")
+        fs.listStatus(new Path(s"$dstDir/$delDir")).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => s"$delDir/${s.getPath.getName}").sorted
+      }
+    commitManifest(spark, dstDir, 1, date, time, files, deletes = deletes)
+    1
+  }
+
   /** The table's commit log as a DataFrame (X102 — the DESCRIBE HISTORY
     * surface): one row per version with the operation KIND and file
     * counts, derived from manifests ALONE — zero data bytes read, so the
@@ -338,6 +405,32 @@ object ManifestTable {
         .join(counts, "version")
         .orderBy("version")
     }),
+    // Deep clone (X108) of the X64 timeline's tombstoned v2, then the
+    // SOURCE is vacuumed down to its last version and its files
+    // rewritten — the clone must still read the exact v2 content
+    // (tombstones applied), proving it shares nothing with its source.
+    "q_clone" -> ((s, d) => {
+      import graft.util.Exact.dsum
+      import org.apache.spark.sql.functions._
+      val root = graft.util.FixtureCache.dir("clone_fx", d) { root =>
+        val src = s"$root/src"
+        val o = graft.sources.Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice").repartition(4)
+        commit(o, src, 20250901, 900)
+        DeleteVectors.deleteWhere(s, src,
+          col("o_orderkey") % 6 === 1, 20250901, 1000)
+        cloneVersion(s, src, s"$root/dst", 20250901, 1100, version = Some(2))
+        // source moves on and forgets: replace + retention
+        commit(o.where(col("o_orderkey") % 6 === 0), src, 20250901, 1200)
+        Vacuum.vacuum(s, src, keepLast = 1)
+      }
+      def agg(tag: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_total"))
+          .select(lit(tag).as("probe"), col("n_rows"), col("sum_total"))
+      agg("clone", readLatest(s, s"$root/dst"))
+        .unionByName(agg("src_latest", readLatest(s, s"$root/src")))
+        .orderBy("probe")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -367,5 +460,15 @@ object ManifestTable {
         |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
         |    AND NOT (o_orderkey % 7 = 3)
         |) ORDER BY version""".stripMargin,
+    "q_clone" ->
+      """SELECT * FROM (
+        |  SELECT 'clone' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders WHERE o_orderkey % 6 <> 1
+        |  UNION ALL
+        |  SELECT 'src_latest', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 6 = 0
+        |) ORDER BY probe""".stripMargin,
   )
 }

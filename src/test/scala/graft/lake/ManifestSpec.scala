@@ -166,6 +166,33 @@ class ManifestSpec extends SparkSpec {
       "reader must resolve files from the manifest list, not directory listing")
   }
 
+  test("X108 clone: independent of its source, tombstones intact") {
+    val src = tmpTable()
+    val dst = tmpTable() + "/t"
+    ManifestTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+        .repartition(2), src, 20250901, 900)
+    DeleteVectors.deleteWhere(spark, src, col("id") === 2, 20250901, 1000)
+    assert(ManifestTable.cloneVersion(spark, src, dst, 20250901, 1100) == 1)
+    def rows(dir: String) = ManifestTable.readLatest(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(rows(dst) == Set((1L, "a"), (3L, "c"), (4L, "d")),
+      "clone must apply the cloned version's tombstones")
+    // source rewrites and vacuums everything the clone came from
+    ManifestTable.commit(Seq((9L, "z")).toDF("id", "v"), src, 20250901, 1200)
+    Vacuum.vacuum(spark, src, keepLast = 1)
+    assert(rows(dst) == Set((1L, "a"), (3L, "c"), (4L, "d")),
+      "vacuuming the source must never reach into a deep clone")
+    // the clone is a normal table: it can commit, delete, time travel
+    DeleteVectors.deleteWhere(spark, dst, col("id") === 4, 20250901, 1300)
+    assert(rows(dst) == Set((1L, "a"), (3L, "c")))
+    assert(ManifestTable.readVersion(spark, dst, 1)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // refuses to clobber an existing table
+    intercept[IllegalArgumentException](
+      ManifestTable.cloneVersion(spark, src, dst, 20250901, 1400))
+  }
+
   test("X102 history: operation kinds derive from manifest metadata alone") {
     val dir = tmpTable()
     ManifestTable.commit(
