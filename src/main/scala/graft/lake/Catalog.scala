@@ -36,9 +36,13 @@ import org.json4s.jackson.JsonMethods
   */
 object Catalog {
 
-  /** A committed catalog version: a consistent cut across tables. */
+  /** A committed catalog version: a consistent cut across tables.
+    * `epoch` marks cuts published by an exactly-once streaming writer
+    * (X109) with the micro-batch id they committed — absent for plain
+    * transactions, so pre-epoch catalogs parse unchanged.
+    */
   case class CatalogSnapshot(version: Int, runDate: Int, runTime: Int,
-      tables: Map[String, Int])
+      tables: Map[String, Int], epoch: Option[Long] = None)
 
   private def catalogDir(root: String) = s"$root/_catalog"
   private val VersionRe = """v(\d{8})\.json""".r
@@ -63,7 +67,8 @@ object Catalog {
         val j = JsonMethods.parse(text)
         CatalogSnapshot((j \ "version").extract[Int],
           (j \ "run_date").extract[Int], (j \ "run_time").extract[Int],
-          (j \ "tables").extract[Map[String, Int]])
+          (j \ "tables").extract[Map[String, Int]],
+          (j \ "epoch").extractOpt[Long])
       }
       .sortBy(_.version)
   }
@@ -91,7 +96,8 @@ object Catalog {
     * are already durable, so only this tiny JSON is rebuilt).
     */
   def publishCatalog(spark: SparkSession, root: String, date: Int, time: Int,
-      tableVersions: Map[String, Int], maxRetries: Int = 5): Int = {
+      tableVersions: Map[String, Int], maxRetries: Int = 5,
+      epoch: Option[Long] = None): Int = {
     val fs = ManifestTable.fsFor(spark, root)
     val cdir = new Path(catalogDir(root))
     fs.mkdirs(cdir)
@@ -102,8 +108,9 @@ object Catalog {
       val cut = latest.map(_.tables).getOrElse(Map.empty) ++ tableVersions
       val body = cut.toSeq.sortBy(_._1)
         .map { case (n, tv) => s""""$n": $tv""" }.mkString(", ")
+      val epochField = epoch.map(e => s""",\n "epoch": $e""").getOrElse("")
       val json = s"""{"version": $v, "run_date": $date, "run_time": $time,
-                    | "tables": {$body}}""".stripMargin
+                    | "tables": {$body}$epochField}""".stripMargin
       val tmp = new Path(cdir,
         s".v$v.${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
       val out = fs.create(tmp, true)
