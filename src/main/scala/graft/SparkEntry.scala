@@ -44,7 +44,8 @@ object SparkEntry {
       functions.TopKAgg.queries ++ lake.BloomIndex.queries ++ ext.Sketches.queries ++ ext.Bpe.queries ++ ext.Outliers.queries ++ ext.Triangles.queries ++ lake.IncrJoinView.queries ++
       streaming.StreamOuterJoin.queries ++ ext.FreqPairs.queries ++
       lake.Branches.queries ++ lake.Catalog.queries ++
-      lake.HiddenPartition.queries ++ streaming.StreamCatalog.queries
+      lake.HiddenPartition.queries ++ streaming.StreamCatalog.queries ++
+      lake.ColumnMap.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -76,5 +77,6 @@ object SparkEntry {
       functions.TopKAgg.oracles ++ lake.BloomIndex.oracles ++ ext.Sketches.oracles ++ ext.Bpe.oracles ++ ext.Outliers.oracles ++ ext.Triangles.oracles ++ lake.IncrJoinView.oracles ++
       streaming.StreamOuterJoin.oracles ++ ext.FreqPairs.oracles ++
       lake.Branches.oracles ++ lake.Catalog.oracles ++
-      lake.HiddenPartition.oracles ++ streaming.StreamCatalog.oracles
+      lake.HiddenPartition.oracles ++ streaming.StreamCatalog.oracles ++
+      lake.ColumnMap.oracles
 }

@@ -1,0 +1,242 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.sources.Tables
+import graft.util.{Exact, FixtureCache}
+
+/** Column mapping — rename/drop/re-add columns by FIELD ID, metadata-only
+  * (extension X110; the Delta "column mapping" / Iceberg field-id feature).
+  *
+  * X60 reconciles schemas by NAME, which is the right default but makes a
+  * rename indistinguishable from a drop+add: rename `price` to `amount`
+  * by name and every already-written file's `price` column goes dark.
+  * The lake answer (Iceberg spec §Schemas, Delta columnMapping=name) is a
+  * level of indirection: each column gets an immutable FIELD ID at birth;
+  * files forever store the PHYSICAL name the field had when they were
+  * written; the table maps id -> (logical name, physical name, type); and
+  * a rename rewrites ONLY the tiny mapping — zero data files touched, old
+  * files keep serving the renamed column under its old physical name.
+  *
+  * Drop + re-add is the sharp edge this design exists for: dropping a
+  * field removes its id from the mapping (files still hold the bytes —
+  * X61 vacuum reclaims them with their versions), and RE-adding a column
+  * with the same logical name mints a NEW id with a FRESH physical name
+  * (`name_<id>`), so the old bytes can never resurrect under the new
+  * column — exactly Delta's no-resurrection guarantee.
+  *
+  * Mechanics over the X39 log: mapping JSON lives at `_colmap/v<N>.json`,
+  * written BEFORE the manifest commit of the same version (a crash
+  * between the two leaves an orphan mapping that no committed manifest
+  * resolves to — invisible, same staged-data story as X39). Readers
+  * resolve snapshot version -> newest mapping at-or-below it, so time
+  * travel serves each version under the logical names it had THEN.
+  * Schema-change commits (rename/drop/add) reuse the parent's exact file
+  * list with `op` recording the kind — the X102 commit log shows them as
+  * the metadata-only operations they are.
+  *
+  * Scale shape: a rename on a 100 TB table writes one JSON of a few
+  * hundred bytes and one manifest — O(columns), not O(data). Reads add a
+  * footer-merged schema union (`mergeSchema` — metadata, no row reading)
+  * plus a per-column alias projection that Catalyst folds into the scan.
+  */
+object ColumnMap {
+
+  /** One mapped column. `dtype` is the Spark DDL type string, used to
+    * type the NULL projection for files written before the field existed.
+    */
+  case class Field(id: Int, logical: String, physical: String, dtype: String)
+
+  private def mapDir(dir: String) = s"$dir/_colmap"
+  private def mapName(version: Int) = f"v$version%08d.json"
+  private val MapRe = """v(\d{8})\.json""".r
+
+  private def writeMapping(spark: SparkSession, dir: String, version: Int,
+      fields: Seq[Field]): Unit = {
+    val fs = ManifestTable.fsFor(spark, dir)
+    fs.mkdirs(new Path(mapDir(dir)))
+    val body = fields.map(f =>
+      s"""{"id": ${f.id}, "logical": "${f.logical}", "physical": "${f.physical}", "dtype": "${f.dtype}"}""")
+      .mkString("[", ", ", "]")
+    val out = fs.create(new Path(mapDir(dir), mapName(version)), true)
+    try out.write(s"""{"version": $version, "fields": $body}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** All mapping versions, oldest first. */
+  private def mappings(spark: SparkSession, dir: String): Seq[(Int, Seq[Field])] = {
+    val fs = ManifestTable.fsFor(spark, dir)
+    val md = new Path(mapDir(dir))
+    if (!fs.exists(md)) return Seq.empty
+    fs.listStatus(md).toSeq
+      .flatMap(s => s.getPath.getName match {
+        case MapRe(_) => Some(s.getPath)
+        case _ => None
+      })
+      .map { p =>
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        implicit val fmts: Formats = DefaultFormats
+        val j = JsonMethods.parse(text)
+        (j \ "version").extract[Int] ->
+          (j \ "fields").extract[Seq[JValue]].map(f => Field(
+            (f \ "id").extract[Int], (f \ "logical").extract[String],
+            (f \ "physical").extract[String], (f \ "dtype").extract[String]))
+      }
+      .sortBy(_._1)
+  }
+
+  /** The mapping in force at snapshot `version`: newest at-or-below it.
+    * Orphan mappings above the resolved snapshot (crash leftovers) are
+    * unreachable by construction.
+    */
+  def mappingAt(spark: SparkSession, dir: String, version: Int): Seq[Field] = {
+    val ms = mappings(spark, dir).filter(_._1 <= version)
+    require(ms.nonEmpty, s"no column mapping at or below version $version in $dir")
+    ms.last._2
+  }
+
+  /** First commit: field ids 1..n in column order, physical = logical. */
+  def create(df: DataFrame, dir: String, date: Int, time: Int): Int = {
+    val spark = df.sparkSession
+    require(ManifestTable.latestVersion(spark, dir).isEmpty,
+      s"table already exists at $dir")
+    val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      Field(i + 1, f.name, f.name, f.dataType.catalogString)
+    }.toSeq
+    writeMapping(spark, dir, 1, fields)
+    ManifestTable.commit(df, dir, date, time)
+  }
+
+  /** Append rows addressed by LOGICAL names; stored under the fields'
+    * physical names so files stay rename-proof.
+    */
+  def append(df: DataFrame, dir: String, date: Int, time: Int): Int = {
+    val spark = df.sparkSession
+    val v = ManifestTable.latestVersion(spark, dir).getOrElse(
+      throw new NoSuchElementException(s"no table at $dir"))
+    val fields = mappingAt(spark, dir, v)
+    val logical = fields.map(_.logical)
+    require(df.columns.toSet == logical.toSet,
+      s"append columns ${df.columns.sorted.mkString(",")} != table columns ${logical.sorted.mkString(",")}")
+    val physical = df.select(fields.map(f => col(f.logical).as(f.physical)): _*)
+    ManifestTable.appendRetrying(physical, dir, date, time)
+  }
+
+  /** Metadata-only schema-change commit: same files, same tombstones, a
+    * new mapping one version up.
+    */
+  private def schemaCommit(spark: SparkSession, dir: String, op: String,
+      change: Seq[Field] => Seq[Field]): Int = {
+    val snap = ManifestTable.snapshots(spark, dir).lastOption.getOrElse(
+      throw new NoSuchElementException(s"no table at $dir"))
+    val next = change(mappingAt(spark, dir, snap.version))
+    val v = snap.version + 1
+    writeMapping(spark, dir, v, next)
+    ManifestTable.commitManifest(spark, dir, v, snap.runDate, snap.runTime,
+      snap.files, deletes = snap.deletes, op = op)
+    v
+  }
+
+  def renameColumn(spark: SparkSession, dir: String, from: String, to: String): Int =
+    schemaCommit(spark, dir, "rename", { fields =>
+      require(fields.exists(_.logical == from), s"no column '$from'")
+      require(!fields.exists(_.logical == to), s"column '$to' already exists")
+      fields.map(f => if (f.logical == from) f.copy(logical = to) else f)
+    })
+
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int =
+    schemaCommit(spark, dir, "drop", { fields =>
+      require(fields.exists(_.logical == name), s"no column '$name'")
+      require(fields.size > 1, "cannot drop the last column")
+      fields.filterNot(_.logical == name)
+    })
+
+  /** Re-adding a once-dropped name mints a fresh id and a fresh physical
+    * name — old bytes never resurrect.
+    */
+  def addColumn(spark: SparkSession, dir: String, name: String, dtype: String): Int =
+    schemaCommit(spark, dir, "add", { fields =>
+      require(!fields.exists(_.logical == name), s"column '$name' already exists")
+      val id = fields.map(_.id).max + 1
+      fields :+ Field(id, name, s"${name}_$id", dtype)
+    })
+
+  /** Read a version (default latest) under its then-current LOGICAL
+    * names. `mergeSchema` unions the file schemas from footers (files
+    * from different schema eras differ); fields whose physical column no
+    * file carries yet project as typed NULL.
+    */
+  def read(spark: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
+    val snaps = ManifestTable.snapshots(spark, dir)
+    require(snaps.nonEmpty, s"no committed snapshot at $dir")
+    val snap = version.map(v => snaps.find(_.version == v).getOrElse(
+      throw new NoSuchElementException(s"no version $v at $dir"))).getOrElse(snaps.last)
+    val fields = mappingAt(spark, dir, snap.version)
+    val scan = DeleteVectors.applyTo(spark, dir, snap,
+      spark.read.option("mergeSchema", "true")
+        .parquet(snap.files.map(f => s"$dir/$f"): _*))
+    val present = scan.columns.toSet
+    scan.select(fields.map { f =>
+      if (present(f.physical)) col(f.physical).cast(f.dtype).as(f.logical)
+      else lit(null).cast(f.dtype).as(f.logical)
+    }: _*)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Timeline: v1 create (o_orderkey, price) on slice 0 -> v2 rename
+    // price->amount -> v3 append slice 1 via the logical name (stored
+    // physically as "price") -> v4 drop amount -> v5 re-add amount ->
+    // v6 append slice 2 with amount = 2*price (stored as "amount_3").
+    // Read as-of v3 (rename maps v1's files) beside latest (no
+    // resurrection: slices 0/1 NULL, slice 2 the doubled sums).
+    "q_column_map" -> ((s, d) => {
+      val dir = FixtureCache.dir("colmap_tl", d) { dir =>
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        create(o.where(col("o_orderkey") % 3 === 0), dir, 20250601, 900)
+        renameColumn(s, dir, "price", "amount")
+        append(o.where(col("o_orderkey") % 3 === 1)
+          .withColumnRenamed("price", "amount"), dir, 20250601, 1000)
+        dropColumn(s, dir, "amount")
+        addColumn(s, dir, "amount", "double")
+        append(o.where(col("o_orderkey") % 3 === 2)
+          .select(col("o_orderkey"), (col("price") * 2).as("amount")),
+          dir, 20250601, 1100)
+      }
+      // "era", not "asof": ASOF is a reserved word in the oracle engine
+      val renamed = read(s, dir, Some(3)).withColumn("era", lit("renamed"))
+      val latest = read(s, dir).withColumn("era", lit("latest"))
+      renamed.unionByName(latest)
+        .withColumn("slice", (col("o_orderkey") % 3).cast("long"))
+        .groupBy("era", "slice")
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("amount")).as("sum_amount"))
+        .orderBy("era", "slice")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_column_map" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey % 3 AS BIGINT) AS slice, o_totalprice AS price
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'renamed' AS era, slice, count(*) AS n_rows,
+        |         CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
+        |  FROM base WHERE slice IN (0, 1) GROUP BY slice
+        |  UNION ALL
+        |  SELECT 'latest' AS era, slice, count(*) AS n_rows,
+        |         CASE WHEN slice = 2
+        |              THEN CAST(SUM(CAST(price * 2 AS DECIMAL(18,2))) AS DOUBLE)
+        |         END AS sum_amount
+        |  FROM base GROUP BY slice
+        |) ORDER BY era, slice""".stripMargin,
+  )
+}

@@ -21,17 +21,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
-    * long nanos (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
-    * Verify/Bench/tests). Normalize to TimestampType (micros) with integer
-    * division — the fixture has no sub-microsecond components, so this is
-    * lossless and matches DuckDB's read of the same file.
+  /** `events.ts` normalizes to TimestampType (micros, session-zoned)
+    * whatever the parquet encoding generation:
+    *  - TIMESTAMP(NANOS), which Spark 4 only reads as long nanos
+    *    (`spark.sql.legacy.parquet.nanosAsLong=true`, set in Verify/
+    *    Bench/tests) — integer-divided to micros, lossless for the
+    *    fixture's whole-second components;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which reads as
+    *    TIMESTAMP_NTZ — cast to TimestampType, value-identical under the
+    *    UTC session timezone every entry point pins.
+    * Downstream operators rely on TimestampType semantics (long casts,
+    * percentile over epoch, watermark arithmetic), and DuckDB reads the
+    * same file as a plain TIMESTAMP, so both engines see equal values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }
