@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic fixed-point k-means over embedding columns (extension
+  * X111) — the clustering primitive behind cluster-balanced corpus
+  * curation (SemDeDup-style: cluster, then dedup/sample WITHIN clusters)
+  * and IVF-like index builds. Classic Lloyd's, made bit-reproducible so a
+  * DuckDB twin can replay it round for round:
+  *
+  *  - vectors quantize to integers (`floor(x * 10000)` per element —
+  *    float→double cast and floor are IEEE-identical in both engines);
+  *  - distances are EXACT integer squared-L2, ties break to the lowest
+  *    centroid id;
+  *  - init is the k lowest-id vectors (no RNG anywhere);
+  *  - centroid update is `floor(sum / count)` per element — integer sums
+  *    are exact, and the single double division is correctly rounded in
+  *    both engines (quotients are ≥ 1/count away from integers unless
+  *    exact, so floor never straddles a rounding error);
+  *  - a cluster that empties keeps its previous centroid.
+  *
+  * Scale shape: one Lloyd's round = one ASSIGN (narrow map — centroids
+  * ride into codegen as array literals, k·dim values, no join, no
+  * shuffle) + one UPDATE (posexplode then a combinable groupBy(cluster,
+  * pos) — k·dim result rows collected to the driver, which is the
+  * O(k·dim) model state every distributed k-means keeps). The corpus
+  * shuffles k·dim partial rows per partition, never vectors. The
+  * expression-literal assign is the right tier for curation-scale k
+  * (tens); larger k would switch to a broadcast-join assign — same
+  * contract, different physical plan.
+  */
+object KMeans {
+
+  /** `floor(x * 10000)` per element, as BIGINT — the shared quantizer. */
+  def quantize(vec: Column): Column =
+    transform(vec.cast("array<double>"), x => floor(x * 10000).cast("long"))
+
+  private def distTo(c: Seq[Long]): Column =
+    aggregate(
+      zip_with(col("__v"), typedLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, e) => acc + e)
+
+  /** Nearest-centroid assignment as a pure expression: min over k
+    * (distance, cid) structs — struct ordering gives the lowest-cid
+    * tie-break for free.
+    */
+  private def assign(q: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val scored = cents.map { case (cid, c) =>
+      struct(distTo(c).as("d"), lit(cid).as("j"))
+    }
+    q.withColumn("cluster", least(scored: _*).getField("j"))
+  }
+
+  /** Run `iters` Lloyd's rounds and return the final assignment: the
+    * input columns plus `__v` (quantized vector) and `cluster`.
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val q = df.withColumn("__v", quantize(col(vecCol)))
+    var cents: Seq[(Int, Seq[Long])] =
+      q.orderBy(idCol).limit(k).select("__v").collect().toSeq
+        .zipWithIndex.map { case (r, i) => i -> r.getSeq[Long](0) }
+    require(cents.size == k, s"need at least $k vectors, got ${cents.size}")
+    for (_ <- 1 to iters) {
+      val parts = assign(q, cents)
+        .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "el")))
+        .groupBy("cluster", "pos")
+        .agg(sum("el").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.map { case (cid, old) =>
+        cid -> parts.get(cid).map { rows =>
+          rows.sortBy(_.getInt(1))
+            .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+            .toSeq
+        }.getOrElse(old) // emptied cluster keeps its centroid
+      }
+    }
+    assign(q, cents)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // k=4, 2 update rounds + final assignment over the embeddings table;
+    // per-cluster size, lowest member id, and the exact integer checksum
+    // of first components. The oracle replays every round as chained
+    // CTEs — a wrong distance, tie-break, floor division, or init order
+    // in ANY round reshuffles the final membership.
+    "q_kmeans" -> ((s, d) => {
+      kmeans(Tables.embeddings(s, d), "vec_id", "embedding", 4, 2)
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min("vec_id").cast("long").as("first_id"),
+          sum(element_at(col("__v"), 1)).cast("long").as("sum_q0"))
+        .orderBy("cluster")
+    }),
+  )
+
+  private def assignSql(src: String, cents: String, out: String): String =
+    s"""$out AS (SELECT vec_id, v, cid FROM (
+       |    SELECT q.vec_id, q.v, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(q.v, c.v),
+       |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+       |    FROM $src q, $cents c) WHERE rn = 1)""".stripMargin
+
+  private def updateSql(src: String, out: String): String =
+    s"""$out AS (SELECT cid, list(el ORDER BY pos) AS v FROM (
+       |    SELECT cid, pos, CAST(floor(CAST(sum(el) AS DOUBLE) / count(*)) AS BIGINT) AS el
+       |    FROM (SELECT cid, unnest(v) AS el, generate_subscripts(v, 1) AS pos FROM $src)
+       |    GROUP BY cid, pos) GROUP BY cid)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_kmeans" ->
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |                   x -> CAST(floor(x * 10000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+         |       FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 4)),
+         |${assignSql("q", "c0", "a0")},
+         |${updateSql("a0", "c1")},
+         |${assignSql("q", "c1", "a1")},
+         |${updateSql("a1", "c2")},
+         |${assignSql("q", "c2", "a2")}
+         |SELECT CAST(cid AS BIGINT) AS cluster, count(*) AS n_vecs,
+         |       CAST(min(vec_id) AS BIGINT) AS first_id,
+         |       CAST(sum(v[1]) AS BIGINT) AS sum_q0
+         |FROM a2 GROUP BY cid ORDER BY cluster""".stripMargin,
+  )
+}

@@ -58,9 +58,15 @@ object Triangles {
     // O(outdeg) array elements instead of exploding C(outdeg, 2) wedge
     // rows into a join, and out-lists are O(√m) by the orientation bound,
     // so the biggest row is bounded no matter how skewed the raw graph.
+    // `oriented` feeds ONLY this aggregate; the edge anchors for the
+    // intersection join re-derive from the adjacency itself (explode),
+    // so all three consumers sit downstream of ONE shuffle and Spark's
+    // ReuseExchange serves the other two from it — the orientation joins
+    // run once per invocation instead of once per consumer.
     val adj = oriented.groupBy(col("src").as("node"))
       .agg(collect_list(col("dst")).as("ns"))
-    val tris = oriented
+    val anchors = adj.select(col("node").as("src"), explode(col("ns")).as("dst"))
+    val tris = anchors
       .join(adj.select(col("node").as("src"), col("ns").as("ns_a")), "src")
       .join(adj.select(col("node").as("dst"), col("ns").as("ns_b")), "dst")
       .select(col("src").as("a"), col("dst").as("b"),
