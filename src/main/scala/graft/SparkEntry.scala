@@ -45,7 +45,8 @@ object SparkEntry {
       streaming.StreamOuterJoin.queries ++ ext.FreqPairs.queries ++
       lake.Branches.queries ++ lake.Catalog.queries ++
       lake.HiddenPartition.queries ++ streaming.StreamCatalog.queries ++
-      lake.ColumnMap.queries ++ ext.KMeans.queries ++ sources.JdbcIncr.queries
+      lake.ColumnMap.queries ++ ext.KMeans.queries ++ sources.JdbcIncr.queries ++
+      _root_.graft.spark.GraftFormat.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -78,5 +79,6 @@ object SparkEntry {
       streaming.StreamOuterJoin.oracles ++ ext.FreqPairs.oracles ++
       lake.Branches.oracles ++ lake.Catalog.oracles ++
       lake.HiddenPartition.oracles ++ streaming.StreamCatalog.oracles ++
-      lake.ColumnMap.oracles ++ ext.KMeans.oracles ++ sources.JdbcIncr.oracles
+      lake.ColumnMap.oracles ++ ext.KMeans.oracles ++ sources.JdbcIncr.oracles ++
+      _root_.graft.spark.GraftFormat.oracles
 }

@@ -1,0 +1,83 @@
+package graft.spark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.lake.{DeleteVectors, ManifestTable, ZoneMap}
+import graft.util.Scratch
+
+/** X113 `format("graft")`: service-file registration, manifest-driven
+  * listing, versionAsOf time travel, plan-time zone-map file pruning
+  * composed with parquet footer pushdown, and the DV refusal.
+  */
+class GraftFormatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(tag: String): String = {
+    val dir = Scratch.dir(tag)
+    val df = (0L until 800L).map(i => (i, i * 2)).toDF("k", "v")
+    ZoneMap.commitWithStats(df.repartitionByRange(8, col("k")), dir,
+      20250701, 900, statsCols = Seq("k"))
+    dir
+  }
+
+  private def scanOf(df: DataFrame): FileSourceScanExec = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+  }
+
+  test("format('graft') resolves by shortName and reads the manifest listing") {
+    val dir = mkTable("gfmt_basic")
+    val got = spark.read.format("graft").load(dir)
+    assert(got.count() == 800)
+    assert(got.columns.toSeq == Seq("k", "v"))
+    // files come from the manifest, not a directory walk: a stray
+    // non-manifest parquet in the data dir is invisible
+    Seq((9999L, 0L)).toDF("k", "v").write.parquet(s"$dir/data/stray")
+    assert(spark.read.format("graft").load(dir).count() == 800)
+  }
+
+  test("versionAsOf serves the committed snapshot, unknown versions refuse") {
+    val dir = mkTable("gfmt_tt")
+    ZoneMap.commitWithStats((0L until 100L).map(i => (i, i)).toDF("k", "v"),
+      dir, 20250701, 1000, statsCols = Seq("k"))
+    assert(spark.read.format("graft").load(dir).count() == 100)
+    assert(spark.read.format("graft").option("versionAsOf", 1)
+      .load(dir).count() == 800)
+    intercept[NoSuchElementException](
+      spark.read.format("graft").option("versionAsOf", 7).load(dir).count())
+  }
+
+  test("zone maps prune files at plan time; footer pushdown rides below") {
+    val dir = mkTable("gfmt_prune")
+    // range-partitioned into 8 files over k=0..799: a 100-wide band
+    // overlaps at most 2-3 files
+    val df = spark.read.format("graft").load(dir).where($"k".between(300, 399))
+    val scan = scanOf(df)
+    val planned = scan.metrics("numFiles").value
+    assert(planned < 8, s"expected pruned file count, planned $planned")
+    // the parquet-level pushdown is still there underneath
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(k,300)"))
+    // pruning is invisible in the answer
+    assert(df.count() == 100)
+    // and an unprunable predicate keeps every file (soundness, not magic)
+    assert(scanOf(spark.read.format("graft").load(dir)
+      .where($"v" % 7 === 0)).metrics("numFiles").value == 8)
+  }
+
+  test("versions carrying deletion vectors are refused loudly") {
+    val dir = Scratch.dir("gfmt_dv")
+    ManifestTable.commit((0L until 50L).map(i => (i, i)).toDF("k", "v"),
+      dir, 20250701, 900)
+    DeleteVectors.deleteWhere(spark, dir, col("k") < 10, 20250701, 1000)
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("graft").load(dir).count())
+    assert(e.getMessage.contains("deletion vectors"))
+    // time travel to the pre-delete version still reads fine
+    assert(spark.read.format("graft").option("versionAsOf", 1)
+      .load(dir).count() == 50)
+  }
+}
