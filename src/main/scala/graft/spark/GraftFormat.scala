@@ -48,9 +48,33 @@ import graft.util.{Exact, FixtureCache}
   * materialize first. Same for X110 column-mapped tables, whose logical
   * projection lives above the file schema.
   */
-class GraftDataSource extends RelationProvider with DataSourceRegister {
+class GraftDataSource extends RelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  // X114: the same format string serves readStream — versions as offsets
+  // (see GraftStreamSource).
+  private def streamParams(parameters: Map[String, String]): (String, Boolean) =
+    (parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft: 'path' is required")),
+      parameters.get("skipChangeCommits").exists(_.toBoolean))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (dir, skip) = streamParams(parameters)
+    (shortName(),
+      schema.getOrElse(
+        new GraftStreamSource(sqlContext.sparkSession, dir, skip).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val (dir, skip) = streamParams(parameters)
+    new GraftStreamSource(sqlContext.sparkSession, dir, skip)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

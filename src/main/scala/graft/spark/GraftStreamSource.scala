@@ -1,0 +1,134 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.ManifestTable
+import graft.sources.Tables
+import graft.util.{Exact, FixtureCache, Scratch}
+
+/** `spark.readStream.format("graft")` — tail a manifest table's commit
+  * log as a structured stream (extension X114, the streaming half of
+  * X113; Delta's "streaming table" shape).
+  *
+  * OFFSETS ARE VERSIONS. `getOffset` is one driver-side listing of the
+  * manifest dir — the stream discovers new data the moment a commit
+  * rename lands, with none of the file-arrival races a directory-watching
+  * source has (a version is wholly visible or not at all, X39). Each
+  * micro-batch (startV, endV] reads exactly the files those versions
+  * APPENDED (`files \ parent.files` — append commits carry their parent's
+  * list plus the new files), so a batch costs O(new data), never
+  * O(table). Version 1 is the initial snapshot, emitted as the first
+  * batch like Delta's starting snapshot.
+  *
+  * Non-append commits (replace, delete, DV changes, optimize) have no
+  * append-only row delta; the source REFUSES them loudly by default —
+  * silently re-emitting rewritten files is how downstream counts go
+  * wrong. `option("skipChangeCommits", "true")` opts into skipping them
+  * (Delta's own escape hatch) for consumers that only want arrivals.
+  * Exactly-once falls out of deterministic offsets: a replayed batch
+  * (same version range) reads the same immutable files.
+  */
+class GraftStreamSource(spark: SparkSession, dir: String,
+    skipChangeCommits: Boolean) extends Source {
+
+  override val schema: StructType = {
+    val snaps = ManifestTable.snapshots(spark, dir)
+    require(snaps.nonEmpty, s"graft stream: no committed snapshot at $dir")
+    spark.read.parquet(snaps.last.files.map(f => s"$dir/$f"): _*).schema
+  }
+
+  override def getOffset: Option[Offset] =
+    ManifestTable.latestVersion(spark, dir).map(v => LongOffset(v.toLong))
+
+  private def versionOf(o: Offset): Int = o match {
+    case LongOffset(v) => v.toInt
+    case other => other.json.trim.toInt // SerializedOffset from the checkpoint
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromV = start.map(versionOf).getOrElse(0)
+    val toV = versionOf(end)
+    val snaps = ManifestTable.snapshots(spark, dir)
+      .filter(s => s.version > fromV && s.version <= toV)
+    val byVersion = ManifestTable.snapshots(spark, dir)
+      .map(s => s.version -> s).toMap
+    val appended = snaps.flatMap { s =>
+      val parent = byVersion.get(s.version - 1)
+      val parentFiles = parent.map(_.files.toSet).getOrElse(Set.empty)
+      val newFiles = s.files.filterNot(parentFiles)
+      val isAppend = parent.isEmpty ||
+        (parentFiles.subsetOf(s.files.toSet) && s.deletes == parent.get.deletes)
+      if (isAppend) newFiles
+      else if (skipChangeCommits) Nil
+      else throw new IllegalStateException(
+        s"graft stream: version ${s.version} at $dir is not append-only " +
+          s"(op=${s.op}); set skipChangeCommits=true to skip such commits")
+    }
+    val batch =
+      if (appended.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(appended.map(f => s"$dir/$f"): _*)
+    // a Source must hand back a STREAMING frame; same bridge
+    // FileStreamSource uses internally
+    GraftShim.internalCreateDataFrame(
+      spark, batch.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Query/oracle surface for X114. */
+object GraftStream {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One AvailableNow pass of the graft stream into a parquet sink. */
+  def runOnce(spark: SparkSession, tableDir: String, sinkDir: String,
+      chkDir: String): Unit = {
+    val q = spark.readStream.format("graft").load(tableDir)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", chkDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Three append commits streamed in one AvailableNow pass, a fourth
+    // appended AFTER it and picked up by a second pass on the SAME
+    // checkpoint. Any re-emission (initial snapshot replayed, appended
+    // files double-read) doubles rows and breaks the whole-table oracle.
+    "q_stream_format" -> ((s, d) => {
+      val sink = FixtureCache.dir("graft_sfmt", d) { sink =>
+        val tbl = Scratch.dir("graft_sfmt_tbl")
+        val chk = Scratch.dir("graft_sfmt_chk")
+        val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+        ManifestTable.commit(ev.where(col("event_id") % 4 === 0), tbl, 20250801, 900)
+        ManifestTable.appendRetrying(ev.where(col("event_id") % 4 === 1), tbl, 20250801, 1000)
+        ManifestTable.appendRetrying(ev.where(col("event_id") % 4 === 2), tbl, 20250801, 1100)
+        runOnce(s, tbl, sink, chk)
+        ManifestTable.appendRetrying(ev.where(col("event_id") % 4 === 3), tbl, 20250801, 1200)
+        runOnce(s, tbl, sink, chk) // same checkpoint: only version 4 lands
+      }
+      s.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_format" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -15,6 +15,19 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Streaming DataFrame constructor (`isStreaming = true`) — what a
+    * DSv1 `Source.getBatch` must return; `private[sql]` in Spark 4, so
+    * the graft streaming source (graft.spark.GraftStreamSource) reaches
+    * it through this bridge like FileStreamSource does natively.
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      isStreaming: Boolean): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming)
+
   /** Register a function on a LIVE session's registry (the
     * `spark.sql.extensions` route only applies at session construction).
     */

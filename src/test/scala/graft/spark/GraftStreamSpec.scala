@@ -1,0 +1,69 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.SparkSpec
+import graft.lake.{DeleteVectors, ManifestTable}
+import graft.util.Scratch
+
+/** X114 readStream.format("graft"): initial snapshot + incremental
+  * appends across checkpointed runs, non-append refusal, and the
+  * skipChangeCommits escape hatch.
+  */
+class GraftStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("initial snapshot, then only new versions across checkpointed runs") {
+    val tbl = Scratch.dir("gstream_tbl")
+    val sink = Scratch.dir("gstream_sink")
+    val chk = Scratch.dir("gstream_chk")
+    ManifestTable.commit((0L until 10L).map(i => (i, "a")).toDF("k", "tag"),
+      tbl, 20250801, 900)
+    ManifestTable.appendRetrying((10L until 15L).map(i => (i, "b")).toDF("k", "tag"),
+      tbl, 20250801, 1000)
+
+    GraftStream.runOnce(spark, tbl, sink, chk)
+    assert(spark.read.parquet(sink).count() == 15) // v1 snapshot + v2 append
+
+    // nothing new: an AvailableNow pass on the same checkpoint adds nothing
+    GraftStream.runOnce(spark, tbl, sink, chk)
+    assert(spark.read.parquet(sink).count() == 15)
+
+    // a new append is picked up exactly once
+    ManifestTable.appendRetrying((15L until 18L).map(i => (i, "c")).toDF("k", "tag"),
+      tbl, 20250801, 1100)
+    GraftStream.runOnce(spark, tbl, sink, chk)
+    val got = spark.read.parquet(sink)
+    assert(got.count() == 18)
+    assert(got.groupBy("k").count().where(col("count") > 1).count() == 0)
+  }
+
+  test("non-append commits refuse loudly; skipChangeCommits skips them") {
+    val tbl = Scratch.dir("gstream_chg")
+    ManifestTable.commit((0L until 10L).map(i => (i, i)).toDF("k", "v"),
+      tbl, 20250801, 900)
+    DeleteVectors.deleteWhere(spark, tbl, col("k") < 3, 20250801, 1000)
+    ManifestTable.appendRetrying(Seq((100L, 100L)).toDF("k", "v"),
+      tbl, 20250801, 1100)
+
+    val e = intercept[StreamingQueryException] {
+      GraftStream.runOnce(spark, tbl,
+        Scratch.dir("gstream_chg_sink"), Scratch.dir("gstream_chg_chk"))
+    }
+    assert(e.getMessage.contains("not append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("not append-only")))
+
+    // with the escape hatch: v1 snapshot + v3 append, the DV commit skipped
+    val sink2 = Scratch.dir("gstream_skip_sink")
+    val q = spark.readStream.format("graft")
+      .option("skipChangeCommits", "true").load(tbl)
+      .writeStream.format("parquet")
+      .option("path", sink2)
+      .option("checkpointLocation", Scratch.dir("gstream_skip_chk"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(sink2).count() == 11)
+  }
+}
