@@ -99,6 +99,31 @@ object KMeans {
           sum(element_at(col("__v"), 1)).cast("long").as("sum_q0"))
         .orderBy("cluster")
     }),
+
+    // X115: cluster-balanced sampling (the SemDeDup/curation move the
+    // clustering exists FOR) — cap every cluster at the same budget,
+    // keeping the members with the lowest md5(vec_id) (deterministic,
+    // backfill-stable "random", the X67 discipline). Over-represented
+    // regions of embedding space lose mass; small clusters survive
+    // whole. The assignment is memoized input (the operator under test
+    // here is the balanced cap, not Lloyd's — q_kmeans times that).
+    "q_cluster_sample" -> ((s, d) => {
+      val adir = graft.util.FixtureCache.dir("kmeans_assign", d) { dir =>
+        kmeans(Tables.embeddings(s, d), "vec_id", "embedding", 4, 2)
+          .select(col("vec_id"), col("cluster"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      val cap = 25
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      s.read.parquet(adir)
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          count(when(col("rk") <= cap, 1)).as("n_kept"),
+          sum(when(col("rk") <= cap, col("vec_id"))).cast("long").as("sum_kept_ids"))
+        .orderBy("cluster")
+    }),
   )
 
   private def assignSql(src: String, cents: String, out: String): String =
@@ -132,5 +157,26 @@ object KMeans {
          |       CAST(min(vec_id) AS BIGINT) AS first_id,
          |       CAST(sum(v[1]) AS BIGINT) AS sum_q0
          |FROM a2 GROUP BY cid ORDER BY cluster""".stripMargin,
+
+    "q_cluster_sample" ->
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |                   x -> CAST(floor(x * 10000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+         |       FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 4)),
+         |${assignSql("q", "c0", "a0")},
+         |${updateSql("a0", "c1")},
+         |${assignSql("q", "c1", "a1")},
+         |${updateSql("a1", "c2")},
+         |${assignSql("q", "c2", "a2")},
+         |ranked AS (SELECT cid, vec_id,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         |  FROM a2)
+         |SELECT CAST(cid AS BIGINT) AS cluster, count(*) AS n_members,
+         |       count(CASE WHEN rk <= 25 THEN 1 END) AS n_kept,
+         |       CAST(sum(CASE WHEN rk <= 25 THEN vec_id END) AS BIGINT) AS sum_kept_ids
+         |FROM ranked GROUP BY cid ORDER BY cluster""".stripMargin,
   )
 }
