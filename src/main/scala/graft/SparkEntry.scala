@@ -46,7 +46,8 @@ object SparkEntry {
       lake.Branches.queries ++ lake.Catalog.queries ++
       lake.HiddenPartition.queries ++ streaming.StreamCatalog.queries ++
       lake.ColumnMap.queries ++ ext.KMeans.queries ++ sources.JdbcIncr.queries ++
-      _root_.graft.spark.GraftFormat.queries ++ _root_.graft.spark.GraftStream.queries
+      _root_.graft.spark.GraftFormat.queries ++ _root_.graft.spark.GraftStream.queries ++
+      _root_.graft.spark.GraftSink.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -80,5 +81,6 @@ object SparkEntry {
       lake.Branches.oracles ++ lake.Catalog.oracles ++
       lake.HiddenPartition.oracles ++ streaming.StreamCatalog.oracles ++
       lake.ColumnMap.oracles ++ ext.KMeans.oracles ++ sources.JdbcIncr.oracles ++
-      _root_.graft.spark.GraftFormat.oracles ++ _root_.graft.spark.GraftStream.oracles
+      _root_.graft.spark.GraftFormat.oracles ++ _root_.graft.spark.GraftStream.oracles ++
+      _root_.graft.spark.GraftSink.oracles
 }

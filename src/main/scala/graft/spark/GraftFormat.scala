@@ -49,9 +49,50 @@ import graft.util.{Exact, FixtureCache}
   * projection lives above the file schema.
   */
 class GraftDataSource extends RelationProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  // X116: df.write.format("graft") — writer modes against the COMMITTED
+  // LOG (a half-staged crash leftover is not "exists").
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = sqlContext.sparkSession
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft: 'path' is required"))
+    val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+    val date = parameters.get("runDate").map(_.toInt)
+      .getOrElse(now.getYear * 10000 + now.getMonthValue * 100 + now.getDayOfMonth)
+    val time = parameters.get("runTime").map(_.toInt)
+      .getOrElse(now.getHour * 100 + now.getMinute)
+    val exists = ManifestTable.latestVersion(spark, dir).nonEmpty
+    mode match {
+      case SaveMode.Overwrite => ManifestTable.commitRetrying(data, dir, date, time)
+      case SaveMode.Append => ManifestTable.appendRetrying(data, dir, date, time)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft: table at $dir already has committed versions")
+        else ManifestTable.commitRetrying(data, dir, date, time)
+      case SaveMode.Ignore =>
+        if (!exists) ManifestTable.commitRetrying(data, dir, date, time)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  // X117: writeStream.format("graft") — exactly-once per checkpoint
+  // lineage (see GraftSink).
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft: 'path' is required"))
+    new GraftSink.StreamSink(sqlContext.sparkSession, dir,
+      appId = parameters.getOrElse("checkpointLocation", dir))
+  }
 
   // X114: the same format string serves readStream — versions as offsets
   // (see GraftStreamSource).

@@ -1,0 +1,191 @@
+package graft.spark
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, GraftShim, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.lake.ManifestTable
+import graft.sources.Tables
+import graft.util.{Exact, FixtureCache, Scratch}
+
+/** The WRITE half of the `graft` format (extensions X116 batch /
+  * X117 streaming sink).
+  *
+  * Batch: `df.write.format("graft").mode(...).save(dir)` —
+  * Overwrite = optimistic REPLACE commit, Append = optimistic APPEND,
+  * ErrorIfExists/Ignore honor their contracts against the committed log
+  * (not the filesystem — a half-staged crash leftover is not "exists").
+  *
+  * Streaming: `writeStream.format("graft")` commits each micro-batch as
+  * an append version, exactly-once per CHECKPOINT LINEAGE: a sidecar
+  * `_stream/v<N>.json` written before the version's manifest rename
+  * records (appId = checkpoint location, batchId); a replayed batch with
+  * the same lineage and a batchId at-or-below the committed one SKIPS
+  * entirely (Delta's txnAppId/txnVersion idempotence, keyed the way
+  * streaming restarts actually key themselves), while a NEW checkpoint
+  * (new lineage) legitimately starts over from batch 0 and is not
+  * confused with a replay. Crash-orphaned sidecars above the committed
+  * latest are invisible — the X39/X112 resolution rule.
+  *
+  * Together with X113/X114 this closes the loop: a graft table can be
+  * the source AND the sink of one structured-streaming pipeline, both
+  * ends exactly-once off the same rename-as-commit.
+  */
+object GraftSink {
+
+  private def streamDir(dir: String) = s"$dir/_stream"
+  private def sideName(version: Int) = f"v$version%08d.json"
+  private val SideRe = """v(\d{8})\.json""".r
+
+  private case class Txn(appId: String, batchId: Long)
+
+  private def writeSidecar(spark: SparkSession, dir: String, version: Int,
+      txn: Txn): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(streamDir(dir)))
+    val appJson = txn.appId.replace("\\", "\\\\").replace("\"", "\\\"")
+    val out = fs.create(new Path(streamDir(dir), sideName(version)), true)
+    try out.write(
+      s"""{"version": $version, "app_id": "$appJson", "batch_id": ${txn.batchId}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def committedTxn(spark: SparkSession, dir: String): Option[Txn] = {
+    val latest = ManifestTable.latestVersion(spark, dir).getOrElse(return None)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sdir = new Path(streamDir(dir))
+    if (!fs.exists(sdir)) return None
+    val vs = fs.listStatus(sdir).toSeq.flatMap(_.getPath.getName match {
+      case SideRe(n) => Some(n.toInt)
+      case _ => None
+    }).filter(_ <= latest)
+    if (vs.isEmpty) return None
+    val in = fs.open(new Path(sdir, sideName(vs.max)))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(text)
+    Some(Txn((j \ "app_id").extract[String], (j \ "batch_id").extract[Long]))
+  }
+
+  /** Append `df` as the next version with `txn` recorded atomically —
+    * the sidecar-before-rename loop shared with X112.
+    */
+  private def appendWithTxn(df: DataFrame, dir: String, txn: Txn,
+      date: Int, time: Int, maxRetries: Int = 5): Int = {
+    val spark = df.sparkSession
+    val staged = ManifestTable.stageDataFiles(df, dir)
+    var tries = 0
+    while (true) {
+      val latest = ManifestTable.snapshots(spark, dir).lastOption
+      val v = latest.map(_.version).getOrElse(0) + 1
+      writeSidecar(spark, dir, v, txn)
+      try {
+        ManifestTable.commitManifest(spark, dir, v, date, time,
+          latest.map(_.files).getOrElse(Nil) ++ staged,
+          deletes = latest.map(_.deletes).getOrElse(Nil), op = "append")
+        return v
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.startsWith("concurrent commit") =>
+          tries += 1
+          if (tries > maxRetries) throw new IllegalStateException(
+            s"stream sink at $dir lost $tries consecutive races; giving up", e)
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** DSv1 streaming sink: one append version per micro-batch. */
+  class StreamSink(spark: SparkSession, dir: String, appId: String)
+      extends Sink {
+    override def addBatch(batchId: Long, data: DataFrame): Unit = {
+      val replayed = committedTxn(spark, dir)
+        .exists(t => t.appId == appId && batchId <= t.batchId)
+      if (replayed) return // exactly-once: this lineage already landed it
+      // the incoming frame carries a streaming plan; rebase it onto its
+      // computed rows (the construction every DSv1 sink uses)
+      val batch = GraftShim.internalCreateDataFrame(
+        spark, data.queryExecution.toRdd, data.schema, isStreaming = false)
+      appendWithTxn(batch, dir, Txn(appId, batchId), 20250801, 0)
+    }
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // X116: the writer modes against the committed log, read back through
+    // the same public format. Overwrite replaces, two appends accumulate,
+    // Ignore is a no-op on an existing table.
+    "q_write_format" -> ((s, d) => {
+      val dir = FixtureCache.dir("graft_wfmt", d) { dir =>
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        o.where(col("o_orderkey") % 3 === 0).write.format("graft")
+          .mode(SaveMode.Overwrite).save(dir)
+        o.where(col("o_orderkey") % 3 === 1).write.format("graft")
+          .mode(SaveMode.Append).save(dir)
+        o.where(col("o_orderkey") % 3 === 2).write.format("graft")
+          .mode(SaveMode.Append).save(dir)
+        // Ignore on an existing table: committed log untouched
+        o.limit(5).write.format("graft").mode(SaveMode.Ignore).save(dir)
+      }
+      val nVersions = ManifestTable.snapshots(s, dir).size
+      s.read.format("graft").load(dir)
+        .groupBy((col("o_orderkey") % 3).cast("long").as("slice"))
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("o_totalprice")).as("sum_total"))
+        .withColumn("n_versions", lit(nVersions))
+        .orderBy("slice")
+    }),
+
+    // X117: graft-to-graft streaming pipeline — source log streamed into
+    // a sink log through one checkpoint, second pass replays nothing,
+    // post-append pass delivers exactly the new version. Duplicates or
+    // lost batches break the whole-events oracle.
+    "q_stream_sink" -> ((s, d) => {
+      val sinkTbl = FixtureCache.dir("graft_ssink", d) { sinkTbl =>
+        val src = Scratch.dir("graft_ssink_src")
+        val chk = Scratch.dir("graft_ssink_chk")
+        val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+        ManifestTable.commit(ev.where(col("event_id") % 4 === 0), src, 20250801, 900)
+        ManifestTable.appendRetrying(ev.where(col("event_id") % 4 === 1), src, 20250801, 1000)
+        def pipe(): Unit = {
+          val q = s.readStream.format("graft").load(src)
+            .writeStream.format("graft")
+            .option("path", sinkTbl)
+            .option("checkpointLocation", chk)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        pipe()
+        pipe() // quiet source: no new version in the sink
+        ManifestTable.appendRetrying(ev.where(col("event_id") % 4 >= 2), src, 20250801, 1100)
+        pipe()
+      }
+      s.read.format("graft").load(sinkTbl)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_write_format" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS slice,
+        |       count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |       CAST(3 AS INT) AS n_versions
+        |FROM orders GROUP BY 1 ORDER BY slice""".stripMargin,
+
+    "q_stream_sink" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}
