@@ -47,7 +47,8 @@ object SparkEntry {
       lake.HiddenPartition.queries ++ streaming.StreamCatalog.queries ++
       lake.ColumnMap.queries ++ ext.KMeans.queries ++ sources.JdbcIncr.queries ++
       _root_.graft.spark.GraftFormat.queries ++ _root_.graft.spark.GraftStream.queries ++
-      _root_.graft.spark.GraftSink.queries
+      _root_.graft.spark.GraftSink.queries ++ lake.Restore.queries ++
+      lake.CopyInto.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -82,5 +83,6 @@ object SparkEntry {
       lake.HiddenPartition.oracles ++ streaming.StreamCatalog.oracles ++
       lake.ColumnMap.oracles ++ ext.KMeans.oracles ++ sources.JdbcIncr.oracles ++
       _root_.graft.spark.GraftFormat.oracles ++ _root_.graft.spark.GraftStream.oracles ++
-      _root_.graft.spark.GraftSink.oracles
+      _root_.graft.spark.GraftSink.oracles ++ lake.Restore.oracles ++
+      lake.CopyInto.oracles
 }
