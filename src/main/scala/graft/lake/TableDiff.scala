@@ -74,6 +74,55 @@ object TableDiff {
     }
   }
 
+  /** Anti-entropy REPAIR (X120): make the replica at `dir` row-identical
+    * to `src`, touching only what diverged. Phase 1 finds divergent
+    * buckets from the two combinable checksum aggregates (driver-sized);
+    * if none, NO version commits. Otherwise one atomic merge-on-read
+    * commit: every replica row in a divergent bucket is tombstoned (X64
+    * sidecar — the existing data files are NOT rewritten) and `src`'s
+    * rows for exactly those buckets are staged and appended. Write cost
+    * is O(divergence); the replica-side scan computes positions once;
+    * network movement from `src` is only the divergent buckets. The
+    * repaired state is a normal version: time travel to the corrupted
+    * one still works for the post-mortem, and `op = "repair"` marks the
+    * X102 log.
+    */
+  def repair(src: DataFrame, dir: String, keys: Seq[String], nBuckets: Int,
+      date: Int, time: Int): Option[(Int, Seq[Long])] = {
+    val spark = src.sparkSession
+    val replica = ManifestTable.readLatest(spark, dir)
+    require(src.columns.toSeq == replica.columns.toSeq,
+      s"schemas differ: ${src.columns.toSeq} vs ${replica.columns.toSeq}")
+    val bad = divergentBuckets(src, replica, keys, nBuckets)
+    if (bad.isEmpty) return None
+    val hit = bucketOf(keys, nBuckets).isin(bad.map(Long.box): _*)
+
+    val latest = ManifestTable.snapshots(spark, dir).last
+    val version = latest.version + 1
+    // tombstone the divergent buckets on the RAW scan (already-deleted
+    // positions re-tombstone harmlessly — the union dedups), X64 pattern
+    val raw = spark.read.parquet(latest.files.map(f => s"$dir/$f"): _*)
+    val newDel = raw.where(hit)
+      .select(DeleteVectors.relFile.as("file"),
+        col("_metadata.row_index").as("pos"))
+    val oldDel =
+      if (latest.deletes.isEmpty) newDel.limit(0)
+      else spark.read.parquet(latest.deletes.map(f => s"$dir/$f"): _*)
+    val rel = f"deletes/v$version%08d"
+    oldDel.unionByName(newDel).dropDuplicates("file", "pos")
+      .write.mode("overwrite").parquet(s"$dir/$rel")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+      .toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$rel/${s.getPath.getName}").sorted
+
+    val staged = ManifestTable.stageDataFiles(src.where(hit), dir)
+    ManifestTable.commitManifest(spark, dir, version, date, time,
+      latest.files ++ staged, deletes = delFiles, op = "repair")
+    Some((version, bad))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -88,6 +137,36 @@ object TableDiff {
         SnapshotDiff.diffKeys, nBuckets = 64)
       diffed.orderBy("change", "c_custkey", "c_name")
     }),
+
+    // X120: a replica corrupted three ways at once — rows DROPPED
+    // (%97=5), values MUTATED (%101=7), and PHANTOM rows added (keys
+    // above the source range) — repaired back to row-identity with the
+    // source. The oracle is the pristine source alone: any unrepaired
+    // corruption (or over-repair) breaks the content sums; last_op pins
+    // that the repair landed as its own commit kind.
+    "q_table_repair" -> ((s, d) => {
+      import graft.util.Exact.dsum
+      val dir = graft.util.FixtureCache.dir("repair_fx", d) { dir =>
+        val src = graft.sources.Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val maxKey = src.agg(max("o_orderkey")).head.getAs[Number](0).longValue()
+        val corrupted = src
+          .where(col("o_orderkey") % 97 =!= 5) // dropped rows
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 101 === 7, col("o_totalprice") + 1000)
+              .otherwise(col("o_totalprice"))) // mutated rows
+          .unionByName(src.limit(20)
+            .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1)) // phantoms
+        ManifestTable.commit(corrupted, dir, 20250901, 900)
+        repair(src, dir, Seq("o_orderkey"), nBuckets = 64, 20250901, 1000)
+      }
+      val snaps = ManifestTable.snapshots(s, dir)
+      ManifestTable.readLatest(s, dir)
+        .groupBy((col("o_orderkey") % 3).cast("long").as("slice"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_total"))
+        .withColumn("last_op", lit(snaps.last.op))
+        .orderBy("slice")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -95,5 +174,12 @@ object TableDiff {
       (SnapshotDiff.oracleCtes +
         """SELECT * FROM (SELECT * FROM added UNION ALL SELECT * FROM deleted)
           |ORDER BY change, c_custkey, c_name""".stripMargin),
+
+    "q_table_repair" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS slice,
+        |       count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |       'repair' AS last_op
+        |FROM orders GROUP BY 1 ORDER BY slice""".stripMargin,
   )
 }
