@@ -254,6 +254,15 @@ object Probe {
         ext.Similarity.ivfCentroids(s, e,
           ext.Similarity.adaptiveIvfK(e.count()))
       }
+      // round-5 continuation fixtures: the first invocation in a fresh
+      // JVM pays the full build (timeline commits, streaming passes,
+      // Derby round-trips, repairs) + one read — exactly what the bench
+      // read-backs exclude
+      Seq("q_column_map", "q_jdbc_incr", "q_read_format", "q_stream_format",
+        "q_write_format", "q_stream_sink", "q_restore", "q_copy_into",
+        "q_table_repair", "q_identity", "q_cluster_sample").foreach { qn =>
+        live(qn) { SparkEntry.queries(qn)(s, d).count() }
+      }
       live("bpe_vocab") {
         val wf = ext.Bpe.wordFreqDir(s, d)
         ext.Bpe.tokenizedVocab(s.read.parquet(s"$wf/t"), ext.Bpe.Rounds)
