@@ -54,10 +54,37 @@ object TimeSeries {
       .drop("sum_value")
   }
 
+  /** X122: trailing interval-frame window — `RANGE BETWEEN 30 PRECEDING
+    * AND CURRENT ROW` over integer day numbers, per customer. RANGE
+    * frames (value-based, peer-inclusive) are the contract ROWS frames
+    * (X19) cannot express when keys carry multiple same-day rows: every
+    * same-day peer joins the frame regardless of row order, so the
+    * result is deterministic without a unique tiebreaker. One shuffle on
+    * the partition key; the frame scan is the standard sliding
+    * aggregation within each partition.
+    */
+  def trailingWindow(orders: DataFrame, days: Int): DataFrame = {
+    val dayNum = datediff(col("o_orderdate").cast("date"),
+      to_date(lit("1970-01-01")))
+    val w = Window.partitionBy("o_custkey").orderBy(dayNum)
+      .rangeBetween(-days, 0)
+    orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_gap_fill" -> ((s, d) =>
       gapFillDaily(Tables.events(s, d))
         .orderBy("user_id", "day")),
+
+    "q_trailing_window" -> ((s, d) =>
+      trailingWindow(Tables.orders(s, d), 30)
+        .select(col("o_orderkey"), col("n_window"),
+          col("sum_window"))
+        .orderBy("o_orderkey")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -80,5 +107,15 @@ object TimeSeries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
         |FROM grid LEFT JOIN daily ON grid.user_id = daily.user_id AND grid.day = daily.day
         |ORDER BY grid.user_id, grid.day""".stripMargin,
+
+    "q_trailing_window" ->
+      """SELECT o_orderkey,
+        |       count(*) OVER w AS n_window,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_window
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }
