@@ -42,7 +42,33 @@ object EventAnalytics {
     }
   }
 
+  /** X123: contiguous event-sequence transitions (MATCH_RECOGNIZE-lite).
+    * X37's funnel admits gaps between steps; this is the ADJACENCY
+    * contract — event B counted only when it IMMEDIATELY follows A in
+    * the user's stream (no event in between) within `maxGapSec`. One
+    * `lead()` pass per user (unique (ts, event_id) tiebreak order) + a
+    * combinable transition-matrix groupBy: one shuffle on user_id, one
+    * on the pair key; no self-join, no explosion — the Markov-transition
+    * shape session-quality and bot-detection features are built from.
+    */
+  def transitions(ev: DataFrame, maxGapSec: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_s",
+        lead(col("ts"), 1).over(w).cast("long") - col("ts").cast("long"))
+      .where(col("next_type").isNotNull && col("gap_s") <= maxGapSec)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).cast("long").as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // X123: the full 10-minute transition matrix over the event stream.
+    "q_transitions" -> ((s, d) =>
+      transitions(events(s, d).select("user_id", "event_id", "event_type", "ts"), 600L)
+        .orderBy("from_type", "to_type")),
+
     // step name + users reaching it, monotonically non-increasing.
     "q_funnel" -> ((s, d) => {
       val ev = events(s, d).select("user_id", "event_type", "ts")
@@ -73,6 +99,20 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER w AS next_type,
+        |         date_diff('second', CAST(ts AS TIMESTAMP),
+        |                   lead(CAST(ts AS TIMESTAMP)) OVER w) AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |       count(*) AS n_pairs,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM seq WHERE next_type IS NOT NULL AND gap_s <= 600
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
     "q_funnel" -> {
       // s1..s4 CTEs mirror the step-wise min-after-previous construction
       val ctes = funnelSteps.zipWithIndex.map { case (step, i) =>
