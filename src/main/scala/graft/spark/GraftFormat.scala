@@ -114,7 +114,8 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val (dir, skip) = streamParams(parameters)
-    new GraftStreamSource(sqlContext.sparkSession, dir, skip)
+    new GraftStreamSource(sqlContext.sparkSession, dir, skip,
+      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toInt))
   }
 
   override def createRelation(sqlContext: SQLContext,

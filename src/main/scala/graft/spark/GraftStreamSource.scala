@@ -33,7 +33,8 @@ import graft.util.{Exact, FixtureCache, Scratch}
   * (same version range) reads the same immutable files.
   */
 class GraftStreamSource(spark: SparkSession, dir: String,
-    skipChangeCommits: Boolean) extends Source {
+    skipChangeCommits: Boolean, maxVersionsPerBatch: Option[Int] = None)
+    extends Source {
 
   override val schema: StructType = {
     val snaps = ManifestTable.snapshots(spark, dir)
@@ -41,8 +42,24 @@ class GraftStreamSource(spark: SparkSession, dir: String,
     spark.read.parquet(snaps.last.files.map(f => s"$dir/$f"): _*).schema
   }
 
-  override def getOffset: Option[Offset] =
-    ManifestTable.latestVersion(spark, dir).map(v => LongOffset(v.toLong))
+  // Backfill rate limiting (the file source's maxFilesPerTrigger, in
+  // versions): never offer more than N versions past what the engine
+  // last asked for, so a long log replays as bounded micro-batches
+  // instead of one giant first batch. Purely an offer-side cap —
+  // exactly-once and ordering are untouched.
+  private var lastOffered: Option[Long] = None
+
+  override def getOffset: Option[Offset] = {
+    val latest = ManifestTable.latestVersion(spark, dir).map(_.toLong)
+    val capped = (latest, maxVersionsPerBatch) match {
+      case (Some(l), Some(cap)) =>
+        val base = lastOffered.getOrElse(0L)
+        Some(math.min(l, base + cap))
+      case _ => latest
+    }
+    lastOffered = capped.orElse(lastOffered)
+    capped.map(LongOffset(_))
+  }
 
   private def versionOf(o: Offset): Int = o match {
     case LongOffset(v) => v.toInt
@@ -50,6 +67,11 @@ class GraftStreamSource(spark: SparkSession, dir: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    // a restart replays from the checkpointed offset: anchor the rate
+    // limiter there rather than at 0
+    start.map(o => versionOf(o).toLong).foreach { v =>
+      if (lastOffered.forall(_ < v)) lastOffered = Some(v)
+    }
     val fromV = start.map(versionOf).getOrElse(0)
     val toV = versionOf(end)
     val snaps = ManifestTable.snapshots(spark, dir)
