@@ -48,7 +48,7 @@ object SparkEntry {
       lake.ColumnMap.queries ++ ext.KMeans.queries ++ sources.JdbcIncr.queries ++
       _root_.graft.spark.GraftFormat.queries ++ _root_.graft.spark.GraftStream.queries ++
       _root_.graft.spark.GraftSink.queries ++ lake.Restore.queries ++
-      lake.CopyInto.queries ++ lake.Identity.queries
+      lake.CopyInto.queries ++ lake.Identity.queries ++ sinks.Jdbc.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -84,5 +84,5 @@ object SparkEntry {
       lake.ColumnMap.oracles ++ ext.KMeans.oracles ++ sources.JdbcIncr.oracles ++
       _root_.graft.spark.GraftFormat.oracles ++ _root_.graft.spark.GraftStream.oracles ++
       _root_.graft.spark.GraftSink.oracles ++ lake.Restore.oracles ++
-      lake.CopyInto.oracles ++ lake.Identity.oracles
+      lake.CopyInto.oracles ++ lake.Identity.oracles ++ sinks.Jdbc.oracles
 }

@@ -104,6 +104,114 @@ object Jdbc {
     } finally conn.close()
   }
 
+  /** Atomic snapshot publish via staged-table swap (extension X124).
+    *
+    * The reference refreshes its serving tables with in-place overwrite
+    * (`airflow/dags/apify_dag.py:216-246`): Spark's JDBC Overwrite is
+    * TRUNCATE/DROP + re-insert, so a dashboard reading mid-refresh sees
+    * an empty or partial table — every hour. The warehouse idiom is the
+    * staged swap: write the new snapshot to `<table>__stage` (readers
+    * undisturbed), then swap stage→live inside ONE transaction, so
+    * readers see the old snapshot until the commit instant and the new
+    * one after. Crash before the commit rolls back with the live table
+    * intact (the stage is an orphan the next publish clears); crash
+    * after leaves only a `__old` leftover, likewise cleared.
+    *
+    * Rename syntax is dialect-routed (Derby `RENAME TABLE`, everything
+    * else `ALTER TABLE .. RENAME TO` — the Postgres/MySQL form).
+    */
+  def publishAtomic(df: DataFrame, cfg: JdbcConfig, table: String): Unit = {
+    val live = sanitizeTable(table)
+    val stage = s"${live}__stage"
+    val old = s"${live}__old"
+    // clear leftovers from a previous crashed publish, then stage
+    dropIfExists(cfg, stage)
+    dropIfExists(cfg, old)
+    df.write.format("jdbc").options(options(cfg, stage)).mode("append").save()
+
+    Class.forName(cfg.driver)
+    val props = new java.util.Properties()
+    cfg.user.foreach(props.setProperty("user", _))
+    cfg.password.foreach(props.setProperty("password", _))
+    val conn = java.sql.DriverManager.getConnection(cfg.url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      val derby = cfg.driver.toLowerCase.contains("derby")
+      def rename(from: String, to: String): Unit =
+        st.executeUpdate(
+          if (derby) s"RENAME TABLE $from TO $to"
+          else s"ALTER TABLE $from RENAME TO $to")
+      try {
+        if (tableExists(conn, live)) rename(live, old)
+        rename(stage, live)
+        conn.commit() // the swap instant: readers flip old->new here
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
+    } finally conn.close()
+    dropIfExists(cfg, old) // post-commit cleanup, safe to redo anytime
+  }
+
+  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+    try {
+      var found = false
+      while (rs.next() && !found)
+        found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      found
+    } finally rs.close()
+  }
+
+  private def dropIfExists(cfg: JdbcConfig, table: String): Unit = {
+    Class.forName(cfg.driver)
+    val props = new java.util.Properties()
+    cfg.user.foreach(props.setProperty("user", _))
+    cfg.password.foreach(props.setProperty("password", _))
+    val conn = java.sql.DriverManager.getConnection(cfg.url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE ${sanitizeTable(table)}")
+      catch {
+        case e: java.sql.SQLException
+          if Set("42X05", "42P01", "42S02", "42Y55")(e.getSQLState) => ()
+      }
+      finally st.close()
+    } finally conn.close()
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // X124: two atomic publishes — the second wholly replaces the first
+    // through the staged swap — read back through the plain JDBC read.
+    "q_jdbc_publish" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val cfg = JdbcConfig(
+        url = s"jdbc:derby:memory:jpub${d.replaceAll("[^0-9]", "")};create=true",
+        driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      graft.util.FixtureCache.dir("jdbc_publish", d) { _ =>
+        val o = graft.sources.Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        publishAtomic(o.where(col("o_orderkey") % 3 === 0), cfg, "serve_orders")
+        publishAtomic(o, cfg, "serve_orders") // full refresh replaces
+      }
+      read(s, cfg, "serve_orders")
+        .groupBy((col("o_orderkey") % 3).cast("long").as("slice"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"))
+        .orderBy("slice")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_jdbc_publish" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS slice,
+        |       count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY 1 ORDER BY slice""".stripMargin,
+  )
+
   /** S8, scale tier: range-partitioned parallel read. Spark generates
     * `numPartitions` WHERE-sliced queries over `[lowerBound, upperBound)`
     * of a numeric/date `partitionColumn`, so the scan parallelizes across
