@@ -49,6 +49,7 @@ object SparkEntry {
       _root_.graft.spark.GraftFormat.queries ++ _root_.graft.spark.GraftStream.queries ++
       _root_.graft.spark.GraftSink.queries ++ lake.Restore.queries ++
       lake.CopyInto.queries ++ lake.Identity.queries ++ sinks.Jdbc.queries
+      // (q_commit_guard rides lake.Expectations.queries, already included)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.

@@ -57,6 +57,45 @@ object Expectations {
     ManifestTable.commit(df, dir, date, time)
   }
 
+  /** Table-level commit guards (extension X125): the class of checks
+    * row-level rules can't express, run against the CANDIDATE AS A WHOLE
+    * (and its parent) before anything commits.
+    *
+    *  - `uniqueKeys`: the composite key must be duplicate-free — the
+    *    PRIMARY KEY promise every downstream upsert/join (X31/X88)
+    *    quietly assumes; one combinable groupBy(count>1) pass.
+    *  - `maxShrinkPct`: the new version may not shrink by more than N%
+    *    vs the parent — the "this deploy would silently delete 90% of
+    *    the table" anomaly guard (dbt's accepted-row-delta shape). First
+    *    commits are exempt (no parent to shrink from).
+    *
+    * Refusal stages NOTHING and leaves the log untouched; the error
+    * carries the evidence (dup count / shrink %) so the operator can
+    * decide rather than re-run blind.
+    */
+  def commitGuarded(df: DataFrame, dir: String, date: Int, time: Int,
+      uniqueKeys: Seq[String] = Nil, maxShrinkPct: Option[Int] = None): Int = {
+    val spark = df.sparkSession
+    if (uniqueKeys.nonEmpty) {
+      val dups = df.groupBy(uniqueKeys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1).count()
+      if (dups > 0) throw new IllegalArgumentException(
+        s"unique-key guard failed: $dups duplicated (${uniqueKeys.mkString(",")}) groups")
+    }
+    maxShrinkPct.foreach { pct =>
+      ManifestTable.latestVersion(spark, dir).foreach { v =>
+        val parentN = ManifestTable.readVersion(spark, dir, v).count()
+        val newN = df.count()
+        if (parentN > 0 && newN * 100 < parentN.toDouble * (100 - pct)) {
+          val shrink = 100.0 * (parentN - newN) / parentN
+          throw new IllegalArgumentException(
+            f"shrink guard failed: $parentN -> $newN rows ($shrink%.1f%% shrink > $pct%%)")
+        }
+      }
+    }
+    ManifestTable.commit(df, dir, date, time)
+  }
+
   /** The rules' conjunction as one codegen'd boolean column — NULL is a
     * violation, matching [[evaluate]]'s counting exactly.
     */
@@ -106,6 +145,34 @@ object Expectations {
     Rule("no_partial", "o_orderstatus <> 'P'")) // violated: P rows exist
 
   val queries: Map[String, Q] = Map(
+    // X125: a guarded timeline — good v1, then a 90%-shrink refusal and a
+    // duplicate-key refusal (both side-effect-free), then a passing v2.
+    // Final content + n_versions pin that exactly the two good commits
+    // landed.
+    "q_commit_guard" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.util.FixtureCache.dir("guard_tl", d) { dir =>
+        val o = graft.sources.Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        def refused(body: => Int): Unit =
+          try { body; sys.error("guard did not refuse") }
+          catch { case _: IllegalArgumentException => () }
+        commitGuarded(o, dir, 20250901, 900,
+          uniqueKeys = Seq("o_orderkey"), maxShrinkPct = Some(50))
+        refused(commitGuarded(o.where(col("o_orderkey") % 11 === 0), dir,
+          20250901, 1000, maxShrinkPct = Some(50))) // ~91% shrink: refused
+        refused(commitGuarded(o.unionByName(o.limit(10)), dir,
+          20250901, 1000, uniqueKeys = Seq("o_orderkey"))) // dups: refused
+        commitGuarded(o.where(col("o_orderkey") % 3 =!= 0), dir, 20250901, 1100,
+          uniqueKeys = Seq("o_orderkey"), maxShrinkPct = Some(50)) // 33%: lands
+      }
+      val nVersions = ManifestTable.snapshots(s, dir).size
+      ManifestTable.readLatest(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          graft.util.Exact.dsum(col("o_totalprice")).as("sum_total"))
+        .withColumn("n_versions", lit(nVersions))
+    }),
+
     // The evaluation report itself is the query: per-rule violation
     // counts over orders, recomputed by the oracle with the same
     // predicates. The refuse/land commit behavior is pinned in
@@ -143,6 +210,12 @@ object Expectations {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_commit_guard" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |       CAST(2 AS INT) AS n_versions
+        |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin,
+
     "q_expectations" ->
       """SELECT * FROM (
         |  SELECT 'key_present' AS rule,

@@ -99,4 +99,29 @@ class ExpectationsSpec extends SparkSpec {
       Map("t" -> 1, "t_quarantine" -> 1))
     assert(Catalog.readTable(spark, root, "t").count() + nQuar == df.count())
   }
+
+  test("X125 guards: duplicates and anomalous shrink refuse side-effect-free") {
+    import graft.util.Scratch
+    val dir = Scratch.dir("guard_spec")
+    val base = (0L until 100L).map(i => (i, i)).toDF("k", "v")
+    assert(Expectations.commitGuarded(base, dir, 20250901, 900,
+      uniqueKeys = Seq("k"), maxShrinkPct = Some(50)) == 1)
+
+    // duplicate keys: refused, log untouched
+    val e1 = intercept[IllegalArgumentException](
+      Expectations.commitGuarded(base.unionByName(base.limit(3)), dir,
+        20250901, 1000, uniqueKeys = Seq("k")))
+    assert(e1.getMessage.contains("unique-key"))
+    // 90% shrink: refused with the evidence
+    val e2 = intercept[IllegalArgumentException](
+      Expectations.commitGuarded(base.limit(10), dir, 20250901, 1000,
+        maxShrinkPct = Some(50)))
+    assert(e2.getMessage.contains("shrink"))
+    assert(ManifestTable.latestVersion(spark, dir).contains(1))
+
+    // a tolerable shrink lands; first-commit exemption means a fresh
+    // table accepts any size
+    assert(Expectations.commitGuarded(base.limit(60), dir, 20250901, 1100,
+      maxShrinkPct = Some(50)) == 2)
+  }
 }
