@@ -132,6 +132,34 @@ object Catalog {
     publishCatalog(spark, root, date, time,
       commitTableVersions(root, date, time, writes))
 
+  /** Catalog-wide keyed delete (extension X126 — the right-to-be-forgotten
+    * sweep): tombstone matching rows in SEVERAL tables and make all of it
+    * visible in ONE cut. Each table takes an X64 merge-on-read delete
+    * commit on its own log (optimistic retry, predicate re-evaluated on a
+    * lost race), then a single catalog publish flips every reader to the
+    * post-delete world atomically — no window where the user is gone from
+    * `accounts` but still present in `events`, which is exactly the torn
+    * state a per-table sweep leaves between its steps. A crash before the
+    * publish leaves every reader on the pre-delete cut (the table-log
+    * deletes are committed-but-unreferenced, the X99 staged story); the
+    * re-run re-deletes (idempotent — re-tombstoning dedups) and publishes.
+    * Cost: per table one predicate-column scan + a tombstone sidecar;
+    * zero data files rewritten (X32/X106 fold them later).
+    */
+  def deleteWhereAll(spark: SparkSession, root: String, date: Int, time: Int,
+      preds: Seq[(String, org.apache.spark.sql.Column)]): Int = {
+    val latestCut = snapshots(spark, root).lastOption.getOrElse(
+      throw new NoSuchElementException(s"no committed catalog version at $root"))
+    preds.foreach { case (t, _) =>
+      require(latestCut.tables.contains(t),
+        s"table '$t' not in catalog version ${latestCut.version}")
+    }
+    val tvs = preds.map { case (t, p) =>
+      t -> DeleteVectors.deleteWhereRetrying(spark, s"$root/$t", p, date, time)
+    }.toMap
+    publishCatalog(spark, root, date, time, tvs)
+  }
+
   /** Read `table` as of catalog version `asOf` (latest cut if omitted) —
     * resolution is ONLY catalog cut → table version → X39 manifest, so
     * concurrent transactions can never tear the view.
@@ -208,6 +236,34 @@ object Catalog {
         .unionByName(cut(2, "li", "l_quantity"))
         .orderBy("cat_version", "tbl")
     }),
+
+    // X126: one customer cohort forgotten across BOTH tables in one cut —
+    // cut 2 has them gone everywhere, cut 1 (pre-delete) intact.
+    "q_gdpr_delete" -> ((s, d) => {
+      import graft.sources.Tables
+      import graft.util.Exact.dsum
+      import org.apache.spark.sql.functions._
+      val root = graft.util.FixtureCache.dir("gdpr_cat", d) { root =>
+        transact(s, root, 20250901, 900, Seq(
+          "facts" -> Tables.orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+          "profiles" -> Tables.customer(s, d)
+            .select("c_custkey", "c_acctbal")))
+        deleteWhereAll(s, root, 20250901, 1000, Seq(
+          "facts" -> (col("o_custkey") % 10 === 3),
+          "profiles" -> (col("c_custkey") % 10 === 3)))
+      }
+      def cut(cv: Int, tbl: String, valueCol: String): DataFrame =
+        readTable(s, root, tbl, Some(cv))
+          .agg(count(lit(1)).as("n_rows"), dsum(col(valueCol)).as("sum_val"))
+          .select(lit(cv.toLong).as("cat_version"), lit(tbl).as("tbl"),
+            col("n_rows"), col("sum_val"))
+      cut(1, "facts", "o_totalprice")
+        .unionByName(cut(1, "profiles", "c_acctbal"))
+        .unionByName(cut(2, "facts", "o_totalprice"))
+        .unionByName(cut(2, "profiles", "c_acctbal"))
+        .orderBy("cat_version", "tbl")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -228,6 +284,25 @@ object Catalog {
         |  SELECT 2, 'li', count(*),
         |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |  FROM lineitem WHERE l_orderkey % 3 <= 1
+        |) ORDER BY cat_version, tbl""".stripMargin,
+
+    "q_gdpr_delete" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS cat_version, 'facts' AS tbl, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 1, 'profiles', count(*),
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 2, 'facts', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_custkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT 2, 'profiles', count(*),
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 10 <> 3
         |) ORDER BY cat_version, tbl""".stripMargin,
   )
 }

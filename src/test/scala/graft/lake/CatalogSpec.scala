@@ -3,6 +3,7 @@ package graft.lake
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.util.Scratch
 
 /** X99: multi-table atomic commits — a catalog version is a consistent
   * cross-table cut; the catalog rename is THE commit point of a
@@ -85,5 +86,43 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Catalog.commitTableVersions(root, 20250301, 901, Seq(
         "_catalog" -> Seq((1L, "x")).toDF("id", "v"))))
+  }
+
+  test("X126: crash between table deletes and publish leaves every reader pre-delete") {
+    import org.apache.spark.sql.functions._
+    val root = Scratch.dir("gdpr_crash")
+    Catalog.transact(spark, root, 20250901, 900, Seq(
+      "a" -> (0L until 40L).map(i => (i, i)).toDF("uid", "v"),
+      "b" -> (0L until 40L).map(i => (i, -i)).toDF("uid", "w")))
+
+    // the per-table delete commits land...
+    val tvs = Seq("a", "b").map(t => t ->
+      DeleteVectors.deleteWhereRetrying(spark, s"$root/$t",
+        col("uid") % 4 === 1, 20250901, 1000)).toMap
+    // ...but the publish "crashes": both tables still serve PRE-delete
+    assert(Catalog.readTable(spark, root, "a").count() == 40)
+    assert(Catalog.readTable(spark, root, "b").count() == 40)
+
+    // the completing publish flips both at once
+    Catalog.publishCatalog(spark, root, 20250901, 1001, tvs)
+    assert(Catalog.readTable(spark, root, "a").count() == 30)
+    assert(Catalog.readTable(spark, root, "b").count() == 30)
+  }
+
+  test("X126: deleteWhereAll forgets a cohort atomically; unknown tables refuse") {
+    import org.apache.spark.sql.functions._
+    val root = Scratch.dir("gdpr_all")
+    Catalog.transact(spark, root, 20250901, 900, Seq(
+      "a" -> (0L until 20L).map(i => (i, i)).toDF("uid", "v"),
+      "b" -> (0L until 20L).map(i => (i, -i)).toDF("uid", "w")))
+    Catalog.deleteWhereAll(spark, root, 20250901, 1000, Seq(
+      "a" -> (col("uid") < 5), "b" -> (col("uid") < 5)))
+    assert(Catalog.readTable(spark, root, "a").where(col("uid") < 5).count() == 0)
+    assert(Catalog.readTable(spark, root, "b").where(col("uid") < 5).count() == 0)
+    // pre-delete cut intact
+    assert(Catalog.readTable(spark, root, "a", Some(1)).count() == 20)
+    intercept[IllegalArgumentException](
+      Catalog.deleteWhereAll(spark, root, 20250901, 1100,
+        Seq("nope" -> (col("uid") < 5))))
   }
 }
