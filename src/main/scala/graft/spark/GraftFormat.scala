@@ -70,6 +70,20 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     val time = parameters.get("runTime").map(_.toInt)
       .getOrElse(now.getHour * 100 + now.getMinute)
     val exists = ManifestTable.latestVersion(spark, dir).nonEmpty
+    // Append schema enforcement (Delta's contract): silently appending a
+    // drifted schema poisons every future read — refuse unless the
+    // caller opts into X60-style reconciliation downstream.
+    if (exists && mode == SaveMode.Append &&
+        !parameters.get("allowSchemaDrift").exists(_.toBoolean)) {
+      val current = new ManifestFileIndex(spark, dir,
+        ManifestTable.snapshots(spark, dir).last).dataSchema
+      val incoming = data.schema
+      require(incoming.fields.map(f => (f.name, f.dataType)).toSeq ==
+          current.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"graft: append schema ${incoming.simpleString} does not match table " +
+          s"schema ${current.simpleString}; set allowSchemaDrift=true to " +
+          "append anyway and reconcile reads via Evolution.readHistory")
+    }
     mode match {
       case SaveMode.Overwrite => ManifestTable.commitRetrying(data, dir, date, time)
       case SaveMode.Append => ManifestTable.appendRetrying(data, dir, date, time)
@@ -125,11 +139,22 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
       throw new IllegalArgumentException("graft: 'path' is required"))
     val snaps = ManifestTable.snapshots(spark, dir)
     require(snaps.nonEmpty, s"graft: no committed snapshot at $dir")
-    val snap = parameters.get("versionAsOf") match {
-      case Some(v) => snaps.find(_.version == v.toInt).getOrElse(
+    val snap = (parameters.get("versionAsOf"),
+        parameters.get("asOfDate")) match {
+      case (Some(v), _) => snaps.find(_.version == v.toInt).getOrElse(
         throw new NoSuchElementException(
           s"graft: no version $v at $dir (have ${snaps.map(_.version).mkString(",")})"))
-      case None => snaps.last
+      case (None, Some(dateStr)) =>
+        // timestamp time travel (Delta's timestampAsOf): newest version
+        // committed at-or-before (asOfDate, asOfTime) in run-stamp order
+        val date = dateStr.toInt
+        val time = parameters.get("asOfTime").map(_.toInt).getOrElse(2359)
+        snaps.filter(s => s.runDate < date ||
+            (s.runDate == date && s.runTime <= time))
+          .sortBy(s => (s.runDate, s.runTime, s.version))
+          .lastOption.getOrElse(throw new NoSuchElementException(
+            s"graft: no version at or before $date/$time at $dir"))
+      case _ => snaps.last
     }
     require(snap.deletes.isEmpty,
       s"graft: version ${snap.version} carries deletion vectors; read it via " +

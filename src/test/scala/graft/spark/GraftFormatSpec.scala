@@ -80,4 +80,27 @@ class GraftFormatSpec extends SparkSpec {
     assert(spark.read.format("graft").option("versionAsOf", 1)
       .load(dir).count() == 50)
   }
+
+  test("timestampAsOf resolves by run stamp; append schema drift refuses") {
+    val dir = Scratch.dir("gfmt_ts")
+    graft.lake.ManifestTable.commit(Seq((1L, "a")).toDF("k", "tag"), dir, 20250601, 900)
+    graft.lake.ManifestTable.commit(Seq((2L, "b"), (3L, "b")).toDF("k", "tag"), dir, 20250601, 1100)
+
+    assert(spark.read.format("graft").option("asOfDate", "20250601")
+      .option("asOfTime", "1000").load(dir).count() == 1) // v1 era
+    assert(spark.read.format("graft").option("asOfDate", "20250601")
+      .load(dir).count() == 2) // end of day: v2
+    intercept[NoSuchElementException](
+      spark.read.format("graft").option("asOfDate", "20250101").load(dir).count())
+
+    // appends must match the table schema unless drift is opted into
+    val e = intercept[IllegalArgumentException](
+      Seq((4L, 9.9)).toDF("k", "price").write.format("graft")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(dir))
+    assert(e.getMessage.contains("allowSchemaDrift"))
+    assert(graft.lake.ManifestTable.latestVersion(spark, dir).contains(2))
+    Seq((4L, "c")).toDF("k", "tag").write.format("graft")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir) // matching: fine
+    assert(spark.read.format("graft").load(dir).count() == 3)
+  }
 }
