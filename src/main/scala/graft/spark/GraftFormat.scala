@@ -105,7 +105,9 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft: 'path' is required"))
     new GraftSink.StreamSink(sqlContext.sparkSession, dir,
-      appId = parameters.getOrElse("checkpointLocation", dir))
+      appId = parameters.getOrElse("checkpointLocation", dir),
+      mergeKeys = parameters.get("mergeKeys")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
   }
 
   // X114: the same format string serves readStream — versions as offsets

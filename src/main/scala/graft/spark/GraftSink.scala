@@ -100,9 +100,15 @@ object GraftSink {
     -1 // unreachable
   }
 
-  /** DSv1 streaming sink: one append version per micro-batch. */
-  class StreamSink(spark: SparkSession, dir: String, appId: String)
-      extends Sink {
+  /** DSv1 streaming sink: one version per micro-batch — APPEND by
+    * default; with `mergeKeys` set, each batch UPSERTS by key into the
+    * previous state (the "merge in foreachBatch" pattern, canned): last
+    * write per key wins within the stream order, and the same lineage
+    * idempotence makes replayed batches skip BEFORE any merge runs, so
+    * a replay can never double-apply an update.
+    */
+  class StreamSink(spark: SparkSession, dir: String, appId: String,
+      mergeKeys: Seq[String] = Nil) extends Sink {
     override def addBatch(batchId: Long, data: DataFrame): Unit = {
       val replayed = committedTxn(spark, dir)
         .exists(t => t.appId == appId && batchId <= t.batchId)
@@ -111,7 +117,32 @@ object GraftSink {
       // computed rows (the construction every DSv1 sink uses)
       val batch = GraftShim.internalCreateDataFrame(
         spark, data.queryExecution.toRdd, data.schema, isStreaming = false)
-      appendWithTxn(batch, dir, Txn(appId, batchId), 20250801, 0)
+      if (mergeKeys.isEmpty || ManifestTable.latestVersion(spark, dir).isEmpty)
+        appendWithTxn(batch, dir, Txn(appId, batchId), 20250801, 0)
+      else {
+        // upsert produces the table's next FULL state: publish it as a
+        // replace commit carrying the same txn sidecar
+        val merged = graft.lake.Merge.upsert(
+          ManifestTable.readLatest(spark, dir), batch, mergeKeys)
+        val staged = ManifestTable.stageDataFiles(merged, dir)
+        var tries = 0
+        var done = false
+        while (!done) {
+          val latest = ManifestTable.snapshots(spark, dir).lastOption
+          val v = latest.map(_.version).getOrElse(0) + 1
+          writeSidecar(spark, dir, v, Txn(appId, batchId))
+          try {
+            ManifestTable.commitManifest(spark, dir, v, 20250801, 0, staged)
+            done = true
+          } catch {
+            case e: IllegalStateException if e.getMessage != null &&
+                e.getMessage.startsWith("concurrent commit") =>
+              tries += 1
+              if (tries > 5) throw new IllegalStateException(
+                s"stream merge sink at $dir lost $tries races; giving up", e)
+          }
+        }
+      }
     }
   }
 

@@ -67,4 +67,39 @@ class GraftSinkSpec extends SparkSpec {
     pipe(Scratch.dir("gsink_chk2"))
     assert(spark.read.format("graft").load(dst).count() == 20)
   }
+
+  test("mergeKeys sink upserts per batch; replays never double-apply") {
+    val src = Scratch.dir("gsink_m_src")
+    val dst = Scratch.dir("gsink_m_dst")
+    val chk = Scratch.dir("gsink_m_chk")
+    // batch 1: keys 0-4 v=1x ; batch 2 (later version): keys 3-7 v=2x
+    ManifestTable.commit((0L until 5L).map(i => (i, i * 10)).toDF("k", "v"),
+      src, 20250801, 900)
+
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("path", dst)
+        .option("checkpointLocation", chk)
+        .option("mergeKeys", "k")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    pipe()
+    assert(spark.read.format("graft").load(dst).count() == 5)
+
+    ManifestTable.appendRetrying((3L until 8L).map(i => (i, i * 100)).toDF("k", "v"),
+      src, 20250801, 1000)
+    pipe()
+    val rows = spark.read.format("graft").load(dst)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 8) // upsert, not append: keys stay unique
+    assert(rows(2L) == 20L)   // untouched
+    assert(rows(3L) == 300L)  // overwritten by batch 2
+    assert(rows(7L) == 700L)  // inserted
+
+    pipe() // quiet source + same lineage: nothing double-applies
+    assert(spark.read.format("graft").load(dst).count() == 8)
+  }
 }
