@@ -49,6 +49,33 @@ object Outliers {
           sum(when(col("is_out"), col("event_id")).otherwise(0L)).as("outlier_id_sum"))
         .orderBy("event_type")
     }),
+
+    // X127: the ROBUST gate — median/MAD instead of mean/σ, the right
+    // tool when the signal itself is contaminated (a few huge values
+    // inflate σ until nothing is an outlier; the median and MAD barely
+    // move). Exactness without integers this time: cents are integers,
+    // interpolated medians of integers are half-integers, MADs
+    // quarter-integers — ALL exact binary fractions, so both engines'
+    // linear-interpolation percentile and the `adev > 3·MAD` boundary
+    // agree bit-for-bit. Same zero-corpus-shuffle shape: two combinable
+    // percentile passes (groups broadcast back), one re-aggregate.
+    "q_outliers_mad" -> ((s, d) => {
+      val c = events(s, d).select(col("event_type"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      val med = c.groupBy("event_type")
+        .agg(percentile(col("c"), lit(0.5)).as("med"))
+      val dev = c.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("c") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .withColumn("is_out", col("adev") > col("mad") * 3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+          sum(when(col("is_out"), col("event_id")).otherwise(0L)).as("outlier_id_sum"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -70,5 +97,22 @@ object Outliers {
         |       CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |       CAST(sum(CASE WHEN is_out THEN event_id ELSE 0 END) AS BIGINT) AS outlier_id_sum
         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_outliers_mad" ->
+      """WITH c AS (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |med AS (SELECT event_type, quantile_cont(c, 0.5) AS med
+        |        FROM c GROUP BY 1),
+        |dev AS (SELECT c.event_type, c.event_id, abs(c.c - med.med) AS adev
+        |        FROM c JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT event_type, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN adev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       CAST(sum(CASE WHEN adev > 3 * mad THEN event_id ELSE 0 END) AS BIGINT) AS outlier_id_sum
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
