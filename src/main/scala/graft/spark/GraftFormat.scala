@@ -296,6 +296,37 @@ object GraftFormat {
         .withColumn("probe", lit("v1_full"))
       ranged.unionByName(v1).select("probe", "n_rows", "sum_total").orderBy("probe")
     }),
+
+    // X128: the SQL DDL surface the registered format buys for free —
+    // `CREATE TEMPORARY VIEW ... USING graft` + plain spark.sql over it,
+    // time travel included via OPTIONS. A SQL-only user never imports a
+    // graft class.
+    "q_sql_view" -> ((s, d) => {
+      val dir = FixtureCache.dir("graft_fmt", d) { dir =>
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        ZoneMap.commitWithStats(
+          o.repartitionByRange(8, col("o_orderkey")),
+          dir, 20250701, 900, statsCols = Seq("o_orderkey"))
+        ZoneMap.commitWithStats(
+          o.where(col("o_orderkey") % 2 === 0)
+            .repartitionByRange(8, col("o_orderkey")),
+          dir, 20250701, 1000, statsCols = Seq("o_orderkey"))
+      }
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_orders
+               |USING graft OPTIONS (path '$dir')""".stripMargin)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_orders_v1
+               |USING graft OPTIONS (path '$dir', versionAsOf '1')""".stripMargin)
+      s.sql(
+        """SELECT * FROM (
+          |  SELECT 'latest' AS probe, count(*) AS n_rows,
+          |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+          |  FROM graft_orders
+          |  UNION ALL
+          |  SELECT 'v1' AS probe, count(*) AS n_rows,
+          |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+          |  FROM graft_orders_v1
+          |) ORDER BY probe""".stripMargin)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -309,6 +340,17 @@ object GraftFormat {
         |  WHERE o_orderkey % 2 = 0 AND o_orderkey BETWEEN b.lo AND b.hi
         |  UNION ALL
         |  SELECT 'v1_full' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders
+        |) ORDER BY probe""".stripMargin,
+
+    "q_sql_view" ->
+      """SELECT * FROM (
+        |  SELECT 'latest' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'v1' AS probe, count(*) AS n_rows,
         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |  FROM orders
         |) ORDER BY probe""".stripMargin,
