@@ -74,12 +74,19 @@ class GraftStreamSource(spark: SparkSession, dir: String,
     }
     val fromV = start.map(versionOf).getOrElse(0)
     val toV = versionOf(end)
-    val snaps = ManifestTable.snapshots(spark, dir)
-      .filter(s => s.version > fromV && s.version <= toV)
-    val byVersion = ManifestTable.snapshots(spark, dir)
-      .map(s => s.version -> s).toMap
+    val all = ManifestTable.snapshots(spark, dir)
+    val byVersion = all.map(s => s.version -> s).toMap
+    val snaps = all.filter(s => s.version > fromV && s.version <= toV)
     val appended = snaps.flatMap { s =>
       val parent = byVersion.get(s.version - 1)
+      // a version whose parent was VACUUMED away has no computable
+      // append delta — treating it as an initial snapshot would
+      // re-emit the whole table; refuse like Delta's unavailable
+      // startingVersion instead
+      if (s.version > 1 && parent.isEmpty) throw new IllegalStateException(
+        s"graft stream: version ${s.version - 1} at $dir was vacuumed; " +
+          "cannot compute the append delta — restart the stream from a " +
+          "fresh checkpoint (full reload) or retain more history")
       val parentFiles = parent.map(_.files.toSet).getOrElse(Set.empty)
       val newFiles = s.files.filterNot(parentFiles)
       val isAppend = parent.isEmpty ||

@@ -92,4 +92,21 @@ class GraftStreamSpec extends SparkSpec {
     q.awaitTermination()
     assert(spark.read.parquet(sink2).count() == 11)
   }
+
+  test("a vacuumed parent refuses the delta instead of re-emitting the table") {
+    val tbl = Scratch.dir("gstream_vac")
+    (0 until 3).foreach { k =>
+      ManifestTable.appendRetrying(
+        (k * 5L until (k + 1) * 5L).map(i => (i, i)).toDF("k", "v"),
+        tbl, 20250801, 900 + k)
+    }
+    graft.lake.Vacuum.vacuum(spark, tbl, keepLast = 1, stagedOrphanAgeMs = 0)
+
+    val src = new GraftStreamSource(spark, tbl, skipChangeCommits = false)
+    val end = src.getOffset.get
+    // fresh stream would need v3's delta vs the vacuumed v2: refuse
+    val e = intercept[IllegalStateException](
+      src.getBatch(Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(2L)), end))
+    assert(e.getMessage.contains("vacuumed"))
+  }
 }
