@@ -161,6 +161,12 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     require(snap.deletes.isEmpty,
       s"graft: version ${snap.version} carries deletion vectors; read it via " +
         "ManifestTable.readVersion (tombstone-aware) or materialize it first")
+    // X110 column-mapped tables carry a logical->physical projection the
+    // bare file relation cannot apply — serving physical names here would
+    // silently undo renames
+    require(!new Path(s"$dir/_colmap").getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(new Path(s"$dir/_colmap")),
+      s"graft: table at $dir uses column mapping; read it via ColumnMap.read")
     val index = new ManifestFileIndex(spark, dir, snap)
     HadoopFsRelation(index, partitionSchema = StructType(Nil),
       dataSchema = index.dataSchema, bucketSpec = None,

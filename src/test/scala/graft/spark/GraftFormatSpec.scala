@@ -103,4 +103,13 @@ class GraftFormatSpec extends SparkSpec {
       .mode(org.apache.spark.sql.SaveMode.Append).save(dir) // matching: fine
     assert(spark.read.format("graft").load(dir).count() == 3)
   }
+
+  test("column-mapped tables refuse toward the mapping-aware reader") {
+    val dir = Scratch.dir("gfmt_colmap")
+    graft.lake.ColumnMap.create(Seq((1L, 10.0)).toDF("k", "price"), dir, 20250701, 900)
+    graft.lake.ColumnMap.renameColumn(spark, dir, "price", "amount")
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("graft").load(dir).count())
+    assert(e.getMessage.contains("column mapping"))
+  }
 }
