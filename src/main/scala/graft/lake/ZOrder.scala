@@ -90,6 +90,40 @@ object ZOrder {
       statsCols = Seq(c1, c2), op = "optimize")
   }
 
+  /** Plain bin-packing OPTIMIZE (extension X129) — compaction as an
+    * atomic table commit, no clustering dimension needed: fold the
+    * latest version (tombstones applied) into `ceil(bytes / targetBytes)`
+    * files sized from the version's OWN manifest-listed footprint, with
+    * `op = "optimize"` and the X64 materialize content contract (X75
+    * feed consumers skip it from metadata, time travel to the fragmented
+    * parent still works, X61 reclaims the old files later). The everyday
+    * maintenance loop for streaming sinks and micro-appends, which
+    * produce one small file per batch; X106 is the same commit WITH
+    * z-clustering when there is a filter dimension worth serving.
+    * `onlyIfMoreThan` makes it a cheap idempotent policy: a table
+    * already at-or-under the file budget commits nothing.
+    */
+  def binPack(spark: SparkSession, dir: String, targetBytes: Long,
+      date: Int, time: Int, onlyIfMoreThan: Int = 0): Option[Int] = {
+    val snaps = ManifestTable.snapshots(spark, dir)
+    val latest = snaps.lastOption.getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot at $dir"))
+    if (latest.files.size <= onlyIfMoreThan) return None
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = latest.files.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (latest.files.size <= n) return None // already packed to budget
+    val folded = ManifestTable.readVersion(spark, dir, latest.version)
+      .repartition(n)
+    val v = latest.version + 1
+    val files = ManifestTable.writeDataFiles(folded, dir, v)
+    ManifestTable.commitManifest(spark, dir, v, date, time, files,
+      op = "optimize")
+    Some(v)
+  }
+
   /** Per-file fraction of each dimension's span covered — the skipping
     * quality metric ZOrderSpec compares against a linear sort (smaller
     * product = tighter hyper-rectangle = more files pruned per filter).
@@ -103,6 +137,29 @@ object ZOrder {
         min(col(c2)).as("min2"), max(col(c2)).as("max2"))
 
   val queries: Map[String, Q] = Map(
+    // X129: fragment orders into 32 files, tombstone a seventh, bin-pack
+    // to one file — content identical to the tombstoned parent (folded,
+    // no DV left), maintenance invisible to readers, idempotent re-run
+    // commits nothing (n_versions pins 3).
+    "q_binpack" -> ((s, d) => {
+      import graft.util.Exact.dsum
+      val dir = graft.util.FixtureCache.dir("binpack_tl", d) { dir =>
+        val o = graft.sources.Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice").repartition(32)
+        ManifestTable.commit(o, dir, 20250901, 900)
+        DeleteVectors.deleteWhere(s, dir, col("o_orderkey") % 7 === 3,
+          20250901, 1000)
+        binPack(s, dir, targetBytes = Long.MaxValue / 4, 20250901, 1100)
+        binPack(s, dir, targetBytes = Long.MaxValue / 4, 20250901, 1200) // no-op
+      }
+      val snaps = ManifestTable.snapshots(s, dir)
+      ManifestTable.readLatest(s, dir)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_total"))
+        .withColumn("n_files", lit(snaps.last.files.size))
+        .withColumn("last_op", lit(snaps.last.op))
+        .withColumn("n_versions", lit(snaps.size))
+    }),
+
     // Clustering must be invisible to readers: the z-ordered rewrite of
     // orders returns exactly the table (plain-scan oracle, like X32's
     // compaction). The skipping benefit itself is pinned in ZOrderSpec,
@@ -138,6 +195,13 @@ object ZOrder {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_binpack" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |       CAST(1 AS INT) AS n_files, 'optimize' AS last_op,
+        |       CAST(3 AS INT) AS n_versions
+        |FROM orders WHERE o_orderkey % 7 <> 3""".stripMargin,
+
     "q_zorder_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,

@@ -110,4 +110,30 @@ class ZOrderSpec extends SparkSpec {
     val zKey = filesTouching(zDir, "o_custkey", k1, k2)
     assert(zKey <= 10, s"z-order lost custkey pruning entirely: $zKey/16")
   }
+
+  test("X129 binPack: folds to budget, idempotent, under-budget no-op") {
+    import spark.implicits._
+    import graft.util.Scratch
+    val dir = Scratch.dir("binpack_spec")
+    ManifestTable.commit(
+      (0L until 500L).map(i => (i, i)).toDF("k", "v").repartition(16),
+      dir, 20250901, 900)
+    DeleteVectors.deleteWhere(spark, dir, col("k") < 100, 20250901, 1000)
+
+    val Some(v3) = ZOrder.binPack(spark, dir, Long.MaxValue / 4, 20250901, 1100)
+    val snaps = ManifestTable.snapshots(spark, dir)
+    assert(v3 == 3 && snaps.last.files.size == 1)
+    assert(snaps.last.op == "optimize" && snaps.last.deletes.isEmpty)
+    // content contract: identical to the tombstoned parent
+    assert(ManifestTable.readLatest(spark, dir).count() == 400)
+    assert(ManifestTable.readLatest(spark, dir).where(col("k") < 100).count() == 0)
+    // time travel to the fragmented parent still works
+    assert(ManifestTable.readVersion(spark, dir, 2).count() == 400)
+
+    // idempotent: already at budget, nothing commits
+    assert(ZOrder.binPack(spark, dir, Long.MaxValue / 4, 20250901, 1200).isEmpty)
+    // onlyIfMoreThan gate: a 1-file table under the threshold no-ops
+    assert(ZOrder.binPack(spark, dir, 1L, 20250901, 1300, onlyIfMoreThan = 8).isEmpty)
+    assert(ManifestTable.latestVersion(spark, dir).contains(3))
+  }
 }
