@@ -332,8 +332,11 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
           bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
-        .distinct()
+        // filter BEFORE the dedup shuffle: hamming is a pure function of
+        // the pair, so the distinct sees only survivors (output-sized)
+        // instead of every chunk-collision occurrence
         .where(col("hamming") <= 8)
+        .distinct()
         .orderBy("ia", "ib")
     }),
 

@@ -148,6 +148,47 @@ object Ingest {
   }
 
   val queries: Map[String, Q] = Map(
+    // X130: bad-record routing — real feeds carry truncated/garbled
+    // lines, and silently dropping them hides upstream breakage while
+    // failing the job on one bad line loses the hour. PERMISSIVE parse
+    // with a corrupt-record column splits the feed in ONE pass: clean
+    // rows flow to the contract, corrupt RAW LINES land in a quarantine
+    // with full fidelity for replay (the X107 dead-letter discipline at
+    // the parse boundary). The oracle recomputes both sides from the
+    // slices the fixture planted — any misclassification shifts a row
+    // across the split and breaks both aggregates.
+    "q_json_badrecords" -> ((s, d) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField}
+      val root = graft.util.FixtureCache.dir("badjson", d) { root =>
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").as("id"), col("o_totalprice").as("val"))
+        val good = o.where(col("id") % 50 === 0)
+          .select(concat(lit("{\"id\": "), col("id"),
+            lit(", \"val\": "), col("val"), lit("}")).as("line"))
+        val bad = o.where(col("id") % 50 === 1) // truncated mid-object
+          .select(concat(lit("{\"id\": "), col("id"), lit(", \"val\": ")).as("line"))
+        good.unionByName(bad).coalesce(1)
+          .write.mode("overwrite").text(s"$root/lines")
+      }
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("val", DoubleType),
+        StructField("_corrupt_record", StringType)))
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$root/lines")
+        .cache() // Spark forbids querying the corrupt column uncached
+      val good = parsed.where(col("_corrupt_record").isNull)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("val").cast("decimal(18,2)")).cast("double").as("sum_val"))
+        .withColumn("probe", lit("good"))
+      val bad = parsed.where(col("_corrupt_record").isNotNull)
+        .agg(count(lit(1)).as("n_rows"),
+          first(lit(null).cast("double")).as("sum_val"))
+        .withColumn("probe", lit("bad"))
+      bad.unionByName(good).select("probe", "n_rows", "sum_val").orderBy("probe")
+    }),
+
     "q_json_ingest" -> ((s, d) => {
       val date = 20250301
       // the landed raw files are a pure function of the nation/region
@@ -171,6 +212,16 @@ object Ingest {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_json_badrecords" ->
+      """SELECT * FROM (
+        |  SELECT 'bad' AS probe, count(*) AS n_rows, CAST(NULL AS DOUBLE) AS sum_val
+        |  FROM orders WHERE o_orderkey % 50 = 1
+        |  UNION ALL
+        |  SELECT 'good' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |  FROM orders WHERE o_orderkey % 50 = 0
+        |) ORDER BY probe""".stripMargin,
+
     "q_json_ingest" ->
       """SELECT * FROM (
         |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name, 'acct_list' AS src FROM nation
