@@ -80,6 +80,34 @@ object Scrub {
         md5(scrubPii(col("text"))).as("scrub_md5"))
         .orderBy("doc_id")),
 
+    // X131: deterministic keyed pseudonymization — replace identifiers
+    // with `md5(salt || value)` tokens so datasets can leave the trust
+    // boundary WITHOUT losing joinability: the same (salt, value) maps to
+    // the same token everywhere, so keyed analytics (joins, group-bys,
+    // distinct counts) run unchanged on the pseudonymized copies, while
+    // reversing a token needs the salt (kept inside the boundary) plus a
+    // dictionary attack. The query proves the contract BY JOINING: orders
+    // and customer are pseudonymized independently, then joined on the
+    // TOKEN — per-segment counts and sums must equal the raw-key join's.
+    // Pure per-row expression, no shuffle added to either side.
+    "q_pseudonymize" -> ((s, d) => {
+      val salt = "graft-demo-salt"
+      def tok(c: org.apache.spark.sql.Column) =
+        md5(concat(lit(salt), lit(":"), c.cast("string")))
+      val o = Tables.orders(s, d)
+        .select(tok(col("o_custkey")).as("cust_tok"),
+          col("o_totalprice"))
+      val c = Tables.customer(s, d)
+        .select(tok(col("c_custkey")).as("cust_tok"),
+          col("c_mktsegment"))
+      o.join(c, "cust_tok")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct("cust_tok").cast("long").as("n_customers"),
+          graft.util.Exact.dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // X43: Unicode NFC normalization through the native expression;
     // length delta + md5 of the normalized text pin the composition.
     "q_text_normalize" -> ((s, d) =>
@@ -134,6 +162,19 @@ object Scrub {
       .replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    // joins on the TOKEN itself (not the raw key), so cross-engine token
+    // determinism is part of what the hash compare pins
+    "q_pseudonymize" ->
+      """WITH o AS (SELECT md5('graft-demo-salt:' || CAST(o_custkey AS VARCHAR)) AS cust_tok,
+        |                  o_totalprice FROM orders),
+        |c AS (SELECT md5('graft-demo-salt:' || CAST(c_custkey AS VARCHAR)) AS cust_tok,
+        |             c_mktsegment FROM customer)
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(count(DISTINCT o.cust_tok) AS BIGINT) AS n_customers,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM o JOIN c USING (cust_tok)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q_pii_scrub" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails,
