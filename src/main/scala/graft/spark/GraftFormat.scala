@@ -139,6 +139,20 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     val spark = sqlContext.sparkSession
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft: 'path' is required"))
+    // metadata subtables: `OPTIONS (subtable 'history')` serves the X102
+    // commit log as a relation — DESCRIBE HISTORY for SQL-only users,
+    // zero data bytes read
+    parameters.get("subtable").foreach {
+      case "history" =>
+        val h = ManifestTable.history(spark, dir)
+        return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+          override val sqlContext: SQLContext = spark.sqlContext
+          override def schema: StructType = h.schema
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = h.rdd
+        }
+      case other => throw new IllegalArgumentException(
+        s"graft: unknown subtable '$other' (supported: history)")
+    }
     val snaps = ManifestTable.snapshots(spark, dir)
     require(snaps.nonEmpty, s"graft: no committed snapshot at $dir")
     val snap = (parameters.get("versionAsOf"),
@@ -303,6 +317,21 @@ object GraftFormat {
       ranged.unionByName(v1).select("probe", "n_rows", "sum_total").orderBy("probe")
     }),
 
+    // X132: the commit log as a SQL-queryable subtable — DESCRIBE
+    // HISTORY through `USING graft OPTIONS (subtable 'history')`, no
+    // graft imports, no data bytes read. Runs over the X64 fixture
+    // timeline (write → delete → delete → materialize), pinning version,
+    // derived kind, and tombstone presence per step.
+    "q_format_history" -> ((s, d) => {
+      // same FixtureCache key the X64 queries use — one shared timeline
+      val dir = FixtureCache.dir("dv_fixture", d)(
+        graft.lake.DeleteVectors.buildTimeline(s, d, _))
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_history
+               |USING graft OPTIONS (path '$dir', subtable 'history')""".stripMargin)
+      s.sql("""SELECT version, op, n_delete_files > 0 AS has_dv
+              |FROM graft_history ORDER BY version""".stripMargin)
+    }),
+
     // X128: the SQL DDL surface the registered format buys for free —
     // `CREATE TEMPORARY VIEW ... USING graft` + plain spark.sql over it,
     // time travel included via OPTIONS. A SQL-only user never imports a
@@ -349,6 +378,14 @@ object GraftFormat {
         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |  FROM orders
         |) ORDER BY probe""".stripMargin,
+
+    "q_format_history" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, 'write' AS op, false AS has_dv
+        |  UNION ALL SELECT 2, 'delete', true
+        |  UNION ALL SELECT 3, 'delete', true
+        |  UNION ALL SELECT 4, 'materialize', false
+        |) ORDER BY version""".stripMargin,
 
     "q_sql_view" ->
       """SELECT * FROM (
