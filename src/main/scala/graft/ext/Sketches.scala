@@ -101,6 +101,40 @@ object Sketches {
         .orderBy("event_type")
     }),
 
+    // X133: the X84 partials doing their actual job — TRAILING-WINDOW
+    // distinct users (3-day) by merging per-day sketches, the "30-day
+    // uniques without re-shuffling 30 days of keys" dashboard primitive.
+    // Pin: the merged-window estimate must EQUAL a sketch built directly
+    // on the window's raw rows (losslessness applied per window — a
+    // union bug or a wrong window membership breaks the boolean), exact
+    // trailing distinct rides along for the value-level hash, accuracy
+    // bounded per engine. Per day the merge touches 3 KB-sized blobs;
+    // the raw-row direct sketch exists only as the test's witness.
+    "q_hll_window" -> ((s, d) => {
+      val e = events(s, d).select(to_date(col("ts")).as("day"), col("user_id"))
+      val days = e.select(col("day").as("wd")).distinct()
+      val spread = e
+        .select(explode(sequence(lit(0), lit(2))).as("off"), col("day"), col("user_id"))
+        .select(date_add(col("day"), col("off")).as("wd"), col("user_id"))
+        .join(days, "wd")
+      val direct = spread.groupBy("wd").agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+        countDistinct(col("user_id")).as("n_exact"))
+      val daily = e.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily
+        .select(explode(sequence(lit(0), lit(2))).as("off"), col("day"), col("sk"))
+        .select(date_add(col("day"), col("off")).as("wd"), col("sk"))
+        .join(days, "wd")
+        .groupBy("wd")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      merged.join(direct, Seq("wd"))
+        .select(col("wd"), col("n_exact"),
+          (col("est_merged") === col("est_direct")).as("window_lossless"),
+          (abs(col("est_merged") - col("n_exact")) <= col("n_exact") * 0.1)
+            .as("approx_ok"))
+        .orderBy("wd")
+    }),
+
     // X90: user-frequency CMS over events; probe a deterministic key
     // subset and report estimate beside exact count. The estimate itself
     // is hash-compared against the oracle's identically-built sketch —
@@ -119,6 +153,18 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hll_window" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day AS wd FROM e),
+        |spread AS (
+        |  SELECT e.day + o.off AS wd, e.user_id
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS off) o)
+        |SELECT wd, count(DISTINCT user_id) AS n_exact,
+        |       true AS window_lossless, true AS approx_ok
+        |FROM spread JOIN days USING (wd)
+        |GROUP BY wd ORDER BY wd""".stripMargin,
+
     "q_cms_est" ->
       s"""WITH keys AS (
          |  SELECT user_id, count(*) AS c FROM events GROUP BY 1),
