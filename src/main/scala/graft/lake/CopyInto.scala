@@ -38,19 +38,45 @@ object CopyInto {
   private val SideRe = """v(\d{8})\.json""".r
 
   private def writeSidecar(spark: SparkSession, dir: String, version: Int,
-      files: Seq[String]): Unit = {
+      files: Seq[String], digests: Seq[String] = Nil): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(copyDir(dir)))
     def j(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val dig =
+      if (digests.isEmpty) ""
+      else s""", "digests": [${digests.map(j).mkString(", ")}]"""
     val out = fs.create(new Path(copyDir(dir), sideName(version)), true)
     try out.write(
-      s"""{"version": $version, "files": [${files.map(j).mkString(", ")}]}"""
+      s"""{"version": $version, "files": [${files.map(j).mkString(", ")}]$dig}"""
         .getBytes("UTF-8"))
     finally out.close()
   }
 
+  /** md5 of a landing file's bytes — the content identity for
+    * `dedupeBy = "content"`. Driver-side stream over ONE new file at a
+    * time; landing files are increment-sized by definition.
+    */
+  private def digestOf(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Content digests already ingested by committed versions. */
+  def ingestedDigests(spark: SparkSession, dir: String): Set[String] =
+    readSidecars(spark, dir, "digests")
+
   /** Landing files already ingested by committed versions. */
-  def ingestedFiles(spark: SparkSession, dir: String): Set[String] = {
+  def ingestedFiles(spark: SparkSession, dir: String): Set[String] =
+    readSidecars(spark, dir, "files")
+
+  private def readSidecars(spark: SparkSession, dir: String,
+      field: String): Set[String] = {
     val latest = ManifestTable.latestVersion(spark, dir).getOrElse(return Set.empty)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cdir = new Path(copyDir(dir))
@@ -65,7 +91,7 @@ object CopyInto {
         val in = fs.open(new Path(cdir, sideName(v)))
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        (JsonMethods.parse(text) \ "files").extract[Seq[String]]
+        (JsonMethods.parse(text) \ field).extractOpt[Seq[String]].getOrElse(Nil)
       }.toSet
   }
 
@@ -74,12 +100,28 @@ object CopyInto {
     * new landed.
     */
   def copyInto(spark: SparkSession, dir: String, landingDir: String,
-      date: Int, time: Int, maxRetries: Int = 5): Option[Int] = {
+      date: Int, time: Int, maxRetries: Int = 5,
+      dedupeBy: String = "path"): Option[Int] = {
+    require(dedupeBy == "path" || dedupeBy == "content",
+      s"dedupeBy must be 'path' or 'content', got '$dedupeBy'")
     val fs = new Path(landingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val listed = fs.listStatus(new Path(landingDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath).sorted
-    val fresh = listed.filterNot(ingestedFiles(spark, dir))
+    val newPaths = listed.filterNot(ingestedFiles(spark, dir))
+    // content mode: a re-dropped file under a NEW NAME is still the same
+    // increment — digest only the path-fresh files (O(new bytes)) and
+    // drop any whose bytes a committed version already ingested
+    val (fresh, freshDigests) =
+      if (dedupeBy == "path") (newPaths, Nil: Seq[String])
+      else {
+        val seen = ingestedDigests(spark, dir)
+        val withDig = newPaths.map(p => p -> digestOf(fs, new Path(p)))
+          .filterNot { case (_, dg) => seen(dg) }
+        // two identical drops in ONE batch: keep the first path
+        val firstPer = withDig.groupBy(_._2).map(_._2.head).toSeq.sortBy(_._1)
+        (firstPer.map(_._1), firstPer.map(_._2))
+      }
     if (fresh.isEmpty) return None
     val df = spark.read.parquet(fresh: _*)
     val staged = ManifestTable.stageDataFiles(df, dir)
@@ -87,7 +129,7 @@ object CopyInto {
     while (true) {
       val latest = ManifestTable.snapshots(spark, dir).lastOption
       val v = latest.map(_.version).getOrElse(0) + 1
-      writeSidecar(spark, dir, v, fresh)
+      writeSidecar(spark, dir, v, fresh, freshDigests)
       try {
         ManifestTable.commitManifest(spark, dir, v, date, time,
           latest.map(_.files).getOrElse(Nil) ++ staged,

@@ -52,12 +52,35 @@ class CopyIntoSpec extends SparkSpec {
     val m = classOf[CopyInto.type].getDeclaredMethods
       .find(_.getName == "writeSidecar").get
     m.setAccessible(true)
-    m.invoke(CopyInto, spark, dir, Int.box(2), Seq(s"$landing/b.parquet"))
+    m.invoke(CopyInto, spark, dir, Int.box(2), Seq(s"$landing/b.parquet"), Nil)
 
     drop(landing, "b", Seq((2L, 2L)))
     // the orphan does NOT hide b: resolution only reads sidecars of
     // committed versions
     assert(CopyInto.copyInto(spark, dir, landing, 20250901, 1000).contains(2))
     assert(ManifestTable.readLatest(spark, dir).count() == 2)
+  }
+
+  test("content mode: a re-dropped file under a new name is not new data") {
+    val dir = Scratch.dir("copy_content")
+    val landing = Scratch.dir("copy_content_land")
+    drop(landing, "a", Seq((1L, 1L), (2L, 2L)))
+    assert(CopyInto.copyInto(spark, dir, landing, 20250901, 900,
+      dedupeBy = "content").contains(1))
+
+    // same BYTES re-dropped as a new path: content mode skips it...
+    val fs = new Path(landing).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$landing/a.parquet"),
+      fs, new Path(s"$landing/a_redrop.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(CopyInto.copyInto(spark, dir, landing, 20250901, 1000,
+      dedupeBy = "content").isEmpty)
+    assert(ManifestTable.readLatest(spark, dir).count() == 2)
+
+    // ...while genuinely new content ingests
+    drop(landing, "b", Seq((3L, 3L)))
+    assert(CopyInto.copyInto(spark, dir, landing, 20250901, 1100,
+      dedupeBy = "content").contains(2))
+    assert(ManifestTable.readLatest(spark, dir).count() == 3)
   }
 }
