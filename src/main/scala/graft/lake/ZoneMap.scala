@@ -55,15 +55,12 @@ object ZoneMap {
     * (long-comparable columns) and `strCols` (string columns, X78 —
     * lexicographic bounds). Returns the committed version.
     */
-  def commitWithStats(df: DataFrame, dir: String, date: Int, time: Int,
-      statsCols: Seq[String], strCols: Seq[String] = Nil,
-      op: String = "write"): Int = {
-    val spark = df.sparkSession
-    val version = ManifestTable.latestVersion(spark, dir).getOrElse(0) + 1
-    val files = ManifestTable.writeDataFiles(df, dir, version)
-
-    // One combinable aggregate pass over the files just staged.
-    val staged = spark.read.parquet(f"$dir/data/v$version%08d")
+  /** One combinable aggregate pass over already-staged files → their
+    * FileStats, rel-resolved against `files`.
+    */
+  private def statsFor(spark: SparkSession, dir: String, files: Seq[String],
+      statsCols: Seq[String], strCols: Seq[String]): Seq[FileStats] = {
+    val staged = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c"))) ++
       strCols.flatMap(c =>
@@ -73,8 +70,7 @@ object ZoneMap {
       .groupBy(col("_metadata.file_path").as("file_path"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per staged file — driver-sized by construction
-
-    val stats = rows.map { r =>
+    rows.map { r =>
       val name = r.getAs[String]("file_path").split('/').last
       val rel = files.find(_.endsWith(name)).getOrElse(
         throw new IllegalStateException(s"staged file $name missing from listing"))
@@ -85,7 +81,24 @@ object ZoneMap {
         strCols.map(c => c -> r.getAs[String](s"slo_$c")).toMap,
         strCols.map(c => c -> r.getAs[String](s"shi_$c")).toMap)
     }.toSeq.sortBy(_.file)
+  }
 
+  def commitWithStats(df: DataFrame, dir: String, date: Int, time: Int,
+      statsCols: Seq[String], strCols: Seq[String] = Nil,
+      op: String = "write"): Int = {
+    val spark = df.sparkSession
+    val version = ManifestTable.latestVersion(spark, dir).getOrElse(0) + 1
+    val files = ManifestTable.writeDataFiles(df, dir, version)
+    val stats = statsFor(spark, dir, files, statsCols, strCols)
+
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeStatsSidecar(spark, dir, version, stats)
+    ManifestTable.commitManifest(spark, dir, version, date, time, files, op = op)
+    version
+  }
+
+  private def writeStatsSidecar(spark: SparkSession, dir: String,
+      version: Int, stats: Seq[FileStats]): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def jstr(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val json = stats.map { s =>
@@ -102,9 +115,45 @@ object ZoneMap {
     }.mkString("[", ",\n ", "]")
     val out = fs.create(statsPath(dir, version), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
 
-    ManifestTable.commitManifest(spark, dir, version, date, time, files, op = op)
-    version
+  /** APPEND with zone maps maintained (closing the coherence gap where
+    * only replace commits carried stats and every append silently turned
+    * file skipping off): the new version's sidecar = the parent's stats
+    * (verbatim — parent files are immutable) + one combinable pass over
+    * ONLY the appended files. A parent WITHOUT a sidecar degrades
+    * gracefully: its files simply stay un-stats'd, and the
+    * never-prune-without-evidence rule keeps them in scope while the new
+    * files still skip. Bounded optimistic retry re-merges against the
+    * new parent on a lost race.
+    */
+  def appendWithStats(df: DataFrame, dir: String, date: Int, time: Int,
+      statsCols: Seq[String], strCols: Seq[String] = Nil,
+      maxRetries: Int = 5): Int = {
+    val spark = df.sparkSession
+    val staged = ManifestTable.stageDataFiles(df, dir)
+    val newStats = statsFor(spark, dir, staged, statsCols, strCols)
+    var tries = 0
+    while (true) {
+      val latest = ManifestTable.snapshots(spark, dir).lastOption
+      val v = latest.map(_.version).getOrElse(0) + 1
+      val parentStats = latest.flatMap(l => fileStats(spark, dir, l.version))
+        .getOrElse(Nil)
+      writeStatsSidecar(spark, dir, v, parentStats ++ newStats)
+      try {
+        ManifestTable.commitManifest(spark, dir, v, date, time,
+          latest.map(_.files).getOrElse(Nil) ++ staged,
+          deletes = latest.map(_.deletes).getOrElse(Nil), op = "append")
+        return v
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.startsWith("concurrent commit") =>
+          tries += 1
+          if (tries > maxRetries) throw new IllegalStateException(
+            s"append at $dir lost $tries consecutive races; giving up", e)
+      }
+    }
+    -1 // unreachable
   }
 
   /** The sidecar for `version`, if one was written. */
@@ -278,6 +327,31 @@ object ZoneMap {
     }
 
   val queries: Map[String, Q] = Map(
+    // X134: stats maintained ACROSS APPENDS — low half committed with
+    // zone maps, high half appended with them; a band read over the
+    // appended range through format("graft") still prunes (pinned in
+    // ZoneMapSpec), and pruning stays invisible vs the plain-SQL band.
+    "q_append_stats" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit, max}
+      val dir = graft.util.FixtureCache.dir("zappend", d) { dir =>
+        val o = graft.sources.Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice")
+        val mid = o.agg(max("o_orderkey")).head.getAs[Number](0).longValue() / 2
+        commitWithStats(o.where(col("o_orderkey") <= mid)
+          .repartitionByRange(4, col("o_orderkey")), dir, 20250901, 900,
+          statsCols = Seq("o_orderkey"))
+        appendWithStats(o.where(col("o_orderkey") > mid)
+          .repartitionByRange(4, col("o_orderkey")), dir, 20250901, 1000,
+          statsCols = Seq("o_orderkey"))
+      }
+      val maxKey = graft.sources.Tables.orders(s, d).agg(max("o_orderkey"))
+        .head.getAs[Number](0).longValue()
+      s.read.format("graft").load(dir)
+        .where(col("o_orderkey").between(maxKey * 5 / 8, maxKey * 3 / 4))
+        .agg(count(lit(1)).as("n_rows"),
+          graft.util.Exact.dsum(col("o_totalprice")).as("sum_total"))
+    }),
+
     // Range-clustered commit + zone-map-pruned range read; the oracle is
     // the plain table with the same BETWEEN — pruning must be invisible.
     "q_stats_prune" -> ((s, d) => {
@@ -337,6 +411,13 @@ object ZoneMap {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_append_stats" ->
+      """WITH b AS (SELECT CAST(max(o_orderkey) * 5 // 8 AS BIGINT) AS lo,
+        |                  CAST(max(o_orderkey) * 3 // 4 AS BIGINT) AS hi FROM orders)
+        |SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders, b WHERE o_orderkey BETWEEN b.lo AND b.hi""".stripMargin,
+
     "q_stats_prune" ->
       """SELECT count(*) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,

@@ -135,4 +135,41 @@ class ZoneMapSpec extends SparkSpec {
     assert(cnt == 200L)
     assert(scanned > 0, "rows-less stats cannot answer from metadata")
   }
+
+  test("X134 appendWithStats: skipping survives appends; stats-less parents degrade safely") {
+    import spark.implicits._
+    import graft.util.Scratch
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = Scratch.dir("zm_append")
+    ZoneMap.commitWithStats(
+      (0L until 400L).map(i => (i, i)).toDF("k", "v")
+        .repartitionByRange(4, col("k")), dir, 20250901, 900, Seq("k"))
+    ZoneMap.appendWithStats(
+      (400L until 800L).map(i => (i, i)).toDF("k", "v")
+        .repartitionByRange(4, col("k")), dir, 20250901, 1000, Seq("k"))
+
+    val df = spark.read.format("graft").load(dir).where($"k".between(500, 599))
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.metrics("numFiles").value < 8) // appended files still skip
+    assert(df.count() == 100)
+
+    // parent WITHOUT a sidecar: its files stay in scope (never pruned on
+    // absence of evidence), appended files still carry stats
+    val dir2 = Scratch.dir("zm_append_nostats")
+    ManifestTable.commit((0L until 400L).map(i => (i, i)).toDF("k", "v")
+      .repartition(4), dir2, 20250901, 900)
+    ZoneMap.appendWithStats(
+      (400L until 800L).map(i => (i, i)).toDF("k", "v")
+        .repartitionByRange(4, col("k")), dir2, 20250901, 1000, Seq("k"))
+    val df2 = spark.read.format("graft").load(dir2).where($"k".between(500, 599))
+    df2.collect()
+    val scan2 = df2.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    // 4 stats-less parent files always planned + pruned appended subset
+    assert(scan2.metrics("numFiles").value < 8)
+    assert(scan2.metrics("numFiles").value >= 4)
+    assert(df2.count() == 100)
+  }
 }
