@@ -51,14 +51,10 @@ object ZoneMap {
   private def statsPath(dir: String, version: Int) =
     new Path(s"$dir/_manifests", statsName(version))
 
-  /** Commit `df` as the next version with zone-map stats on `statsCols`
-    * (long-comparable columns) and `strCols` (string columns, X78 —
-    * lexicographic bounds). Returns the committed version.
-    */
   /** One combinable aggregate pass over already-staged files → their
     * FileStats, rel-resolved against `files`.
     */
-  private def statsFor(spark: SparkSession, dir: String, files: Seq[String],
+  private[graft] def statsFor(spark: SparkSession, dir: String, files: Seq[String],
       statsCols: Seq[String], strCols: Seq[String]): Seq[FileStats] = {
     val staged = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
     val aggs = statsCols.flatMap(c =>
@@ -83,6 +79,10 @@ object ZoneMap {
     }.toSeq.sortBy(_.file)
   }
 
+  /** Commit `df` as the next version with zone-map stats on `statsCols`
+    * (long-comparable columns) and `strCols` (string columns, X78 —
+    * lexicographic bounds). Returns the committed version.
+    */
   def commitWithStats(df: DataFrame, dir: String, date: Int, time: Int,
       statsCols: Seq[String], strCols: Seq[String] = Nil,
       op: String = "write"): Int = {
@@ -97,7 +97,7 @@ object ZoneMap {
     version
   }
 
-  private def writeStatsSidecar(spark: SparkSession, dir: String,
+  private[graft] def writeStatsSidecar(spark: SparkSession, dir: String,
       version: Int, stats: Seq[FileStats]): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def jstr(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -104,10 +104,11 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
       outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft: 'path' is required"))
+    def csv(key: String): Seq[String] = parameters.get(key)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     new GraftSink.StreamSink(sqlContext.sparkSession, dir,
       appId = parameters.getOrElse("checkpointLocation", dir),
-      mergeKeys = parameters.get("mergeKeys")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+      mergeKeys = csv("mergeKeys"), statsCols = csv("statsCols"))
   }
 
   // X114: the same format string serves readStream — versions as offsets

@@ -76,14 +76,24 @@ object GraftSink {
     * the sidecar-before-rename loop shared with X112.
     */
   private def appendWithTxn(df: DataFrame, dir: String, txn: Txn,
-      date: Int, time: Int, maxRetries: Int = 5): Int = {
+      date: Int, time: Int, maxRetries: Int = 5,
+      statsCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     val staged = ManifestTable.stageDataFiles(df, dir)
+    // X134 composition: per-batch zone maps keep the sink table prunable
+    val newStats =
+      if (statsCols.isEmpty) Nil
+      else graft.lake.ZoneMap.statsFor(spark, dir, staged, statsCols, Nil)
     var tries = 0
     while (true) {
       val latest = ManifestTable.snapshots(spark, dir).lastOption
       val v = latest.map(_.version).getOrElse(0) + 1
       writeSidecar(spark, dir, v, txn)
+      if (statsCols.nonEmpty) {
+        val parentStats = latest.flatMap(l =>
+          graft.lake.ZoneMap.fileStats(spark, dir, l.version)).getOrElse(Nil)
+        graft.lake.ZoneMap.writeStatsSidecar(spark, dir, v, parentStats ++ newStats)
+      }
       try {
         ManifestTable.commitManifest(spark, dir, v, date, time,
           latest.map(_.files).getOrElse(Nil) ++ staged,
@@ -108,7 +118,7 @@ object GraftSink {
     * a replay can never double-apply an update.
     */
   class StreamSink(spark: SparkSession, dir: String, appId: String,
-      mergeKeys: Seq[String] = Nil) extends Sink {
+      mergeKeys: Seq[String] = Nil, statsCols: Seq[String] = Nil) extends Sink {
     override def addBatch(batchId: Long, data: DataFrame): Unit = {
       val replayed = committedTxn(spark, dir)
         .exists(t => t.appId == appId && batchId <= t.batchId)
@@ -118,7 +128,8 @@ object GraftSink {
       val batch = GraftShim.internalCreateDataFrame(
         spark, data.queryExecution.toRdd, data.schema, isStreaming = false)
       if (mergeKeys.isEmpty || ManifestTable.latestVersion(spark, dir).isEmpty)
-        appendWithTxn(batch, dir, Txn(appId, batchId), 20250801, 0)
+        appendWithTxn(batch, dir, Txn(appId, batchId), 20250801, 0,
+          statsCols = statsCols)
       else {
         // upsert produces the table's next FULL state: publish it as a
         // replace commit carrying the same txn sidecar

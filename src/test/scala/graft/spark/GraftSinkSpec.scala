@@ -102,4 +102,42 @@ class GraftSinkSpec extends SparkSpec {
     pipe() // quiet source + same lineage: nothing double-applies
     assert(spark.read.format("graft").load(dst).count() == 8)
   }
+
+  test("statsCols sink keeps the streamed table prunable") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val src = Scratch.dir("gsink_st_src")
+    val dst = Scratch.dir("gsink_st_dst")
+    val chk = Scratch.dir("gsink_st_chk")
+    // 4 source versions with disjoint key ranges, piped one at a time ->
+    // 4 sink batch versions, each carrying its own zone maps
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("path", dst)
+        .option("checkpointLocation", chk)
+        .option("statsCols", "k")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    (0 until 4).foreach { b =>
+      if (b == 0)
+        ManifestTable.commit((0L until 200L).map(i => (i, i)).toDF("k", "v"),
+          src, 20250801, 900)
+      else ManifestTable.appendRetrying(
+        (b * 200L until (b + 1) * 200L).map(i => (i, i)).toDF("k", "v"),
+        src, 20250801, 900 + b)
+      pipe()
+    }
+    assert(spark.read.format("graft").load(dst).count() == 800)
+
+    val df = spark.read.format("graft").load(dst).where($"k".between(450, 520))
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    val total = ManifestTable.snapshots(spark, dst).last.files.size
+    assert(total >= 2) // several batch versions landed
+    assert(scan.metrics("numFiles").value < total) // and they skip
+    assert(df.count() == 71)
+  }
 }
