@@ -81,6 +81,37 @@ object Temperature {
       .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
 
   val queries: Map[String, Q] = Map(
+    // X135: token-weighted source balancing — the corpus-MIXING step
+    // (Pile/Dolma recipes): downsample every corpus to the SMALLEST
+    // corpus's token mass, so no source dominates training by sheer
+    // volume. Distinct from X67's per-source DOC caps: the budget here
+    // is tokens, the unit that actually costs training compute. All
+    // integer math (pct = 100·min_total div total, md5-bucket
+    // membership), so the oracle replays rate derivation AND membership
+    // exactly; corpus totals are a driver-sized aggregate, the corpus
+    // never shuffles (per-row hash filter).
+    "q_source_balance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("corpus",
+          (substring(col("source"), 4, 10).cast("int") % 3).cast("long"))
+        .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      val totals = docs.groupBy("corpus").agg(sum("n_tok").as("tot"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val minTot = totals.values.min
+      val pcts = totals.map { case (c, t) => c -> (100L * minTot / t) }
+      val pctCol = pcts.foldLeft(lit(0L)) { case (acc, (c, p)) =>
+        when(col("corpus") === c, p).otherwise(acc)
+      }
+      val kept = Split.hashBucket(col("doc_id")) < pctCol
+      docs.groupBy("corpus")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("tokens_total"),
+          count(when(kept, 1)).as("n_kept"),
+          sum(when(kept, col("n_tok"))).cast("long").as("tokens_kept"),
+          first(pctCol).as("pct"))
+        .orderBy("corpus")
+    }),
+
     // Per-language report: rate, kept count, and the sum of kept ids —
     // membership is pinned, not just cardinality.
     "q_temperature_sample" -> ((s, d) =>
@@ -108,6 +139,25 @@ object Temperature {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_source_balance" ->
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(substr(source, 4) AS INT) % 3 AS BIGINT) AS corpus,
+         |         doc_id,
+         |         CAST(len(${TextAnalysis.toksSql}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |t AS (SELECT corpus, CAST(sum(n_tok) AS BIGINT) AS tot FROM d GROUP BY 1),
+         |m AS (SELECT min(tot) AS mn FROM t),
+         |p AS (SELECT corpus, CAST(100 * m.mn // t.tot AS BIGINT) AS pct FROM t, m),
+         |k AS (SELECT d.*, p.pct,
+         |        CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < p.pct AS kept
+         |      FROM d JOIN p USING (corpus))
+         |SELECT corpus, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+         |       count(CASE WHEN kept THEN 1 END) AS n_kept,
+         |       CAST(sum(CASE WHEN kept THEN n_tok END) AS BIGINT) AS tokens_kept,
+         |       CAST(min(pct) AS BIGINT) AS pct
+         |FROM k GROUP BY corpus ORDER BY corpus""".stripMargin,
+
     "q_temperature_sample" ->
       """WITH counts AS (
         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_total FROM documents GROUP BY 1
