@@ -45,7 +45,43 @@ object Split {
 
   val standardSplits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)
 
+  /** X136: deterministic corpus shuffling — a reproducible global
+    * training order WITHOUT a global sort bottleneck. Each doc gets a
+    * 40-bit md5 prefix; `hash40 · stride + doc_id` (stride = max id + 1,
+    * the X92 injectivity trick) is a unique hash-major sort key, and
+    * X77's bucket-parallel dense rank turns it into a gapless 1..N
+    * shuffle ordinal — same seedless determinism as the splits (re-runs
+    * and restarts reproduce the epoch exactly), no SinglePartition
+    * window anywhere. Writers then range-partition by the ordinal to lay
+    * training shards out in shuffled order.
+    */
+  def shuffleOrdinal(df: DataFrame, idCol: String, parts: Int = 8): DataFrame = {
+    val stride = df.agg(max(col(idCol))).head.getAs[Number](0).longValue() + 1
+    val h40 = conv(substring(md5(col(idCol).cast("string")), 1, 10), 16, 10)
+      .cast("long")
+    graft.ops.DenseId.assign(
+      df.withColumn("__sk", h40 * stride + col(idCol)), "__sk", parts)
+      .withColumnRenamed("rid", "shuffle_idx").drop("__sk")
+  }
+
   val queries: Map[String, Q] = Map(
+    // X136: the shuffled order pinned POSITIONALLY: per-ordinal-decile
+    // doc counts and id checksums vs the oracle's row_number over the
+    // identical (hash40, doc_id) order — an off-by-one anywhere in the
+    // distributed rank relabels a decile and breaks its checksum.
+    "q_corpus_shuffle" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val n = docs.count()
+      shuffleOrdinal(docs, "doc_id")
+        .withColumn("decile", least(lit(9L),
+          floor((col("shuffle_idx") - 1) * 10 / n).cast("long")))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").cast("long").as("sum_ids"),
+          min("shuffle_idx").cast("long").as("first_idx"))
+        .orderBy("decile")
+    }),
+
     // Events split BY USER (group-aware): the oracle recomputes the same
     // md5-bucket assignment in SQL and must agree on every per-split
     // event count AND distinct-user count — bucket-boundary or
@@ -59,6 +95,20 @@ object Split {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_shuffle" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS UBIGINT),
+        |      doc_id) AS idx
+        |  FROM documents),
+        |n AS (SELECT count(*) AS cnt FROM documents)
+        |SELECT least(9, CAST((idx - 1) * 10 // n.cnt AS BIGINT)) AS decile,
+        |       count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(min(idx) AS BIGINT) AS first_idx
+        |FROM r, n GROUP BY 1 ORDER BY decile""".stripMargin,
+
     "q_split_assign" ->
       """SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
         |       count(*) AS n_events,
