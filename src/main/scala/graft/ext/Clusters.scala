@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.Tables
+
 /** Dedup cluster resolution — connected components over a near-dup edge
   * list (extension X34). The dedup family (E1/E2, `ext/Dedup.scala`)
   * emits PAIRS; a real pipeline needs the transitive closure: clusters,
@@ -100,6 +102,29 @@ object Clusters {
         .select(col("node").as("doc_id"), col("label").as("component"))
         .orderBy("doc_id")
     }),
+
+    // X137: the APPLY step the cluster resolution exists for — collapse
+    // every near-dup component to its CANONICAL member (the label IS the
+    // component's minimum id, so canonical selection costs nothing) and
+    // rewrite the corpus: untouched docs pass through, non-canonical
+    // members drop. One broadcast-sized anti-join (drop set = members
+    // minus labels, bounded by docs-in-pairs); the corpus never
+    // shuffles. The oracle replays the whole chain — pairs, recursive
+    // reachability, canonical choice, survivor aggregation.
+    "q_dedup_apply" -> ((s, d) => {
+      val edgeDir = graft.util.FixtureCache.dir("cluster_edges", d) { dir =>
+        Dedup.queries("q_dedup_ngram_jaccard")(s, d)
+          .select(col("ia").as("a"), col("ib").as("b"))
+          .write.mode("overwrite").parquet(s"$dir/edges")
+      }
+      val members = connectedComponents(s, s.read.parquet(s"$edgeDir/edges"))
+      val dropped = members.where(col("node") =!= col("label"))
+        .select(col("node").as("doc_id"))
+      Tables.documents(s, d)
+        .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").cast("long").as("sum_ids"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,5 +148,30 @@ object Clusters {
          |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          |SELECT node AS doc_id, least(node, min(dst)) AS component
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_apply" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, ${Dedup.shinglesSql} AS s
+         |  FROM (SELECT doc_id, ${Dedup.toksSql} AS l FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND len(list_intersect(a.s, b.s)) * 5 >=
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+         |edges AS (
+         |  SELECT ia AS a, ib AS b FROM pairs
+         |  UNION
+         |  SELECT ib, ia FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, b AS dst FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (
+         |  SELECT node AS doc_id, least(node, min(dst)) AS component
+         |  FROM reach GROUP BY node)
+         |SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)""".stripMargin,
   )
 }
