@@ -65,6 +65,30 @@ object TextAnalysis {
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
         .orderBy("token")),
 
+    // X138: per-document keyword extraction — the TF-IDF argmax, with the
+    // score kept a RATIONAL (tf / (df+1)) instead of a log-weighted
+    // float: equal rationals round to equal doubles in every IEEE engine
+    // and unequal ones compare identically, so the argmax (score desc,
+    // term asc tie-break) is bit-deterministic cross-engine without
+    // transcendental-function drift. Two shuffles (term df, per-doc
+    // term counts), both combinable; df joins back broadcast-sized
+    // (vocabulary, not corpus).
+    "q_keywords" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy((col("tf").cast("double") / (col("df") + 1)).desc, col("term"))
+      tf.join(broadcast(df_), "term")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("term").as("top_term"),
+          col("tf").cast("long").as("tf"), col("df").cast("long").as("df"))
+        .orderBy("doc_id")
+    }),
+
     // E4b: per-document quality metrics — pure per-row array arithmetic, no
     // shuffle. Integer outputs keep the oracle hash-exact (no FP division);
     // ratio thresholds are expressed as integer cross-multiplications.
@@ -198,6 +222,21 @@ object TextAnalysis {
     set.mkString(s"len(list_filter($toksSql, t -> t IN ('", "','", "')))")
 
   val oracles: Map[String, String] = Map(
+    "q_keywords" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |ranked AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfs.df,
+         |         row_number() OVER (PARTITION BY tf.doc_id
+         |           ORDER BY CAST(tf.tf AS DOUBLE) / (dfs.df + 1) DESC, tf.term) AS rk
+         |  FROM tf JOIN dfs USING (term))
+         |SELECT doc_id, term AS top_term, tf, df
+         |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
     "q_text_tokens" ->
       s"""SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
