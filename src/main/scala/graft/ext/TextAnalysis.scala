@@ -65,6 +65,31 @@ object TextAnalysis {
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
         .orderBy("token")),
 
+    // X139: per-language top-fraction cut — "keep the best quarter of
+    // each language" as an EXACT RANK rule (window over (score desc,
+    // doc_id), keep rank·4 ≤ language size) rather than a score
+    // threshold: fractions hold exactly per group no matter how scores
+    // distribute, ties are deterministic, and the integer rank math
+    // makes the SQL twin bit-identical. One shuffle on lang; groups are
+    // language-sized — the documented hot-group caveat of any per-group
+    // ranking (X67's same shape).
+    "q_quality_topfrac" -> ((s, d) => {
+      val scored = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(col("n_tok").desc, col("doc_id"))
+      val n = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      scored.withColumn("rk", row_number().over(w))
+        .withColumn("n_lang", count(lit(1)).over(n))
+        .where(col("rk") * 4 <= col("n_lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("doc_id").cast("long").as("sum_kept_ids"),
+          min("n_tok").cast("long").as("min_kept_tokens"))
+        .orderBy("lang")
+    }),
+
     // X138: per-document keyword extraction — the TF-IDF argmax, with the
     // score kept a RATIONAL (tf / (df+1)) instead of a log-weighted
     // float: equal rationals round to equal doubles in every IEEE engine
@@ -222,6 +247,21 @@ object TextAnalysis {
     set.mkString(s"len(list_filter($toksSql, t -> t IN ('", "','", "')))")
 
   val oracles: Map[String, String] = Map(
+    "q_quality_topfrac" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |           ORDER BY n_tok DESC, doc_id) AS rk,
+         |         count(*) OVER (PARTITION BY lang) AS n_lang
+         |  FROM scored)
+         |SELECT lang, count(*) AS n_kept,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+         |       CAST(min(n_tok) AS BIGINT) AS min_kept_tokens
+         |FROM ranked WHERE rk * 4 <= n_lang
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_keywords" ->
       s"""WITH tf AS (
          |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
