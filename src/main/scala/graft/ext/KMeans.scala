@@ -100,6 +100,38 @@ object KMeans {
         .orderBy("cluster")
     }),
 
+    // X140: exact cluster dispersion — mean pairwise squared distance
+    // per cluster WITHOUT the pairwise join: E-identity
+    // Σᵢⱼ‖xᵢ−xⱼ‖² = 2·(n·Σ‖x‖² − ‖Σx‖²), all integer moments on the
+    // quantized vectors, so the redundancy-vs-diversity signal cluster
+    // curation ranks by (tight cluster ⇒ near-dup mass ⇒ sample harder)
+    // is EXACT and O(n·dim), not O(n²·dim). Two combinable aggregates
+    // (scalar moments; per-dim sums via posexplode, k·dim rows).
+    // Numerator published unreduced — no division to disagree on.
+    "q_cluster_dispersion" -> ((s, d) => {
+      val adir = graft.util.FixtureCache.dir("kmeans_assign", d) { dir =>
+        kmeans(Tables.embeddings(s, d), "vec_id", "embedding", 4, 2)
+          .select(col("vec_id"), col("cluster"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("__v"))
+        .join(s.read.parquet(adir), "vec_id")
+      val scalar = q.select(col("cluster"), explode(col("__v")).as("el"))
+        .groupBy("cluster")
+        .agg(sum(col("el") * col("el")).as("ssq"))
+      val n = q.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      val dimsums = q.select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "el")))
+        .groupBy("cluster", "pos").agg(sum("el").as("s"))
+        .groupBy("cluster").agg(sum(col("s") * col("s")).as("sums2"))
+      n.join(scalar, "cluster").join(dimsums, "cluster")
+        .select(col("cluster").cast("long").as("cluster"),
+          col("n_vecs"),
+          (lit(2) * (col("n_vecs") * col("ssq") - col("sums2")))
+            .cast("long").as("disp_num"))
+        .orderBy("cluster")
+    }),
+
     // X115: cluster-balanced sampling (the SemDeDup/curation move the
     // clustering exists FOR) — cap every cluster at the same budget,
     // keeping the members with the lowest md5(vec_id) (deterministic,
@@ -157,6 +189,30 @@ object KMeans {
          |       CAST(min(vec_id) AS BIGINT) AS first_id,
          |       CAST(sum(v[1]) AS BIGINT) AS sum_q0
          |FROM a2 GROUP BY cid ORDER BY cluster""".stripMargin,
+
+    "q_cluster_dispersion" ->
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |                   x -> CAST(floor(x * 10000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+         |       FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 4)),
+         |${assignSql("q", "c0", "a0")},
+         |${updateSql("a0", "c1")},
+         |${assignSql("q", "c1", "a1")},
+         |${updateSql("a1", "c2")},
+         |${assignSql("q", "c2", "a2")},
+         |flat AS (SELECT cid, vec_id, unnest(v) AS el,
+         |                generate_subscripts(v, 1) AS pos FROM a2),
+         |nn AS (SELECT cid, count(DISTINCT vec_id) AS n_vecs FROM flat GROUP BY cid),
+         |ssq AS (SELECT cid, CAST(sum(el * el) AS BIGINT) AS ssq FROM flat GROUP BY cid),
+         |ds AS (SELECT cid, CAST(sum(s * s) AS BIGINT) AS sums2 FROM (
+         |        SELECT cid, pos, CAST(sum(el) AS BIGINT) AS s
+         |        FROM flat GROUP BY cid, pos) GROUP BY cid)
+         |SELECT CAST(nn.cid AS BIGINT) AS cluster, nn.n_vecs,
+         |       CAST(2 * (nn.n_vecs * ssq.ssq - ds.sums2) AS BIGINT) AS disp_num
+         |FROM nn JOIN ssq USING (cid) JOIN ds USING (cid)
+         |ORDER BY cluster""".stripMargin,
 
     "q_cluster_sample" ->
       s"""WITH q AS (SELECT vec_id,
