@@ -260,7 +260,9 @@ object Probe {
       // read-backs exclude
       Seq("q_column_map", "q_jdbc_incr", "q_read_format", "q_stream_format",
         "q_write_format", "q_stream_sink", "q_restore", "q_copy_into",
-        "q_table_repair", "q_identity", "q_cluster_sample").foreach { qn =>
+        "q_table_repair", "q_identity", "q_cluster_sample",
+        "q_binpack", "q_gdpr_delete", "q_commit_guard", "q_json_badrecords",
+        "q_append_stats").foreach { qn =>
         live(qn) { SparkEntry.queries(qn)(s, d).count() }
       }
       live("bpe_vocab") {
