@@ -260,6 +260,44 @@ object Dedup {
         .orderBy("ia", "ib")
     }),
 
+    // X141: CONTAINMENT detection — "doc A is ≥90% inside doc B", the
+    // DIRECTIONAL near-dup Jaccard misses when B dwarfs A (a page
+    // quoting a whole smaller page has tiny Jaccard but total
+    // containment — the C4/Dolma sub-document case). Prefix filtering
+    // still applies, but ONE-SIDED: if |A∩B| ≥ ⌈0.9·|A|⌉ then B holds
+    // one of A's (|A| − ⌈0.9|A|⌉ + 1) smallest-hash shingles, so A's
+    // prefix joins against B's FULL inverted index (the outer side's
+    // size bounds nothing, so it cannot be prefixed). Same inline
+    // refine as the Jaccard path: candidates verify on the arrays,
+    // survivors dedupe output-sized. Exact integer threshold math.
+    "q_dedup_containment" -> ((s, d) => {
+      val sh = materializeCached(s,
+        docShingles(s, d).where(size(col("sh")) > 0), "jac", d)
+      val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(xxhash64(col("shingle")).asc, col("shingle").asc)
+      // ⌈0.9·n⌉ = (9n + 9) div 10, exact
+      val prefix = ex
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= col("n_sh") - expr("(9 * n_sh + 9) div 10") + 1)
+        .select(col("doc_id").as("ia"), col("shingle"))
+      val cand = prefix
+        .join(ex.select(col("doc_id").as("ib"), col("shingle")), "shingle")
+        .where(col("ia") =!= col("ib"))
+        .select("ia", "ib")
+      cand
+        .join(sh.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("ib") === col("sb.doc_id"))
+        .select(col("ia"), col("ib"),
+          size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long").as("shared"),
+          size(col("sa.sh")).cast("long").as("na"))
+        .where(col("shared") * 10 >= col("na") * 9)
+        .dropDuplicates("ia", "ib")
+        .withColumn("containment_permille", expr("shared * 1000 div na"))
+        .orderBy("ia", "ib")
+    }),
+
     // MinHash + LSH banding: per-row 32-slot signature → 8 band hashes →
     // band-bucket equi-join for candidates → verify candidates with exact
     // Jaccard and report the signature estimate next to it. Non-oracle
@@ -438,6 +476,17 @@ object Dedup {
          |          WHERE len(a.s) > 0 AND len(b.s) > 0)
          |SELECT ia, ib, shared, na, nb, (shared * 1000) // (na + nb - shared) AS jac_permille
          |FROM pairs WHERE shared * 5 >= (na + nb - shared) * 4 ORDER BY ia, ib""".stripMargin,
+
+    "q_dedup_containment" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s
+         |            FROM (SELECT doc_id, $toksSql AS l FROM documents)),
+         |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |                 len(list_intersect(a.s, b.s)) AS shared,
+         |                 len(a.s) AS na
+         |          FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         |          WHERE len(a.s) > 0 AND len(b.s) > 0)
+         |SELECT ia, ib, shared, na, (shared * 1000) // na AS containment_permille
+         |FROM pairs WHERE shared * 10 >= na * 9 ORDER BY ia, ib""".stripMargin,
     "q_dedup_embedding" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings
