@@ -188,6 +188,29 @@ object Dedup {
         .orderBy("keep_id")
     }),
 
+    // X142: per-source duplication profile — the dashboard diagnostic
+    // that DIRECTS the dedup effort before anyone runs it: which sources
+    // carry duplicate mass, how much, and how clumpy (max group size
+    // separates "everything copied twice" from "one page copied 500
+    // times" — different fixes). One combinable two-level aggregate over
+    // the same normalized fingerprint the exact dedup keys on; no joins,
+    // corpus shuffles once on (source, fp).
+    "q_dup_rate" -> ((s, d) => {
+      val base = documents(s, d).select("doc_id", "source", "text")
+      val dups = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+          concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+      base.unionByName(dups)
+        .groupBy(col("source"), md5(TextAnalysis.normText(col("text"))).as("fp"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(sum("n").cast("long").as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          (sum("n") - count(lit(1))).cast("long").as("n_dup_docs"),
+          max("n").cast("long").as("max_group"))
+        .orderBy("source")
+    }),
+
     // Span-level (C4-style) dedup (X104): documents chunk into fixed
     // 10-word spans; spans repeated ≥ 3 times ANYWHERE in the corpus
     // (boilerplate — cookie banners, license headers) are dropped from
@@ -451,6 +474,22 @@ object Dedup {
         |SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_dup_rate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, '  ' || upper(text) || ' '
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |groups AS (
+        |  SELECT source, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM corpus GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |       count(*) AS n_distinct,
+        |       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+        |       CAST(max(n) AS BIGINT) AS max_group
+        |FROM groups GROUP BY source ORDER BY source""".stripMargin,
+
     "q_line_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id,
