@@ -83,6 +83,27 @@ object Evolution {
     }.reduceLeft(_ unionByName _)
   }
 
+  /** X143: schema drift AUDIT — which columns appeared/disappeared at
+    * every version, from parquet footers alone (no rows read): the
+    * "when did `qty` vanish?" question history reads answer slowly and
+    * audits need instantly. O(versions) driver-side schema reads.
+    */
+  def schemaHistory(spark: SparkSession, dir: String): DataFrame = {
+    val snaps = ManifestTable.snapshots(spark, dir)
+    require(snaps.nonEmpty, s"no committed snapshot at $dir")
+    val schemas = snaps.map(s => s.version ->
+      spark.read.parquet(s.files.map(f => s"$dir/$f"): _*)
+        .schema.fields.map(_.name).toSet)
+    val rows = schemas.zip(Set.empty[String] +: schemas.map(_._2)).map {
+      case ((v, cols), prev) =>
+        (v.toLong, cols.size.toLong,
+          (cols -- prev).toSeq.sorted.mkString(","),
+          (prev -- cols).toSeq.sorted.mkString(","))
+    }
+    spark.createDataFrame(rows)
+      .toDF("version", "n_cols", "added_cols", "removed_cols")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -115,9 +136,40 @@ object Evolution {
           dsum(col("price")).as("sum_price")) // null for v1
         .orderBy("version")
     }),
+
+    // X143: the drift audit over the same timeline — per version, which
+    // columns appeared and disappeared, from footers alone. Oracle is
+    // the timeline's literal truth.
+    "q_schema_history" -> ((s, d) => {
+      val dir = graft.util.FixtureCache.dir("evolution_hist", d) { dir =>
+        val o = Tables.orders(s, d)
+        ManifestTable.commit(
+          o.where(col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"), col("o_custkey").cast("int").as("qty")),
+          dir, 20250501, 900)
+        ManifestTable.commit(
+          o.where(col("o_orderkey") % 3 === 1)
+            .select(col("o_orderkey"), col("o_custkey").cast("long").as("qty"),
+              col("o_totalprice").as("price")),
+          dir, 20250501, 1000)
+        ManifestTable.commit(
+          o.where(col("o_orderkey") % 3 === 2)
+            .select(col("o_orderkey"), col("o_totalprice").as("price")),
+          dir, 20250501, 1100)
+      }
+      schemaHistory(s, dir).orderBy("version")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_schema_history" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_cols,
+        |         'o_orderkey,qty' AS added_cols, '' AS removed_cols
+        |  UNION ALL SELECT 2, 3, 'price', ''
+        |  UNION ALL SELECT 3, 2, '', 'qty'
+        |) ORDER BY version""".stripMargin,
+
     "q_schema_evolution" ->
       """SELECT * FROM (
         |  SELECT 1 AS version, count(*) AS n_rows,
