@@ -188,6 +188,32 @@ object Dedup {
         .orderBy("keep_id")
     }),
 
+    // X144: MinHash estimator quality, semi-oracled — for every EXACT
+    // near-dup pair (the oracled Jaccard survivors), the 32-slot
+    // signature agreement must land within ±250‰ of the true Jaccard
+    // (≈3.5σ for 32 hashes at these similarities). The exact permilles
+    // hash-compare against the oracle; the bound rides as a boolean that
+    // is literal TRUE there — so a broken hash family, slot count, or
+    // signature build flips a pinned value. This is the E5/X84 sketch
+    // discipline applied to the one sketch tier that had only recall
+    // properties.
+    "q_minhash_est" -> ((s, d) => {
+      val pairs = queries("q_dedup_ngram_jaccard")(s, d)
+        .select("ia", "ib", "jac_permille")
+      val sig = materializeCached(s,
+        minhashSigs(docShingleHashes(s, d).where(size(col("sh")) > 0)), "mh", d)
+      pairs
+        .join(sig.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
+        .join(sig.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
+        .withColumn("est_permille",
+          aggregate(zip_with(col("siga"), col("sigb"),
+            (a, b) => when(a === b, 1L).otherwise(0L)),
+            lit(0L), (acc, e) => acc + e) * 1000 / nHashes)
+        .select(col("ia"), col("ib"), col("jac_permille"),
+          (abs(col("est_permille") - col("jac_permille")) <= 250).as("est_ok"))
+        .orderBy("ia", "ib")
+    }),
+
     // X142: per-source duplication profile — the dashboard diagnostic
     // that DIRECTS the dedup effort before anyone runs it: which sources
     // carry duplicate mass, how much, and how clumpy (max group size
@@ -474,6 +500,18 @@ object Dedup {
         |SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_minhash_est" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s
+         |            FROM (SELECT doc_id, $toksSql AS l FROM documents)),
+         |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |                 len(list_intersect(a.s, b.s)) AS shared,
+         |                 len(a.s) AS na, len(b.s) AS nb
+         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |          WHERE len(a.s) > 0 AND len(b.s) > 0)
+         |SELECT ia, ib, (shared * 1000) // (na + nb - shared) AS jac_permille,
+         |       true AS est_ok
+         |FROM pairs WHERE shared * 5 >= (na + nb - shared) * 4 ORDER BY ia, ib""".stripMargin,
+
     "q_dup_rate" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents
