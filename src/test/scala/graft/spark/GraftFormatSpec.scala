@@ -112,4 +112,24 @@ class GraftFormatSpec extends SparkSpec {
       spark.read.format("graft").load(dir).count())
     assert(e.getMessage.contains("column mapping"))
   }
+
+  test("string zone maps prune through the format (X78 composition)") {
+    val dir = Scratch.dir("gfmt_str")
+    // date-string keys, range-clustered into 6 files
+    val df = (0 until 600).map { i =>
+      (f"2025-${i / 50 % 12 + 1}%02d-${i % 28 + 1}%02d-${i}%04d", i.toLong)
+    }.toDF("k", "v")
+    graft.lake.ZoneMap.commitWithStats(df.repartitionByRange(6, col("k")),
+      dir, 20250901, 900, statsCols = Nil, strCols = Seq("k"))
+
+    val got = spark.read.format("graft").load(dir)
+      .where($"k" >= "2025-04" && $"k" < "2025-05")
+    got.collect()
+    val scan = got.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    assert(scan.metrics("numFiles").value < 6)
+    // pruning invisible: same rows as the unpruned filter
+    assert(got.count() ==
+      df.where($"k" >= "2025-04" && $"k" < "2025-05").count())
+  }
 }
