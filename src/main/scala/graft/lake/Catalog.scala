@@ -160,6 +160,32 @@ object Catalog {
     publishCatalog(spark, root, date, time, tvs)
   }
 
+  /** Clone a whole catalog CUT (extension X145 — X108's deep clone
+    * lifted to the multi-table consistency level): every table version
+    * the cut resolves to copies to an independent root (data files AND
+    * deletion-vector sidecars, X108 semantics), then ONE catalog publish
+    * makes the clone's tables visible together — the hand-a-CONSISTENT-
+    * WORLD-to-another-team contract (environment promotion, dev
+    * refresh, incident forensics). The clone shares nothing: vacuuming
+    * or rewriting ANY source table can never break it. Cost is
+    * data-proportional per table and embarrassingly parallel; a crash
+    * mid-clone leaves the destination catalog unpublished — readers see
+    * nothing rather than half a world.
+    */
+  def cloneCut(spark: SparkSession, srcRoot: String, dstRoot: String,
+      date: Int, time: Int, asOf: Option[Int] = None): Int = {
+    val snaps = snapshots(spark, srcRoot)
+    require(snaps.nonEmpty, s"no committed catalog version at $srcRoot")
+    val cut = asOf.map(v => snaps.find(_.version == v).getOrElse(
+      throw new NoSuchElementException(s"no catalog version $v at $srcRoot")))
+      .getOrElse(snaps.last)
+    val tvs = cut.tables.map { case (t, v) =>
+      t -> ManifestTable.cloneVersion(spark, s"$srcRoot/$t", s"$dstRoot/$t",
+        date, time, Some(v))
+    }
+    publishCatalog(spark, dstRoot, date, time, tvs)
+  }
+
   /** Read `table` as of catalog version `asOf` (latest cut if omitted) —
     * resolution is ONLY catalog cut → table version → X39 manifest, so
     * concurrent transactions can never tear the view.
@@ -237,6 +263,43 @@ object Catalog {
         .orderBy("cat_version", "tbl")
     }),
 
+    // X145: clone the post-delete cut to an independent root, then the
+    // SOURCE moves on (another cohort deleted) — the clone must still
+    // serve the cut it captured, tombstones intact, while the source's
+    // latest diverges. Any sharing between clone and source breaks one
+    // of the four probes.
+    "q_catalog_clone" -> ((s, d) => {
+      import graft.sources.Tables
+      import graft.util.Exact.dsum
+      import org.apache.spark.sql.functions._
+      val roots = graft.util.FixtureCache.dir("cat_clone", d) { roots =>
+        val src = s"$roots/src"
+        transact(s, src, 20250901, 900, Seq(
+          "facts" -> Tables.orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+          "profiles" -> Tables.customer(s, d)
+            .select("c_custkey", "c_acctbal")))
+        deleteWhereAll(s, src, 20250901, 1000, Seq(
+          "facts" -> (col("o_custkey") % 10 === 3),
+          "profiles" -> (col("c_custkey") % 10 === 3)))
+        cloneCut(s, src, s"$roots/dst", 20250901, 1100)
+        // the source moves on AFTER the clone
+        deleteWhereAll(s, src, 20250901, 1200, Seq(
+          "facts" -> (col("o_custkey") % 10 === 7)))
+      }
+      def agg(tag: String, df: DataFrame, valueCol: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), dsum(col(valueCol)).as("sum_val"))
+          .select(lit(tag).as("probe"), col("n_rows"), col("sum_val"))
+      agg("clone_facts", readTable(s, s"$roots/dst", "facts"), "o_totalprice")
+        .unionByName(agg("clone_profiles",
+          readTable(s, s"$roots/dst", "profiles"), "c_acctbal"))
+        .unionByName(agg("src_facts_latest",
+          readTable(s, s"$roots/src", "facts"), "o_totalprice"))
+        .unionByName(agg("src_profiles_latest",
+          readTable(s, s"$roots/src", "profiles"), "c_acctbal"))
+        .orderBy("probe")
+    }),
+
     // X126: one customer cohort forgotten across BOTH tables in one cut —
     // cut 2 has them gone everywhere, cut 1 (pre-delete) intact.
     "q_gdpr_delete" -> ((s, d) => {
@@ -285,6 +348,25 @@ object Catalog {
         |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |  FROM lineitem WHERE l_orderkey % 3 <= 1
         |) ORDER BY cat_version, tbl""".stripMargin,
+
+    "q_catalog_clone" ->
+      """SELECT * FROM (
+        |  SELECT 'clone_facts' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |  FROM orders WHERE o_custkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT 'clone_profiles', count(*),
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT 'src_facts_latest', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_custkey % 10 <> 3 AND o_custkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT 'src_profiles_latest', count(*),
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 10 <> 3
+        |) ORDER BY probe""".stripMargin,
 
     "q_gdpr_delete" ->
       """SELECT * FROM (
