@@ -91,8 +91,14 @@ object Evolution {
   def schemaHistory(spark: SparkSession, dir: String): DataFrame = {
     val snaps = ManifestTable.snapshots(spark, dir)
     require(snaps.nonEmpty, s"no committed snapshot at $dir")
+    // mergeSchema: a version whose file list mixes schema eras (an
+    // append after drift) must report the UNION of its files' columns —
+    // without it the inferred schema comes from one arbitrary footer and
+    // the audit mislabels exactly the drift it exists to expose. Still
+    // footer-only: O(files) metadata reads, no rows.
     val schemas = snaps.map(s => s.version ->
-      spark.read.parquet(s.files.map(f => s"$dir/$f"): _*)
+      spark.read.option("mergeSchema", "true")
+        .parquet(s.files.map(f => s"$dir/$f"): _*)
         .schema.fields.map(_.name).toSet)
     val rows = schemas.zip(Set.empty[String] +: schemas.map(_._2)).map {
       case ((v, cols), prev) =>

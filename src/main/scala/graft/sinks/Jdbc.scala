@@ -117,8 +117,17 @@ object Jdbc {
     * intact (the stage is an orphan the next publish clears); crash
     * after leaves only a `__old` leftover, likewise cleared.
     *
-    * Rename syntax is dialect-routed (Derby `RENAME TABLE`, everything
-    * else `ALTER TABLE .. RENAME TO` — the Postgres/MySQL form).
+    * Rename syntax is dialect-routed. Derby uses `RENAME TABLE`,
+    * Postgres and friends `ALTER TABLE .. RENAME TO` inside one
+    * transaction — both have transactional DDL, so the two renames
+    * commit or roll back together. MySQL/MariaDB DDL implicitly commits
+    * statement-by-statement, which would open a reader-visible window
+    * with NO live table (and a crash between renames would leave it
+    * missing); those dialects instead take MySQL's own atomic
+    * multi-table form, `RENAME TABLE live TO old, stage TO live`, a
+    * single statement the server applies atomically. Other
+    * non-transactional-DDL engines are outside the guarantee —
+    * documented, not silently weakened.
     */
   def publishAtomic(df: DataFrame, cfg: JdbcConfig, table: String): Unit = {
     val live = sanitizeTable(table)
@@ -137,14 +146,22 @@ object Jdbc {
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
-      val derby = cfg.driver.toLowerCase.contains("derby")
+      val lower = cfg.driver.toLowerCase + " " + cfg.url.toLowerCase
+      val derby = lower.contains("derby")
+      val mysql = lower.contains("mysql") || lower.contains("mariadb")
       def rename(from: String, to: String): Unit =
         st.executeUpdate(
           if (derby) s"RENAME TABLE $from TO $to"
           else s"ALTER TABLE $from RENAME TO $to")
       try {
-        if (tableExists(conn, live)) rename(live, old)
-        rename(stage, live)
+        if (tableExists(conn, live)) {
+          // MySQL DDL auto-commits per statement: two renames would leave
+          // a liveless window. Its multi-table RENAME is the one atomic
+          // swap the server offers — use it as the single statement.
+          if (mysql) st.executeUpdate(
+            s"RENAME TABLE $live TO $old, $stage TO $live")
+          else { rename(live, old); rename(stage, live) }
+        } else rename(stage, live)
         conn.commit() // the swap instant: readers flip old->new here
       } catch {
         case e: Throwable => conn.rollback(); throw e

@@ -106,9 +106,26 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
       throw new IllegalArgumentException("graft: 'path' is required"))
     def csv(key: String): Seq[String] = parameters.get(key)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val mergeKeys = csv("mergeKeys")
+    // Validate the modes this sink can honor (Delta's sink does the
+    // same): each micro-batch lands as an append (or keyed upsert)
+    // version, so Complete mode — the full cumulative state re-emitted
+    // every trigger — would silently multiply rows downstream, and
+    // Update mode is only well-defined when mergeKeys pins which rows a
+    // changed aggregate replaces.
+    import org.apache.spark.sql.streaming.OutputMode
+    require(outputMode == OutputMode.Append() ||
+        (outputMode == OutputMode.Update() && mergeKeys.nonEmpty),
+      s"graft sink: output mode $outputMode is not supported — use Append, " +
+        "or Update with option(\"mergeKeys\", ...) so changed rows upsert " +
+        "by key instead of appending duplicates")
+    require(partitionColumns.isEmpty,
+      "graft sink: partitionBy is not supported — graft tables lay out " +
+        "files by commit version (use hidden partitioning / Z-order " +
+        "maintenance on the table instead)")
     new GraftSink.StreamSink(sqlContext.sparkSession, dir,
       appId = parameters.getOrElse("checkpointLocation", dir),
-      mergeKeys = csv("mergeKeys"), statsCols = csv("statsCols"))
+      mergeKeys = mergeKeys, statsCols = csv("statsCols"))
   }
 
   // X114: the same format string serves readStream — versions as offsets
@@ -132,7 +149,8 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val (dir, skip) = streamParams(parameters)
     new GraftStreamSource(sqlContext.sparkSession, dir, skip,
-      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toInt))
+      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toInt),
+      metadataPath = Some(metadataPath))
   }
 
   override def createRelation(sqlContext: SQLContext,

@@ -131,28 +131,36 @@ object GraftSink {
         appendWithTxn(batch, dir, Txn(appId, batchId), 20250801, 0,
           statsCols = statsCols)
       else {
-        // upsert produces the table's next FULL state: publish it as a
-        // replace commit carrying the same txn sidecar
-        val merged = graft.lake.Merge.upsert(
-          ManifestTable.readLatest(spark, dir), batch, mergeKeys)
-        val staged = ManifestTable.stageDataFiles(merged, dir)
-        var tries = 0
-        var done = false
-        while (!done) {
-          val latest = ManifestTable.snapshots(spark, dir).lastOption
-          val v = latest.map(_.version).getOrElse(0) + 1
-          writeSidecar(spark, dir, v, Txn(appId, batchId))
-          try {
-            ManifestTable.commitManifest(spark, dir, v, 20250801, 0, staged)
-            done = true
-          } catch {
-            case e: IllegalStateException if e.getMessage != null &&
-                e.getMessage.startsWith("concurrent commit") =>
-              tries += 1
-              if (tries > 5) throw new IllegalStateException(
-                s"stream merge sink at $dir lost $tries races; giving up", e)
+        // upsert produces the table's next FULL state, published as a
+        // replace commit carrying the same txn sidecar. The merge is
+        // computed INSIDE the retry loop: a lost race means a concurrent
+        // writer advanced the table after we read it, and re-committing
+        // the pre-race merge would silently erase those rows (the classic
+        // lost update). Each retry re-reads the new latest and re-merges
+        // against it — cache the batch so only the merge re-runs.
+        batch.persist()
+        try {
+          var tries = 0
+          var done = false
+          while (!done) {
+            val latest = ManifestTable.snapshots(spark, dir).lastOption
+            val v = latest.map(_.version).getOrElse(0) + 1
+            val merged = graft.lake.Merge.upsert(
+              ManifestTable.readLatest(spark, dir), batch, mergeKeys)
+            val staged = ManifestTable.stageDataFiles(merged, dir)
+            writeSidecar(spark, dir, v, Txn(appId, batchId))
+            try {
+              ManifestTable.commitManifest(spark, dir, v, 20250801, 0, staged)
+              done = true
+            } catch {
+              case e: IllegalStateException if e.getMessage != null &&
+                  e.getMessage.startsWith("concurrent commit") =>
+                tries += 1
+                if (tries > 5) throw new IllegalStateException(
+                  s"stream merge sink at $dir lost $tries races; giving up", e)
+            }
           }
-        }
+        } finally batch.unpersist()
       }
     }
   }

@@ -33,7 +33,8 @@ import graft.util.{Exact, FixtureCache, Scratch}
   * (same version range) reads the same immutable files.
   */
 class GraftStreamSource(spark: SparkSession, dir: String,
-    skipChangeCommits: Boolean, maxVersionsPerBatch: Option[Int] = None)
+    skipChangeCommits: Boolean, maxVersionsPerBatch: Option[Int] = None,
+    metadataPath: Option[String] = None)
     extends Source {
 
   override val schema: StructType = {
@@ -47,7 +48,36 @@ class GraftStreamSource(spark: SparkSession, dir: String,
   // last asked for, so a long log replays as bounded micro-batches
   // instead of one giant first batch. Purely an offer-side cap —
   // exactly-once and ordering are untouched.
-  private var lastOffered: Option[Long] = None
+  //
+  // The cap's BASE must never regress below the checkpointed offset: on a
+  // clean restart the engine calls getOffset before any getBatch, so an
+  // in-memory base restarting at 0 would offer an offset BELOW the
+  // committed one, Spark would record it as the new batch end, and later
+  // batches would re-read already-delivered versions. The base is
+  // therefore PERSISTED under the stream's own metadataPath (the same
+  // per-source checkpoint slot FileStreamSource keeps its metadata log
+  // in): fresh stream = no file = base 0 is genuinely correct; restart =
+  // file present = base resumes at-or-above the committed offset, and the
+  // backfill stays paced. `metadataPath = None` is the direct-construction
+  // test path only — the registered format always wires it.
+  private def offerFile =
+    metadataPath.map(p => new org.apache.hadoop.fs.Path(p, "graft-last-offer"))
+
+  private var lastOffered: Option[Long] = offerFile.flatMap { f =>
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def persistOffer(v: Long): Unit = offerFile.foreach { f =>
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(f, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   override def getOffset: Option[Offset] = {
     val latest = ManifestTable.latestVersion(spark, dir).map(_.toLong)
@@ -57,7 +87,14 @@ class GraftStreamSource(spark: SparkSession, dir: String,
         Some(math.min(l, base + cap))
       case _ => latest
     }
-    lastOffered = capped.orElse(lastOffered)
+    capped.foreach { c =>
+      if (lastOffered.forall(_ < c)) {
+        // only the rate-limited path needs the durable base; an uncapped
+        // source always offers the latest and cannot regress
+        if (maxVersionsPerBatch.isDefined) persistOffer(c)
+        lastOffered = Some(c)
+      }
+    }
     capped.map(LongOffset(_))
   }
 
@@ -67,11 +104,13 @@ class GraftStreamSource(spark: SparkSession, dir: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    // a restart replays from the checkpointed offset: anchor the rate
-    // limiter there rather than at 0
-    start.map(o => versionOf(o).toLong).foreach { v =>
-      if (lastOffered.forall(_ < v)) lastOffered = Some(v)
-    }
+    // recovery of an uncommitted batch calls getBatch before any
+    // getOffset: anchor the rate limiter at the replayed range so the
+    // next offer continues from it (belt to the persisted base above)
+    Seq(start.map(o => versionOf(o).toLong), Some(versionOf(end).toLong))
+      .flatten.maxOption.foreach { v =>
+        if (lastOffered.forall(_ < v)) lastOffered = Some(v)
+      }
     val fromV = start.map(versionOf).getOrElse(0)
     val toV = versionOf(end)
     val all = ManifestTable.snapshots(spark, dir)

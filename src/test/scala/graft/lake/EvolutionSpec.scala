@@ -48,4 +48,23 @@ class EvolutionSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Evolution.readHistory(spark, dir))
     assert(e.getMessage.contains("column v"))
   }
+
+  test("schema audit sees the UNION of a mixed-era version's footers") {
+    // An APPEND after drift produces one version whose file list mixes
+    // schema eras — exactly the timeline the audit exists for. Without
+    // mergeSchema the inferred schema comes from an arbitrary footer and
+    // the audit would report phantom adds/removes.
+    val dir = Scratch.dir("evo_mixed")
+    ManifestTable.commit(Seq((1L, 10L)).toDF("k", "qty"), dir, 20250501, 900)
+    ManifestTable.appendRetrying( // v2's files: {k,qty} era + {k,price} era
+      Seq((2L, 1.5)).toDF("k", "price"), dir, 20250501, 1000)
+
+    val rows = Evolution.schemaHistory(spark, dir).orderBy("version").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_cols") == 2L)
+    // v2 holds BOTH eras: price appeared, qty did NOT disappear
+    assert(rows(1).getAs[Long]("n_cols") == 3L)
+    assert(rows(1).getAs[String]("added_cols") == "price")
+    assert(rows(1).getAs[String]("removed_cols") == "")
+  }
 }

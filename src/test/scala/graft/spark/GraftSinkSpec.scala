@@ -140,4 +140,49 @@ class GraftSinkSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value < total) // and they skip
     assert(df.count() == 71)
   }
+
+  test("sink refuses Complete mode, Update without mergeKeys, and partitionBy") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val ds = new GraftDataSource
+    val params = Map("path" -> Scratch.dir("gsink_mode"))
+    // Complete re-emits cumulative state every trigger: appending it
+    // multiplies rows, so the sink must refuse rather than silently append
+    val e1 = intercept[IllegalArgumentException](
+      ds.createSink(spark.sqlContext, params, Nil, OutputMode.Complete()))
+    assert(e1.getMessage.contains("not supported"))
+    // Update is only well-defined when keys pin which rows changed
+    val e2 = intercept[IllegalArgumentException](
+      ds.createSink(spark.sqlContext, params, Nil, OutputMode.Update()))
+    assert(e2.getMessage.contains("mergeKeys"))
+    ds.createSink(spark.sqlContext, params + ("mergeKeys" -> "k"), Nil,
+      OutputMode.Update()) // keyed Update is the canned upsert: allowed
+    val e3 = intercept[IllegalArgumentException](
+      ds.createSink(spark.sqlContext, params, Seq("day"), OutputMode.Append()))
+    assert(e3.getMessage.contains("partitionBy"))
+  }
+
+  test("merge sink losing a commit race re-merges — the winner's rows survive") {
+    // Two keyed writers race the same table. The loser's pre-race merge
+    // was computed against a latest the winner has since replaced;
+    // re-committing it would silently erase the winner's rows (lost
+    // update). The retry loop must recompute the merge against the NEW
+    // latest. Barrier-synced so both read the same parent version.
+    val dst = Scratch.dir("gsink_race")
+    ManifestTable.commit((0L until 5L).map(i => (i, i)).toDF("k", "v"),
+      dst, 20250801, 900)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def writer(name: String, key: Long): java.util.concurrent.CompletableFuture[Unit] =
+      java.util.concurrent.CompletableFuture.supplyAsync { () =>
+        val sink = new GraftSink.StreamSink(spark, dst, appId = name,
+          mergeKeys = Seq("k"))
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        sink.addBatch(0L, Seq((key, key * 100)).toDF("k", "v"))
+      }
+    writer("wa", 100L).thenCombine(writer("wb", 200L), (_: Unit, _: Unit) => ())
+      .get(120, java.util.concurrent.TimeUnit.SECONDS)
+    val rows = spark.read.format("graft").load(dst)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 7, s"lost update: $rows") // 5 seed + both writers
+    assert(rows(100L) == 10000L && rows(200L) == 20000L)
+  }
 }

@@ -65,6 +65,46 @@ class GraftStreamSpec extends SparkSpec {
     assert(src.getOffset.get.json.toLong == 4L)
   }
 
+  test("rate-limited stream never regresses below the checkpoint on restart") {
+    // Restart bug class: a fresh source instance whose in-memory cap base
+    // restarts at 0 offers an offset BELOW the committed one, and the
+    // following batches re-read versions already delivered. The base is
+    // persisted under the stream's metadataPath, so a second run on the
+    // SAME checkpoint resumes at-or-above the committed offset.
+    val tbl = Scratch.dir("gstream_restart")
+    val sink = Scratch.dir("gstream_restart_sink")
+    val chk = Scratch.dir("gstream_restart_chk")
+    (0 until 3).foreach { k =>
+      ManifestTable.appendRetrying(
+        (k * 10L until (k + 1) * 10L).map(i => (i, i)).toDF("k", "v"),
+        tbl, 20250801, 900 + k)
+    }
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerBatch", "1").load(tbl)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // A v1 Source under AvailableNow falls back to single-batch
+    // execution, so each pass is a full restart delivering ONE paced
+    // version — every iteration exercises the persisted base. Without
+    // it, pass 2's fresh instance would offer min(latest, 0+1) = 1,
+    // BELOW the committed offset, and the drain would stall at 10 rows
+    // (or re-emit on later passes).
+    (1 to 3).foreach { p => pipe(); assert(spark.read.parquet(sink).count() == p * 10L) }
+
+    ManifestTable.appendRetrying((30L until 35L).map(i => (i, i)).toDF("k", "v"),
+      tbl, 20250801, 1000)
+    pipe() // fresh Source instance, same checkpoint: only v4 may land
+    val got = spark.read.parquet(sink)
+    assert(got.count() == 35, "restart re-emitted already-delivered versions")
+    assert(got.groupBy("k").count().where(col("count") > 1).count() == 0)
+  }
+
   test("non-append commits refuse loudly; skipChangeCommits skips them") {
     val tbl = Scratch.dir("gstream_chg")
     ManifestTable.commit((0L until 10L).map(i => (i, i)).toDF("k", "v"),
