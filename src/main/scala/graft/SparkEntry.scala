@@ -48,7 +48,8 @@ object SparkEntry {
       lake.ColumnMap.queries ++ ext.KMeans.queries ++ sources.JdbcIncr.queries ++
       _root_.graft.spark.GraftFormat.queries ++ _root_.graft.spark.GraftStream.queries ++
       _root_.graft.spark.GraftSink.queries ++ lake.Restore.queries ++
-      lake.CopyInto.queries ++ lake.Identity.queries ++ sinks.Jdbc.queries
+      lake.CopyInto.queries ++ lake.Identity.queries ++ sinks.Jdbc.queries ++
+      ext.Url.queries
       // (q_commit_guard rides lake.Expectations.queries, already included)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +86,6 @@ object SparkEntry {
       lake.ColumnMap.oracles ++ ext.KMeans.oracles ++ sources.JdbcIncr.oracles ++
       _root_.graft.spark.GraftFormat.oracles ++ _root_.graft.spark.GraftStream.oracles ++
       _root_.graft.spark.GraftSink.oracles ++ lake.Restore.oracles ++
-      lake.CopyInto.oracles ++ lake.Identity.oracles ++ sinks.Jdbc.oracles
+      lake.CopyInto.oracles ++ lake.Identity.oracles ++ sinks.Jdbc.oracles ++
+      ext.Url.oracles
 }
