@@ -28,6 +28,19 @@ object GraftShim {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming)
 
+  /** A serializable path→FileSystem factory for executor-side file IO
+    * (record readers, fixture writers). Wraps the session's Hadoop conf
+    * in Spark's own `SerializableConfiguration` (private[spark], hence
+    * the shim) and broadcasts it once; the returned lambda is what task
+    * closures capture.
+    */
+  def fsFactory(spark: SparkSession): String => org.apache.hadoop.fs.FileSystem = {
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    (p: String) => new org.apache.hadoop.fs.Path(p).getFileSystem(bc.value.value)
+  }
+
   /** Register a function on a LIVE session's registry (the
     * `spark.sql.extensions` route only applies at session construction).
     */
