@@ -68,6 +68,18 @@ object Gender {
 
   private def isBlank(c: Column): Column = c.isNull || trim(c) === ""
 
+  /** Column twin of [[NamesDict.normalizeKey]]: NFC composition (via the
+    * X43 native expression) plus default-ignorable stripping. Applied to
+    * the full-name token before the dictionary join so both tiers (and
+    * the SQL oracle, which mirrors this with DuckDB's `nfc_normalize`)
+    * resolve diacritic names identically. The username path is NOT
+    * normalized — the reference's `[^A-Za-z]` cleaning already strips
+    * every non-ASCII character (`:46`), and parity wins there.
+    */
+  private def normKey(c: Column): Column =
+    regexp_replace(graft.functions.TextNorm.nfc_norm(c),
+      "[\\u00AD\\u200B-\\u200D\\uFEFF]", "")
+
   /** Tier-2 join form: adds predicted_gender + confidence (double) columns to
     * `df`, which must carry `full_name` and `username` string columns.
     */
@@ -78,7 +90,8 @@ object Gender {
 
     val featured = df
       .withColumn("first_token",
-        when(!isBlank(col("full_name")), regexp_extract(trim(col("full_name")), "^\\S+", 0)))
+        when(!isBlank(col("full_name")),
+          normKey(regexp_extract(trim(col("full_name")), "^\\S+", 0))))
       .withColumn("cleaned_username",
         when(!isBlank(col("username")), regexp_replace(col("username"), "[^A-Za-z]", "")))
 
@@ -130,7 +143,21 @@ object Gender {
     (14, "Chris P", "Lisa!!"),               // mostly_male 0.9 beats female user 0.7
     (15, null, "Emma__"),                    // null full, clear user → (female, 0.7)
     (17, null, "Emma_x"),                    // cleans to "Emmax": dict miss → (unknown, 0.4)
-    (16, "Pat", "Pat"))                      // andy 0.5 >= andy-user 0.4 → (unknown, 0.5)
+    (16, "Pat", "Pat"),                      // andy 0.5 >= andy-user 0.4 → (unknown, 0.5)
+    // I18N rows (round-6): native diacritic entries + NFC/ignorable
+    // normalization. 19 is DECOMPOSED (e + combining acute) and must
+    // equal composed José; 20 smuggles a soft hyphen; 24 pins the
+    // boundary — inputs are never accent-stripped, so an unlisted
+    // diacritic spelling stays unknown; 25 pins the reference's
+    // username regex eating the é ("Renée88" cleans to "Rene").
+    (18, "José García", "x"),                // native diacritic → (male, 0.9)
+    (19, "José Morales", "x"),         // decomposed → NFC José → (male, 0.9)
+    (20, "Jose\u00ADphine Baker", "x"),      // soft hyphen out → Josephine → (female, 0.9)
+    (21, "María López", "x"),                // native diacritic → (female, 0.9)
+    (22, "Zoë Deschanel", "x"),              // native diacritic → (female, 0.9)
+    (23, "Sören Holm", "x"),                 // native diacritic → (male, 0.9)
+    (24, "Dávid Kovács", "x"),               // no input folding → (unknown, 0.5)
+    (25, "", "Renée88"))                     // cleans to "Rene" → (male, 0.7)
 
   def profilesDF(s: SparkSession): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -190,7 +217,8 @@ object Gender {
        |       ELSE 0.4 END AS conf_user
        |  FROM (SELECT $passCols,
        |    CASE WHEN full_name IS NOT NULL AND trim(full_name) <> ''
-       |         THEN regexp_extract(trim(full_name), '^\\S+', 0) END AS first_token,
+       |         THEN regexp_replace(nfc_normalize(regexp_extract(trim(full_name), '^\\S+', 0)),
+       |                             '[\\x{00AD}\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g') END AS first_token,
        |    CASE WHEN username IS NOT NULL AND trim(username) <> ''
        |         THEN regexp_replace(username, '[^A-Za-z]', '', 'g') END AS cleaned
        |    FROM $rel) f

@@ -484,26 +484,108 @@ object NamesDict {
     "Stevie2", "Storm", "Sutton", "Tatum", "Tenzin", "Toni", "Tory",
     "Tyler2", "Unique", "Winter", "Wren", "Yael2", "Zephyr")
 
+  // ------------------------------------------------------------------
+  // I18N tier (round-6 VERDICT item 7): native diacritic given names,
+  // composed (NFC) in source — the same way gender_guesser's nam_dict
+  // carries "José" as its own entry rather than accent-stripping inputs.
+  // ------------------------------------------------------------------
+
+  private val diacriticMale = Seq(
+    "José", "André", "Andrés", "François", "Jürgen", "Björn", "Søren",
+    "Günter", "Ángel", "Óscar", "Seán", "Raúl", "Ramón", "Jesús", "Matías",
+    "Nicolás", "Sebastián", "Iván", "Péter", "János", "Jiří", "Miloš",
+    "Stéphane", "Frédéric", "Jérôme", "Gaël", "Gérard", "Cándido", "Tomás",
+    "Víctor", "Rubén", "Gustavo2", "Łukasz", "Paweł", "Michał", "Jörg",
+    "Sören", "Mikkel2", "Måns", "Kåre", "Ørjan", "Þór2", "Émile")
+
+  private val diacriticFemale = Seq(
+    "María", "Inés", "Renée", "Zoë", "Chloé", "Céline", "Agnès", "Sofía",
+    "Lucía", "Verónica", "Mónica", "Ángela", "Françoise", "Amélie",
+    "Éloïse", "Noémie", "Anaïs", "Zsófia", "Katarína", "Åsa", "Linnéa",
+    "Desirée", "Bárbara", "Begoña", "Rocío", "Señora2", "Penélope",
+    "Valérie", "Hélène", "Aurélie", "Gréta", "Dorothée", "Łucja", "Agata2",
+    "Jadwiga2", "Käthe", "Grüne2", "Özlem", "Gül", "Nazlı", "İrem")
+
+  private val diacriticMostlyMale = Seq("René") // mirrors core "Rene"
+
   /** first_name → category. Suffix-digit entries above exist only to keep the
     * seq literals readable where a name appears in several categories in real
     * data; they are filtered out here, first category wins.
     */
-  val entries: Map[String, String] = {
-    val all =
-      male.map(_ -> "male") ++ female.map(_ -> "female") ++
-        mostlyMale.map(_ -> "mostly_male") ++ mostlyFemale.map(_ -> "mostly_female") ++
-        andy.map(_ -> "andy") ++
-        // breadth extension LAST: core entries always win conflicts
-        extMale.map(_ -> "male") ++ extFemale.map(_ -> "female") ++
-        extMostlyMale.map(_ -> "mostly_male") ++
-        extMostlyFemale.map(_ -> "mostly_female") ++ extAndy.map(_ -> "andy")
-    all.filterNot(_._1.exists(_.isDigit)).foldLeft(Map.empty[String, String]) {
+  private val orderedAll: Seq[(String, String)] = (
+    male.map(_ -> "male") ++ female.map(_ -> "female") ++
+      mostlyMale.map(_ -> "mostly_male") ++ mostlyFemale.map(_ -> "mostly_female") ++
+      andy.map(_ -> "andy") ++
+      // breadth + I18N extensions LAST: core entries always win conflicts
+      extMale.map(_ -> "male") ++ extFemale.map(_ -> "female") ++
+      extMostlyMale.map(_ -> "mostly_male") ++
+      extMostlyFemale.map(_ -> "mostly_female") ++ extAndy.map(_ -> "andy") ++
+      diacriticMale.map(_ -> "male") ++ diacriticFemale.map(_ -> "female") ++
+      diacriticMostlyMale.map(_ -> "mostly_male"))
+    .filterNot(_._1.exists(_.isDigit))
+    .map { case (k, v) => normalizeKey(k) -> v } // keys canonically composed
+
+  val entries: Map[String, String] =
+    orderedAll.foldLeft(Map.empty[String, String]) {
+      case (m, (k, v)) => if (m.contains(k)) m else m.updated(k, v)
+    }
+
+  /** Canonical lookup key: NFC composition (X43 — decomposed "Jose" +
+    * combining acute equals composed "José") plus removal of
+    * default-ignorable code points (soft hyphen, zero-width
+    * joiners/space, BOM) that copy-paste smuggles into names. CASE IS
+    * PRESERVED — gender_guesser's default is case-sensitive and golden
+    * profile 10 pins that behavior.
+    */
+  def normalizeKey(raw: String): String = {
+    val nfc = java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
+    nfc.filterNot(ch => ch == '\u00AD' || // soft hyphen
+      (ch >= '\u200B' && ch <= '\u200D') || // zero-width space/joiners
+      ch == '\uFEFF') // BOM
+  }
+
+  /** Accent fold for DICT-SIDE aliases: NFD, strip combining marks, map
+    * the non-decomposable Latin letters. Applied to dictionary keys only
+    * (so plain-ASCII spellings of diacritic entries resolve — "Jose" for
+    * "José" and vice versa through the native entry), never to inputs:
+    * gender_guesser does not accent-strip inputs, and neither do we.
+    */
+  def fold(s: String): String = {
+    val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new StringBuilder(d.length)
+    d.foreach { ch =>
+      if (Character.getType(ch) != Character.NON_SPACING_MARK) ch match {
+        case 'ß' => sb.append("ss")
+        case 'æ' => sb.append("ae"); case 'Æ' => sb.append("Ae")
+        case 'ø' => sb.append('o'); case 'Ø' => sb.append('O')
+        case 'đ' => sb.append('d'); case 'Đ' => sb.append('D')
+        case 'ł' => sb.append('l'); case 'Ł' => sb.append('L')
+        case 'œ' => sb.append("oe"); case 'Œ' => sb.append("Oe")
+        case 'ı' => sb.append('i'); case 'İ' => sb.append('I')
+        case c => sb.append(c)
+      }
+    }
+    sb.toString
+  }
+
+  /** The served dictionary: exact entries plus folded aliases where the
+    * folded spelling isn't already an exact entry (first category wins,
+    * deterministic insertion order). Both engine tiers AND the generated
+    * DuckDB oracle dict are built from this one map, so they can never
+    * drift.
+    */
+  val resolvedEntries: Map[String, String] = {
+    val aliases = orderedAll.flatMap { case (k, v) =>
+      val f = fold(k); if (f != k) Some(f -> v) else None
+    }
+    aliases.foldLeft(entries) {
       case (m, (k, v)) => if (m.contains(k)) m else m.updated(k, v)
     }
   }
 
-  def lookup(name: String): String = entries.getOrElse(name, "unknown")
+  def lookup(name: String): String =
+    resolvedEntries.getOrElse(normalizeKey(name), "unknown")
 
   /** Deterministically ordered, for DataFrame/SQL twins. */
-  val sortedEntries: Seq[(String, String)] = entries.toSeq.sortBy(_._1)
+  val sortedEntries: Seq[(String, String)] = resolvedEntries.toSeq.sortBy(_._1)
 }

@@ -13,7 +13,12 @@ class GenderSpec extends SparkSpec {
     7 -> ("unknown", 0.0), 8 -> ("female", 0.7), 9 -> ("male", 0.7),
     10 -> ("unknown", 0.5), 11 -> ("female", 0.9), 12 -> ("unknown", 0.5),
     13 -> ("male", 0.9), 14 -> ("male", 0.9), 15 -> ("female", 0.7),
-    16 -> ("unknown", 0.5), 17 -> ("unknown", 0.4))
+    16 -> ("unknown", 0.5), 17 -> ("unknown", 0.4),
+    // I18N rows: native diacritics, decomposed input, soft hyphen, the
+    // no-input-folding boundary, and the username regex eating the é
+    18 -> ("male", 0.9), 19 -> ("male", 0.9), 20 -> ("female", 0.9),
+    21 -> ("female", 0.9), 22 -> ("female", 0.9), 23 -> ("male", 0.9),
+    24 -> ("unknown", 0.5), 25 -> ("male", 0.7))
 
   test("golden: pure function matches the reference decision table") {
     Gender.profiles.foreach { case (id, f, u) =>
@@ -75,7 +80,16 @@ class GenderSpec extends SparkSpec {
       ("Harper Lee", "female", 0.9f), // mostly_female tier
       ("Hayden Fox", "male", 0.9f), // mostly_male tier
       ("Oakley Smith", "unknown", 0.5f), // andy tier
-      ("Zxcvb Qwerty", "unknown", 0.5f)) // still a dictionary miss
+      ("Zxcvb Qwerty", "unknown", 0.5f), // still a dictionary miss
+      // I18N tier: native diacritic entries...
+      ("François Truffaut", "male", 0.9f), ("Céline Dion", "female", 0.9f),
+      ("Jürgen Klopp", "male", 0.9f), ("Sofía Vergara", "female", 0.9f),
+      ("Raúl González", "male", 0.9f), ("Anaïs Nin", "female", 0.9f),
+      // ...folded ASCII aliases of diacritic entries resolve too...
+      ("Francois Plain", "male", 0.9f), ("Celine Plain", "female", 0.9f),
+      ("Anais Plain", "female", 0.9f),
+      // ...and unlisted diacritic spellings stay unknown (no input folding)
+      ("Dàvid Unlisted", "unknown", 0.5f))
     panel.foreach { case (fullName, g, c) =>
       val got = Gender.guess(fullName, "x1")
       assert((got.predicted_gender, got.confidence) === ((g, c)), fullName)
