@@ -235,22 +235,29 @@ object Catalog {
     * must reproduce the four predicate-defined contents — cross-table
     * consistency in both directions of time.
     */
+  /** tx1 = consistent `% 3 === 0` pair; tx2 = the wider `% 3 <= 1` pair.
+    * Shared by q_catalog_tx and the SQL-surface refs query (X128).
+    */
+  def txFixture(s: SparkSession, d: String): String =
+    graft.util.FixtureCache.dir("catalog_tx", d) { root =>
+      import org.apache.spark.sql.functions._
+      val o = graft.sources.Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+      val l = graft.sources.Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity")
+      transact(s, root, 20250301, 900, Seq(
+        "ord" -> o.where(col("o_orderkey") % 3 === 0),
+        "li" -> l.where(col("l_orderkey") % 3 === 0)))
+      transact(s, root, 20250301, 1000, Seq(
+        "ord" -> o.where(col("o_orderkey") % 3 <= 1),
+        "li" -> l.where(col("l_orderkey") % 3 <= 1)))
+    }
+
   val queries: Map[String, Q] = Map(
     "q_catalog_tx" -> ((s, d) => {
       import graft.util.Exact.dsum
       import org.apache.spark.sql.functions._
-      val root = graft.util.FixtureCache.dir("catalog_tx", d) { root =>
-        val o = graft.sources.Tables.orders(s, d)
-          .select("o_orderkey", "o_totalprice")
-        val l = graft.sources.Tables.lineitem(s, d)
-          .select("l_orderkey", "l_quantity")
-        transact(s, root, 20250301, 900, Seq(
-          "ord" -> o.where(col("o_orderkey") % 3 === 0),
-          "li" -> l.where(col("l_orderkey") % 3 === 0)))
-        transact(s, root, 20250301, 1000, Seq(
-          "ord" -> o.where(col("o_orderkey") % 3 <= 1),
-          "li" -> l.where(col("l_orderkey") % 3 <= 1)))
-      }
+      val root = txFixture(s, d)
       def cut(cv: Int, tbl: String, valueCol: String): DataFrame =
         readTable(s, root, tbl, Some(cv))
           .agg(count(lit(1)).as("n_rows"), dsum(col(valueCol)).as("sum_val"))

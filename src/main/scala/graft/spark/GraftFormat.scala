@@ -11,7 +11,7 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.lake.{ManifestTable, ZoneMap}
+import graft.lake.{Branches, Catalog, ManifestTable, ZoneMap}
 import graft.sources.Tables
 import graft.util.{Exact, FixtureCache}
 
@@ -172,13 +172,47 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
       case other => throw new IllegalArgumentException(
         s"graft: unknown subtable '$other' (supported: history)")
     }
-    val snaps = ManifestTable.snapshots(spark, dir)
-    require(snaps.nonEmpty, s"graft: no committed snapshot at $dir")
-    val snap = (parameters.get("versionAsOf"),
+    // X95/X99 through SQL: `branch`/`tag` resolve a named ref to its head
+    // version; `catalogTable` (+ optional `catalogVersion`) serves one
+    // table of a CONSISTENT catalog cut — `path` is then the catalog
+    // root. SQL-only users get refs and cross-table consistency with no
+    // graft imports. Selectors are mutually exclusive: silently letting
+    // one win would read a different table state than the user asked for.
+    val refOpt = parameters.get("branch").orElse(parameters.get("tag"))
+    require(parameters.get("branch").isEmpty || parameters.get("tag").isEmpty,
+      "graft: 'branch' and 'tag' are mutually exclusive")
+    require(Seq(refOpt, parameters.get("versionAsOf"),
+        parameters.get("asOfDate")).count(_.nonEmpty) <= 1,
+      "graft: branch/tag, versionAsOf, and asOfDate are mutually exclusive")
+    val (dataDir, pinnedV): (String, Option[Int]) =
+      parameters.get("catalogTable") match {
+        case Some(t) =>
+          require(refOpt.isEmpty && parameters.get("versionAsOf").isEmpty,
+            "graft: catalogTable pins the table version through the catalog " +
+              "cut; combine only with catalogVersion")
+          val cuts = Catalog.snapshots(spark, dir)
+          require(cuts.nonEmpty, s"graft: no committed catalog at $dir")
+          val cut = parameters.get("catalogVersion") match {
+            case Some(v) => cuts.find(_.version == v.toInt).getOrElse(
+              throw new NoSuchElementException(
+                s"graft: no catalog version $v at $dir"))
+            case None => cuts.last
+          }
+          (s"$dir/$t", Some(cut.tables.getOrElse(t,
+            throw new NoSuchElementException(
+              s"graft: table '$t' not in catalog version ${cut.version}"))))
+        case None => refOpt match {
+          case Some(name) => (dir, Some(Branches.readRef(spark, dir, name).head))
+          case None => (dir, None)
+        }
+      }
+    val snaps = ManifestTable.snapshots(spark, dataDir)
+    require(snaps.nonEmpty, s"graft: no committed snapshot at $dataDir")
+    val snap = (pinnedV.map(_.toString).orElse(parameters.get("versionAsOf")),
         parameters.get("asOfDate")) match {
       case (Some(v), _) => snaps.find(_.version == v.toInt).getOrElse(
         throw new NoSuchElementException(
-          s"graft: no version $v at $dir (have ${snaps.map(_.version).mkString(",")})"))
+          s"graft: no version $v at $dataDir (have ${snaps.map(_.version).mkString(",")})"))
       case (None, Some(dateStr)) =>
         // timestamp time travel (Delta's timestampAsOf): newest version
         // committed at-or-before (asOfDate, asOfTime) in run-stamp order
@@ -197,10 +231,10 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     // X110 column-mapped tables carry a logical->physical projection the
     // bare file relation cannot apply — serving physical names here would
     // silently undo renames
-    require(!new Path(s"$dir/_colmap").getFileSystem(
-        spark.sparkContext.hadoopConfiguration).exists(new Path(s"$dir/_colmap")),
-      s"graft: table at $dir uses column mapping; read it via ColumnMap.read")
-    val index = new ManifestFileIndex(spark, dir, snap)
+    require(!new Path(s"$dataDir/_colmap").getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(new Path(s"$dataDir/_colmap")),
+      s"graft: table at $dataDir uses column mapping; read it via ColumnMap.read")
+    val index = new ManifestFileIndex(spark, dataDir, snap)
     HadoopFsRelation(index, partitionSchema = StructType(Nil),
       dataSchema = index.dataSchema, bucketSpec = None,
       fileFormat = new ParquetFileFormat, options = parameters)(spark)
@@ -381,6 +415,38 @@ object GraftFormat {
           |  FROM graft_orders_v1
           |) ORDER BY probe""".stripMargin)
     }),
+
+    // X95/X99 through SQL (round-6 VERDICT item 10): named refs and
+    // consistent catalog cuts with `USING graft OPTIONS` only. Probes:
+    // both branches and the tag of the X95 fixture, plus both tables of
+    // the X99 tx fixture pinned through catalogVersion — each content is
+    // predicate-defined, so the oracle rebuilds all six from the base
+    // tables.
+    "q_sql_refs" -> ((s, d) => {
+      val bdir = s"${Branches.buildFixture(s, d)}/t"
+      val croot = Catalog.txFixture(s, d)
+      def view(name: String, opts: String): Unit =
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $name
+                 |USING graft OPTIONS ($opts)""".stripMargin)
+      view("refs_main", s"path '$bdir', branch 'main'")
+      view("refs_exp", s"path '$bdir', branch 'exp'")
+      view("refs_rel1", s"path '$bdir', tag 'rel1'")
+      view("cat_ord_v1", s"path '$croot', catalogTable 'ord', catalogVersion '1'")
+      view("cat_ord", s"path '$croot', catalogTable 'ord'")
+      view("cat_li_v1", s"path '$croot', catalogTable 'li', catalogVersion '1'")
+      def probe(tag: String, rel: String, valueCol: String): String =
+        s"""SELECT '$tag' AS probe, count(*) AS n_rows,
+           |CAST(SUM(CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+           |FROM $rel""".stripMargin
+      s.sql(Seq(
+        probe("branch_main", "refs_main", "o_totalprice"),
+        probe("branch_exp", "refs_exp", "o_totalprice"),
+        probe("tag_rel1", "refs_rel1", "o_totalprice"),
+        probe("cat_ord_v1", "cat_ord_v1", "o_totalprice"),
+        probe("cat_ord_latest", "cat_ord", "o_totalprice"),
+        probe("cat_li_v1", "cat_li_v1", "l_quantity"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY probe"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -405,6 +471,33 @@ object GraftFormat {
         |  UNION ALL SELECT 3, 'delete', true
         |  UNION ALL SELECT 4, 'materialize', false
         |) ORDER BY version""".stripMargin,
+
+    "q_sql_refs" ->
+      """SELECT * FROM (
+        |  SELECT 'branch_main' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 2)
+        |  UNION ALL
+        |  SELECT 'branch_exp', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'tag_rel1', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'cat_ord_v1', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'cat_ord_latest', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 3 <= 1
+        |  UNION ALL
+        |  SELECT 'cat_li_v1', count(*),
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM lineitem WHERE l_orderkey % 3 = 0
+        |) ORDER BY probe""".stripMargin,
 
     "q_sql_view" ->
       """SELECT * FROM (

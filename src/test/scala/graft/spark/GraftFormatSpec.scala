@@ -132,4 +132,40 @@ class GraftFormatSpec extends SparkSpec {
     assert(got.count() ==
       df.where($"k" >= "2025-04" && $"k" < "2025-05").count())
   }
+
+  test("refs surface: branch/tag options read the ref head; selectors are exclusive") {
+    val bdir = s"${graft.lake.Branches.buildFixture(spark, sf)}/t"
+    // branch exp = v1 (k%3=0) + k%3=1 adds; tag rel1 pins v1
+    val expKeys = spark.read.format("graft").option("branch", "exp").load(bdir)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(expKeys.nonEmpty && expKeys.forall(k => k % 3 == 0 || k % 3 == 1))
+    val tagCount = spark.read.format("graft").option("tag", "rel1").load(bdir).count()
+    val v1Count = spark.read.format("graft").option("versionAsOf", "1").load(bdir).count()
+    assert(tagCount == v1Count)
+    // conflicting selectors refuse instead of silently picking one
+    val e1 = intercept[IllegalArgumentException](
+      spark.read.format("graft").option("branch", "main")
+        .option("versionAsOf", "1").load(bdir).count())
+    assert(e1.getMessage.contains("mutually exclusive"))
+    val e2 = intercept[IllegalArgumentException](
+      spark.read.format("graft").option("branch", "main")
+        .option("tag", "rel1").load(bdir).count())
+    assert(e2.getMessage.contains("mutually exclusive"))
+  }
+
+  test("refs surface: catalogTable serves a consistent cut; unknown cut refuses") {
+    val croot = graft.lake.Catalog.txFixture(spark, sf)
+    val ordV1 = spark.read.format("graft")
+      .option("catalogTable", "ord").option("catalogVersion", "1").load(croot)
+    assert(ordV1.select("o_orderkey").collect().map(_.getLong(0)).forall(_ % 3 == 0))
+    // latest cut = the wider pair
+    val ordLatest = spark.read.format("graft").option("catalogTable", "ord").load(croot)
+    assert(ordLatest.count() > ordV1.count())
+    intercept[NoSuchElementException](
+      spark.read.format("graft").option("catalogTable", "nope").load(croot).count())
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("graft").option("catalogTable", "ord")
+        .option("branch", "main").load(croot).count())
+    assert(e.getMessage.contains("catalogTable"))
+  }
 }
