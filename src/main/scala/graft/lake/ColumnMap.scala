@@ -190,6 +190,24 @@ object ColumnMap {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The X110 timeline fixture (create → rename → append → drop → re-add
+    * → append), shared with the datasource's mapped-read query.
+    */
+  def timelineFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("colmap_tl", d) { dir =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      create(o.where(col("o_orderkey") % 3 === 0), dir, 20250601, 900)
+      renameColumn(s, dir, "price", "amount")
+      append(o.where(col("o_orderkey") % 3 === 1)
+        .withColumnRenamed("price", "amount"), dir, 20250601, 1000)
+      dropColumn(s, dir, "amount")
+      addColumn(s, dir, "amount", "double")
+      append(o.where(col("o_orderkey") % 3 === 2)
+        .select(col("o_orderkey"), (col("price") * 2).as("amount")),
+        dir, 20250601, 1100)
+    }
+
   val queries: Map[String, Q] = Map(
     // Timeline: v1 create (o_orderkey, price) on slice 0 -> v2 rename
     // price->amount -> v3 append slice 1 via the logical name (stored
@@ -198,19 +216,7 @@ object ColumnMap {
     // Read as-of v3 (rename maps v1's files) beside latest (no
     // resurrection: slices 0/1 NULL, slice 2 the doubled sums).
     "q_column_map" -> ((s, d) => {
-      val dir = FixtureCache.dir("colmap_tl", d) { dir =>
-        val o = Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_totalprice").as("price"))
-        create(o.where(col("o_orderkey") % 3 === 0), dir, 20250601, 900)
-        renameColumn(s, dir, "price", "amount")
-        append(o.where(col("o_orderkey") % 3 === 1)
-          .withColumnRenamed("price", "amount"), dir, 20250601, 1000)
-        dropColumn(s, dir, "amount")
-        addColumn(s, dir, "amount", "double")
-        append(o.where(col("o_orderkey") % 3 === 2)
-          .select(col("o_orderkey"), (col("price") * 2).as("amount")),
-          dir, 20250601, 1100)
-      }
+      val dir = timelineFixture(s, d)
       // "era", not "asof": ASOF is a reserved word in the oracle engine
       val renamed = read(s, dir, Some(3)).withColumn("era", lit("renamed"))
       val latest = read(s, dir).withColumn("era", lit("latest"))

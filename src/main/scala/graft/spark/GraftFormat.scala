@@ -42,11 +42,12 @@ import graft.util.{Exact, FixtureCache}
   *    comparisons against literals tighten bounds (inclusively), anything
   *    else keeps the file — pruning is an optimization, never a filter.
   *
-  * Versions carrying X64 deletion vectors are REFUSED loudly: a bare
-  * file relation would resurrect deleted rows. Route those through
-  * `ManifestTable.readVersion` (which subtracts tombstones) or X32/X106
-  * materialize first. Same for X110 column-mapped tables, whose logical
-  * projection lives above the file schema.
+  * Versions carrying X64 deletion vectors and X110 column-mapped tables
+  * — states a bare file relation would serve WRONG (resurrected rows,
+  * physical names) — route through [[GraftPlanRelation]] instead: the
+  * tombstone anti-probe / logical projection wrapped around the same
+  * vectorized parquet scan, so a plain Spark job can read EVERY table
+  * state through this one format string.
   */
 class GraftDataSource extends RelationProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSourceProvider
@@ -225,19 +226,91 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
             s"graft: no version at or before $date/$time at $dir"))
       case _ => snaps.last
     }
-    require(snap.deletes.isEmpty,
-      s"graft: version ${snap.version} carries deletion vectors; read it via " +
-        "ManifestTable.readVersion (tombstone-aware) or materialize it first")
-    // X110 column-mapped tables carry a logical->physical projection the
-    // bare file relation cannot apply — serving physical names here would
-    // silently undo renames
-    require(!new Path(s"$dataDir/_colmap").getFileSystem(
-        spark.sparkContext.hadoopConfiguration).exists(new Path(s"$dataDir/_colmap")),
-      s"graft: table at $dataDir uses column mapping; read it via ColumnMap.read")
+    // Versions carrying X64 deletion vectors or an X110 column mapping
+    // cannot be served by a bare file relation (tombstones would
+    // resurrect; physical names would undo renames). Those states route
+    // through a plan-backed relation instead: the tombstone anti-probe /
+    // logical projection wrapped around the same vectorized parquet scan,
+    // with pushed filters and column pruning applied INSIDE the plan (see
+    // GraftPlanRelation). Plain append-only tables — the overwhelmingly
+    // common state — keep the zero-overhead HadoopFsRelation below.
+    val hasColmap = new Path(s"$dataDir/_colmap").getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(new Path(s"$dataDir/_colmap"))
+    if (snap.deletes.nonEmpty || hasColmap) {
+      val planDf =
+        if (hasColmap) graft.lake.ColumnMap.read(spark, dataDir, Some(snap.version))
+        else ManifestTable.readVersion(spark, dataDir, snap.version)
+      return new GraftPlanRelation(spark, planDf)
+    }
     val index = new ManifestFileIndex(spark, dataDir, snap)
     HadoopFsRelation(index, partitionSchema = StructType(Nil),
       dataSchema = index.dataSchema, bucketSpec = None,
       fileFormat = new ParquetFileFormat, options = parameters)(spark)
+  }
+}
+
+/** A relation backed by a DataFrame PLAN rather than a file listing —
+  * how the datasource serves table states a bare file relation cannot:
+  * DV-carrying versions (scan → broadcast tombstone anti-join) and
+  * column-mapped tables (scan → physical→logical projection). The read
+  * stays Spark-shaped end to end:
+  *
+  *  - `buildScan` applies the engine's column pruning and (translated)
+  *    pushed filters INSIDE the plan, so Catalyst drives them down into
+  *    the underlying vectorized parquet scan — pruning and footer
+  *    pushdown are not lost, they just travel through the plan;
+  *  - untranslatable filters are simply not applied inside (and every
+  *    filter is declared unhandled, so Spark re-evaluates all of them
+  *    above — pushdown here is an optimization, never a correctness
+  *    dependency);
+  *  - `needConversion = false` with `queryExecution.toRdd` hands Spark
+  *    the plan's InternalRows directly — the standard DSv1 bridge (no
+  *    per-row Row boxing).
+  *
+  * The cost vs HadoopFsRelation is the lost zone-map file skip — for
+  * DV/col-mapped states only, and X32/X106 materialization is the
+  * documented way back to the fast path.
+  */
+class GraftPlanRelation(spark: SparkSession, plan: org.apache.spark.sql.DataFrame)
+    extends BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.sources.Filter
+  import org.apache.spark.sql.{sources => sf}
+
+  override val sqlContext: SQLContext = spark.sqlContext
+  override def schema: StructType = plan.schema
+  override def needConversion: Boolean = false
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  private def translate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case sf.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sf.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sf.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sf.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sf.LessThan(a, v) => Some(col(a) < lit(v))
+    case sf.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sf.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sf.IsNull(a) => Some(col(a).isNull)
+    case sf.IsNotNull(a) => Some(col(a).isNotNull)
+    case sf.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sf.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sf.StringContains(a, v) => Some(col(a).contains(v))
+    case sf.And(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc && rc
+    case sf.Or(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc || rc
+    case sf.Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val pruned =
+      if (requiredColumns.isEmpty) plan // count(*): rows, no columns needed
+      else plan.select(requiredColumns.map(col).toIndexedSeq: _*)
+    val filtered = filters.flatMap(translate).foldLeft(pruned)(_ where _)
+    val projected = // rows MUST match the requiredColumns schema exactly
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered
+    projected.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
   }
 }
 
@@ -416,6 +489,33 @@ object GraftFormat {
           |) ORDER BY probe""".stripMargin)
     }),
 
+    // Round-6 VERDICT item 3: DV-carrying and column-mapped states served
+    // THROUGH the public format (plan-backed relation). Probes: the X64
+    // timeline's two delete versions read via versionAsOf (one with a
+    // pushed filter through the anti-probe), and the X110 renamed table's
+    // latest read under its LOGICAL column names — all through plain
+    // spark.read.format("graft"), zero graft imports.
+    "q_read_format_dv" -> ((s, d) => {
+      val dvDir = FixtureCache.dir("dv_fixture", d)(
+        graft.lake.DeleteVectors.buildTimeline(s, d, _))
+      val cmDir = graft.lake.ColumnMap.timelineFixture(s, d)
+      def agg(tag: String, df: DataFrame, valueCol: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col(valueCol)).as("sum_val"))
+          .select(lit(tag).as("probe"), col("n_rows"), col("sum_val"))
+      agg("dv_v2",
+        s.read.format("graft").option("versionAsOf", 2).load(dvDir),
+        "o_totalprice")
+        .unionByName(agg("dv_v3_even",
+          s.read.format("graft").option("versionAsOf", 3).load(dvDir)
+            .where(col("o_orderkey") % 2 === 0),
+          "o_totalprice"))
+        .unionByName(agg("colmap_latest",
+          s.read.format("graft").load(cmDir)
+            .where(col("amount").isNotNull), "amount"))
+        .orderBy("probe")
+    }),
+
     // X95/X99 through SQL (round-6 VERDICT item 10): named refs and
     // consistent catalog cuts with `USING graft OPTIONS` only. Probes:
     // both branches and the tag of the X95 fixture, plus both tables of
@@ -471,6 +571,22 @@ object GraftFormat {
         |  UNION ALL SELECT 3, 'delete', true
         |  UNION ALL SELECT 4, 'materialize', false
         |) ORDER BY version""".stripMargin,
+
+    "q_read_format_dv" ->
+      """SELECT * FROM (
+        |  SELECT 'colmap_latest' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |  FROM orders WHERE o_orderkey % 3 = 2
+        |  UNION ALL
+        |  SELECT 'dv_v2', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+        |  UNION ALL
+        |  SELECT 'dv_v3_even', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+        |    AND NOT (o_orderkey % 7 = 3) AND o_orderkey % 2 = 0
+        |) ORDER BY probe""".stripMargin,
 
     "q_sql_refs" ->
       """SELECT * FROM (

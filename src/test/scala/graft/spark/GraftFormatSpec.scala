@@ -68,15 +68,19 @@ class GraftFormatSpec extends SparkSpec {
       .where($"v" % 7 === 0)).metrics("numFiles").value == 8)
   }
 
-  test("versions carrying deletion vectors are refused loudly") {
+  test("versions carrying deletion vectors serve tombstone-subtracted rows") {
     val dir = Scratch.dir("gfmt_dv")
     ManifestTable.commit((0L until 50L).map(i => (i, i)).toDF("k", "v"),
       dir, 20250701, 900)
     DeleteVectors.deleteWhere(spark, dir, col("k") < 10, 20250701, 1000)
-    val e = intercept[IllegalArgumentException](
-      spark.read.format("graft").load(dir).count())
-    assert(e.getMessage.contains("deletion vectors"))
-    // time travel to the pre-delete version still reads fine
+    // plain format read = the tombstone-aware state, via the plan relation
+    val got = spark.read.format("graft").load(dir)
+    assert(got.count() == 40)
+    assert(got.select("k").collect().map(_.getLong(0)).forall(_ >= 10))
+    // pruning + pushed filters travel through the plan relation
+    assert(got.where($"k" >= 45).select("v").collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(45L, 46L, 47L, 48L, 49L)))
+    // time travel to the pre-delete version still reads the fast path
     assert(spark.read.format("graft").option("versionAsOf", 1)
       .load(dir).count() == 50)
   }
@@ -104,13 +108,21 @@ class GraftFormatSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dir).count() == 3)
   }
 
-  test("column-mapped tables refuse toward the mapping-aware reader") {
+  test("column-mapped tables serve logical names through the format") {
     val dir = Scratch.dir("gfmt_colmap")
     graft.lake.ColumnMap.create(Seq((1L, 10.0)).toDF("k", "price"), dir, 20250701, 900)
     graft.lake.ColumnMap.renameColumn(spark, dir, "price", "amount")
-    val e = intercept[IllegalArgumentException](
-      spark.read.format("graft").load(dir).count())
-    assert(e.getMessage.contains("column mapping"))
+    val got = spark.read.format("graft").load(dir)
+    // the RENAMED logical name, not the file's physical "price"
+    assert(got.columns.toSeq == Seq("k", "amount"))
+    assert(got.select("amount").head.getDouble(0) == 10.0)
+    // versionAsOf resolves the mapping of THAT version: pre-rename era
+    val v1 = spark.read.format("graft").option("versionAsOf", 1).load(dir)
+    assert(v1.columns.toSeq == Seq("k", "price"))
+    // SQL surface composes: a USING graft view over the mapped table
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gfmt_cm
+                 |USING graft OPTIONS (path '$dir')""".stripMargin)
+    assert(spark.sql("SELECT sum(amount) FROM gfmt_cm").head.getDouble(0) == 10.0)
   }
 
   test("string zone maps prune through the format (X78 composition)") {
