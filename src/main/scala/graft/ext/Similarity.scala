@@ -179,38 +179,23 @@ object Similarity {
         .orderBy("qid", "rank")
     }),
 
-    // IVF tier: k-means coarse quantizer; corpus partitioned into ivfK
-    // inverted lists, each query probes its ivfProbes nearest centroids
-    // and reranks candidates exactly. At 100 TB the corpus is WRITTEN
-    // partitioned by cluster id, so a probe reads ivfProbes/ivfK of the
-    // data — the classic IVF-flat layout. Non-oracle (recall < 1 by
-    // design); recall and candidate-efficiency pinned by SimilaritySpec.
+    // IVF tier: probes run against the COMMITTED index (round-6: the
+    // quantizer + inverted lists are a durable X99 catalog artifact, not
+    // per-JVM state — see IvfIndex). The fixture trains and commits the
+    // ~√n adaptive index once; the query is purely index-read + probe +
+    // exact rerank, surviving JVM restarts like any lake table. At 100 TB
+    // the lists table IS the cluster-partitioned corpus, so a probe
+    // reads ivfProbes/k of the data — the classic IVF-flat layout.
+    // Non-oracle (recall < 1 by design); recall and candidate-efficiency
+    // pinned by SimilaritySpec, index durability by IvfIndexSpec.
     "q_sim_ivf" -> ((s, d) => {
-      val e = embeddings(s, d).select("vec_id", "embedding")
-      // adaptive ~√n quantizer (built once per corpus per JVM); probes
-      // hold the probed fraction constant as the list count grows
-      val (cents, nProbes) = quantizerFor(s, d, e)
-      val corpus = assignClusters(e, cents)
-      // per query: top-nProbes centroids via sort of (-cos, idx) structs
-      // (interpreted sort_array over k elements × |queries| rows — off the
-      // corpus hot path)
-      val cos = array(cents.toIndexedSeq.map(c => VectorOps.cosine(col("embedding"), lit(c))): _*)
-      val probes = e.where(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          slice(sort_array(zip_with(cos,
-            sequence(lit(0), lit(cents.length - 1)),
-            (c, i) => struct((-c).as("negCos"), i.as("idx")))), 1, nProbes).as("top"))
-        .select(col("qid"), col("qe"), explode(col("top.idx")).as("probe"))
-      corpus.join(broadcast(probes),
-          col("cluster") === col("probe") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cand_id"),
-          round(VectorOps.cosine(col("embedding"), col("qe")), 6).as("cos6"))
-        .withColumn("rank",
-          row_number().over(
-            Window.partitionBy("qid").orderBy(col("cos6").desc, col("cand_id").asc))
-            .cast("long"))
-        .where(col("rank") <= k)
-        .orderBy("qid", "rank")
+      val root = graft.util.FixtureCache.dir("ivf_index", d) { root =>
+        IvfIndex.build(s, embeddings(s, d).select("vec_id", "embedding"),
+          root, 20250801, 900)
+      }
+      val q = embeddings(s, d).where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      IvfIndex.search(s, root, q, k)
     }),
 
     // LSH tier: same output shape, candidates restricted to multi-probe
