@@ -111,39 +111,65 @@ object Pipeline {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val accountRuns = payloads.map { case (account, payload) => Future {
-      Ingest.landRaw(payload, cfg.root, cfg.group, account, date)
-      val raw = Layout.rawFile(TableRef(cfg.root, Layout.rawLayer, cfg.group, account), date)
-      val contracted = Ingest.toContract(Ingest.normalize(spark, raw), contract)
-      // cache: the scored table feeds 2-3 sinks and the diff's current
-      // side; without it each action re-parses (and re-INFERS — multiLine
-      // JSON inference is a full extra file pass) the raw payload
-      val scored = Gender.withGender(spark, contracted)
-        .select(dataCols.map(col): _*)
-        .cache()
-      try {
-        Layout.overwriteSnapshot(scored, formattedRef(cfg, account), date, time)
-        Layout.overwriteSnapshot(scored, usageRef(cfg, account), date, time)
-
-        // same-DAY previous run only — the reference's discovery loop lists
-        // the current date's usage dir (`script_api_apify_to_spark.py:218-234`)
-        Layout.previousRunTime(spark, usageRef(cfg, account), date, time).foreach { pt =>
-          // current side = the rows just committed at (date, time) — the
-          // cached df, not a read-back (identical by the overwrite contract)
-          val prev = Layout.snapshotAt(spark, usageRef(cfg, account), date, pt)
-            .select(dataCols.map(col): _*)
-          val d = SnapshotDiff.diff(scored, prev, cfg.keys)
-          Layout.overwriteSnapshot(d, comparatifRef(cfg, account), date, time)
-        }
-
-        cfg.jdbc.foreach { j =>
-          appendRunIdempotent(scored, j, account, date, time)
-        }
-      } finally scored.unpersist()
+      runAccount(spark, cfg, date, time, account, payload)
     }}
     accountRuns.foreach(Await.result(_, Duration.Inf))
+    runAggregate(spark, cfg, date, time, payloads.map(_._1))
+  }
+
+  /** Stage 1 for ONE account — the body of the reference's mapped
+    * `run_single_script` task (`apify_dag.py:83-91`): land the verbatim
+    * payload, normalize to the contract, gender-enrich, commit the
+    * formatted + usage layers, diff against the same-day previous run,
+    * and append to JDBC. Idempotent (overwrite snapshots +
+    * delete-own-stamp JDBC), so a [[Scheduler]] retry re-running it after
+    * a mid-task crash converges to the no-failure state.
+    */
+  def runAccount(spark: SparkSession, cfg: Config, date: Int, time: Int,
+      account: String, payload: String): Unit = {
+    Ingest.landRaw(payload, cfg.root, cfg.group, account, date)
+    val raw = Layout.rawFile(TableRef(cfg.root, Layout.rawLayer, cfg.group, account), date)
+    val contracted = Ingest.toContract(Ingest.normalize(spark, raw), contract)
+    // cache: the scored table feeds 2-3 sinks and the diff's current
+    // side; without it each action re-parses (and re-INFERS — multiLine
+    // JSON inference is a full extra file pass) the raw payload
+    val scored = Gender.withGender(spark, contracted)
+      .select(dataCols.map(col): _*)
+      .cache()
+    try {
+      Layout.overwriteSnapshot(scored, formattedRef(cfg, account), date, time)
+      Layout.overwriteSnapshot(scored, usageRef(cfg, account), date, time)
+
+      // same-DAY previous run only — the reference's discovery loop lists
+      // the current date's usage dir (`script_api_apify_to_spark.py:218-234`)
+      Layout.previousRunTime(spark, usageRef(cfg, account), date, time).foreach { pt =>
+        // current side = the rows just committed at (date, time) — the
+        // cached df, not a read-back (identical by the overwrite contract)
+        val prev = Layout.snapshotAt(spark, usageRef(cfg, account), date, pt)
+          .select(dataCols.map(col): _*)
+        val d = SnapshotDiff.diff(scored, prev, cfg.keys)
+        Layout.overwriteSnapshot(d, comparatifRef(cfg, account), date, time)
+      }
+
+      cfg.jdbc.foreach { j =>
+        appendRunIdempotent(scored, j, account, date, time)
+      }
+    } finally scored.unpersist()
+  }
+
+  /** Stages 2–3 — the reference's `aggregate_results` + ES indexing tasks
+    * (`apify_dag.py:132-246,289-318`): union the day's snapshots across
+    * accounts, global diff, and fan out to JDBC/ES. Reads the lake (not
+    * payloads), so a retry after any partial stage-2 write converges.
+    */
+  def runAggregate(spark: SparkSession, cfg: Config, date: Int, time: Int,
+      accounts: Seq[String]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
 
     // ---- stage 2: cross-account aggregation over the DAY's snapshots
-    val agg = payloads.map { case (account, _) =>
+    val agg = accounts.map { account =>
       Layout.snapshots(spark, usageRef(cfg, account))
         .where(col(Layout.runDateCol) === date && col(Layout.runTimeCol) <= time)
         .select(dataCols.map(col): _*)
@@ -151,8 +177,8 @@ object Pipeline {
     }.reduce(_ unionByName _).cache() // feeds its write + global diff + sinks
     agg.count() // materialize once before the concurrent consumers below
 
-    val compParts = payloads.collect {
-      case (account, _) if exists(spark, comparatifRef(cfg, account)) =>
+    val compParts = accounts.collect {
+      case account if exists(spark, comparatifRef(cfg, account)) =>
         Layout.snapshots(spark, comparatifRef(cfg, account))
           .where(col(Layout.runDateCol) === date && col(Layout.runTimeCol) <= time)
           .select((dataCols :+ "change").map(col): _*)
