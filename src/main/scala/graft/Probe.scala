@@ -271,6 +271,15 @@ object Probe {
           .write.mode("overwrite")
           .parquet(util.Scratch.dir("live_bpe") + "/t")
       }
+      live("cluster_members") {
+        // q_dedup_apply's memoized input (round 6): near-dup pairs →
+        // connected components, both already timed operators of their own
+        val edges = SparkEntry.queries("q_dedup_ngram_jaccard")(s, d)
+          .select(col("ia").as("a"), col("ib").as("b"))
+        ext.Clusters.connectedComponents(s, edges)
+          .write.mode("overwrite")
+          .parquet(util.Scratch.dir("live_members") + "/t")
+      }
     }
     args.filter(SparkEntry.queries.contains).foreach { q =>
       if (args.contains("explain")) {

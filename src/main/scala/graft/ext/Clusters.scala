@@ -112,12 +112,20 @@ object Clusters {
     // shuffles. The oracle replays the whole chain — pairs, recursive
     // reachability, canonical choice, survivor aggregation.
     "q_dedup_apply" -> ((s, d) => {
-      val edgeDir = graft.util.FixtureCache.dir("cluster_edges", d) { dir =>
-        Dedup.queries("q_dedup_ngram_jaccard")(s, d)
-          .select(col("ia").as("a"), col("ib").as("b"))
-          .write.mode("overwrite").parquet(s"$dir/edges")
+      // the resolved components are this operator's INPUT — they are
+      // q_dedup_clusters' own timed output (X34); materialize them once
+      // per JVM per sfDir so this query times the APPLY (the anti-join
+      // collapse), not a re-run of the upstream resolution
+      val memberDir = graft.util.FixtureCache.dir("cluster_members", d) { dir =>
+        val edgeDir = graft.util.FixtureCache.dir("cluster_edges", d) { ed =>
+          Dedup.queries("q_dedup_ngram_jaccard")(s, d)
+            .select(col("ia").as("a"), col("ib").as("b"))
+            .write.mode("overwrite").parquet(s"$ed/edges")
+        }
+        connectedComponents(s, s.read.parquet(s"$edgeDir/edges"))
+          .write.mode("overwrite").parquet(s"$dir/members")
       }
-      val members = connectedComponents(s, s.read.parquet(s"$edgeDir/edges"))
+      val members = s.read.parquet(s"$memberDir/members")
       val dropped = members.where(col("node") =!= col("label"))
         .select(col("node").as("doc_id"))
       Tables.documents(s, d)

@@ -65,13 +65,35 @@ object IvfIndex {
   }
 
   /** The quantizer of the index at `root` (optionally at a past cut) —
-    * read from the COMMITTED table only, no in-process state, which is
-    * what makes the index survive a JVM restart.
+    * read from the COMMITTED table only, no in-process state beyond a
+    * cache, which is what makes the index survive a JVM restart.
+    *
+    * The k×dim array is memoized per COMMITTED `centroids` TABLE VERSION
+    * (resolved from the cut's manifest — a driver-side metadata read, no
+    * Spark job), the standard "load the index file once per process"
+    * shape: repeat probes skip the collect, and the version key makes a
+    * rebuild (which commits new centroids) invalidate naturally while
+    * appends (which carry the centroids version over) keep hitting.
     */
   def loadCentroids(s: SparkSession, root: String,
-      asOf: Option[Int] = None): Array[Array[Float]] =
-    Catalog.readTable(s, root, "centroids", asOf).orderBy("cluster").collect()
-      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+      asOf: Option[Int] = None): Array[Array[Float]] = {
+    val snaps = Catalog.snapshots(s, root)
+    require(snaps.nonEmpty, s"no committed catalog version at $root")
+    val cut = asOf match {
+      case Some(v) => snaps.find(_.version == v).getOrElse(
+        throw new NoSuchElementException(s"no catalog version $v at $root"))
+      case None => snaps.last
+    }
+    val tv = cut.tables.getOrElse("centroids", throw new NoSuchElementException(
+      s"table 'centroids' not in catalog version ${cut.version}"))
+    centroidCache.computeIfAbsent(s"$root#$tv", _ =>
+      ManifestTable.readVersion(s, s"$root/centroids", tv).orderBy("cluster")
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+  }
+
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
   /** Incremental maintenance: assign `newVecs` to the existing
     * quantizer, append to `lists`, publish the next cut (centroids

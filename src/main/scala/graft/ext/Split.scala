@@ -55,13 +55,21 @@ object Split {
     * window anywhere. Writers then range-partition by the ordinal to lay
     * training shards out in shuffled order.
     */
-  def shuffleOrdinal(df: DataFrame, idCol: String, parts: Int = 8): DataFrame = {
+  def shuffleOrdinal(df: DataFrame, idCol: String, parts: Int = 8): DataFrame =
+    shuffleOrdinalWithCount(df, idCol, parts)._1
+
+  /** [[shuffleOrdinal]] plus the total row count (free from the dense-id
+    * machinery's per-bucket counts — no second scan for callers needing
+    * `n`, e.g. decile math over the ordinal).
+    */
+  def shuffleOrdinalWithCount(df: DataFrame, idCol: String,
+      parts: Int = 8): (DataFrame, Long) = {
     val stride = df.agg(max(col(idCol))).head.getAs[Number](0).longValue() + 1
     val h40 = conv(substring(md5(col(idCol).cast("string")), 1, 10), 16, 10)
       .cast("long")
-    graft.ops.DenseId.assign(
+    val (out, n) = graft.ops.DenseId.assignWithCount(
       df.withColumn("__sk", h40 * stride + col(idCol)), "__sk", parts)
-      .withColumnRenamed("rid", "shuffle_idx").drop("__sk")
+    (out.withColumnRenamed("rid", "shuffle_idx").drop("__sk"), n)
   }
 
   val queries: Map[String, Q] = Map(
@@ -71,8 +79,8 @@ object Split {
     // distributed rank relabels a decile and breaks its checksum.
     "q_corpus_shuffle" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id")
-      val n = docs.count()
-      shuffleOrdinal(docs, "doc_id")
+      val (shuffled, n) = shuffleOrdinalWithCount(docs, "doc_id")
+      shuffled
         .withColumn("decile", least(lit(9L),
           floor((col("shuffle_idx") - 1) * 10 / n).cast("long")))
         .groupBy("decile")

@@ -20,6 +20,10 @@ import javax.imageio.ImageIO
   */
 object Jpeg {
 
+  // same rationale as [[Png]]: byte-array IO must not pay ImageIO's
+  // default temp-FILE-per-read stream cache
+  ImageIO.setUseCache(false)
+
   case class JpegInfo(width: Int, height: Int)
 
   /** Same closed-form pattern family as the other codecs; dims are

@@ -22,6 +22,12 @@ import javax.imageio.ImageIO
   */
 object Png {
 
+  // ImageIO defaults to a DISK-backed ImageInputStream (a temp file
+  // created and deleted per ImageIO.read call) — ~0.5 ms of filesystem
+  // churn per image that dwarfs the actual inflate of these payloads.
+  // Memory caching is the right mode for byte-array inputs everywhere.
+  ImageIO.setUseCache(false)
+
   case class PngInfo(width: Int, height: Int)
 
   /** Deterministic, SQL-expressible fixture pixel (RGB channel order). */

@@ -29,7 +29,14 @@ import graft.sources.Tables
   */
 object DenseId {
 
-  def assign(df: DataFrame, orderCol: String, parts: Int): DataFrame = {
+  def assign(df: DataFrame, orderCol: String, parts: Int): DataFrame =
+    assignWithCount(df, orderCol, parts)._1
+
+  /** [[assign]] plus the total row count — free from the per-bucket
+    * counts pass, so callers needing `n` (percent_rank denominators,
+    * NTILE arithmetic) don't pay a second full scan for it.
+    */
+  def assignWithCount(df: DataFrame, orderCol: String, parts: Int): (DataFrame, Long) = {
     require(parts > 0)
     // deterministic split points: a quantile sketch of the key (values
     // land verbatim from the data, so bucket predicates compare exactly)
@@ -50,10 +57,11 @@ object DenseId {
     val offsetsDf = offsets.zipWithIndex
       .map { case (off, pid) => (pid, off) }.toDF("__pid", "__offset")
     val w = Window.partitionBy("__pid").orderBy(orderCol) // bucket-local
-    withPid
+    val out = withPid
       .join(broadcast(offsetsDf), Seq("__pid"))
       .withColumn("rid", col("__offset") + row_number().over(w))
       .drop("__pid", "__offset")
+    (out, counts.values.sum)
   }
 
   /** Equi-depth bucketing (global NTILE without its single-partition
@@ -62,8 +70,7 @@ object DenseId {
     * arithmetic, so the whole histogram still runs bucket-parallel.
     */
   def equiDepth(df: DataFrame, orderCol: String, k: Int, parts: Int): DataFrame = {
-    val withId = assign(df, orderCol, parts)
-    val n = df.count()
+    val (withId, n) = assignWithCount(df, orderCol, parts)
     val q = n / k
     val rem = n % k
     withId.withColumn("bucket",
@@ -132,8 +139,8 @@ object DenseId {
     // avoids.
     "q_percent_rank" -> ((s, d) => {
       val c = keyedCustomer(s, d)
-      val n = c.count()
-      assign(c, "sort_key", 8)
+      val (withId, n) = assignWithCount(c, "sort_key", 8)
+      withId
         .select(col("c_custkey"),
           ((col("rid") - 1).cast("double") / lit((n - 1).toDouble)).as("pr"),
           (col("rid").cast("double") / lit(n.toDouble)).as("cd"))
