@@ -21,6 +21,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // single-JVM local mode: listing a few hundred partition dirs on
+      // the driver beats spinning a whole Spark job per partitioned scan
+      // (the default threshold of 32 paths is tuned for object stores)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "2048")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -61,7 +61,12 @@ object HiddenPartition {
     */
   def write(df: DataFrame, dir: String, transforms: Seq[Transform]): Unit = {
     val out = transforms.foldLeft(df)((d, t) => d.withColumn(t.pcol, t(col(t.col))))
-    out.write.mode("overwrite").partitionBy(transforms.map(_.pcol): _*)
+    // cluster rows by partition value before the partitioned write:
+    // without it every input task writes a sliver into every partition
+    // dir (tasks × partitions small files — the classic small-files
+    // problem; at 100 TB it also floods the namenode/listing path)
+    out.repartition(transforms.map(t => col(t.pcol)): _*)
+      .write.mode("overwrite").partitionBy(transforms.map(_.pcol): _*)
       .parquet(s"$dir/data")
     val fs = ManifestTable.fsFor(df.sparkSession, dir)
     val body = transforms.map(t =>
@@ -161,7 +166,8 @@ object HiddenPartition {
       if (gens.nonEmpty && gens.last == transforms) (gens.size - 1, gens)
       else (gens.size, gens :+ transforms)
     val out = transforms.foldLeft(df)((d, t) => d.withColumn(t.pcol, t(col(t.col))))
-    out.write.mode("append").partitionBy(transforms.map(_.pcol): _*)
+    out.repartition(transforms.map(t => col(t.pcol)): _*) // see write()
+      .write.mode("append").partitionBy(transforms.map(_.pcol): _*)
       .parquet(s"$dir/g$gid/data")
     val fs = ManifestTable.fsFor(spark, dir)
     val body = newGens.zipWithIndex.map { case (ts, i) =>
