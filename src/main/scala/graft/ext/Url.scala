@@ -60,6 +60,43 @@ object Url {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The canonical HOST of a url: lowercased authority, port stripped —
+    * derived from [[UrlCanon.url_canon]] so host extraction and dedup
+    * keying can never disagree about what the authority is.
+    */
+  def hostOf(url: Column): Column =
+    regexp_extract(UrlCanon.url_canon(url), "://([^/:?]+)", 1)
+
+  /** A host's domain-suffix chain: `a.b.example.com` →
+    * `[a.b.example.com, b.example.com, example.com, com]` — bounded by
+    * the label count (~5), computed per-row with array HOFs inside the
+    * codegen'd stage.
+    */
+  def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels)), "."))
+  }
+
+  /** X151: URL blocklist filtering with registrable-domain semantics —
+    * blocking `example.com` blocks `ads.example.com` too (the C4/
+    * RefinedWeb hygiene step: porn/malware/boilerplate domain lists run
+    * BEFORE any text processing). The suffix match is re-expressed as an
+    * EQUI-join: each host explodes into its ≤~5 domain suffixes, which
+    * probe the blocklist — broadcast here; at a multi-million-domain
+    * blocklist the same plan shuffle-joins on the suffix, either way no
+    * LIKE scan and the corpus never moves twice. Returns the rows of
+    * `df` whose `urlCol` host matches NO blocked domain.
+    */
+  def filterBlocked(df: DataFrame, urlCol: String, keyCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val blockedKeys = df
+      .select(col(keyCol), explode(hostSuffixes(hostOf(col(urlCol)))).as("domain"))
+      .join(broadcast(blocklist.select("domain")), Seq("domain"), "left_semi")
+      .select(keyCol).distinct()
+    df.join(broadcast(blockedKeys), Seq(keyCol), "left_anti")
+  }
+
   val queries: Map[String, Q] = Map(
     // X146: canonicalize → dedup by canonical key. Per source: how many
     // raw spellings, how many true pages, and the lexicographically
@@ -73,6 +110,39 @@ object Url {
           countDistinct(col("url")).as("n_raw"),
           countDistinct(col("canon_url")).as("n_canon"),
           min(col("canon_url")).as("first_canon"))
+        .orderBy("source")
+    }),
+
+    // X151: blocklist filter with registrable-domain semantics. The
+    // fixture plants subdomain tiers (`ads.`, `cdn.tracker.`) and raw
+    // case-mangling so BOTH the canonical host extraction and the
+    // suffix-chain match are load-bearing: `site0.org` must catch its
+    // subdomains, `tracker.site1.org` must catch only the cdn.tracker
+    // tier of site1, and case-mangled spellings must still match. The
+    // oracle decides each doc with the literal SQL suffix predicate
+    // (h = d OR h LIKE '%.'||d) over the same VALUES blocklist.
+    "q_url_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val site = concat(lit("site"), (col("doc_id") % 7).cast("string"), lit(".org"))
+      val sub = when(col("doc_id") % 4 === 0, lit("ads."))
+        .when(col("doc_id") % 4 === 1, lit("cdn.tracker."))
+        .otherwise(lit(""))
+      val hostRaw = when(col("doc_id") % 3 === 0, upper(concat(sub, site)))
+        .otherwise(concat(sub, site))
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+        .withColumn("url",
+          concat(lit("HTTP://"), hostRaw, lit("/p/"), col("doc_id").cast("string")))
+      val blocklist = Seq("site0.org", "tracker.site1.org", "site4.org")
+        .toDF("domain")
+      val kept = filterBlocked(docs, "url", "doc_id", blocklist)
+      val tot = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val k = kept.groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").cast("long").as("sum_kept_ids"))
+      tot.join(k, Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_blocked"),
+          coalesce(col("sum_kept_ids"), lit(0L)).as("sum_kept_ids"))
         .orderBy("source")
     }),
   )
@@ -114,5 +184,24 @@ object Url {
         |       count(DISTINCT canon_url) AS n_canon,
         |       min(canon_url) AS first_canon
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_url_blocklist" ->
+      """WITH b(domain) AS (VALUES ('site0.org'), ('tracker.site1.org'), ('site4.org')),
+        |t AS (
+        |  SELECT doc_id, source,
+        |         (CASE WHEN doc_id%4=0 THEN 'ads.'
+        |               WHEN doc_id%4=1 THEN 'cdn.tracker.' ELSE '' END
+        |          || 'site' || CAST(doc_id%7 AS VARCHAR) || '.org') AS h
+        |  FROM documents),
+        |dec AS (
+        |  SELECT doc_id, source,
+        |         EXISTS (SELECT 1 FROM b
+        |                 WHERE t.h = b.domain OR t.h LIKE '%.' || b.domain) AS blocked
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(count(*) FILTER (WHERE NOT blocked) AS BIGINT) AS n_kept,
+        |       CAST(count(*) FILTER (WHERE blocked) AS BIGINT) AS n_blocked,
+        |       CAST(COALESCE(sum(doc_id) FILTER (WHERE NOT blocked), 0) AS BIGINT) AS sum_kept_ids
+        |FROM dec GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, ByteArrayOutputStream, InputStream}
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, InputStream}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.Partitioner
@@ -163,7 +163,94 @@ object Warc {
       }
     }
 
+  /** X150: the production CommonCrawl layout — the SAME records, each
+    * compressed as ONE GZIP MEMBER, members concatenated into
+    * `part-N.warc.gz`, plus the cdx-style sidecar index
+    * `(compressed offset, compressed length, id)` per record. Per-member
+    * framing is what makes the non-splittable gzip stream RANDOM-
+    * ACCESSIBLE: seek to a cdx offset, read `comp_len` bytes, gunzip
+    * that one member, parse exactly that record — how CC index lookups
+    * fetch single pages out of ~1 GB archives without streaming them.
+    * Sequential readers just stack `GZIPInputStream` (which follows
+    * concatenated members natively) under the X147 parser, so the
+    * DECOMPRESSED stream — and every record offset in it — is
+    * byte-identical to the uncompressed tier and shares its oracle.
+    */
+  def fixtureGz(s: SparkSession, d: String): String =
+    FixtureCache.dir("warc_gz_files", d) { dir =>
+      val fsf = GraftShim.fsFactory(s)
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .rdd.map(r => (r.getLong(0) % nFiles, (r.getLong(0), r.getString(1))))
+        .partitionBy(new Partitioner {
+          override def numPartitions: Int = nFiles
+          override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+        })
+        .foreachPartition { it =>
+          val recs = it.map(_._2).toArray.sortBy(_._1)
+          if (recs.nonEmpty) {
+            val idx = recs.head._1 % nFiles
+            val fs = fsf(dir)
+            val out = fs.create(new Path(dir, f"part-$idx%04d.warc.gz"), true)
+            val cdx = new StringBuilder
+            var compPos = 0L
+            try recs.foreach { case (id, text) =>
+              val payload = text.getBytes("UTF-8")
+              val bos = new ByteArrayOutputStream(payload.length + 256)
+              val gz = new java.util.zip.GZIPOutputStream(bos)
+              gz.write(headerFor(id, payload.length).getBytes("UTF-8"))
+              gz.write(payload)
+              gz.write((CRLF + CRLF).getBytes("UTF-8"))
+              gz.close()
+              val member = bos.toByteArray
+              out.write(member)
+              cdx.append(s"$compPos,${member.length},$id\n")
+              compPos += member.length
+            } finally out.close()
+            val cx = fs.create(new Path(dir, f"part-$idx%04d.cdx"), true)
+            try cx.write(cdx.toString.getBytes("UTF-8")) finally cx.close()
+          }
+        }
+    }
+
+  /** Distributed read of the gzip tier: one task per `.warc.gz` file,
+    * `GZIPInputStream` under the same streaming parser (it follows
+    * concatenated members natively), constant memory. Offsets are
+    * DECOMPRESSED-stream positions — identical to the uncompressed tier.
+    */
+  def readGz(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(dir)).toSeq
+      .map(_.getPath.toString).filter(_.endsWith(".warc.gz")).sorted
+    require(files.nonEmpty, s"warc: no .warc.gz files under $dir")
+    val fsf = GraftShim.fsFactory(s)
+    s.sparkContext.parallelize(files, files.size).flatMap { f =>
+      val idx = f.split('/').last match {
+        case PartGzRe(n) => n.toLong
+        case _ => -1L
+      }
+      parse(new java.util.zip.GZIPInputStream(
+        fsf(f).open(new Path(f)), 1 << 16), idx)
+    }.toDF()
+  }
+
+  /** Random access via a cdx entry: seek, read the member's compressed
+    * bytes, gunzip, parse — exactly one record, nothing else touched.
+    */
+  def readMember(fs: org.apache.hadoop.fs.FileSystem, file: String,
+      compOffset: Long, compLen: Int): WarcRec = {
+    val in = fs.open(new Path(file))
+    val buf = new Array[Byte](compLen)
+    try { in.seek(compOffset); in.readFully(buf) } finally in.close()
+    val recs = parse(new java.util.zip.GZIPInputStream(
+      new ByteArrayInputStream(buf)), -1L).toSeq
+    require(recs.size == 1,
+      s"warc: cdx entry ($compOffset, $compLen) framed ${recs.size} records")
+    recs.head
+  }
+
   private val PartRe = """part-(\d+)\.warc""".r
+  private val PartGzRe = """part-(\d+)\.warc\.gz""".r
 
   /** Distributed read: list `*.warc` under `dir` (driver-side, one
     * metadata listing), one task per file, streaming parse per task.
@@ -198,10 +285,20 @@ object Warc {
           col("content_length"), md5(col("payload")).as("payload_md5"))
         .orderBy("file_idx", "rec_offset")
     }),
+    // X150: the gzip-member tier must serve the byte-identical record
+    // stream — same fields, same DECOMPRESSED offsets, same digests — so
+    // it shares X147's oracle verbatim: compression is transparent to
+    // every downstream consumer, which is the entire contract.
+    "q_warc_gz" -> ((s, d) => {
+      val dir = fixtureGz(s, d)
+      readGz(s, dir)
+        .select(col("file_idx"), col("rec_offset"), col("target_uri"),
+          col("content_length"), md5(col("payload")).as("payload_md5"))
+        .orderBy("file_idx", "rec_offset")
+    }),
   )
 
-  val oracles: Map[String, String] = Map(
-    "q_warc_ingest" ->
+  private val recordStreamSql =
       """WITH t AS (
         |  SELECT doc_id, doc_id % 4 AS file_idx, text,
         |         strlen(text) AS content_length,
@@ -223,6 +320,12 @@ object Warc {
         |       'http://example.com/doc/' || doc_id AS target_uri,
         |       content_length,
         |       md5(text) AS payload_md5
-        |FROM u ORDER BY file_idx, rec_offset""".stripMargin,
+        |FROM u ORDER BY file_idx, rec_offset""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // the gzip tier serves the byte-identical stream, so both tiers pin
+    // against the SAME record-stream oracle
+    "q_warc_ingest" -> recordStreamSql,
+    "q_warc_gz" -> recordStreamSql,
   )
 }

@@ -71,4 +71,27 @@ class UrlSpec extends SparkSpec {
       out.map(_.getAs[Long]("n_raw")).sum,
       "fixture must actually exercise collapsing")
   }
+
+  test("blocklist: registrable-domain semantics — subdomains blocked, lookalikes kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "http://site.org/a"),            // exact match → blocked
+      (2L, "http://ads.site.org/b"),        // subdomain → blocked
+      (3L, "HTTPS://A.B.SiTe.ORG:443/c"),   // deep subdomain + case/port mess → blocked
+      (4L, "http://xsite.org/d"),           // lookalike suffix STRING, not a subdomain → kept
+      (5L, "http://site.org.evil.com/e"),   // blocked domain as a NON-suffix label → kept
+      (6L, "http://other.net/f")            // unrelated → kept
+    ).toDF("doc_id", "url")
+    val bl = Seq("site.org").toDF("domain")
+    val kept = Url.filterBlocked(docs, "url", "doc_id", bl)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(4L, 5L, 6L))
+  }
+
+  test("blocklist: suffix chain is exact label decomposition") {
+    import spark.implicits._
+    val out = Seq("a.b.example.com").toDF("h")
+      .select(Url.hostSuffixes(col("h"))).head.getSeq[String](0)
+    assert(out == Seq("a.b.example.com", "b.example.com", "example.com", "com"))
+  }
 }

@@ -78,4 +78,40 @@ class WarcSpec extends SparkSpec {
     assert(nonMono.count() == 0)
     got.unpersist()
   }
+
+  test("gz tier: sequential read equals the uncompressed stream byte-for-byte") {
+    val plain = Warc.read(spark, Warc.fixture(spark, sf))
+      .selectExpr("file_idx", "rec_offset", "record_id", "md5(payload) AS m")
+      .collect().map(_.toString).sorted.toSeq
+    val gz = Warc.readGz(spark, Warc.fixtureGz(spark, sf))
+      .selectExpr("file_idx", "rec_offset", "record_id", "md5(payload) AS m")
+      .collect().map(_.toString).sorted.toSeq
+    assert(gz == plain) // compression is invisible, offsets included
+  }
+
+  test("gz tier: every cdx entry random-accesses exactly its record") {
+    import org.apache.hadoop.fs.Path
+    val dir = Warc.fixtureGz(spark, sf)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cdxFiles = fs.listStatus(new Path(dir)).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".cdx"))
+    assert(cdxFiles.nonEmpty)
+    var checked = 0
+    cdxFiles.foreach { cdx =>
+      val warcFile = cdx.toString.stripSuffix(".cdx") + ".warc.gz"
+      val in = fs.open(cdx)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toArray finally in.close()
+      lines.foreach { line =>
+        val Array(off, len, id) = line.split(',')
+        val rec = Warc.readMember(fs, warcFile, off.toLong, len.toInt)
+        // the seek hit exactly the right member: the id embedded in the
+        // record's own headers matches the cdx row's
+        assert(rec.target_uri == s"http://example.com/doc/$id")
+        assert(rec.content_length == rec.payload.length.toLong)
+        checked += 1
+      }
+    }
+    assert(checked == Tables.documents(spark, sf).count())
+  }
 }
