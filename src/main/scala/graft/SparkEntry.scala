@@ -49,7 +49,8 @@ object SparkEntry {
       _root_.graft.spark.GraftFormat.queries ++ _root_.graft.spark.GraftStream.queries ++
       _root_.graft.spark.GraftSink.queries ++ lake.Restore.queries ++
       lake.CopyInto.queries ++ lake.Identity.queries ++ sinks.Jdbc.queries ++
-      ext.Url.queries ++ sources.Warc.queries ++ ext.DedupIncr.queries
+      ext.Url.queries ++ sources.Warc.queries ++ ext.DedupIncr.queries ++
+      ext.Html.queries
       // (q_commit_guard rides lake.Expectations.queries, already included)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,5 +88,6 @@ object SparkEntry {
       _root_.graft.spark.GraftFormat.oracles ++ _root_.graft.spark.GraftStream.oracles ++
       _root_.graft.spark.GraftSink.oracles ++ lake.Restore.oracles ++
       lake.CopyInto.oracles ++ lake.Identity.oracles ++ sinks.Jdbc.oracles ++
-      ext.Url.oracles ++ sources.Warc.oracles ++ ext.DedupIncr.oracles
+      ext.Url.oracles ++ sources.Warc.oracles ++ ext.DedupIncr.oracles ++
+      ext.Html.oracles
 }
