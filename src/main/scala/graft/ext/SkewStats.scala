@@ -22,14 +22,22 @@ import graft.sources.Tables
 object SkewStats {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Top `k` keys of `df` by frequency with their share of all rows. */
+  /** Top `k` keys of `df` by frequency with their share of all rows.
+    *
+    * Scale shape: the distinct-key set can be huge (every user/url in
+    * the corpus), so nothing global runs over it — `total` is a scalar
+    * aggregate broadcast back in, and the top-k is `orderBy…limit`
+    * (TakeOrderedAndProject: per-partition k-heads merged on the
+    * driver, k rows moved). The ranking window's input is the k
+    * survivors, bounded by the ASK, not by key cardinality.
+    */
   def topSkewedKeys(df: DataFrame, key: String, k: Int): DataFrame = {
     val counts = df.groupBy(key).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
     val w = Window.partitionBy().orderBy(col("cnt").desc, col(key))
-    counts
-      .withColumn("total", sum("cnt").over(Window.partitionBy()))
+    counts.orderBy(col("cnt").desc, col(key)).limit(k)
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .crossJoin(broadcast(total))
       .select(col(key), col("rank"), col("cnt"),
         (col("cnt").cast("double") / col("total").cast("double")).as("frac"))
   }

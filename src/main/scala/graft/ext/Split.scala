@@ -65,10 +65,22 @@ object Split {
   def shuffleOrdinalWithCount(df: DataFrame, idCol: String,
       parts: Int = 8): (DataFrame, Long) = {
     val stride = df.agg(max(col(idCol))).head.getAs[Number](0).longValue() + 1
+    // `hash · stride + id` must fit a signed long for ANY id domain (ids
+    // are often sparse — snowflake-style or hash-derived, max ≫ count —
+    // so stride can be ~2^40 at corpus scale): keep only the TOP
+    // `62 - bits(stride)` hash bits, capped at 40. Truncation is a
+    // monotone map, so the hash-major order is preserved; coarsened ties
+    // fall to the `+ id` term, which keeps the key unique (id < stride)
+    // and the epoch deterministic. At fixture scale stride is small,
+    // hbits stays 40 and the order is bit-identical to the 40-bit form.
+    val strideBits = 64 - java.lang.Long.numberOfLeadingZeros(stride)
+    val hbits = math.min(40, 62 - strideBits)
+    require(hbits >= 8, s"id domain too wide for a shuffled sort key: max=$stride")
     val h40 = conv(substring(md5(col(idCol).cast("string")), 1, 10), 16, 10)
       .cast("long")
+    val h = shiftright(h40, 40 - hbits)
     val (out, n) = graft.ops.DenseId.assignWithCount(
-      df.withColumn("__sk", h40 * stride + col(idCol)), "__sk", parts)
+      df.withColumn("__sk", h * stride + col(idCol)), "__sk", parts)
     (out.withColumnRenamed("rid", "shuffle_idx").drop("__sk"), n)
   }
 
