@@ -256,7 +256,16 @@ object HiddenPartition {
         .select("event_id", "ts", "user_id", "event_type", "value")
       write(ev, s"$dir/bytime", Seq(Transform("ts", "day")))
       write(ev, s"$dir/byuser", Seq(Transform("user_id", "bucket", 8)))
-      write(ev, s"$dir/byid", Seq(Transform("event_id", "truncate", 500)))
+      // truncate width scales with the id domain to keep ~200 directories
+      // at any corpus size: a FIXED width is the over-granular-spec trap
+      // (10M ids / 500 = 20k near-empty dirs at 100× — the small-files
+      // failure X103 partition evolution exists to repair); a sane spec
+      // bounds partition count, not partition width. Floors at 500 so the
+      // test-scale layout (and its pruning pins) is unchanged.
+      val maxId = ev.agg(org.apache.spark.sql.functions.max("event_id"))
+        .head.getLong(0)
+      val width = math.max(500L, maxId / 200).toInt
+      write(ev, s"$dir/byid", Seq(Transform("event_id", "truncate", width)))
     }
 
   val oracles: Map[String, String] = Map(
