@@ -173,6 +173,48 @@ object Dedup {
         x => x.getField("span")), " ").as("kept_text"))
   }
 
+  /** X153: per-SOURCE boilerplate removal — the RefinedWeb/Dolma rule
+    * X104's corpus-global span count cannot express: a navigation bar,
+    * footer, or cookie banner repeats on most pages OF ONE SITE but is
+    * globally rare, while a popular quote repeats across MANY sites
+    * without being boilerplate anywhere. A span is boilerplate for
+    * source s iff it appears in ≥ `minDocs` of s's documents AND in
+    * ≥ `minPermille`/1000 of them — the doc-FRACTION test makes small
+    * and large sites comparable; it's removed from s's documents only.
+    *
+    * Scale shape: spans explode once (linear); the distinct-docs-per-
+    * (source,span) count is a two-level hash agg (both levels map-side
+    * combinable, one shuffle on (source,span)); the per-source doc
+    * count is a tiny combinable agg; the hot set is OUTPUT-sized (true
+    * boilerplate spans only) so the removal anti-join broadcasts — at a
+    * multi-billion-host crawl it degrades to a shuffle equi-join on
+    * (source,span), never anything quadratic. Reassembly is the same
+    * one doc_id shuffle as X104.
+    */
+  def sourceBoilerplate(corpus: DataFrame, spanWords: Int, minPermille: Int,
+      minDocs: Int): DataFrame = {
+    val spans = corpus
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), posexplode(transform(
+        sequence(lit(0),
+          ((size(col("w")) + lit(spanWords - 1)) / lit(spanWords)).cast("int") - 1),
+        i => array_join(slice(col("w"), i * spanWords + 1, lit(spanWords)), " "))))
+      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "span")
+    val docsPerSource = corpus.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val hot = spans.select("source", "span", "doc_id").distinct()
+      .groupBy("source", "span").agg(count(lit(1)).as("n_span_docs"))
+      .join(docsPerSource, Seq("source"))
+      .where(col("n_span_docs") >= lit(minDocs) &&
+        col("n_span_docs") * 1000 >= col("n_docs") * lit(minPermille))
+      .select("source", "span")
+    spans.join(broadcast(hot), Seq("source", "span"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ci"), col("span")))),
+        x => x.getField("span")), " ").as("kept_text"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup on a content fingerprint. Corpus = documents ∪ a
     // whitespace/case-perturbed copy of every 10th doc; normalization
@@ -254,6 +296,26 @@ object Dedup {
         when(col("doc_id") % 7 === 0, concat(lit(bp + " "), col("text")))
           .otherwise(col("text")).as("text"))
       spanDedup(corpus, spanWords = 10, minRepeats = 3).orderBy("doc_id")
+    }),
+
+    // X153: per-source boilerplate at 25% doc-fraction, min 3 docs.
+    // Fixture plants TWO 10-word lines (span-aligned, like X104):
+    //  - a source-specific nav line on every 3rd doc (~33% of each
+    //    source's docs → boilerplate there, REMOVED);
+    //  - a global promo line on every 7th-doc offset (~14% of each
+    //    source's docs → under the fraction everywhere, KEPT — the case
+    //    the per-source fraction exists for: X104's global count≥3
+    //    would have eaten it).
+    "q_source_boilerplate" -> ((s, d) => {
+      val nav = concat(col("source"),
+        lit(" home about contact login search help terms privacy careers "))
+      val promo = "subscribe to our newsletter for updates deals news and offers "
+      val corpus = documents(s, d).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 3 === 0, concat(nav, col("text")))
+          .when(col("doc_id") % 7 === 2, concat(lit(promo), col("text")))
+          .otherwise(col("text")).as("text"))
+      sourceBoilerplate(corpus, spanWords = 10, minPermille = 250, minDocs = 3)
+        .orderBy("doc_id")
     }),
 
     // n-gram Jaccard near-dup at threshold 0.8, with PREFIX FILTERING
@@ -542,6 +604,31 @@ object Dedup {
         |hot AS (SELECT span FROM spans GROUP BY span HAVING count(*) >= 3)
         |SELECT doc_id, string_agg(span, ' ' ORDER BY ci) AS kept_text
         |FROM spans WHERE span NOT IN (SELECT span FROM hot)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_source_boilerplate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN source || ' home about contact login search help terms privacy careers ' || text
+        |              WHEN doc_id % 7 = 2
+        |              THEN 'subscribe to our newsletter for updates deals news and offers ' || text
+        |              ELSE text END AS text
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, source, ci, array_to_string(w[ci*10+1 : ci*10+10], ' ') AS span
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM corpus),
+        |       LATERAL (SELECT unnest(range(0, CAST(ceil(len(w)/10.0) AS INT))) AS ci) t),
+        |nsrc AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM corpus GROUP BY source),
+        |hot AS (
+        |  SELECT c.source, c.span
+        |  FROM (SELECT source, span, count(DISTINCT doc_id) AS nd
+        |        FROM spans GROUP BY source, span) c
+        |  JOIN nsrc USING (source)
+        |  WHERE nd >= 3 AND nd * 1000 >= n_docs * 250)
+        |SELECT doc_id, string_agg(span, ' ' ORDER BY ci) AS kept_text
+        |FROM spans s
+        |WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.source = s.source AND h.span = s.span)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s

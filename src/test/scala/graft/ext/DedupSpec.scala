@@ -160,4 +160,32 @@ class DedupSpec extends SparkSpec {
       loose.forall { case (i, t) =>
         t == docs.where(col("doc_id") === i).head().getString(1) })
   }
+
+  test("X153 per-source boilerplate: fraction is per-site; globally popular spans survive") {
+    import spark.implicits._
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val nav = "home about contact login"  // 4-word spans
+    val promo = "buy our great stuff"
+    // site A: 4 docs, nav on 3 of them (75% ≥ 50% AND ≥3 docs → boilerplate)
+    // site B: 4 docs, promo on 2 (50% but only 2 docs < minDocs → kept)
+    //         nav on 1 (25% → kept: A's boilerplate must not leak into B)
+    val docs = Seq(
+      (1L, "A", s"$nav ${uniq("a", 4)}"),
+      (2L, "A", s"$nav ${uniq("b", 4)}"),
+      (3L, "A", s"$nav ${uniq("c", 4)}"),
+      (4L, "A", uniq("d", 4)),
+      (5L, "B", s"$promo ${uniq("e", 4)}"),
+      (6L, "B", s"$promo ${uniq("f", 4)}"),
+      (7L, "B", s"$nav ${uniq("g", 4)}"),
+      (8L, "B", uniq("h", 4))
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceBoilerplate(docs, spanWords = 4,
+        minPermille = 500, minDocs = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, uniq("a", 4)), (2L, uniq("b", 4)), (3L, uniq("c", 4)),
+      (4L, uniq("d", 4)),
+      (5L, s"$promo ${uniq("e", 4)}"), (6L, s"$promo ${uniq("f", 4)}"),
+      (7L, s"$nav ${uniq("g", 4)}"), (8L, uniq("h", 4))), s"got $got")
+  }
 }
