@@ -215,6 +215,59 @@ object Dedup {
         x => x.getField("span")), " ").as("kept_text"))
   }
 
+  /** X154: exact substring-match detection — every VERBATIM token run of
+    * length ≥ `minTokens` shared between two documents, with its length.
+    * The rule of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (2021): train-set text repeated verbatim ≥ 50 tokens
+    * is near-always boilerplate/mirroring, and set-based near-dup tiers
+    * (E2/X141) miss it when the surrounding documents differ. Their
+    * suffix array is a single-machine structure; the Spark shape is
+    * sliding `minTokens`-token windows (stride 1 — linear in corpus
+    * tokens) equi-joined across docs, then runs reassembled by
+    * DIAGONAL: matching windows of one shared run all satisfy
+    * `pos_a − pos_b = const`, so grouping matches by (pair, diagonal)
+    * and counting consecutive-`pos_a` islands recovers each maximal run
+    * and its exact token length — windows n consecutive ⇒ run of
+    * n + minTokens − 1 tokens.
+    *
+    * Scale notes: the join here carries the window STRING (exactness —
+    * this tier is oracled); at corpus scale you join on a 128-bit window
+    * fingerprint instead (16 bytes vs ~100, same plan shape) and the
+    * diagonal/island arithmetic is unchanged. Matches are
+    * output-proportional: a window shared by k docs yields C(k,2) pairs,
+    * which IS the answer being reported (ultra-hot boilerplate windows
+    * belong to the X104/X153 tiers, which run first in a pipeline).
+    * Island detection is a window over (pair, diagonal) partitions —
+    * bounded by a single run's windows, never global.
+    */
+  def substringMatches(corpus: DataFrame, minTokens: Int): DataFrame = {
+    val tok = corpus
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = (0 until minTokens).map(i =>
+      if (i == 0) col("t") else lead("t", i).over(w))
+    val win = tok
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", parts: _*).as("win"), parts.last.isNotNull.as("full"))
+      .where(col("full")).drop("full")
+    val matches = win.as("a")
+      .join(win.as("b"),
+        col("a.win") === col("b.win") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    val wRun = Window.partitionBy("ia", "ib", "diag").orderBy("pa")
+    matches
+      .withColumn("island", col("pa") - row_number().over(wRun))
+      .groupBy("ia", "ib", "diag", "island")
+      .agg(count(lit(1)).as("run_windows"))
+      .groupBy("ia", "ib")
+      .agg(sum("run_windows").cast("long").as("n_shared_windows"),
+        count(lit(1)).as("n_runs"),
+        (max("run_windows") + lit(minTokens - 1)).cast("long")
+          .as("longest_run_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup on a content fingerprint. Corpus = documents ∪ a
     // whitespace/case-perturbed copy of every 10th doc; normalization
@@ -296,6 +349,21 @@ object Dedup {
         when(col("doc_id") % 7 === 0, concat(lit(bp + " "), col("text")))
           .otherwise(col("text")).as("text"))
       spanDedup(corpus, spanWords = 10, minRepeats = 3).orderBy("doc_id")
+    }),
+
+    // X154: verbatim runs ≥ 15 tokens across documents. Fixture appends
+    // a 20-word passage to every 11th-offset doc: every planted pair
+    // shares one 20-token run (6 sliding windows on one diagonal, at
+    // DIFFERENT absolute offsets since the host texts differ in length —
+    // the diagonal grouping is load-bearing); chance token matches just
+    // before the passage extend the run on both sides identically.
+    "q_substring_dedup" -> ((s, d) => {
+      val passage = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
+        "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua veniam"
+      val corpus = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 11 === 5, concat(col("text"), lit(" " + passage)))
+          .otherwise(col("text")).as("text"))
+      substringMatches(corpus, minTokens = 15).orderBy("ia", "ib")
     }),
 
     // X153: per-source boilerplate at 25% doc-fraction, min 3 docs.
@@ -605,6 +673,35 @@ object Dedup {
         |SELECT doc_id, string_agg(span, ' ' ORDER BY ci) AS kept_text
         |FROM spans WHERE span NOT IN (SELECT span FROM hot)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_substring_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 11 = 5
+        |              THEN text || ' lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore et dolore magna aliqua veniam'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+        |  FROM corpus),
+        |win AS (
+        |  SELECT doc_id, p AS pos, array_to_string(w[p+1 : p+15], ' ') AS win
+        |  FROM tok, LATERAL (SELECT unnest(range(0, len(w) - 14)) AS p) t
+        |  WHERE len(w) >= 15),
+        |m AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, a.pos - b.pos AS diag
+        |  FROM win a JOIN win b ON a.win = b.win AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT ia, ib, diag,
+        |         pa - row_number() OVER (PARTITION BY ia, ib, diag ORDER BY pa) AS island
+        |  FROM m),
+        |rg AS (
+        |  SELECT ia, ib, diag, island, count(*) AS run_windows
+        |  FROM runs GROUP BY ia, ib, diag, island)
+        |SELECT ia, ib, CAST(sum(run_windows) AS BIGINT) AS n_shared_windows,
+        |       CAST(count(*) AS BIGINT) AS n_runs,
+        |       CAST(max(run_windows) + 14 AS BIGINT) AS longest_run_tokens
+        |FROM rg GROUP BY ia, ib ORDER BY ia, ib""".stripMargin,
 
     "q_source_boilerplate" ->
       """WITH corpus AS (

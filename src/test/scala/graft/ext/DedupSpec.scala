@@ -161,6 +161,31 @@ class DedupSpec extends SparkSpec {
         t == docs.where(col("doc_id") === i).head().getString(1) })
   }
 
+  test("X154 substring matches: diagonal islands recover exact run lengths and counts") {
+    import spark.implicits._
+    // shared run "c1..c6" (6 tokens) at different offsets; minTokens=4 →
+    // 3 windows on one diagonal → longest_run = 3 + 4 - 1 = 6. Doc 3
+    // shares the run TWICE (two diagonals → two runs). Doc 4: no overlap.
+    val run = (1 to 6).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $run a3"),
+      (2L, s"b1 $run b2 b3 b4"),
+      (3L, s"$run x1 x2 $run"),
+      (4L, "d1 d2 d3 d4 d5 d6 d7 d8")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringMatches(docs, minTokens = 4)
+      .orderBy("ia", "ib")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // pair (1,2): one 6-token run = 3 windows, 1 run
+    // pair (1,3): doc3 has the run at two offsets → vs doc1's one: 2 runs,
+    //             6 windows, longest 6; same for (2,3)
+    // pair (3,3) impossible (ia<ib); doc3's internal repeat is not a pair
+    assert(got == Seq(
+      (1L, 2L, 3L, 1L, 6L),
+      (1L, 3L, 6L, 2L, 6L),
+      (2L, 3L, 6L, 2L, 6L)), s"got $got")
+  }
+
   test("X153 per-source boilerplate: fraction is per-site; globally popular spans survive") {
     import spark.implicits._
     def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
