@@ -71,6 +71,61 @@ object LangModel {
       expr("(1000000 * sum_cnt) DIV (n_bigrams * total)").as("fam_ppm"))
   }
 
+  /** X155: DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") — score
+    * every raw document by how much its n-gram distribution looks like a
+    * TARGET distribution, using hashed-bigram importance estimators:
+    * features are bigrams hashed into `buckets` slots (feature hashing —
+    * the move that makes the estimator's size independent of vocabulary),
+    * each slot carries the smoothed target/raw frequency ratio, and a
+    * doc's weight is its per-bigram average slot ratio. Docs over-
+    * represented in the target score > 1000‰, generic docs ≈ 1000‰,
+    * off-target docs < 1000‰; the resampling step is X56/X73's keyed
+    * sampling driven by this column.
+    *
+    * DSIR's log-likelihood-ratio is replaced by the LINEAR per-bigram
+    * ratio in exact BIGINT permille — same ordering intent, but
+    * bit-oracled across engines (ln rounding is guaranteed by neither;
+    * the X68 familiarity scorer makes the same trade, documented there).
+    *
+    * Scale shape: one explode over corpus bigrams → one combinable
+    * groupBy on (doc, slot); slot totals fold from that (two tiny aggs —
+    * `buckets`-bounded); the ratio table broadcasts (256 rows); the
+    * score is one groupBy(doc). The corpus never moves twice and
+    * nothing is proportional to vocabulary — exactly the estimator DSIR
+    * chose so 100 TB raw corpora could be scored in one pass.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = 256): DataFrame = {
+    val slot = docs
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode(bigrams(col("text"))).as("bg"))
+      .select(col("doc_id"), col("is_target"),
+        (conv(substring(md5(col("bg")), 1, 4), 16, 10).cast("long")
+          % buckets).as("slot"))
+    val perDoc = slot.groupBy("doc_id", "is_target", "slot")
+      .agg(count(lit(1)).as("c"))
+    // per-slot smoothed target share of the slot's mass, ≤ 1000 — keeping
+    // every factor bounded means the one final division below never
+    // overflows BIGINT even at 10¹²-bigram corpora
+    val ratios = perDoc.groupBy("slot")
+      .agg(sum("c").as("raw_c"),
+        sum(when(col("is_target"), col("c")).otherwise(0L)).as("target_c"))
+      .select(col("slot"),
+        expr("((target_c + 1) * 1000) DIV (raw_c + 1)").as("slot_permille"))
+    val tots = perDoc.agg(sum("c").as("raw_tot"),
+      sum(when(col("is_target"), col("c")).otherwise(0L)).as("target_tot"))
+    // normalize by the target's overall share in ONE division, so a
+    // corpus-typical doc lands at ≈ 1000‰ regardless of target size
+    perDoc.join(broadcast(ratios), Seq("slot"))
+      .crossJoin(broadcast(tots))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_bigrams"),
+        expr("CAST(SUM(c * slot_permille) * MIN(raw_tot) " +
+          "DIV (SUM(c) * MIN(target_tot)) AS BIGINT)")
+          .as("importance_permille"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -98,6 +153,20 @@ object LangModel {
         Some(s.read.parquet(s"$modelDir/t")), Some(total))
         .orderBy("doc_id")
     }),
+
+    // X155: importance weights against the English subset as the target
+    // distribution. en docs must average above 1000‰ and each other
+    // language below — the separation is the point; per-doc values are
+    // bit-oracled, and the per-lang means here pin the separation too.
+    "q_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      importanceWeights(docs.select(col("doc_id"), col("lang"), col("text")),
+          col("lang") === "en")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("importance_permille"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -118,5 +187,36 @@ object LangModel {
          |FROM bg JOIN model USING (bigram)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, ${TextAnalysis.toksSql} AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, lang = 'en' AS is_target,
+         |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+         |  FROM toks WHERE len(t) >= 2),
+         |perdoc AS (
+         |  SELECT doc_id, is_target,
+         |         CAST(('0x' || substr(md5(bg), 1, 4)) AS BIGINT) % 256 AS slot,
+         |         count(*) AS c
+         |  FROM bg GROUP BY ALL),
+         |ratios AS (
+         |  SELECT slot,
+         |         ((CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) + 1) * 1000)
+         |           // (CAST(sum(c) AS BIGINT) + 1) AS slot_permille
+         |  FROM perdoc GROUP BY slot),
+         |tots AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS raw_tot,
+         |         CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS target_tot
+         |  FROM perdoc)
+         |SELECT p.doc_id, d.lang, CAST(sum(p.c) AS BIGINT) AS n_bigrams,
+         |       CAST((CAST(sum(p.c * r.slot_permille) AS BIGINT) * (SELECT raw_tot FROM tots))
+         |         // (CAST(sum(p.c) AS BIGINT) * (SELECT target_tot FROM tots)) AS BIGINT)
+         |         AS importance_permille
+         |FROM perdoc p
+         |JOIN ratios r USING (slot)
+         |JOIN documents d ON d.doc_id = p.doc_id
+         |GROUP BY p.doc_id, d.lang
+         |ORDER BY p.doc_id""".stripMargin,
   )
 }

@@ -64,6 +64,34 @@ class SearchSpec extends SparkSpec {
     fam.unpersist()
   }
 
+  test("X155 DSIR weights: target language scores above every other, around 1000‰") {
+    val got = LangModel.queries("q_dsir_weights")(spark, sf)
+      .groupBy("lang").agg(avg("importance_permille").as("m"))
+      .as[(String, Double)].collect().toMap
+    assert(got.contains("en") && got.size >= 2)
+    got.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(got("en") > m, s"en ${got("en")} not above $l $m")
+    }
+    // the linear-ratio normalization centers a corpus-typical doc near
+    // 1000‰ — a broken normalizer lands an order of magnitude away
+    got.values.foreach(m => assert(m > 500 && m < 2000, s"mean $m off-center"))
+  }
+
+  test("X155 DSIR weights: synthetic target skew produces strong separation") {
+    import spark.implicits._
+    def rep(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    // target docs speak "aa bb", raw-only docs speak "cc dd": disjoint
+    // bigram mass must push weights far apart (smoothing keeps them finite)
+    val docs = ((1 to 8).map(i => (i.toLong, "t", s"${rep("aa bb", 6)}")) ++
+      (9 to 16).map(i => (i.toLong, "r", s"${rep("cc dd", 6)}")))
+      .toDF("doc_id", "lang", "text")
+    val w = LangModel.importanceWeights(docs, col("lang") === "t")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang").agg(avg("importance_permille").as("m"))
+      .as[(String, Double)].collect().toMap
+    assert(w("t") > 3 * w("r"), s"no separation: $w")
+  }
+
   test("source cap keeps at most the cap per source, deterministically") {
     val q = Scrub.queries("q_source_cap")(spark, sf)
     val rows = q.select("source", "n_docs", "n_kept")
