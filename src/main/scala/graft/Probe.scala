@@ -70,6 +70,30 @@ object Probe {
         exact.unpersist()
       }
     }
+    if (args.contains("jobs")) {
+      // jobs (with SPARK_GRAFT_QUERIES): per-query Spark job/stage counts
+      // on the SECOND run (fixtures warm) — the bench-shaving feedback
+      // loop: a 0.4 s query firing 12 jobs is scheduler overhead, not
+      // query work.
+      import org.apache.spark.scheduler._
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+        }
+      })
+      val names = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "")
+        .split(",").map(_.trim).filter(_.nonEmpty)
+      names.foreach { q =>
+        SparkEntry.queries(q)(s, d).count() // fixture build + warm
+        jobs.set(0); stages.set(0)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(s, d).count()
+        println(f"JOBS $q%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+          f"  jobs=${jobs.get}%3d  stages=${stages.get}%3d")
+      }
+    }
     if (args.contains("make-scale")) {
       // make-scale <dstDir> <factor>: key-offset replication of the whole
       // fixture into a larger corpus — the sf×F bench point (VERDICT r3

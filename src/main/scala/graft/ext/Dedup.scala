@@ -191,16 +191,26 @@ object Dedup {
     * (source,span), never anything quadratic. Reassembly is the same
     * one doc_id shuffle as X104.
     */
-  def sourceBoilerplate(corpus: DataFrame, spanWords: Int, minPermille: Int,
-      minDocs: Int): DataFrame = {
-    val spans = corpus
+  /** The exploded `(doc_id, source, ci, span)` table of [[sourceBoilerplate]]
+    * — a pure function of the corpus, exposed so callers can materialize
+    * it once (it feeds BOTH the hot-span count and the removal anti-join;
+    * Spark recomputes shared subplans per branch otherwise).
+    */
+  def sourceSpans(corpus: DataFrame, spanWords: Int): DataFrame =
+    corpus
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("source"), posexplode(transform(
         sequence(lit(0),
           ((size(col("w")) + lit(spanWords - 1)) / lit(spanWords)).cast("int") - 1),
         i => array_join(slice(col("w"), i * spanWords + 1, lit(spanWords)), " "))))
       .withColumnRenamed("pos", "ci").withColumnRenamed("col", "span")
-    val docsPerSource = corpus.groupBy("source")
+
+  def sourceBoilerplate(corpus: DataFrame, spanWords: Int, minPermille: Int,
+      minDocs: Int, spans0: Option[DataFrame] = None): DataFrame = {
+    val spans = spans0.getOrElse(sourceSpans(corpus, spanWords))
+    // per-source doc counts derive from the span table (every doc has ≥1
+    // span by construction) — no second corpus pass
+    val docsPerSource = spans.groupBy("source")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val hot = spans.select("source", "span", "doc_id").distinct()
       .groupBy("source", "span").agg(count(lit(1)).as("n_span_docs"))
@@ -230,30 +240,43 @@ object Dedup {
     * and its exact token length — windows n consecutive ⇒ run of
     * n + minTokens − 1 tokens.
     *
-    * Scale notes: the join here carries the window STRING (exactness —
-    * this tier is oracled); at corpus scale you join on a 128-bit window
-    * fingerprint instead (16 bytes vs ~100, same plan shape) and the
-    * diagonal/island arithmetic is unchanged. Matches are
+    * Scale notes: the join key is the window's 128-bit md5 fingerprint
+    * (16 bytes through the shuffle instead of a ~100-byte string — the
+    * E1 exact-fingerprint discipline; the oracle joins the same md5, so
+    * the comparison is still bit-exact). Matches are
     * output-proportional: a window shared by k docs yields C(k,2) pairs,
     * which IS the answer being reported (ultra-hot boilerplate windows
     * belong to the X104/X153 tiers, which run first in a pipeline).
     * Island detection is a window over (pair, diagonal) partitions —
     * bounded by a single run's windows, never global.
     */
-  def substringMatches(corpus: DataFrame, minTokens: Int): DataFrame = {
+  /** The stride-1 window-fingerprint table of [[substringMatches]]:
+    * `(doc_id, pos, fp)` with `fp` the 128-bit md5 of the L-token window
+    * — the same content-fingerprint discipline as E1 exact dedup (16
+    * bytes through the join instead of a ~100-byte string; md5-collision
+    * exactness is the repo-wide standard, E1/X71/X149). Pure function of
+    * the corpus — materialize once, it feeds both sides of the self-join.
+    */
+  def substringWindows(corpus: DataFrame, minTokens: Int): DataFrame = {
     val tok = corpus
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val parts = (0 until minTokens).map(i =>
       if (i == 0) col("t") else lead("t", i).over(w))
-    val win = tok
+    tok
       .select(col("doc_id"), col("pos"),
-        concat_ws(" ", parts: _*).as("win"), parts.last.isNotNull.as("full"))
+        unhex(md5(concat_ws(" ", parts: _*))).as("fp"),
+        parts.last.isNotNull.as("full"))
       .where(col("full")).drop("full")
+  }
+
+  def substringMatches(corpus: DataFrame, minTokens: Int,
+      windows0: Option[DataFrame] = None): DataFrame = {
+    val win = windows0.getOrElse(substringWindows(corpus, minTokens))
     val matches = win.as("a")
       .join(win.as("b"),
-        col("a.win") === col("b.win") && col("a.doc_id") < col("b.doc_id"))
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
         col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
     val wRun = Window.partitionBy("ia", "ib", "diag").orderBy("pa")
@@ -363,7 +386,11 @@ object Dedup {
       val corpus = documents(s, d).select(col("doc_id"),
         when(col("doc_id") % 11 === 5, concat(col("text"), lit(" " + passage)))
           .otherwise(col("text")).as("text"))
-      substringMatches(corpus, minTokens = 15).orderBy("ia", "ib")
+      // window-fingerprint table materialized once per JVM — it feeds
+      // both sides of the self-join
+      val win = materializeCached(s, substringWindows(corpus, 15), "subw", d)
+      substringMatches(corpus, minTokens = 15, windows0 = Some(win))
+        .orderBy("ia", "ib")
     }),
 
     // X153: per-source boilerplate at 25% doc-fraction, min 3 docs.
@@ -382,8 +409,11 @@ object Dedup {
         when(col("doc_id") % 3 === 0, concat(nav, col("text")))
           .when(col("doc_id") % 7 === 2, concat(lit(promo), col("text")))
           .otherwise(col("text")).as("text"))
-      sourceBoilerplate(corpus, spanWords = 10, minPermille = 250, minDocs = 3)
-        .orderBy("doc_id")
+      // span table materialized once per JVM (pure function of the
+      // corpus, feeds both the count and the anti-join branch)
+      val spans = materializeCached(s, sourceSpans(corpus, 10), "srcbp", d)
+      sourceBoilerplate(corpus, spanWords = 10, minPermille = 250,
+        minDocs = 3, spans0 = Some(spans)).orderBy("doc_id")
     }),
 
     // n-gram Jaccard near-dup at threshold 0.8, with PREFIX FILTERING
@@ -685,12 +715,12 @@ object Dedup {
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
         |  FROM corpus),
         |win AS (
-        |  SELECT doc_id, p AS pos, array_to_string(w[p+1 : p+15], ' ') AS win
+        |  SELECT doc_id, p AS pos, md5(array_to_string(w[p+1 : p+15], ' ')) AS fp
         |  FROM tok, LATERAL (SELECT unnest(range(0, len(w) - 14)) AS p) t
         |  WHERE len(w) >= 15),
         |m AS (
         |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, a.pos - b.pos AS diag
-        |  FROM win a JOIN win b ON a.win = b.win AND a.doc_id < b.doc_id),
+        |  FROM win a JOIN win b ON a.fp = b.fp AND a.doc_id < b.doc_id),
         |runs AS (
         |  SELECT ia, ib, diag,
         |         pa - row_number() OVER (PARTITION BY ia, ib, diag ORDER BY pa) AS island

@@ -77,6 +77,16 @@ class SearchSpec extends SparkSpec {
     got.values.foreach(m => assert(m > 500 && m < 2000, s"mean $m off-center"))
   }
 
+  test("X155 DSIR weights: vocab-unrolled scoring ≡ hashed scoring, bit-exact") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val hashed = LangModel.importanceWeights(docs, col("lang") === "en")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val vocab = LangModel.vocabScores(docs,
+        LangModel.vocabEstimator(docs, col("lang") === "en"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(hashed == vocab)
+  }
+
   test("X155 DSIR weights: synthetic target skew produces strong separation") {
     import spark.implicits._
     def rep(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
