@@ -316,14 +316,46 @@ object ManifestTable {
     * list but changes the deletion-vector set (X64's tombstone-only
     * commit), else "write" (full replace).
     */
-  def history(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact row count of a committed snapshot from parquet FOOTERS alone —
+    * driver-side metadata reads, no Spark job (how Delta/Iceberg answer
+    * `count(*)` and DESCRIBE HISTORY row counts). Valid for DV-carrying
+    * versions because sidecars are deduped cumulative `(file, pos)`
+    * tombstones over the version's own file list, so
+    * `Σ data-footer rows − Σ sidecar-footer rows` is exact. At production
+    * file counts the number lands in the manifest at commit time
+    * (Delta's `numRecords`); footer reads are the formatcompatible
+    * fallback and cost ~1 ms/file on the coordinator.
+    */
+  def footerCount(spark: SparkSession, dir: String, snap: Snapshot): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def rows(rel: String): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(s"$dir/$rel"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
+    snap.files.map(rows).sum - snap.deletes.map(rows).sum
+  }
+
+  /** The driver-side rows behind [[history]] — exposed so metadata-only
+    * consumers (q_commit_log) can compose them with other driver-side
+    * metadata (footer counts) without a Spark join of two 4-row frames.
+    */
+  private[lake] def historyRows(spark: SparkSession,
+      dir: String): Seq[(Snapshot, String)] = {
     val snaps = snapshots(spark, dir)
-    val rows = snaps.zip(None +: snaps.map(Option(_))).map { case (s, prev) =>
+    snaps.zip(None +: snaps.map(Option(_))).map { case (s, prev) =>
       val kind =
         if (s.op != "write") s.op
         else if (prev.exists(p => p.files == s.files && p.deletes != s.deletes))
           "delete"
         else "write"
+      (s, kind)
+    }
+  }
+
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val rows = historyRows(spark, dir).map { case (s, kind) =>
       (s.version.toLong, s.runDate, s.runTime, kind,
         s.files.size.toLong, s.deletes.size.toLong)
     }
@@ -391,18 +423,19 @@ object ManifestTable {
         .orderBy("version")
     }),
     // Commit log over the X64 timeline (write → delete → delete →
-    // materialize): operation kinds derive from manifest metadata only;
-    // per-version row counts join in from time-travel reads so the oracle
-    // can rebuild every line from the fixture's predicates.
+    // materialize): the WHOLE query is a metadata read — operation kinds
+    // from manifests, per-version row counts from parquet footers
+    // ([[footerCount]]), zero Spark jobs, exactly how DESCRIBE HISTORY
+    // answers on a lakehouse. The oracle rebuilds every count from the
+    // fixture's predicates with full data scans, so the metadata path
+    // can't drift from the data (ManifestSpec pins the equality per
+    // version too).
     "q_commit_log" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
       val dir = DeleteVectors.fixtureDir(s, d)
-      val counts = snapshots(s, dir).map(_.version).map { v =>
-        readVersion(s, dir, v).agg(count(lit(1)).as("n_rows"))
-          .select(lit(v.toLong).as("version"), col("n_rows"))
-      }.reduce(_ unionByName _)
-      history(s, dir).select("version", "op")
-        .join(counts, "version")
+      val rows = historyRows(s, dir).map { case (snap, kind) =>
+        (snap.version.toLong, kind, footerCount(s, dir, snap))
+      }
+      s.createDataFrame(rows).toDF("version", "op", "n_rows")
         .orderBy("version")
     }),
     // Deep clone (X108) of the X64 timeline's tombstoned v2, then the

@@ -213,5 +213,13 @@ class ManifestSpec extends SparkSpec {
     // zero data bytes: history of a 4-version table reads 4 tiny JSONs
     assert(ManifestTable.readVersion(spark, dir, 3)
       .as[(Long, String)].collect().toSet == Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // footer counts (the DESCRIBE HISTORY metadata path) must equal the
+    // data-scan count at EVERY version, including DV-carrying and
+    // post-materialize ones
+    ManifestTable.snapshots(spark, dir).foreach { snap =>
+      assert(ManifestTable.footerCount(spark, dir, snap) ==
+        ManifestTable.readVersion(spark, dir, snap.version).count(),
+        s"footer count drift at v${snap.version}")
+    }
   }
 }
