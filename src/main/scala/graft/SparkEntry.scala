@@ -50,7 +50,9 @@ object SparkEntry {
       _root_.graft.spark.GraftSink.queries ++ lake.Restore.queries ++
       lake.CopyInto.queries ++ lake.Identity.queries ++ sinks.Jdbc.queries ++
       ext.Url.queries ++ sources.Warc.queries ++ ext.DedupIncr.queries ++
-      ext.Html.queries
+      ext.Html.queries ++ ops.Avro.queries ++ ext.Drift.queries ++
+      ext.Integrity.queries ++ ext.KCore.queries
+      // (q_format_files rides graft.spark.GraftFormat.queries)
       // (q_commit_guard rides lake.Expectations.queries, already included)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,5 +91,6 @@ object SparkEntry {
       _root_.graft.spark.GraftSink.oracles ++ lake.Restore.oracles ++
       lake.CopyInto.oracles ++ lake.Identity.oracles ++ sinks.Jdbc.oracles ++
       ext.Url.oracles ++ sources.Warc.oracles ++ ext.DedupIncr.oracles ++
-      ext.Html.oracles
+      ext.Html.oracles ++ ops.Avro.oracles ++ ext.Drift.oracles ++
+      ext.Integrity.oracles ++ ext.KCore.oracles
 }

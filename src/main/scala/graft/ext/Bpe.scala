@@ -99,7 +99,7 @@ object Bpe {
     // the identical rounds as chained CTEs.
     "q_bpe_merges" -> ((s, d) => {
       import s.implicits._
-      val merges = trainMerges(s.read.parquet(s"${wordFreqDir(s, d)}/t"), Rounds)
+      val merges = trainMerges(graft.sources.Tables.cachedParquet(s, s"${wordFreqDir(s, d)}/t"), Rounds)
       merges.map { case (r, p, m, c) => (r.toLong, p, m, c) }
         .toDF("round", "pair", "merged", "cnt")
         .orderBy("round")
@@ -111,13 +111,13 @@ object Bpe {
     // sum. The oracle replays training AND application as chained CTEs.
     "q_bpe_encode" -> ((s, d) => {
       val vocabDir = graft.util.FixtureCache.dir("bpe_vocab", d) { dir =>
-        tokenizedVocab(s.read.parquet(s"${wordFreqDir(s, d)}/t"), Rounds)
+        tokenizedVocab(graft.sources.Tables.cachedParquet(s, s"${wordFreqDir(s, d)}/t"), Rounds)
           .write.mode("overwrite").parquet(s"$dir/t")
       }
       documents(s, d).select(col("doc_id"),
           explode(split(lower(col("text")), "\\s+")).as("w"))
         .where(length(col("w")) > 0)
-        .join(s.read.parquet(s"$vocabDir/t"), "w")
+        .join(graft.sources.Tables.cachedParquet(s, s"$vocabDir/t"), "w")
         .groupBy("doc_id").agg(sum("n_tok").as("n_tokens"))
         .orderBy("doc_id")
     }),

@@ -97,7 +97,7 @@ object Clusters {
           .select(col("ia").as("a"), col("ib").as("b"))
           .write.mode("overwrite").parquet(s"$dir/edges")
       }
-      val edges = s.read.parquet(s"$edgeDir/edges")
+      val edges = graft.sources.Tables.cachedParquet(s, s"$edgeDir/edges")
       connectedComponents(s, edges)
         .select(col("node").as("doc_id"), col("label").as("component"))
         .orderBy("doc_id")
@@ -122,10 +122,10 @@ object Clusters {
             .select(col("ia").as("a"), col("ib").as("b"))
             .write.mode("overwrite").parquet(s"$ed/edges")
         }
-        connectedComponents(s, s.read.parquet(s"$edgeDir/edges"))
+        connectedComponents(s, graft.sources.Tables.cachedParquet(s, s"$edgeDir/edges"))
           .write.mode("overwrite").parquet(s"$dir/members")
       }
-      val members = s.read.parquet(s"$memberDir/members")
+      val members = graft.sources.Tables.cachedParquet(s, s"$memberDir/members")
       val dropped = members.where(col("node") =!= col("label"))
         .select(col("node").as("doc_id"))
       Tables.documents(s, d)

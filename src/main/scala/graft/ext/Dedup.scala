@@ -114,7 +114,7 @@ object Dedup {
     val dir = graft.util.FixtureCache.dir(s"mat_$tag", d) { dir =>
       df.write.mode("overwrite").parquet(s"$dir/t")
     }
-    s.read.parquet(s"$dir/t")
+    graft.sources.Tables.cachedParquet(s, s"$dir/t")
   }
 
   /** 32-slot MinHash signature table over HASHED shingles

@@ -119,7 +119,7 @@ object DedupIncr {
     // fingerprint) breaks a pinned row.
     "q_dedup_incr" -> ((s, d) => {
       val dir = fixtureDir(s, d)
-      val decisions = s.read.parquet(s"$dir/decisions")
+      val decisions = graft.sources.Tables.cachedParquet(s, s"$dir/decisions")
         .groupBy("outcome")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").cast("long").as("sum_ids"))
       val state = ManifestTable.readLatest(s, s"$dir/state")

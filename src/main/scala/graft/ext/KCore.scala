@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X159: k-core decomposition (bounded peeling) — the densest-region
+  * extractor of the graph-curation family (X34 components, X59 PageRank,
+  * X87 triangles): keep only nodes with ≥ k neighbors AFTER all nodes
+  * with < k neighbors are (transitively) removed. Classic uses: spam/bot
+  * subnetwork isolation, seed selection for community mining, pruning a
+  * co-occurrence graph to its stable core before embedding training.
+  *
+  * Peeling is the textbook algorithm: drop all nodes of degree < k,
+  * recompute degrees, repeat. Each round is ONE combinable degree
+  * aggregate plus two semi-joins keyed on the edge endpoints — hub-safe
+  * (no neighborhood materialization), shuffle traffic ∝ |edges|.
+  * Rounds are the product's convergence dimension: `kCore` runs to the
+  * fixpoint with a driver-side one-scalar convergence check per round
+  * (the X34 shape), `peel(rounds = R)` runs a FIXED R rounds so the
+  * result is a pure function of the input — the oracle-able tier, whose
+  * SQL twin unrolls the identical rounds as chained CTEs (any round's
+  * bug cascades into every later hash). A fixed prefix of peeling is
+  * also what a bounded-compute curation pass ships at 100 TB scale.
+  *
+  * Lineage discipline: round r's survivor set is referenced three times
+  * in round r+1 (degree count + both endpoint semi-joins), so an
+  * unmaterialized loop re-executes upstream rounds 3^r times;
+  * `localCheckpoint` truncates per round exactly as
+  * Clusters.connectedComponents documents.
+  */
+object KCore {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Degrees over canonical undirected edges `(u, v)`. */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+
+  /** One peel round: restrict `edges` to endpoints of degree ≥ k. */
+  def peelRound(edges: DataFrame, k: Int): DataFrame = {
+    val surv = degrees(edges).where(col("degree") >= k).select("node")
+    edges
+      .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+  }
+
+  /** Fixed `rounds` of peeling (deterministic, oracle-able): the edge set
+    * after R rounds, with per-round lineage truncation.
+    */
+  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    (1 to rounds).foldLeft(edges) { (e, _) => peelRound(e, k).localCheckpoint() }
+
+  /** Peel to the fixpoint: rounds until no edge is removed (driver sees
+    * one count per round — the convergence scalar, never data).
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    var e = edges.localCheckpoint()
+    var n = e.count()
+    var r = 0
+    while (r < maxRounds) {
+      val next = peelRound(e, k).localCheckpoint()
+      val m = next.count()
+      if (m == n) return next
+      e = next; n = m; r += 1
+    }
+    e
+  }
+
+  val queries: Map[String, Q] = Map(
+    // 45-core of the co-purchase graph after 3 fixed rounds: surviving
+    // nodes with their in-core degree. k sits inside the fixture's degree
+    // distribution (min 22-ish, median 43-59 across SFs), so EVERY round
+    // removes real nodes at the correctness gate (sf0.01:
+    // 1000→860→734→553) and at the bench SF (sf0.1: 10000→8845→8098→
+    // 7311) — removing a node drags neighbors below k, the cascade that
+    // makes peeling iterative rather than a single degree filter.
+    "q_kcore" -> ((s, d) => {
+      val edgeDir = graft.util.FixtureCache.dir("copurchase_edges", d) { dir =>
+        Triangles.coPurchaseEdges(s, d).write.mode("overwrite").parquet(dir)
+      }
+      degrees(peel(graft.sources.Tables.cachedParquet(s, edgeDir), k = 45, rounds = 3))
+        .orderBy("node")
+    }))
+
+  private def roundSql(i: Int): String =
+    s"""d$i AS (SELECT node, count(*) AS degree FROM (
+       |  SELECT u AS node FROM e$i UNION ALL SELECT v AS node FROM e$i
+       |) GROUP BY node),
+       |s$i AS (SELECT node FROM d$i WHERE degree >= 45),
+       |e${i + 1} AS (SELECT u, v FROM e$i
+       |  WHERE u IN (SELECT node FROM s$i) AND v IN (SELECT node FROM s$i))"""
+      .stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_kcore" ->
+      s"""WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+         |           WHERE l_partkey % 2 = 0),
+         |e0 AS (
+         |  SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+         |${roundSql(0)},
+         |${roundSql(1)},
+         |${roundSql(2)}
+         |SELECT node, count(*) AS degree FROM (
+         |  SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3
+         |) GROUP BY node ORDER BY node""".stripMargin)
+}

@@ -116,7 +116,7 @@ object KMeans {
       }
       val q = Tables.embeddings(s, d)
         .select(col("vec_id"), quantize(col("embedding")).as("__v"))
-        .join(s.read.parquet(adir), "vec_id")
+        .join(graft.sources.Tables.cachedParquet(s, adir), "vec_id")
       val scalar = q.select(col("cluster"), explode(col("__v")).as("el"))
         .groupBy("cluster")
         .agg(sum(col("el") * col("el")).as("ssq"))
@@ -148,7 +148,7 @@ object KMeans {
       val cap = 25
       val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      s.read.parquet(adir)
+      graft.sources.Tables.cachedParquet(s, adir)
         .withColumn("rk", row_number().over(w))
         .groupBy(col("cluster").cast("long").as("cluster"))
         .agg(count(lit(1)).as("n_members"),

@@ -207,7 +207,7 @@ object LangModel {
       val total = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(modelDir, "total.txt")), "UTF-8").trim.toLong
       familiarity(Tables.documents(s, d),
-        Some(s.read.parquet(s"$modelDir/t")), Some(total))
+        Some(graft.sources.Tables.cachedParquet(s, s"$modelDir/t")), Some(total))
         .orderBy("doc_id")
     }),
 
@@ -226,7 +226,7 @@ object LangModel {
           .write.mode("overwrite").parquet(s"$dir/t")
       }
       vocabScores(docs.select(col("doc_id"), col("text")),
-          s.read.parquet(s"$estDir/t"))
+          graft.sources.Tables.cachedParquet(s, s"$estDir/t"))
         .join(docs.select("doc_id", "lang"), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("n_bigrams"),
           col("importance_permille"))

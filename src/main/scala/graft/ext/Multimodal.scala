@@ -71,7 +71,7 @@ object Multimodal {
           .otherwise(synthAvi(col("doc_id"))).as("bytes"))
         .write.mode("overwrite").parquet(s"$dir/t")
     }
-    s.read.parquet(s"$dir/t")
+    graft.sources.Tables.cachedParquet(s, s"$dir/t")
   }
 
   /** Compressed-image fixture table (X41): even docs are PNGs encoded by
@@ -89,7 +89,7 @@ object Multimodal {
           .otherwise(synthJpg(col("doc_id"))).as("bytes"))
         .write.mode("overwrite").parquet(s"$dir/t")
     }
-    s.read.parquet(s"$dir/t")
+    graft.sources.Tables.cachedParquet(s, s"$dir/t")
   }
 
   /** Decode a payload to its signal: WAV → real PCM samples, BMP → real

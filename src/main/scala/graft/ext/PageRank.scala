@@ -89,7 +89,7 @@ object PageRank {
       val edgeDir = graft.util.FixtureCache.dir("pagerank_edges", d) { dir =>
         supplyEdges(s, d).write.mode("overwrite").parquet(dir)
       }
-      pagerank(s.read.parquet(edgeDir))
+      pagerank(graft.sources.Tables.cachedParquet(s, edgeDir))
         .select(col("node"), col("r").as("rank_scaled"))
         .orderBy("node")
     }),

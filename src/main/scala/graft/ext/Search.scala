@@ -71,7 +71,7 @@ object Search {
         invertedIndex(Tables.documents(s, d))
           .write.mode("overwrite").parquet(s"$dir/index.parquet")
       }
-      val index = s.read.parquet(s"$idxDir/index.parquet")
+      val index = graft.sources.Tables.cachedParquet(s, s"$idxDir/index.parquet")
       searchIndex(index, queryTerms)
         .join(Tables.documents(s, d).select("doc_id", "lang", "n_chars"), Seq("doc_id"))
         .orderBy("doc_id")

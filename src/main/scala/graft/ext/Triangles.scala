@@ -102,7 +102,7 @@ object Triangles {
       val edgeDir = graft.util.FixtureCache.dir("copurchase_edges", d) { dir =>
         coPurchaseEdges(s, d).write.mode("overwrite").parquet(dir)
       }
-      triangleCounts(s.read.parquet(edgeDir)).orderBy("node")
+      triangleCounts(graft.sources.Tables.cachedParquet(s, edgeDir)).orderBy("node")
     }),
   )
 

@@ -89,7 +89,7 @@ object Compact {
         val expected = targetFileCount(dirBytes(s, frag), 8L * 1024 * 1024)
         require(written == expected, s"compaction wrote $written files, expected $expected")
       }
-      s.read.parquet(dst)
+      graft.sources.Tables.cachedParquet(s, dst)
         .orderBy("o_orderkey")
     }),
   )

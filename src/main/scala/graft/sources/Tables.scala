@@ -9,10 +9,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `airflow/dags/apify_dag.py:146,166`): every table is a directory/file of
   * parquet read by Spark's built-in vectorized reader, so column pruning and
   * filter pushdown reach the scan for free.
+  *
+  * Schema metadata is CACHED per (session, path): a bare
+  * `spark.read.parquet` call re-reads a parquet footer to infer the
+  * schema — driver-side I/O a catalog-backed engine pays once (Spark's
+  * own `spark.table` resolves schemas from the catalog the same way;
+  * the fixture tables are immutable inputs, so reuse is always sound).
+  * Only the SCHEMA is cached — each call still builds a fresh relation
+  * (fresh attribute ids, so self-joins of a table against itself stay
+  * unambiguous) and each query plans and executes its reads in full.
   */
 object Tables {
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** A relation over an immutable parquet path whose schema is inferred
+    * once per session (footer read skipped on every later call).
+    */
+  def cachedParquet(spark: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(s"${System.identityHashCode(spark)}|$path",
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cachedParquet(spark, s"$sfDir/$name.parquet")
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

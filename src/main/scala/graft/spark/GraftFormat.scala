@@ -11,7 +11,7 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.lake.{Branches, Catalog, ManifestTable, ZoneMap}
+import graft.lake.{Branches, Catalog, ManifestTable, MetaTables, ZoneMap}
 import graft.sources.Tables
 import graft.util.{Exact, FixtureCache}
 
@@ -170,8 +170,18 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
           override def schema: StructType = h.schema
           override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = h.rdd
         }
+      // X160: the per-file view (Iceberg `table.files` / DESCRIBE DETAIL)
+      // from manifests + sidecars + DV deltas — no data files opened;
+      // honors versionAsOf like the data relation
+      case "files" =>
+        val f = MetaTables.filesTable(spark, dir, parameters.get("versionAsOf").map(_.toInt))
+        return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+          override val sqlContext: SQLContext = spark.sqlContext
+          override def schema: StructType = f.schema
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = f.rdd
+        }
       case other => throw new IllegalArgumentException(
-        s"graft: unknown subtable '$other' (supported: history)")
+        s"graft: unknown subtable '$other' (supported: history, files)")
     }
     // X95/X99 through SQL: `branch`/`tag` resolve a named ref to its head
     // version; `catalogTable` (+ optional `catalogVersion`) serves one
@@ -458,6 +468,40 @@ object GraftFormat {
               |FROM graft_history ORDER BY version""".stripMargin)
     }),
 
+    // X160: the `files` metadata subtable — per-file stats + MOR debt
+    // from manifests/sidecars/DV deltas alone. v1 = an 8-file
+    // range-clustered commit with zone maps; v2 = a DV delete on top
+    // (same files, tombstones accumulate). Aggregates over the subtable
+    // must reproduce what the ORACLE computes from the raw data: the
+    // sidecar row counts sum to the table count, the per-file key bounds
+    // span exactly the data's, and the tombstone total equals the
+    // delete predicate's row count — while the data relation stays
+    // unopened (the subtable scan reads metadata + DV deltas only).
+    "q_format_files" -> ((s, d) => {
+      val dir = FixtureCache.dir("meta_files", d) { dir =>
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey"))
+        ZoneMap.commitWithStats(o, dir, 20250601, 900, Seq("o_orderkey"))
+        graft.lake.DeleteVectors.deleteWhere(s, dir,
+          col("o_orderkey") % 9 === 0, 20250601, 930)
+      }
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_files_v1
+               |USING graft OPTIONS (path '$dir', subtable 'files', versionAsOf '1')"""
+        .stripMargin)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_files_v2
+               |USING graft OPTIONS (path '$dir', subtable 'files')""".stripMargin)
+      s.sql("""SELECT * FROM (
+              |  SELECT 'v1' AS state, count(*) AS n_files, sum(rows) AS stat_rows,
+              |         min(lo['o_orderkey']) AS min_key, max(hi['o_orderkey']) AS max_key,
+              |         sum(tombstones) AS n_tomb
+              |  FROM graft_files_v1
+              |  UNION ALL
+              |  SELECT 'v2', count(*), sum(rows),
+              |         min(lo['o_orderkey']), max(hi['o_orderkey']), sum(tombstones)
+              |  FROM graft_files_v2
+              |) ORDER BY state""".stripMargin)
+    }),
+
     // X128: the SQL DDL surface the registered format buys for free —
     // `CREATE TEMPORARY VIEW ... USING graft` + plain spark.sql over it,
     // time travel included via OPTIONS. A SQL-only user never imports a
@@ -571,6 +615,18 @@ object GraftFormat {
         |  UNION ALL SELECT 3, 'delete', true
         |  UNION ALL SELECT 4, 'materialize', false
         |) ORDER BY version""".stripMargin,
+
+    "q_format_files" ->
+      """SELECT * FROM (
+        |  SELECT 'v1' AS state, CAST(8 AS BIGINT) AS n_files, count(*) AS stat_rows,
+        |         min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |         CAST(0 AS BIGINT) AS n_tomb
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'v2', CAST(8 AS BIGINT), count(*), min(o_orderkey), max(o_orderkey),
+        |         (SELECT count(*) FROM orders WHERE o_orderkey % 9 = 0)
+        |  FROM orders
+        |) ORDER BY state""".stripMargin,
 
     "q_read_format_dv" ->
       """SELECT * FROM (

@@ -81,7 +81,7 @@ object StreamDedup {
       val base = graft.util.FixtureCache.dir("sdedup_run", d) { b =>
         run(s, in, s"$b/chk", s"$b/out", ev.schema)
       }
-      s.read.parquet(s"$base/out")
+      graft.sources.Tables.cachedParquet(s, s"$base/out")
         .select("user_id", "event_id", "event_type", "ts", "value")
         .orderBy("event_id")
     }),

@@ -130,7 +130,7 @@ object StreamDiff {
         run(s, in, s"$b/state", s"$b/out",
           prev.schema, SnapshotDiff.diffKeys)
       }
-      s.read.parquet(s"$base/out/batch_*")
+      graft.sources.Tables.cachedParquet(s, s"$base/out/batch_*")
         .orderBy("change", "c_custkey", "c_name")
     }),
   )

@@ -77,7 +77,7 @@ object StreamEnrich {
         run(s, in, graft.util.Scratch.dir("senrich_chk"), outDir,
           orders.schema, dim)
       }
-      s.read.parquet(outDir)
+      graft.sources.Tables.cachedParquet(s, outDir)
         .groupBy("n_name")
         .agg(sum("n_orders").cast("long").as("n_orders"),
           sum(col("revenue").cast("decimal(18,2)")).cast("double").as("revenue"),

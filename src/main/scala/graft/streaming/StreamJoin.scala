@@ -107,7 +107,7 @@ object StreamJoin {
       val base = graft.util.FixtureCache.dir("sjoin_run", d) { b =>
         run(s, s"$in/a", s"$in/b", s"$b/chk", s"$b/out", ev.schema)
       }
-      s.read.parquet(s"$base/out")
+      graft.sources.Tables.cachedParquet(s, s"$base/out")
         .orderBy("a_id", "b_id")
     }),
   )

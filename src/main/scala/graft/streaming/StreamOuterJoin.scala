@@ -135,7 +135,7 @@ object StreamOuterJoin {
       // total order even with NULL b_id: coalesce to a sentinel below any
       // real event id (same expression in the oracle — engines disagree on
       // default NULL sort position)
-      s.read.parquet(s"$base/out")
+      graft.sources.Tables.cachedParquet(s, s"$base/out")
         .where(col("user_id") >= 0)
         .orderBy(col("a_id"), coalesce(col("b_id"), lit(-1L)))
     }),
@@ -148,7 +148,7 @@ object StreamOuterJoin {
         run(s, s"$in/a", s"$in/b", s"$b/chk", s"$b/out",
           eventsSlice(s, d).schema, "full_outer")
       }
-      s.read.parquet(s"$base/out")
+      graft.sources.Tables.cachedParquet(s, s"$base/out")
         .where(col("user_id") >= 0)
         .orderBy(coalesce(col("a_id"), lit(-1L)), coalesce(col("b_id"), lit(-1L)))
     }),

@@ -75,7 +75,7 @@ object WindowAgg {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("window_start", "event_type")
       .orderBy(col("batch_id").desc)
-    s.read.parquet(outDir)
+    graft.sources.Tables.cachedParquet(s, outDir)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select("window_start", "event_type", "n_events", "sum_value")

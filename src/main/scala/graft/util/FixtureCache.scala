@@ -22,6 +22,16 @@ object FixtureCache {
     * reentry is fine; concurrent first-builds serialize, which they did
     * per-key before too).
     */
+  /** Cached analyzed relation over a memoized fixture dir: builds the
+    * fixture once per JVM AND lists/schema-infers it once per session
+    * (graft.sources.Tables.cachedParquet) — a per-call
+    * `spark.read.parquet` re-pays 100-300 ms of driver I/O for a dir
+    * this cache guarantees immutable after build.
+    */
+  def parquet(spark: org.apache.spark.sql.SparkSession, tag: String, sfDir: String)(
+      build: String => Unit): org.apache.spark.sql.DataFrame =
+    graft.sources.Tables.cachedParquet(spark, dir(tag, sfDir)(build))
+
   def dir(tag: String, sfDir: String)(build: String => Unit): String = {
     val key = s"$tag|$sfDir"
     val hit = cache.get(key)

@@ -180,4 +180,35 @@ class GraftFormatSpec extends SparkSpec {
         .option("branch", "main").load(croot).count())
     assert(e.getMessage.contains("catalogTable"))
   }
+
+  test("subtable 'files': per-file stats, DV debt, and sidecar-less degradation (X160)") {
+    val dir = mkTable("gfmt_files")
+    val files1 = spark.read.format("graft").option("subtable", "files").load(dir)
+      .orderBy("file").collect()
+    assert(files1.length == 8)
+    // sidecar stats: rows sum to the table, bounds tile 0..799 in order
+    assert(files1.map(_.getAs[Long]("rows")).sum == 800L)
+    val bounds = files1.map(r =>
+      (r.getAs[Map[String, Long]]("lo")("k"), r.getAs[Map[String, Long]]("hi")("k")))
+    assert(bounds.map(_._1).min == 0L && bounds.map(_._2).max == 799L)
+    assert(files1.forall(_.getAs[Long]("tombstones") == 0L))
+
+    // a DV delete adds tombstone debt to exactly the files holding the
+    // deleted keys; file list and stats stay those of the parent commit
+    DeleteVectors.deleteWhere(spark, dir, col("k") < 100L, 20250701, 930)
+    val files2 = spark.read.format("graft").option("subtable", "files").load(dir).collect()
+    assert(files2.length == 8)
+    assert(files2.map(_.getAs[Long]("tombstones")).sum == 100L)
+    assert(files2.map(_.getAs[Long]("rows")).sum == 800L, "MOR: stats keep physical rows")
+    // versionAsOf 1 still shows the pre-delete state
+    val v1 = spark.read.format("graft").option("subtable", "files")
+      .option("versionAsOf", "1").load(dir).collect()
+    assert(v1.map(_.getAs[Long]("tombstones")).sum == 0L)
+
+    // a table committed WITHOUT sidecars degrades to NULL stats, never a guess
+    val bare = Scratch.dir("gfmt_files_bare")
+    ManifestTable.commit(Seq((1L, 2L)).toDF("k", "v"), bare, 20250701, 900)
+    val nf = spark.read.format("graft").option("subtable", "files").load(bare).collect()
+    assert(nf.nonEmpty && nf.forall(r => r.isNullAt(r.fieldIndex("rows"))))
+  }
 }
