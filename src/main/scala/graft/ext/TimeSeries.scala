@@ -75,9 +75,56 @@ object TimeSeries {
         sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
   }
 
+  /** X162: LINEAR interpolation across gaps — the numeric sibling of
+    * X55's LOCF (sensor/metric series where "hold the last value" biases
+    * downstream aggregates; the standard resample mode pandas calls
+    * `interpolate('linear')`). On the same dense grid, every gap day gets
+    *
+    *   prev + (next − prev) · (day − prevDay) / (nextDay − prevDay)
+    *
+    * in EXACT integer arithmetic: values in cents·10⁶ units, the division
+    * as a true floor division on both engines (DuckDB `//` floors;
+    * Spark's `div` truncates toward zero, so the floor is spelled
+    * `(a − pmod(a, b)) div b` — exact for negative deltas too, where
+    * trunc and floor disagree). Grid spans each user's observed
+    * [min, max] day, so every gap is interior — both neighbors always
+    * exist, no edge-policy ambiguity.
+    *
+    * Same one-shuffle shape as X55: the neighbor lookups are two windows
+    * (last-non-null backward, first-non-null forward) over the identical
+    * `user_id` partitioning the grid join already established.
+    */
+  def interpolateDaily(events: DataFrame): DataFrame = {
+    val filled = gapFillDaily(events)
+      .withColumn("obs_e6",
+        when(!col("is_gap"),
+          round(col("filled_value") * 100).cast("long") * 1000000L))
+    val wPrev = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevDay = last(when(!col("is_gap"), col("day")), ignoreNulls = true).over(wPrev)
+    val nextDay = first(when(!col("is_gap"), col("day")), ignoreNulls = true).over(wNext)
+    filled
+      .withColumn("p_e6", last(col("obs_e6"), ignoreNulls = true).over(wPrev))
+      .withColumn("n_e6", first(col("obs_e6"), ignoreNulls = true).over(wNext))
+      .withColumn("off", datediff(col("day"), prevDay).cast("long"))
+      .withColumn("span", datediff(nextDay, prevDay).cast("long"))
+      .withColumn("interp_e6",
+        when(!col("is_gap"), col("obs_e6")).otherwise(
+          // floor((n−p)·off / span) with true floor semantics on both engines
+          col("p_e6") + expr(
+            "((n_e6 - p_e6) * off - pmod((n_e6 - p_e6) * off, span)) div span")))
+      .select("user_id", "day", "is_gap", "interp_e6")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_gap_fill" -> ((s, d) =>
       gapFillDaily(Tables.events(s, d))
+        .orderBy("user_id", "day")),
+
+    "q_interpolate" -> ((s, d) =>
+      interpolateDaily(Tables.events(s, d))
         .orderBy("user_id", "day")),
 
     "q_trailing_window" -> ((s, d) =>
@@ -107,6 +154,46 @@ object TimeSeries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
         |FROM grid LEFT JOIN daily ON grid.user_id = daily.user_id AND grid.day = daily.day
         |ORDER BY grid.user_id, grid.day""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2
+        |),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1)
+        |),
+        |j AS (
+        |  SELECT grid.user_id, grid.day,
+        |         daily.n_events IS NULL AS is_gap,
+        |         CASE WHEN daily.n_events IS NOT NULL
+        |              THEN CAST(round(daily.sum_value * 100) AS BIGINT) * 1000000 END AS obs_e6
+        |  FROM grid LEFT JOIN daily ON grid.user_id = daily.user_id AND grid.day = daily.day
+        |),
+        |w AS (
+        |  SELECT user_id, day, is_gap, obs_e6,
+        |    last_value(obs_e6 IGNORE NULLS) OVER wp AS p_e6,
+        |    first_value(obs_e6 IGNORE NULLS) OVER wn AS n_e6,
+        |    last_value(CASE WHEN NOT is_gap THEN day END IGNORE NULLS) OVER wp AS pd,
+        |    first_value(CASE WHEN NOT is_gap THEN day END IGNORE NULLS) OVER wn AS nd
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, day, is_gap,
+        |  -- true FLOOR division (DuckDB's integer // truncates toward zero,
+        |  -- which disagrees with floor on negative slopes): subtract the
+        |  -- positive modulus first, then the division is exact
+        |  CASE WHEN NOT is_gap THEN obs_e6
+        |       ELSE p_e6 + (((n_e6 - p_e6) * (day - pd))
+        |                    - (((((n_e6 - p_e6) * (day - pd)) % (nd - pd)) + (nd - pd)) % (nd - pd)))
+        |                   // (nd - pd) END AS interp_e6
+        |FROM w ORDER BY user_id, day""".stripMargin,
 
     "q_trailing_window" ->
       """SELECT o_orderkey,

@@ -41,4 +41,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!out.head.getAs[Boolean]("is_gap"))
     assert(out.head.getAs[Double]("filled_value") == 4.25)
   }
+
+  // --- X162 linear interpolation ---
+
+  private def interp(evs: Seq[(Long, Timestamp, Double)]): Seq[(Int, Boolean, Long)] =
+    TimeSeries.interpolateDaily(evs.toDF("user_id", "ts", "value"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(r.fieldIndex("day")).toLocalDate.getDayOfMonth,
+        r.getBoolean(r.fieldIndex("is_gap")), r.getLong(r.fieldIndex("interp_e6"))))
+      .toSeq
+
+  test("interpolate: exact thirds on a rising gap (X162)") {
+    // 1.00 at day 1, 4.00 at day 4 → gaps at 2.00-ish thirds in 1e-6-cent units
+    val out = interp(Seq(ev(1L, 1, 1.0), ev(1L, 4, 4.0)))
+    assert(out === Seq(
+      (1, false, 100000000L),
+      (2, true, 200000000L), // 100 + floor(300·1/3) cents·1e6
+      (3, true, 300000000L),
+      (4, false, 400000000L)))
+  }
+
+  test("interpolate: FLOOR semantics on negative slopes (trunc would differ)") {
+    // 1.00 at day 1 → 0.00 at day 4: gap day 2 = 1e8 + floor(-1e8/3)
+    //  = 1e8 − 33333334 = 66666666; a trunc-division bug gives …667
+    val out = interp(Seq(ev(1L, 1, 1.0), ev(1L, 4, 0.0)))
+    assert(out(1) === ((2, true, 66666666L)))
+    assert(out(2) === ((3, true, 33333333L)))
+  }
+
+  test("interpolate: observed days pass through untouched; no edge gaps exist") {
+    val out = interp(Seq(ev(1L, 2, 5.5), ev(1L, 3, 9.0)))
+    assert(out === Seq((2, false, 550000000L), (3, false, 900000000L)))
+  }
 }
