@@ -51,7 +51,8 @@ object SparkEntry {
       lake.CopyInto.queries ++ lake.Identity.queries ++ sinks.Jdbc.queries ++
       ext.Url.queries ++ sources.Warc.queries ++ ext.DedupIncr.queries ++
       ext.Html.queries ++ ops.Avro.queries ++ ext.Drift.queries ++
-      ext.Integrity.queries ++ ext.KCore.queries ++ ops.Skyline.queries
+      ext.Integrity.queries ++ ext.KCore.queries ++ ops.Skyline.queries ++
+      lake.MetaTables.queries
       // (q_format_files rides graft.spark.GraftFormat.queries)
       // (q_commit_guard rides lake.Expectations.queries, already included)
 
@@ -92,5 +93,6 @@ object SparkEntry {
       lake.CopyInto.oracles ++ lake.Identity.oracles ++ sinks.Jdbc.oracles ++
       ext.Url.oracles ++ sources.Warc.oracles ++ ext.DedupIncr.oracles ++
       ext.Html.oracles ++ ops.Avro.oracles ++ ext.Drift.oracles ++
-      ext.Integrity.oracles ++ ext.KCore.oracles ++ ops.Skyline.oracles
+      ext.Integrity.oracles ++ ext.KCore.oracles ++ ops.Skyline.oracles ++
+      lake.MetaTables.oracles
 }

@@ -22,6 +22,21 @@ import org.apache.spark.sql.types._
   * degrades to "unknown", never to a wrong number (the X57 rule).
   */
 object MetaTables {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared fixture: an 8-file o_orderkey-range-clustered commit with
+    * zone maps, then a DV delete of the %9 slice (≈11% MOR debt) —
+    * used by `q_format_files` and the advisor's "clustered" table.
+    */
+  def metaFilesFixture(s: SparkSession, d: String): String =
+    graft.util.FixtureCache.dir("meta_files", d) { dir =>
+      val o = graft.sources.Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, org.apache.spark.sql.functions.col("o_orderkey"))
+      ZoneMap.commitWithStats(o, dir, 20250601, 900, Seq("o_orderkey"))
+      DeleteVectors.deleteWhere(s, dir,
+        org.apache.spark.sql.functions.col("o_orderkey") % 9 === 0, 20250601, 930)
+    }
 
   val filesSchema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
@@ -67,4 +82,88 @@ object MetaTables {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), filesSchema)
   }
+
+  /** X163: maintenance advisor — the CONSUMER of the files view:
+    * Databricks' predictive-optimization / Iceberg's maintenance-
+    * recommendation shape, as three deterministic rules over per-file
+    * metadata (zero data read, so the advisor costs the same at 100 TB):
+    *
+    *  - `binpack` (X32/X129): average stats-rows per file under half the
+    *    target — the small-files debt hourly ingest accumulates;
+    *  - `cluster` (X48/X106): the layout no longer serves the query key —
+    *    measured as sort-sweep boundary violations on the key's per-file
+    *    [lo, hi] (sort by lo; count files opening before the running max
+    *    hi closes). 0 ⟺ perfectly clustered; O(F log F) driver work on
+    *    file-count-sized metadata, never O(F²);
+    *  - `materialize` (X64): tombstone debt ≥ the threshold fraction of
+    *    stats rows — when merge-on-read reads pay more than a rewrite.
+    *
+    * Files without sidecar stats contribute nothing to the evidence
+    * (unknown never fires a rule — the X57 degradation contract).
+    */
+  def maintenancePlan(spark: SparkSession, dir: String, keyCol: String,
+      targetRows: Long, morDebtPct: Int = 10): DataFrame = {
+    import spark.implicits._
+    val files = filesTable(spark, dir).collect() // file-count-sized metadata
+    val withStats = files.filter(!_.isNullAt(1))
+    val statRows = withStats.map(_.getAs[Long]("rows")).sum
+    val avgRows = if (withStats.isEmpty) Long.MaxValue else statRows / withStats.length
+    val bounds = withStats
+      .filter(r => Option(r.getAs[Map[String, Long]]("lo")).exists(_.contains(keyCol)))
+      .map(r => (r.getAs[Map[String, Long]]("lo")(keyCol),
+        r.getAs[Map[String, Long]]("hi")(keyCol)))
+      .sortBy(_._1)
+    var runMax = Long.MinValue
+    var violations = 0L
+    bounds.foreach { case (lo, hi) =>
+      if (runMax != Long.MinValue && lo <= runMax) violations += 1
+      runMax = math.max(runMax, hi)
+    }
+    val tomb = files.map(_.getAs[Long]("tombstones")).sum
+    Seq(
+      ("binpack", files.length > 1 && withStats.nonEmpty && avgRows < targetRows / 2),
+      ("cluster", violations > 0),
+      ("materialize", statRows > 0 && tomb * 100L >= morDebtPct.toLong * statRows))
+      .toDF("rule", "fired")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // The advisor over two honest states: the clustered+tombstoned table
+    // (materialize should fire — ≈11% MOR debt — and nothing else) and a
+    // table range-laid-out on the WRONG column for the query key with
+    // 64 small files (binpack + cluster fire, no deletes). The oracle
+    // derives every decision from the raw data + the fixture's layout
+    // constants, so a rule mis-firing in either direction breaks a row.
+    "q_maintenance_plan" -> ((s, d) => {
+      val clustered = metaFilesFixture(s, d)
+      val fragmented = graft.util.FixtureCache.dir("maint_frag", d) { dir =>
+        val o = graft.sources.Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartitionByRange(64, org.apache.spark.sql.functions.col("o_custkey"))
+        ZoneMap.commitWithStats(o, dir, 20250601, 900, Seq("o_orderkey"))
+      }
+      val target = graft.sources.Tables.orders(s, d).count() / 10
+      maintenancePlan(s, clustered, "o_orderkey", target)
+        .withColumn("tbl", org.apache.spark.sql.functions.lit("clustered"))
+        .unionByName(maintenancePlan(s, fragmented, "o_orderkey", target)
+          .withColumn("tbl", org.apache.spark.sql.functions.lit("fragmented")))
+        .select("tbl", "rule", "fired")
+        .orderBy("tbl", "rule")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_maintenance_plan" ->
+      """WITH n AS (SELECT count(*) AS c FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'clustered' AS tbl, 'binpack' AS rule,
+        |         (c // 8) < (c // 10) // 2 AS fired FROM n
+        |  UNION ALL SELECT 'clustered', 'cluster', false
+        |  UNION ALL SELECT 'clustered', 'materialize',
+        |    (SELECT 100 * count(*) FILTER (WHERE o_orderkey % 9 = 0) >= 10 * count(*)
+        |     FROM orders)
+        |  UNION ALL SELECT 'fragmented', 'binpack',
+        |         (c // 64) < (c // 10) // 2 FROM n
+        |  UNION ALL SELECT 'fragmented', 'cluster', true
+        |  UNION ALL SELECT 'fragmented', 'materialize', false
+        |) ORDER BY tbl, rule""".stripMargin)
 }

@@ -478,13 +478,7 @@ object GraftFormat {
     // delete predicate's row count — while the data relation stays
     // unopened (the subtable scan reads metadata + DV deltas only).
     "q_format_files" -> ((s, d) => {
-      val dir = FixtureCache.dir("meta_files", d) { dir =>
-        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
-          .repartitionByRange(8, col("o_orderkey"))
-        ZoneMap.commitWithStats(o, dir, 20250601, 900, Seq("o_orderkey"))
-        graft.lake.DeleteVectors.deleteWhere(s, dir,
-          col("o_orderkey") % 9 === 0, 20250601, 930)
-      }
+      val dir = MetaTables.metaFilesFixture(s, d)
       s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_files_v1
                |USING graft OPTIONS (path '$dir', subtable 'files', versionAsOf '1')"""
         .stripMargin)
