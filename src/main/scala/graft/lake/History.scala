@@ -54,6 +54,35 @@ object History {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** X164: point-in-time (PIT) join — each fact picks up the dimension
+    * version valid AT the fact's timestamp, the correctness join feature
+    * stores exist for (training-label leakage comes precisely from
+    * joining facts to the LATEST dimension instead of the
+    * as-of-event-time one; Feast/Tecton call this the point-in-time
+    * join, warehouses the SCD2 lookup).
+    *
+    * Mechanics: the X1 as-of backward join on `valid_from` (one key
+    * shuffle, no interval explosion) — sound because SCD2 intervals are
+    * contiguous per key, so the last interval STARTING at-or-before ts
+    * is exactly the one CONTAINING ts; a fact at a boundary lands in the
+    * newer interval (`[from, to)` semantics — the as-of tie order
+    * already sorts the right row first). EMPTY intervals (two runs
+    * starting the same day — the first closes where it opens) are
+    * filtered before the join: they can contain no timestamp, and
+    * dropping them restores the as-of contract's one-row-per-(key, time)
+    * uniqueness. Facts before the key's first interval (or keyless) drop
+    * — inner-PIT semantics.
+    */
+  def pitJoin(facts: DataFrame, scd2Dim: DataFrame, key: String, factTs: String,
+      state: String): DataFrame = {
+    val dim = scd2Dim.where(col("valid_to").isNull || col("valid_from") < col("valid_to"))
+    graft.ops.AsofJoin.asofJoin(facts, dim, Seq(key), factTs, "valid_from",
+      rightValues = Seq(state, "valid_to"), matchedTimeAlias = "pit_from")
+      .where(col("pit_from").isNotNull &&
+        (col("valid_to").isNull || col(factTs) < col("valid_to")))
+      .drop("valid_to")
+  }
+
   val queries: Map[String, Q] = Map(
     // Customer order-status history: each customer's orders in
     // (o_orderdate, o_orderkey) order, consecutive equal statuses
@@ -62,6 +91,26 @@ object History {
       scd2(Tables.orders(s, d), "o_custkey",
         Seq("o_orderdate", "o_orderkey"), "o_orderstatus", "o_orderdate")
         .orderBy("o_custkey", "version")),
+
+    // X164: revenue attributed to the customer's order-status AT SHIP
+    // TIME — the attribution a naive latest-status join silently gets
+    // wrong. Facts = lineitem (custkey via its order), dimension = the
+    // X54 status history; the oracle joins by explicit interval
+    // containment, so the as-of shortcut must reproduce containment
+    // exactly, boundaries included.
+    "q_pit_join" -> ((s, d) => {
+      val dim = scd2(Tables.orders(s, d), "o_custkey",
+        Seq("o_orderdate", "o_orderkey"), "o_orderstatus", "o_orderdate")
+      val facts = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_shipdate"), col("l_extendedprice"))
+      pitJoin(facts, dim, "o_custkey", "l_shipdate", "o_orderstatus")
+        .groupBy(col("o_orderstatus").as("pit_status"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.util.Exact.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("pit_status")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -84,5 +133,33 @@ object History {
         |    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))
         |GROUP BY o_custkey, version
         |ORDER BY o_custkey, version""".stripMargin,
+
+    "q_pit_join" ->
+      """WITH runs AS (
+        |  SELECT o_custkey, version,
+        |    min(o_orderstatus) AS o_orderstatus,
+        |    min(o_orderdate) AS valid_from,
+        |    lead(min(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY version) AS valid_to
+        |  FROM (
+        |    SELECT o_custkey, o_orderstatus, o_orderdate,
+        |      CAST(sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |    FROM (
+        |      SELECT *, CASE WHEN lag(o_orderstatus) OVER w IS NOT NULL
+        |                      AND lag(o_orderstatus) OVER w = o_orderstatus
+        |                THEN 0 ELSE 1 END AS chg
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))
+        |  GROUP BY o_custkey, version),
+        |f AS (
+        |  SELECT o.o_custkey AS k, l.l_shipdate AS ts, l.l_extendedprice AS p
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT s.o_orderstatus AS pit_status,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM f JOIN runs s
+        |  ON f.k = s.o_custkey AND f.ts >= s.valid_from
+        | AND (s.valid_to IS NULL OR f.ts < s.valid_to)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

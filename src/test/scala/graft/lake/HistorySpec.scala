@@ -66,4 +66,44 @@ class HistorySpec extends SparkSpec {
       "o_orderstatus", "o_orderdate").queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
+
+  // --- X164 point-in-time join ---
+
+  private def pitFixture() = {
+    // key 1: status A on days 1-2 (two obs), B from day 5 onward
+    val obs = Seq((1L, ts(1), 101L, "A"), (1L, ts(2), 102L, "A"),
+      (1L, ts(5), 103L, "B"))
+      .toDF("k", "t", "tie", "st")
+    History.scd2(obs, "k", Seq("t", "tie"), "st", "t")
+  }
+
+  private def pit(facts: Seq[(Long, Timestamp)]): Map[Timestamp, String] = {
+    val f = facts.toDF("k", "ft")
+    History.pitJoin(f, pitFixture(), "k", "ft", "st")
+      .collect().map(r => r.getAs[Timestamp]("ft") -> r.getAs[String]("st")).toMap
+  }
+
+  test("pit join: facts pick the interval CONTAINING their timestamp, [from, to) at boundaries") {
+    val got = pit(Seq((1L, ts(1)), (1L, ts(3)), (1L, ts(5)), (1L, ts(9))))
+    assert(got(ts(1)) === "A")
+    assert(got(ts(3)) === "A", "inside [1, 5): still A — a latest-status join would say B")
+    assert(got(ts(5)) === "B", "boundary belongs to the NEW interval")
+    assert(got(ts(9)) === "B", "open current interval")
+  }
+
+  test("pit join: facts before the first interval (or for unknown keys) drop") {
+    val f = Seq((1L, Timestamp.valueOf("2023-12-25 00:00:00")), (99L, ts(3)))
+      .toDF("k", "ft")
+    assert(History.pitJoin(f, pitFixture(), "k", "ft", "st").count() === 0L)
+  }
+
+  test("pit join: a same-day status flip yields the LATER run (empty interval filtered)") {
+    // A and B both start day 3: A's interval is [3, 3) = empty
+    val obs = Seq((1L, ts(3), 1L, "A"), (1L, ts(3), 2L, "B"))
+      .toDF("k", "t", "tie", "st")
+    val dim = History.scd2(obs, "k", Seq("t", "tie"), "st", "t")
+    val got = History.pitJoin(Seq((1L, ts(3))).toDF("k", "ft"), dim, "k", "ft", "st")
+      .collect()
+    assert(got.length === 1 && got.head.getAs[String]("st") === "B")
+  }
 }
