@@ -83,6 +83,141 @@ object History {
       .drop("valid_to")
   }
 
+  // ------------------------------------------------------------------
+  // X165: INCREMENTAL SCD2 maintenance — the hot/cold split that makes
+  // X54 a maintainable table instead of a full-rebuild query. Closed
+  // runs are immutable facts (a run, once succeeded by a different
+  // state, never changes), so they live in an APPEND-ONLY manifest
+  // table; only the per-key CURRENT runs (the tail) rewrite. A batch
+  // commit = one append to `closed` + one replace of `tail`, published
+  // atomically as an X99 catalog cut — per-batch cost tracks the BATCH
+  // and the touched tails, never the history length.
+  //
+  // Soundness rests on a refusal contract: every batch observation must
+  // order STRICTLY AFTER its key's last absorbed observation
+  // (lexicographically on (ts, tie)); late data would need closed runs
+  // reopened and is refused loudly (the full rebuild handles it). Under
+  // the contract, the global observation sequence is closed ⧺ tail ⧺
+  // batch per key, so recomputing runs over (tail-as-one-weighted-
+  // pseudo-observation ⧺ batch) and continuing the version numbering
+  // reproduces the full rebuild EXACTLY — the invariant the oracle and
+  // spec pin.
+  // ------------------------------------------------------------------
+
+  /** Weighted run fold for the incremental path: observations carry a
+    * row weight (a collapsed tail run re-enters as ONE pseudo-row of
+    * weight n_rows) and explicit last-absorbed markers that survive the
+    * collapse (a pseudo-row remembers the ORIGINAL last observation, so
+    * later refusal checks stay exact).
+    */
+  private def runFold(obs: DataFrame, key: String, ts: String, tie: String): DataFrame = {
+    val wOrd = Window.partitionBy(key).orderBy(col(ts), col(tie))
+    val wRun = Window.partitionBy(key).orderBy("version")
+    val prev = lag(col("__st"), 1).over(wOrd)
+    obs
+      .withColumn("chg",
+        when(prev.isNotNull && prev === col("__st"), 0L).otherwise(1L))
+      .withColumn("version",
+        sum("chg").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(key), col("version"))
+      .agg(
+        min("__st").as("__st"),
+        min(ts).as("valid_from"),
+        sum("__w").as("n_rows"),
+        max(struct(col("__lts"), col("__ltie"))).as("__last"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .withColumn("last_ts", col("__last.__lts"))
+      .withColumn("last_tie", col("__last.__ltie"))
+      .drop("__last")
+  }
+
+  private def obsOf(df: DataFrame, key: String, ts: String, tie: String,
+      state: String): DataFrame =
+    df.select(col(key), col(ts), col(tie).cast("long").as(tie),
+      col(state).as("__st"), lit(1L).as("__w"),
+      col(ts).as("__lts"), col(tie).cast("long").as("__ltie"))
+
+  private def closedOf(runs: DataFrame, key: String): DataFrame =
+    runs.where(col("valid_to").isNotNull)
+      .select(col(key), col("version"), col("__st").as("state"),
+        col("valid_from"), col("n_rows"), col("valid_to"))
+
+  private def tailOf(runs: DataFrame, key: String): DataFrame =
+    runs.where(col("valid_to").isNull)
+      .select(col(key), col("version"), col("__st").as("state"),
+        col("valid_from"), col("n_rows"), col("last_ts"), col("last_tie"))
+
+  private def commitCut(spark: SparkSession, root: String, date: Int, time: Int,
+      closed: DataFrame, tail: DataFrame, append: Boolean): Int = {
+    val tv = ManifestTable.commitRetrying(tail, s"$root/tail", date, time)
+    val cv = if (append)
+      ManifestTable.appendRetrying(closed, s"$root/closed", date, time)
+    else ManifestTable.commitRetrying(closed, s"$root/closed", date, time)
+    Catalog.publishCatalog(spark, root, date, time,
+      Map("closed" -> cv, "tail" -> tv))
+  }
+
+  /** Initialize the maintained SCD2 catalog at `root` from a full
+    * observation set. Returns the catalog version.
+    */
+  def scd2Init(obs: DataFrame, key: String, ts: String, tie: String, state: String,
+      root: String, date: Int, time: Int): Int = {
+    val spark = obs.sparkSession
+    val runs = runFold(obsOf(obs, key, ts, tie, state), key, ts, tie)
+    commitCut(spark, root, date, time,
+      closedOf(runs, key), tailOf(runs, key), append = false)
+  }
+
+  /** Apply a batch of NEW observations incrementally: refuse late rows,
+    * recompute only the touched tails (+ batch), append newly closed
+    * runs, replace the tail table, publish one catalog cut. Cost ∝
+    * batch + touched tails.
+    */
+  def scd2Apply(batch: DataFrame, key: String, ts: String, tie: String, state: String,
+      root: String, date: Int, time: Int): Int = {
+    val spark = batch.sparkSession
+    val tail = Catalog.readTable(spark, root, "tail")
+    val keys = batch.select(col(key)).distinct()
+    val touched = tail.join(broadcast(keys), Seq(key), "left_semi")
+    val late = batch.join(
+        touched.select(col(key), col("last_ts"), col("last_tie")), Seq(key))
+      .where(col(ts) < col("last_ts") ||
+        (col(ts) === col("last_ts") && col(tie).cast("long") <= col("last_tie")))
+      .count()
+    require(late == 0L,
+      s"scd2Apply: $late late observation(s) at or before an absorbed one — " +
+        "late data reopens closed runs; run the full rebuild instead")
+    // the touched tail re-enters as one weighted pseudo-observation that
+    // sorts before every (contract-checked) batch row of its key and
+    // remembers its true last-absorbed marker
+    val pseudo = touched.select(col(key), col("valid_from").as(ts),
+      lit(Long.MinValue).as(tie), col("state").as("__st"),
+      col("n_rows").as("__w"), col("last_ts").as("__lts"), col("last_tie").as("__ltie"))
+    val recomputed = runFold(pseudo.unionByName(obsOf(batch, key, ts, tie, state)),
+      key, ts, tie)
+      // continue each key's version numbering where its tail stood
+      .join(broadcast(touched.select(col(key), (col("version") - 1L).as("__base"))),
+        Seq(key), "left")
+      .withColumn("version", col("version") + coalesce(col("__base"), lit(0L)))
+      .drop("__base")
+    // keys the batch never mentioned keep their tails verbatim
+    val untouched = tail.join(broadcast(keys), Seq(key), "left_anti")
+    commitCut(spark, root, date, time,
+      closedOf(recomputed, key),
+      tailOf(recomputed, key).unionByName(untouched), append = true)
+  }
+
+  /** The maintained table: closed ∪ tail, in the X54 output shape. */
+  def scd2Read(spark: SparkSession, root: String): DataFrame = {
+    val closed = Catalog.readTable(spark, root, "closed")
+      .withColumn("is_current", lit(false))
+    val tail = Catalog.readTable(spark, root, "tail")
+      .drop("last_ts", "last_tie")
+      .withColumn("valid_to", lit(null).cast(closed.schema("valid_to").dataType))
+      .withColumn("is_current", lit(true))
+    closed.unionByName(tail)
+  }
+
   val queries: Map[String, Q] = Map(
     // Customer order-status history: each customer's orders in
     // (o_orderdate, o_orderkey) order, consecutive equal statuses
@@ -98,6 +233,28 @@ object History {
     // X54 status history; the oracle joins by explicit interval
     // containment, so the as-of shortcut must reproduce containment
     // exactly, boundaries included.
+    // X165: init on the pre-1998 orders, apply the 1998+ batch
+    // incrementally (append closed / replace tail / one catalog cut) —
+    // the maintained table must equal the FULL X54 rebuild bit-for-bit,
+    // version numbering included (the oracle IS q_scd2_history's SQL).
+    "q_scd2_incr" -> ((s, d) => {
+      val root = graft.util.FixtureCache.dir("scd2_incr", d) { root =>
+        val o = Tables.orders(s, d)
+        val cut = to_date(lit("1998-01-01"))
+        scd2Init(o.where(col("o_orderdate").cast("date") < cut),
+          "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus",
+          root, 20250601, 900)
+        scd2Apply(o.where(col("o_orderdate").cast("date") >= cut),
+          "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus",
+          root, 20250601, 930)
+      }
+      scd2Read(s, root)
+        .select(col("o_custkey"), col("version"),
+          col("state").as("o_orderstatus"), col("valid_from"),
+          col("n_rows"), col("valid_to"), col("is_current"))
+        .orderBy("o_custkey", "version")
+    }),
+
     "q_pit_join" -> ((s, d) => {
       val dim = scd2(Tables.orders(s, d), "o_custkey",
         Seq("o_orderdate", "o_orderkey"), "o_orderstatus", "o_orderdate")
@@ -115,6 +272,26 @@ object History {
 
   val oracles: Map[String, String] = Map(
     "q_scd2_history" ->
+      """SELECT o_custkey, version,
+        |  min(o_orderstatus) AS o_orderstatus,
+        |  min(o_orderdate) AS valid_from,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  lead(min(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY version) AS valid_to,
+        |  lead(min(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL AS is_current
+        |FROM (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate,
+        |    CAST(sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM (
+        |    SELECT *, CASE WHEN lag(o_orderstatus) OVER w IS NOT NULL
+        |                    AND lag(o_orderstatus) OVER w = o_orderstatus
+        |              THEN 0 ELSE 1 END AS chg
+        |    FROM orders
+        |    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))
+        |GROUP BY o_custkey, version
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    "q_scd2_incr" ->
       """SELECT o_custkey, version,
         |  min(o_orderstatus) AS o_orderstatus,
         |  min(o_orderdate) AS valid_from,

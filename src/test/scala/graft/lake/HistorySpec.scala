@@ -2,6 +2,8 @@ package graft.lake
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** X54 SCD2 history: run-collapse goldens, tie-breaking, interval chaining,
@@ -95,6 +97,51 @@ class HistorySpec extends SparkSpec {
     val f = Seq((1L, Timestamp.valueOf("2023-12-25 00:00:00")), (99L, ts(3)))
       .toDF("k", "ft")
     assert(History.pitJoin(f, pitFixture(), "k", "ft", "st").count() === 0L)
+  }
+
+  // --- X165 incremental SCD2 maintenance ---
+
+  test("scd2 incremental: init + apply equals the full rebuild bit-for-bit") {
+    val root = graft.util.Scratch.dir("scd2_incr_spec")
+    val o = graft.sources.Tables.orders(spark, sf)
+    val cut = to_date(lit("1998-01-01"))
+    History.scd2Init(o.where(col("o_orderdate").cast("date") < cut),
+      "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus", root, 20250601, 900)
+    History.scd2Apply(o.where(col("o_orderdate").cast("date") >= cut),
+      "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus", root, 20250601, 930)
+    val inc = History.scd2Read(spark, root)
+      .select(col("o_custkey"), col("version"), col("state"),
+        col("valid_from"), col("n_rows"), col("valid_to"))
+      .orderBy("o_custkey", "version").collect().map(_.toString).toSeq
+    val full = History.scd2(o, "o_custkey", Seq("o_orderdate", "o_orderkey"),
+      "o_orderstatus", "o_orderdate")
+      .select(col("o_custkey"), col("version"), col("o_orderstatus"),
+        col("valid_from"), col("n_rows"), col("valid_to"))
+      .orderBy("o_custkey", "version").collect().map(_.toString).toSeq
+    assert(inc === full)
+    // the closed table only ever APPENDS: batch-2 files are a superset
+    val snaps = ManifestTable.snapshots(spark, s"$root/closed")
+    assert(snaps.size === 2 && snaps.head.files.toSet.subsetOf(snaps.last.files.toSet))
+  }
+
+  test("scd2 incremental: late observations refuse loudly; untouched keys keep their tails") {
+    val root = graft.util.Scratch.dir("scd2_late_spec")
+    val init = Seq((1L, ts(5), 1L, "A"), (2L, ts(3), 2L, "B"))
+      .toDF("k", "t", "tie", "st")
+    History.scd2Init(init, "k", "t", "tie", "st", root, 20250601, 900)
+    // a batch row at key 1 BEFORE its absorbed day-5 observation
+    val late = Seq((1L, ts(4), 9L, "A")).toDF("k", "t", "tie", "st")
+    val e = intercept[IllegalArgumentException](
+      History.scd2Apply(late, "k", "t", "tie", "st", root, 20250601, 930))
+    assert(e.getMessage.contains("late"))
+    // a clean batch touching only key 1 (and a brand-new key 3)
+    History.scd2Apply(Seq((1L, ts(8), 9L, "C"), (3L, ts(8), 10L, "A"))
+      .toDF("k", "t", "tie", "st"), "k", "t", "tie", "st", root, 20250601, 940)
+    val out = History.scd2Read(spark, root).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("state"),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(out === Set((1L, "A", false), (1L, "C", true),
+      (2L, "B", true), (3L, "A", true)))
   }
 
   test("pit join: a same-day status flip yields the LATER run (empty interval filtered)") {
