@@ -52,7 +52,8 @@ object SparkEntry {
       ext.Url.queries ++ sources.Warc.queries ++ ext.DedupIncr.queries ++
       ext.Html.queries ++ ops.Avro.queries ++ ext.Drift.queries ++
       ext.Integrity.queries ++ ext.KCore.queries ++ ops.Skyline.queries ++
-      lake.MetaTables.queries ++ lake.RecordIndex.queries
+      lake.MetaTables.queries ++ lake.RecordIndex.queries ++
+      lake.ResultCache.queries
       // (q_format_files rides graft.spark.GraftFormat.queries)
       // (q_commit_guard rides lake.Expectations.queries, already included)
 
@@ -94,5 +95,6 @@ object SparkEntry {
       ext.Url.oracles ++ sources.Warc.oracles ++ ext.DedupIncr.oracles ++
       ext.Html.oracles ++ ops.Avro.oracles ++ ext.Drift.oracles ++
       ext.Integrity.oracles ++ ext.KCore.oracles ++ ops.Skyline.oracles ++
-      lake.MetaTables.oracles ++ lake.RecordIndex.oracles
+      lake.MetaTables.oracles ++ lake.RecordIndex.oracles ++
+      lake.ResultCache.oracles
 }
