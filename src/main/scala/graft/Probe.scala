@@ -286,7 +286,12 @@ object Probe {
         "q_write_format", "q_stream_sink", "q_restore", "q_copy_into",
         "q_table_repair", "q_identity", "q_cluster_sample",
         "q_binpack", "q_gdpr_delete", "q_commit_guard", "q_json_badrecords",
-        "q_append_stats").foreach { qn =>
+        "q_append_stats",
+        // round-6 continuation fixtures (avro containers, metadata-table
+        // commits, incremental-SCD2 init+apply, record-index build,
+        // result-cache fills)
+        "q_format_avro", "q_format_files", "q_maintenance_plan",
+        "q_scd2_incr", "q_record_index", "q_result_cache").foreach { qn =>
         live(qn) { SparkEntry.queries(qn)(s, d).count() }
       }
       live("bpe_vocab") {
