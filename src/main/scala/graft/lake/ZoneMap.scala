@@ -45,7 +45,8 @@ object ZoneMap {
     */
   case class FileStats(file: String, lo: Map[String, Long], hi: Map[String, Long],
       rows: Long = -1L,
-      slo: Map[String, String] = Map.empty, shi: Map[String, String] = Map.empty)
+      slo: Map[String, String] = Map.empty, shi: Map[String, String] = Map.empty,
+      vals: Map[String, Seq[String]] = Map.empty)
 
   private def statsName(version: Int) = f"v$version%08d.stats.json"
   private def statsPath(dir: String, version: Int) =
@@ -54,13 +55,24 @@ object ZoneMap {
   /** One combinable aggregate pass over already-staged files → their
     * FileStats, rel-resolved against `files`.
     */
+  /** X168: distinct-value sets larger than this per (file, column) are
+    * NOT recorded — the file then simply never equality-prunes, the same
+    * absence-degrades rule as every other stat (a genuinely categorical
+    * column stays far under the cap; a mistaken high-cardinality column
+    * costs nothing but its one collect_set pass).
+    */
+  val MaxValsPerFile: Int = 64
+
   private[graft] def statsFor(spark: SparkSession, dir: String, files: Seq[String],
-      statsCols: Seq[String], strCols: Seq[String]): Seq[FileStats] = {
+      statsCols: Seq[String], strCols: Seq[String],
+      setCols: Seq[String] = Nil): Seq[FileStats] = {
     val staged = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c"))) ++
       strCols.flatMap(c =>
-        Seq(min(col(c)).cast("string").as(s"slo_$c"), max(col(c)).cast("string").as(s"shi_$c"))) :+
+        Seq(min(col(c)).cast("string").as(s"slo_$c"), max(col(c)).cast("string").as(s"shi_$c"))) ++
+      setCols.map(c =>
+        collect_set(col(c).cast("string")).as(s"vals_$c")) :+
       count(lit(1)).as("n_rows")
     val rows = staged
       .groupBy(col("_metadata.file_path").as("file_path"))
@@ -75,7 +87,12 @@ object ZoneMap {
         statsCols.map(c => c -> r.getAs[Long](s"hi_$c")).toMap,
         r.getAs[Long]("n_rows"),
         strCols.map(c => c -> r.getAs[String](s"slo_$c")).toMap,
-        strCols.map(c => c -> r.getAs[String](s"shi_$c")).toMap)
+        strCols.map(c => c -> r.getAs[String](s"shi_$c")).toMap,
+        setCols.flatMap { c =>
+          val vs = r.getAs[scala.collection.Seq[String]](s"vals_$c")
+          if (vs.size > MaxValsPerFile) None // over cap: absent, never wrong
+          else Some(c -> vs.toSeq.sorted)
+        }.toMap)
     }.toSeq.sortBy(_.file)
   }
 
@@ -85,11 +102,11 @@ object ZoneMap {
     */
   def commitWithStats(df: DataFrame, dir: String, date: Int, time: Int,
       statsCols: Seq[String], strCols: Seq[String] = Nil,
-      op: String = "write"): Int = {
+      op: String = "write", setCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     val version = ManifestTable.latestVersion(spark, dir).getOrElse(0) + 1
     val files = ManifestTable.writeDataFiles(df, dir, version)
-    val stats = statsFor(spark, dir, files, statsCols, strCols)
+    val stats = statsFor(spark, dir, files, statsCols, strCols, setCols)
 
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     writeStatsSidecar(spark, dir, version, stats)
@@ -111,7 +128,14 @@ object ZoneMap {
           val sh = s.shi.toSeq.sortBy(_._1).map { case (c, v) => s""""$c": ${jstr(v)}""" }.mkString(", ")
           s""", "slo": {$sl}, "shi": {$sh}"""
         }
-      s"""{"file": "${s.file}", "lo": {$los}, "hi": {$his}, "rows": ${s.rows}$strField}"""
+      val valsField =
+        if (s.vals.isEmpty) ""
+        else {
+          val vv = s.vals.toSeq.sortBy(_._1).map { case (c, vs) =>
+            s""""$c": ${vs.map(jstr).mkString("[", ", ", "]")}""" }.mkString(", ")
+          s""", "vals": {$vv}"""
+        }
+      s"""{"file": "${s.file}", "lo": {$los}, "hi": {$his}, "rows": ${s.rows}$strField$valsField}"""
     }.mkString("[", ",\n ", "]")
     val out = fs.create(statsPath(dir, version), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -233,6 +257,47 @@ object ZoneMap {
     else
       DeleteVectors.applyTo(spark, dir, snap,
         spark.read.parquet(cand.map(f => s"$dir/$f"): _*)).where(pred)
+  }
+
+  /** X168: files that can hold `column ∈ values`, judged by the per-file
+    * DISTINCT-VALUE sets — the categorical skipping tier for equality/IN
+    * probes where [lo, hi] ranges are structurally useless (a file
+    * holding {'F','P'} has range [F, P] ⊇ 'O', so range pruning keeps it
+    * for a status='O' probe the value set rules out). Files without a
+    * recorded set for the column stay in scope — absence never prunes.
+    */
+  def candidateFilesEq(spark: SparkSession, dir: String, version: Int,
+      column: String, values: Seq[String]): Seq[String] = {
+    val all = ManifestTable.snapshots(spark, dir).find(_.version == version)
+      .getOrElse(throw new NoSuchElementException(s"no version $version at $dir"))
+      .files
+    fileStats(spark, dir, version) match {
+      case None => all
+      case Some(stats) =>
+        val vset = values.toSet
+        val hit = stats.filter(s => s.vals.get(column)
+            .forall(_.exists(vset.contains))) // no set recorded ⇒ stays
+          .map(_.file)
+        val known = stats.map(_.file).toSet
+        hit ++ all.filterNot(known.contains)
+    }
+  }
+
+  /** Read `version` with `column IN (values)`, scanning only files whose
+    * value sets intersect. Same safety rules as [[readRange]]: the
+    * predicate still applies, DV tombstones still subtract.
+    */
+  def readEq(spark: SparkSession, dir: String, version: Int,
+      column: String, values: Seq[String]): DataFrame = {
+    val cand = candidateFilesEq(spark, dir, version, column, values)
+    val pred: Column = col(column).isin(values: _*)
+    if (cand.isEmpty)
+      ManifestTable.readVersion(spark, dir, version).where(pred)
+    else {
+      val snap = ManifestTable.snapshots(spark, dir).find(_.version == version).get
+      DeleteVectors.applyTo(spark, dir, snap,
+        spark.read.parquet(cand.map(f => s"$dir/$f"): _*)).where(pred)
+    }
   }
 
   /** X69 stats-only aggregates — the Iceberg/Delta "metadata query" trick:
@@ -369,6 +434,30 @@ object ZoneMap {
     // quarter-to-half of the span, exact integer epoch arithmetic both
     // engines). The oracle is the plain table with the same predicate —
     // lexicographic pruning must be invisible.
+    // X168: categorical value-set skipping — orders clustered on is-'O',
+    // so the non-O files hold the NON-CONTIGUOUS status set {F, P} whose
+    // lexicographic range [F, P] spans the 'O' they lack: the X78 string
+    // bounds cannot prune the status='O' probe but the per-file
+    // distinct-value sets can (the beats-ranges comparison ZoneMapSpec
+    // pins). Pruning must stay invisible: the oracle is the plain table
+    // with the same IN predicates.
+    "q_cat_prune" -> ((s, d) => {
+      val dir = graft.util.FixtureCache.dir("zonemap_cat", d) { dir =>
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .withColumn("__m", when(col("o_orderstatus") === "O", 1).otherwise(0))
+          .repartitionByRange(8, col("__m"), col("o_custkey"))
+          .drop("__m")
+        commitWithStats(o, dir, 20250401, 900, Seq("o_orderkey"),
+          strCols = Seq("o_orderstatus"), setCols = Seq("o_orderstatus"))
+      }
+      Seq("O" -> Seq("O"), "FP" -> Seq("F", "P")).map { case (tag, vals) =>
+        readEq(s, dir, 1, "o_orderstatus", vals)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .withColumn("probe", lit(tag))
+      }.reduce(_ unionByName _).select("probe", "n", "sum_price").orderBy("probe")
+    }),
+
     "q_str_prune" -> ((s, d) => {
       val dir = graft.util.FixtureCache.dir("zonemap_str", d) { dir =>
         val o = Tables.orders(s, d)
@@ -426,6 +515,17 @@ object ZoneMap {
         |FROM orders
         |WHERE o_orderkey >= (SELECT 2 * max(o_orderkey) // 5 FROM orders)
         |  AND o_orderkey <= (SELECT 3 * max(o_orderkey) // 5 FROM orders)""".stripMargin,
+    "q_cat_prune" ->
+      """SELECT * FROM (
+        |  SELECT 'FP' AS probe, count(*) AS n,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |  UNION ALL
+        |  SELECT 'O', count(*),
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |) ORDER BY probe""".stripMargin,
+
     "q_str_prune" ->
       """WITH mm AS (
         |  SELECT epoch_us(min(o_orderdate)) AS mn, epoch_us(max(o_orderdate)) AS mx

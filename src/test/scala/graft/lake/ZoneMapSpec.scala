@@ -172,4 +172,47 @@ class ZoneMapSpec extends SparkSpec {
     assert(scan2.metrics("numFiles").value >= 4)
     assert(df2.count() == 100)
   }
+
+  // --- X168 categorical value-set skipping ---
+
+  test("value sets prune equality probes string RANGES structurally cannot (X168)") {
+    val dir = Scratch.dir("zm_cat")
+    // cluster on is-B: the non-B files then hold the NON-CONTIGUOUS set
+    // {A, C}, whose lexicographic [A, C] range spans the 'B' they lack
+    val df = (0L until 800L).map { i =>
+      val cat = (i % 4) match { case 0 | 1 => "A"; case 2 => "C"; case _ => "B" }
+      (i, cat)
+    }.toDF("k", "cat")
+      .withColumn("m", when(col("cat") === "B", 1).otherwise(0))
+    ZoneMap.commitWithStats(df.repartitionByRange(8, col("m"), col("k")).drop("m"),
+      dir, 20250901, 900, Seq("k"), strCols = Seq("cat"), setCols = Seq("cat"))
+    val all = ManifestTable.snapshots(spark, dir).head.files
+    // the {A,C} files have string range [A, C] ⊇ 'B': range pruning keeps
+    // them for a cat='B' probe, the value sets rule them out
+    val stats = ZoneMap.fileStats(spark, dir, 1).get
+    val rangeCand = stats.filter(st =>
+      st.shi("cat") >= "B" && st.slo("cat") <= "B").map(_.file)
+    val eqCand = ZoneMap.candidateFilesEq(spark, dir, 1, "cat", Seq("B"))
+    assert(eqCand.size < rangeCand.size,
+      s"value sets must beat ranges: eq=${eqCand.size} range=${rangeCand.size}")
+    assert(eqCand.size < all.size)
+    // pruning invisible: exact rows back
+    assert(ZoneMap.readEq(spark, dir, 1, "cat", Seq("B")).count() === 200L)
+    assert(ZoneMap.readEq(spark, dir, 1, "cat", Seq("A", "C")).count() === 600L)
+    // absent value never scans a file, and still answers (empty)
+    assert(ZoneMap.readEq(spark, dir, 1, "cat", Seq("Z")).count() === 0L)
+  }
+
+  test("over-cap cardinality records no set and degrades to scanning (X168)") {
+    val dir = Scratch.dir("zm_cat_cap")
+    // 100 distinct values per file > MaxValsPerFile: nothing recorded
+    val df = (0L until 800L).map(i => (i, s"v$i")).toDF("k", "cat")
+    ZoneMap.commitWithStats(df.repartitionByRange(8, col("k")), dir,
+      20250901, 900, Seq("k"), setCols = Seq("cat"))
+    val stats = ZoneMap.fileStats(spark, dir, 1).get
+    assert(stats.forall(_.vals.isEmpty), "over-cap sets must be absent")
+    val cand = ZoneMap.candidateFilesEq(spark, dir, 1, "cat", Seq("v5"))
+    assert(cand.size === 8, "absence keeps every file in scope")
+    assert(ZoneMap.readEq(spark, dir, 1, "cat", Seq("v5")).count() === 1L)
+  }
 }
