@@ -60,9 +60,11 @@ object RecordIndex {
     version
   }
 
-  /** The index table of `version`. */
+  /** The index table of `version` (immutable once its version is
+    * committed — schema cached like any fixture relation).
+    */
   def index(spark: SparkSession, dir: String, version: Int): DataFrame =
-    spark.read.parquet(s"$dir/${indexRel(version)}")
+    Tables.cachedParquet(spark, s"$dir/${indexRel(version)}")
 
   /** Point lookup: exactly the rows whose `keyCol` is in `keys`, opening
     * only the files the index names. Returns the data rows.
