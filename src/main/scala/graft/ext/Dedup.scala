@@ -272,8 +272,19 @@ object Dedup {
   }
 
   def substringMatches(corpus: DataFrame, minTokens: Int,
-      windows0: Option[DataFrame] = None): DataFrame = {
-    val win = windows0.getOrElse(substringWindows(corpus, minTokens))
+      windows0: Option[DataFrame] = None, maxDocFreq: Int = 200): DataFrame = {
+    val win0 = windows0.getOrElse(substringWindows(corpus, minTokens))
+    // Document-frequency cap AS CONTRACT (the X91 move): a window shared
+    // by k docs contributes C(k,2) join pairs, so one piece of
+    // corpus-wide boilerplate turns the join quadratic in its own
+    // replication — at 100x scale a fixture-sized hot passage becomes
+    // billions of pairs. Windows hotter than maxDocFreq ARE boilerplate
+    // and belong to the X104/X153 tiers that run first; this stage drops
+    // them, bounding pair volume at C(maxDocFreq,2) per window. The
+    // df count partitions on fp — the same key the join shuffles on.
+    val wFp = Window.partitionBy("fp")
+    val win = win0.withColumn("__df", count(lit(1)).over(wFp))
+      .where(col("__df") <= maxDocFreq).drop("__df")
     val matches = win.as("a")
       .join(win.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -383,8 +394,15 @@ object Dedup {
     "q_substring_dedup" -> ((s, d) => {
       val passage = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
         "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua veniam"
+      // planted on a FIXED COUNT of docs (ids < 550), not a fixed
+      // fraction: a fraction-sized plant at 100x data would share each
+      // passage window across ~45k docs and make the self-join emit
+      // C(45k,2) pairs per window — the exact blowup the operator's
+      // maxDocFreq cap exists to refuse. ~50 planted docs keep the
+      // true answer replication-independent at every SF.
       val corpus = documents(s, d).select(col("doc_id"),
-        when(col("doc_id") % 11 === 5, concat(col("text"), lit(" " + passage)))
+        when(col("doc_id") % 11 === 5 && col("doc_id") < 550,
+          concat(col("text"), lit(" " + passage)))
           .otherwise(col("text")).as("text"))
       // window-fingerprint table materialized once per JVM — it feeds
       // both sides of the self-join
@@ -707,17 +725,21 @@ object Dedup {
     "q_substring_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id,
-        |         CASE WHEN doc_id % 11 = 5
+        |         CASE WHEN doc_id % 11 = 5 AND doc_id < 550
         |              THEN text || ' lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore et dolore magna aliqua veniam'
         |              ELSE text END AS text
         |  FROM documents),
         |tok AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
         |  FROM corpus),
-        |win AS (
+        |win0 AS (
         |  SELECT doc_id, p AS pos, md5(array_to_string(w[p+1 : p+15], ' ')) AS fp
         |  FROM tok, LATERAL (SELECT unnest(range(0, len(w) - 14)) AS p) t
         |  WHERE len(w) >= 15),
+        |win AS (
+        |  SELECT doc_id, pos, fp FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY fp) AS df FROM win0)
+        |  WHERE df <= 200),
         |m AS (
         |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, a.pos - b.pos AS diag
         |  FROM win a JOIN win b ON a.fp = b.fp AND a.doc_id < b.doc_id),

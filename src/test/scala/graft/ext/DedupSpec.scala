@@ -186,6 +186,29 @@ class DedupSpec extends SparkSpec {
       (2L, 3L, 6L, 2L, 6L)), s"got $got")
   }
 
+  test("X154 substring matches: the document-frequency cap drops boilerplate windows, not true pairs") {
+    import spark.implicits._
+    // a trailing 4-token banner in EVERY doc (its pure window has df = 6
+    // > cap) + a true 5-token run shared by docs 1 and 2 only (df = 2);
+    // bodies are otherwise unique, so banner-junction windows are too
+    val run = (1 to 5).map(i => s"r$i").mkString(" ")
+    val banner = "cookie notice accept all"
+    val docs = (Seq(
+      (1L, s"$run q1 q2 q3 $banner"),
+      (2L, s"z1 z2 $run $banner")) ++
+      (3L to 6L).map(i => (i, (1 to 5).map(j => s"u${i}x$j").mkString(" ") + s" $banner")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.substringMatches(docs, minTokens = 4, maxDocFreq = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // without the cap every doc pair would match on the banner (15 pairs);
+    // with it only the true run pair survives — docs 1/2, 2 windows of
+    // the 5-token run on one diagonal
+    assert(capped == Seq((1L, 2L, 2L, 1L, 5L)), s"got $capped")
+    // a generous cap keeps the banner pairs: all C(6,2) pairs appear
+    val loose = Dedup.substringMatches(docs, minTokens = 4, maxDocFreq = 100)
+    assert(loose.count() == 15L)
+  }
+
   test("X153 per-source boilerplate: fraction is per-site; globally popular spans survive") {
     import spark.implicits._
     def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
