@@ -61,18 +61,6 @@ object StreamScd2 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  /** Stamp strictly increasing modification times so the file stream's
-    * (modTime, path) order matches the intended batch order — CDC feeds
-    * are ordered by construction; a directory of files needs the stamp.
-    */
-  private def stampOrder(s: SparkSession, files: Seq[String]): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(files.head)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val base = System.currentTimeMillis() - 600000
-    files.zipWithIndex.foreach { case (f, i) =>
-      fs.setTimes(new org.apache.hadoop.fs.Path(f), base + i * 10000L, -1) }
-  }
-
   val queries: Map[String, Q] = Map(
     // Orders split into an init slice (pre-1997) and three date-tercile
     // CDC batches streamed through the maintained history; the final
@@ -88,15 +76,18 @@ object StreamScd2 {
         History.scd2Init(slice("1990-01-01", "1997-01-01"),
           "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus",
           root, 20250601, 900)
+        // CDC batch files with strictly increasing mod times — the file
+        // stream's (modTime, path) order IS the per-key event-time order
+        // X165's refusal contract requires (StreamDiff's arrival-file
+        // discipline)
         val in = graft.util.Scratch.dir("sscd2_in")
+        val t0 = System.currentTimeMillis() - 120000
         val cuts = Seq(("1997-01-01", "1998-01-01"), ("1998-01-01", "1999-01-01"),
           ("1999-01-01", "2009-01-01"))
-        val files = cuts.zipWithIndex.map { case ((lo, hi), i) =>
-          val f = s"$in/batch_$i.parquet"
-          slice(lo, hi).coalesce(1).write.mode("overwrite").parquet(f)
-          f
+        cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+          StreamDiff.writeSnapshotFile(slice(lo, hi),
+            s"$in/batch_$i.parquet", t0 + i * 60000)
         }
-        stampOrder(s, files)
         run(s, in, root, graft.util.Scratch.dir("sscd2_chk"),
           o.schema, "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
       }
