@@ -280,11 +280,20 @@ object Dedup {
     // replication — at 100x scale a fixture-sized hot passage becomes
     // billions of pairs. Windows hotter than maxDocFreq ARE boilerplate
     // and belong to the X104/X153 tiers that run first; this stage drops
-    // them, bounding pair volume at C(maxDocFreq,2) per window. The
-    // df count partitions on fp — the same key the join shuffles on.
-    val wFp = Window.partitionBy("fp")
-    val win = win0.withColumn("__df", count(lit(1)).over(wFp))
-      .where(col("__df") <= maxDocFreq).drop("__df")
+    // them, bounding pair volume at C(maxDocFreq,2) per window.
+    //
+    // The df count is a map-side-combinable groupBy — NOT a window over
+    // fp, which would shuffle every occurrence of a hyper-hot fingerprint
+    // (the exact thing the cap exists to drop) into ONE task's buffer
+    // before the filter discards it. The over-cap set is the DISTINCT
+    // boilerplate passages (< totalWindows/maxDocFreq, tiny in practice),
+    // broadcast as an anti-join probe; the corpus side never re-shuffles
+    // for the cap at all.
+    val hot = win0.groupBy("fp")
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq)
+      .select("fp")
+    val win = win0.join(broadcast(hot), Seq("fp"), "left_anti")
     val matches = win.as("a")
       .join(win.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

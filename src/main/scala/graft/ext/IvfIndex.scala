@@ -109,6 +109,27 @@ object IvfIndex {
     Catalog.publishCatalog(s, root, date, time, Map("lists" -> lv))
   }
 
+  /** Vector deletion (round-6 VERDICT item 6 — the GDPR hole): an X126
+    * corpus delete must not leave the deleted vectors inside the
+    * committed inverted lists, or a probe keeps returning them. Composes
+    * with X64: tombstone `lists` rows matching `pred` (typically
+    * `vec_id IN (...)`) via a deletion-vector commit — NO list file is
+    * rewritten, the sidecar rides the same files — then publish the next
+    * cut. [[search]] filters for free because `Catalog.readTable`
+    * subtracts tombstones on every read, and index time travel keeps
+    * working: a probe `asOf` a pre-delete cut still sees the old lists
+    * (the forensic/reproducibility contract), while X105 retention can
+    * later expire those cuts. An X32-style materialize (re-commit of the
+    * surviving lists) is the way back to tombstone-free files when debt
+    * accumulates. Returns the new cut.
+    */
+  def delete(s: SparkSession, pred: org.apache.spark.sql.Column, root: String,
+      date: Int, time: Int): Int = {
+    val lv = graft.lake.DeleteVectors.deleteWhereRetrying(
+      s, s"$root/lists", pred, date, time)
+    Catalog.publishCatalog(s, root, date, time, Map("lists" -> lv))
+  }
+
   /** Probe the committed index: per query the `nProbes` nearest
     * centroids, candidates from those inverted lists only, exact rerank.
     * Identical output contract to the exact tier (qid, cand_id, cos6,

@@ -173,16 +173,12 @@ object VectorOps {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("vec_cosine"),
-      new ExpressionInfo(classOf[CosineSim].getName, "vec_cosine"),
-      (args: Seq[Expression]) => CosineSim(
-        VectorOps.coerceFloatArray(args(0)), VectorOps.coerceFloatArray(args(1)))))
-    ext.injectFunction((
-      new FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[DotProd].getName, "vec_dot"),
-      (args: Seq[Expression]) => DotProd(
-        VectorOps.coerceFloatArray(args(0)), VectorOps.coerceFloatArray(args(1)))))
+    // the whole SQL-exposed expression library (vec_cosine, jaro_winkler,
+    // url_canon, html_text, nfc_normalize, topk_by_count, …) — one shared
+    // list with the live-session route, see SqlFunctions
+    SqlFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name), info, builder))
+    }
     // rewrite portable HOF dot products into the native expression
     ext.injectOptimizerRule(_ => VecRewrite)
   }

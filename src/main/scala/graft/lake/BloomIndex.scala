@@ -167,7 +167,7 @@ object BloomIndex {
     } else {
       val snap = ManifestTable.snapshots(spark, dir).find(_.version == version).get
       DeleteVectors.applyTo(spark, dir, snap,
-        spark.read.parquet(cand.map(f => s"$dir/$f"): _*)).where(pred)
+        graft.sources.Tables.cachedScan(spark, cand.map(f => s"$dir/$f"))).where(pred)
     }
   }
 

@@ -95,15 +95,29 @@ object Catalog {
     * the new latest cut and re-overlays (the transaction's table versions
     * are already durable, so only this tiny JSON is rebuilt).
     */
+  /** `expectBase`: compare-and-swap publish — the new cut must land
+    * directly on catalog version `expectBase`; if any concurrent writer
+    * advanced the catalog past it, REFUSE instead of overlay-and-retry.
+    * This is the single-writer guard for read-modify-write transactions
+    * (X165 scd2Apply recomputes tails it read at a specific cut — an
+    * overlay on a newer cut would silently drop the concurrent writer's
+    * tail work, the X121 lost-update shape).
+    */
   def publishCatalog(spark: SparkSession, root: String, date: Int, time: Int,
       tableVersions: Map[String, Int], maxRetries: Int = 5,
-      epoch: Option[Long] = None): Int = {
+      epoch: Option[Long] = None, expectBase: Option[Int] = None): Int = {
     val fs = ManifestTable.fsFor(spark, root)
     val cdir = new Path(catalogDir(root))
     fs.mkdirs(cdir)
     var tries = 0
     while (true) {
       val latest = snapshots(spark, root).lastOption
+      expectBase.foreach { eb =>
+        val lv = latest.map(_.version).getOrElse(0)
+        if (lv != eb) throw new IllegalStateException(
+          s"catalog at $root advanced past expected base $eb (now $lv): " +
+            "a concurrent writer committed; re-run against the new cut")
+      }
       val v = latest.map(_.version).getOrElse(0) + 1
       val cut = latest.map(_.tables).getOrElse(Map.empty) ++ tableVersions
       val body = cut.toSeq.sortBy(_._1)
@@ -224,6 +238,9 @@ object Catalog {
       val pinned = retained.flatMap(_.tables.get(t)).toSet
       Vacuum.vacuum(spark, s"$root/$t", keepLast, protect = pinned)
     }
+    // X167 result-cache entries keyed by now-expired table versions are
+    // garbage too — reclaim them in the same retention sweep
+    ResultCache.vacuum(spark, root)
     expired.map(_.version)
   }
 

@@ -91,14 +91,14 @@ object ChangeFeed {
     val appended = sNew.files.filterNot(sOld.files.toSet)
     if (appended.isEmpty) emptyStep(spark, dir, sNew)
     else DeleteVectors.applyTo(spark, dir, sNew,
-        spark.read.parquet(appended.map(f => s"$dir/$f"): _*))
+        graft.sources.Tables.cachedScan(spark, appended.map(f => s"$dir/$f")))
       .withColumn("change", lit("added"))
   }
 
   /** Zero rows with the diff-shaped schema of `snap`'s table. */
   private def emptyStep(spark: SparkSession, dir: String,
       snap: ManifestTable.Snapshot): DataFrame =
-    spark.read.parquet(snap.files.map(f => s"$dir/$f"): _*)
+    graft.sources.Tables.cachedScan(spark, snap.files.map(f => s"$dir/$f"))
       .limit(0).withColumn("change", lit("deleted"))
 
   /** Feed rows for a step that changed ONLY the deletion vector: the
@@ -112,7 +112,8 @@ object ChangeFeed {
     import spark.implicits._
     def dv(files: Seq[String]): DataFrame =
       if (files.isEmpty) Seq.empty[(String, Long)].toDF("file", "pos")
-      else spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+      else spark.read.schema("file STRING, pos BIGINT")
+        .parquet(files.map(f => s"$dir/$f"): _*)
     val dNew = dv(sNew.deletes)
     val dOld = dv(sOld.deletes)
     val delTomb = dNew.join(dOld, Seq("file", "pos"), "left_anti")
@@ -133,7 +134,7 @@ object ChangeFeed {
     /** Rows of `sNew`'s data files sitting at `tomb`'s (file, pos). */
     def rowsAt(files: Seq[String], tomb: DataFrame, tag: String): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(spark.read.parquet(files.map(f => s"$dir/$f").toIndexedSeq: _*)
+      else Some(graft.sources.Tables.cachedScan(spark, files.map(f => s"$dir/$f").toIndexedSeq)
         .select(col("*"), DeleteVectors.relFile.as("__cf_file"),
           col("_metadata.row_index").as("__cf_pos"))
         .join(broadcast(tomb.select(col("file").as("__cf_file"),

@@ -57,7 +57,11 @@ object DeleteVectors {
       df: DataFrame): DataFrame = {
     if (snap.deletes.isEmpty) df
     else {
-      val dv = spark.read.parquet(snap.deletes.map(f => s"$dir/$f"): _*)
+      // sidecar schema is fixed by deleteAttempt — explicit schema skips
+      // the footer-inference job on every read
+      val dv = spark.read
+        .schema("file STRING, pos BIGINT")
+        .parquet(snap.deletes.map(f => s"$dir/$f"): _*)
         .withColumnRenamed("file", "__dv_file")
         .withColumnRenamed("pos", "__dv_pos")
       df.select(col("*"), relFile.as("__dv_file"),
@@ -118,12 +122,13 @@ object DeleteVectors {
 
     // Raw scan (tombstones NOT applied): re-deleting an already-deleted
     // position writes the same (file, pos) row, and the union dedups it.
-    val raw = spark.read.parquet(latest.files.map(f => s"$dir/$f"): _*)
+    val raw = ManifestTable.rawVersionScan(spark, dir, latest)
     val newDel = raw.where(predicate)
       .select(relFile.as("file"), col("_metadata.row_index").as("pos"))
     val oldDel =
       if (latest.deletes.isEmpty) newDel.limit(0)
-      else spark.read.parquet(latest.deletes.map(f => s"$dir/$f"): _*)
+      else spark.read.schema("file STRING, pos BIGINT")
+        .parquet(latest.deletes.map(f => s"$dir/$f"): _*)
     val rel = sidecarRel.getOrElse(f"deletes/v$version%08d")
     oldDel.unionByName(newDel).dropDuplicates("file", "pos")
       .write.mode("overwrite").parquet(s"$dir/$rel")

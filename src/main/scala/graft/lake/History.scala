@@ -148,13 +148,24 @@ object History {
         col("valid_from"), col("n_rows"), col("last_ts"), col("last_tie"))
 
   private def commitCut(spark: SparkSession, root: String, date: Int, time: Int,
-      closed: DataFrame, tail: DataFrame, append: Boolean): Int = {
+      closed: DataFrame, tail: DataFrame, append: Boolean,
+      expectBase: Option[Int] = None): Int = {
     val tv = ManifestTable.commitRetrying(tail, s"$root/tail", date, time)
-    val cv = if (append)
-      ManifestTable.appendRetrying(closed, s"$root/closed", date, time)
-    else ManifestTable.commitRetrying(closed, s"$root/closed", date, time)
+    val cv = if (append) {
+      // Rebase the closed append on the version the latest CATALOG cut
+      // references, not the closed log's latest: a crash between this
+      // append and publishCatalog leaves an orphaned committed-but-
+      // unreferenced append, and a replay (StreamScd2 re-runs scd2Apply
+      // when the expected cut is missing) rebased on log-latest would
+      // duplicate those closed runs on top of the orphan. The tail
+      // replace is already replay-safe (it carries its own full list).
+      val base = Catalog.snapshots(spark, root).lastOption
+        .flatMap(_.tables.get("closed"))
+      ManifestTable.appendRetrying(closed, s"$root/closed", date, time,
+        base = base)
+    } else ManifestTable.commitRetrying(closed, s"$root/closed", date, time)
     Catalog.publishCatalog(spark, root, date, time,
-      Map("closed" -> cv, "tail" -> tv))
+      Map("closed" -> cv, "tail" -> tv), expectBase = expectBase)
   }
 
   /** Initialize the maintained SCD2 catalog at `root` from a full
@@ -172,13 +183,33 @@ object History {
     * recompute only the touched tails (+ batch), append newly closed
     * runs, replace the tail table, publish one catalog cut. Cost ∝
     * batch + touched tails.
+    *
+    * SINGLE-WRITER surface (like X121 identity appends): the recompute
+    * is a read-modify-write of the tail at one catalog cut, so the
+    * publish is a compare-and-swap on that cut — a raced concurrent
+    * `scd2Apply` refuses with nothing visible committed (the table-log
+    * versions it staged are unreferenced; the closed rebase ignores
+    * them) rather than silently dropping the winner's tail work.
+    *
+    * `maxBroadcastKeys` guards the key-set broadcasts: a CDC micro-batch
+    * broadcasts its touched-key probe (the hot path), but a backfill-
+    * sized batch would blow the driver/executor broadcast budget — past
+    * the threshold every probe falls back to an ordinary shuffle
+    * semi/anti join, bit-identical results (the spec pins it).
     */
   def scd2Apply(batch: DataFrame, key: String, ts: String, tie: String, state: String,
-      root: String, date: Int, time: Int): Int = {
+      root: String, date: Int, time: Int,
+      maxBroadcastKeys: Long = 4000000L): Int = {
     val spark = batch.sparkSession
-    val tail = Catalog.readTable(spark, root, "tail")
+    val baseCut = Catalog.latestVersion(spark, root).getOrElse(
+      throw new NoSuchElementException(s"no committed catalog version at $root"))
+    val tail = Catalog.readTable(spark, root, "tail", asOf = Some(baseCut))
     val keys = batch.select(col(key)).distinct()
-    val touched = tail.join(broadcast(keys), Seq(key), "left_semi")
+    // one combinable count decides broadcast vs shuffle for ALL probes
+    val nKeys = keys.count()
+    def hint(df: DataFrame): DataFrame =
+      if (nKeys <= maxBroadcastKeys) broadcast(df) else df
+    val touched = tail.join(hint(keys), Seq(key), "left_semi")
     val late = batch.join(
         touched.select(col(key), col("last_ts"), col("last_tie")), Seq(key))
       .where(col(ts) < col("last_ts") ||
@@ -186,7 +217,7 @@ object History {
       .count()
     require(late == 0L,
       s"scd2Apply: $late late observation(s) at or before an absorbed one — " +
-        "late data reopens closed runs; run the full rebuild instead")
+        "late data reopens closed runs; use scd2Reopen (or the full rebuild)")
     // the touched tail re-enters as one weighted pseudo-observation that
     // sorts before every (contract-checked) batch row of its key and
     // remembers its true last-absorbed marker
@@ -196,15 +227,61 @@ object History {
     val recomputed = runFold(pseudo.unionByName(obsOf(batch, key, ts, tie, state)),
       key, ts, tie)
       // continue each key's version numbering where its tail stood
-      .join(broadcast(touched.select(col(key), (col("version") - 1L).as("__base"))),
+      .join(hint(touched.select(col(key), (col("version") - 1L).as("__base"))),
         Seq(key), "left")
       .withColumn("version", col("version") + coalesce(col("__base"), lit(0L)))
       .drop("__base")
     // keys the batch never mentioned keep their tails verbatim
-    val untouched = tail.join(broadcast(keys), Seq(key), "left_anti")
+    val untouched = tail.join(hint(keys), Seq(key), "left_anti")
     commitCut(spark, root, date, time,
       closedOf(recomputed, key),
-      tailOf(recomputed, key).unionByName(untouched), append = true)
+      tailOf(recomputed, key).unionByName(untouched), append = true,
+      expectBase = Some(baseCut))
+  }
+
+  /** Late-data remediation (the round-6 verdict ask): rebuild ONLY the
+    * affected keys' runs instead of the full-history rewrite scd2Apply's
+    * refusal would otherwise force. The caller hands the COMPLETE
+    * observation set for every key in `obsForKeys` (the upstream store
+    * has it; a key-pruned scan is cost ∝ affected keys) — late rows
+    * included. Mechanics: re-fold those keys from scratch, tombstone
+    * their old closed runs via an X64 deletion-vector commit (no data
+    * rewrite), append the re-folded closed runs REBASED ON THE DELETE
+    * VERSION (so the tombstones ride along), replace the affected tails,
+    * publish one CAS catalog cut. Untouched keys' data files are never
+    * rewritten (the spec pins byte-identity).
+    *
+    * Replay-safe: a crashed reopen leaves orphaned closed versions; the
+    * re-run's tombstone predicate kills the orphan's rows too (they
+    * belong to the affected keys by construction), so re-running
+    * converges. Single-writer like scd2Apply (CAS publish).
+    *
+    * `maxReopenKeys` bounds the driver-side key list the tombstone
+    * predicate needs — reopen is the RARE-late-keys path by contract; a
+    * backfill touching more keys than this belongs in the full rebuild.
+    */
+  def scd2Reopen(obsForKeys: DataFrame, key: String, ts: String, tie: String,
+      state: String, root: String, date: Int, time: Int,
+      maxReopenKeys: Int = 100000): Int = {
+    val spark = obsForKeys.sparkSession
+    val baseCut = Catalog.latestVersion(spark, root).getOrElse(
+      throw new NoSuchElementException(s"no committed catalog version at $root"))
+    val tail = Catalog.readTable(spark, root, "tail", asOf = Some(baseCut))
+    val keys = obsForKeys.select(col(key)).distinct()
+    val keyList = keys.collect().map(_.get(0)).toSeq
+    require(keyList.size <= maxReopenKeys,
+      s"scd2Reopen: ${keyList.size} affected keys exceeds $maxReopenKeys — " +
+        "a backfill this wide belongs in the full rebuild")
+    val runs = runFold(obsOf(obsForKeys, key, ts, tie, state), key, ts, tie)
+    val vDel = DeleteVectors.deleteWhereRetrying(spark, s"$root/closed",
+      col(key).isin(keyList: _*), date, time)
+    val cv = ManifestTable.appendRetrying(closedOf(runs, key), s"$root/closed",
+      date, time, base = Some(vDel))
+    val untouched = tail.join(broadcast(keys), Seq(key), "left_anti")
+    val tv = ManifestTable.commitRetrying(
+      tailOf(runs, key).unionByName(untouched), s"$root/tail", date, time)
+    Catalog.publishCatalog(spark, root, date, time,
+      Map("closed" -> cv, "tail" -> tv), expectBase = Some(baseCut))
   }
 
   /** The maintained table: closed ∪ tail, in the X54 output shape. */
@@ -255,6 +332,31 @@ object History {
         .orderBy("o_custkey", "version")
     }),
 
+    // X165 late-data remediation: keys `% 50 = 7` have their 1995
+    // observations HELD OUT of the init (mid-history gaps), then land
+    // late via scd2Reopen with those keys' complete history — the
+    // maintained table must equal the FULL X54 rebuild bit-for-bit
+    // (oracle = q_scd2_history's SQL), and only the affected keys' runs
+    // were rebuilt (the spec pins untouched files byte-identical).
+    "q_scd2_reopen" -> ((s, d) => {
+      val root = graft.util.FixtureCache.dir("scd2_reopen", d) { root =>
+        val o = Tables.orders(s, d)
+        val lateKeys = col("o_custkey") % 50 === 7
+        val lateRows = lateKeys && year(col("o_orderdate").cast("date")) === 1995
+        scd2Init(o.where(!lateRows),
+          "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus",
+          root, 20250601, 900)
+        scd2Reopen(o.where(lateKeys),
+          "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus",
+          root, 20250601, 930)
+      }
+      scd2Read(s, root)
+        .select(col("o_custkey"), col("version"),
+          col("state").as("o_orderstatus"), col("valid_from"),
+          col("n_rows"), col("valid_to"), col("is_current"))
+        .orderBy("o_custkey", "version")
+    }),
+
     "q_pit_join" -> ((s, d) => {
       val dim = scd2(Tables.orders(s, d), "o_custkey",
         Seq("o_orderdate", "o_orderkey"), "o_orderstatus", "o_orderdate")
@@ -292,6 +394,26 @@ object History {
         |ORDER BY o_custkey, version""".stripMargin,
 
     "q_scd2_incr" ->
+      """SELECT o_custkey, version,
+        |  min(o_orderstatus) AS o_orderstatus,
+        |  min(o_orderdate) AS valid_from,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  lead(min(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY version) AS valid_to,
+        |  lead(min(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL AS is_current
+        |FROM (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate,
+        |    CAST(sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM (
+        |    SELECT *, CASE WHEN lag(o_orderstatus) OVER w IS NOT NULL
+        |                    AND lag(o_orderstatus) OVER w = o_orderstatus
+        |              THEN 0 ELSE 1 END AS chg
+        |    FROM orders
+        |    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))
+        |GROUP BY o_custkey, version
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    "q_scd2_reopen" ->
       """SELECT o_custkey, version,
         |  min(o_orderstatus) AS o_orderstatus,
         |  min(o_orderdate) AS valid_from,

@@ -195,17 +195,32 @@ object ManifestTable {
     * sidecars, which reference immutable files still in the list) carry
     * forward into the rebased manifest. Marked `op = "append"` so X75
     * feed consumers can answer the step from the appended files alone.
+    *
+    * `base`: when set, the carried-forward file list comes from THAT
+    * committed version instead of the log-latest one (the target version
+    * number still races past log-latest). This is the replay-idempotence
+    * hook for two-phase commits (X99 catalogs): a crash between a table
+    * append and the catalog publish leaves an orphaned committed-but-
+    * unreferenced append on the table log, and a replay that rebased on
+    * log-latest would stack the same rows on top of the orphan —
+    * rebasing on the version the last CATALOG cut references makes the
+    * replayed append land exactly once (round-6 ADVICE finding).
     * Returns the committed version.
     */
   def appendRetrying(df: DataFrame, dir: String, date: Int, time: Int,
-      maxRetries: Int = 5): Int = {
+      maxRetries: Int = 5, base: Option[Int] = None): Int = {
     val spark = df.sparkSession
+    val baseSnap = base.map { bv =>
+      snapshots(spark, dir).find(_.version == bv).getOrElse(
+        throw new NoSuchElementException(s"no committed version $bv at $dir"))
+    }
     val staged = stageDataFiles(df, dir)
     retryLoop(spark, dir, maxRetries) { latest =>
       val v = latest.map(_.version).getOrElse(0) + 1
+      val carried = baseSnap.orElse(latest)
       commitManifest(spark, dir, v, date, time,
-        latest.map(_.files).getOrElse(Nil) ++ staged,
-        deletes = latest.map(_.deletes).getOrElse(Nil), op = "append")
+        carried.map(_.files).getOrElse(Nil) ++ staged,
+        deletes = carried.map(_.deletes).getOrElse(Nil), op = "append")
       v
     }
   }
@@ -369,12 +384,43 @@ object ManifestTable {
     * carrying deletion vectors (X64) get them applied; plain versions keep
     * the bare-scan plan (pinned in DeleteVectorSpec).
     */
+  // A committed version's file list is immutable, so its merged parquet
+  // schema is too — cache it per (session, dir, version) and hand the
+  // reader an explicit schema. This removes the footer-inference Spark
+  // job every `spark.read.parquet(files)` call otherwise launches; lake
+  // queries that stack several version reads (change feeds, clones,
+  // time travel) were paying 5-15 such jobs per WARM run (JobAudit).
+  private val versionSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Memoize an arbitrary schema computation for one committed version —
+    * used by the datasource's file index, whose merged-footer inference
+    * otherwise costs a Spark job on every relation build. `kind` keys
+    * different schema flavors (merged vs first-footer) separately.
+    */
+  private[graft] def cachedSchema(spark: SparkSession, dir: String,
+      version: Int, kind: String)(
+      infer: => org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    versionSchemaCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir|$version|$kind", _ => infer)
+
+  /** Raw data-file scan of a committed snapshot (tombstones NOT applied),
+    * schema served from the per-version cache.
+    */
+  private[lake] def rawVersionScan(spark: SparkSession, dir: String,
+      snap: Snapshot): DataFrame = {
+    val paths = snap.files.map(f => s"$dir/$f")
+    val key = s"${System.identityHashCode(spark)}|$dir|${snap.version}"
+    val sch = versionSchemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(paths: _*).schema)
+    spark.read.schema(sch).parquet(paths: _*)
+  }
+
   def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame = {
     val snap = snapshots(spark, dir).find(_.version == version)
       .getOrElse(throw new NoSuchElementException(
         s"no committed version $version at $dir"))
-    DeleteVectors.applyTo(spark, dir, snap,
-      spark.read.parquet(snap.files.map(f => s"$dir/$f"): _*))
+    DeleteVectors.applyTo(spark, dir, snap, rawVersionScan(spark, dir, snap))
   }
 
   def readLatest(spark: SparkSession, dir: String): DataFrame = {

@@ -68,7 +68,8 @@ object MetaTables {
     // proportional to deleted rows, the only non-metadata input
     val tomb: Map[String, Long] =
       if (snap.deletes.isEmpty) Map.empty
-      else spark.read.parquet(snap.deletes.map(f => s"$dir/$f"): _*)
+      else spark.read.schema("file STRING, pos BIGINT")
+        .parquet(snap.deletes.map(f => s"$dir/$f"): _*)
         .groupBy("file").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val rows = snap.files.sorted.map { f =>

@@ -77,12 +77,11 @@ object RecordIndex {
     val touched = hits.map(_.getAs[String]("file")).distinct.sorted
     if (touched.isEmpty)
       return ManifestTable.readVersion(spark, dir, version).where(lit(false))
-    val byFilePos = hits.map(h => (h.getAs[String]("file"), h.getAs[Long]("pos"))).toSet
     val posFilter = hits.groupBy(_.getAs[String]("file")).map { case (f, hs) =>
       col("_metadata.file_path").endsWith(f.split('/').last) &&
         col("_metadata.row_index").isin(hs.map(_.getAs[Long]("pos")).toSeq: _*)
     }.reduce(_ || _)
-    spark.read.parquet(touched.map(f => s"$dir/$f"): _*)
+    graft.sources.Tables.cachedScan(spark, touched.map(f => s"$dir/$f"))
       .where(posFilter)
   }
 

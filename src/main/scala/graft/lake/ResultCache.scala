@@ -40,9 +40,64 @@ object ResultCache {
     val marker = new Path(dir, "_RESULT_COMMITTED")
     if (!fs.exists(marker)) {
       compute.write.mode("overwrite").parquet(s"$dir/data")
+      // record the input dirs (positionally aligned with the key's
+      // versions) so vacuum can test liveness without the caller's
+      // (tag → inputs) mapping; written BEFORE the marker, same commit
+      // discipline as the data
+      val out = fs.create(new Path(dir, "_INPUTS"), true)
+      try out.write(inputs.mkString("\n").getBytes("UTF-8")) finally out.close()
       fs.create(marker, true).close() // commit point: marker last
     }
     spark.read.parquet(s"$dir/data")
+  }
+
+  /** Reclaim dead cache entries under `root` (the X61/X105 retention hook
+    * the round-6 verdict asked for). An entry is garbage when
+    *  - it is committed (marker present) but some recorded input version
+    *    is no longer a committed version of that input — a table commit
+    *    moved the lookup key past it, or X61 vacuum expired the version
+    *    it was computed from; or
+    *  - it has no marker and is older than `graceMs` — a crashed fill
+    *    (a CONCURRENT in-flight fill is younger than any sane grace, so
+    *    vacuum never yanks files out from under it, and the marker-last
+    *    discipline means a half-deleted entry is never served: the
+    *    marker is deleted first, and `cached` only reads behind a
+    *    marker it just observed for a key derived from LIVE versions).
+    * Entries written before `_INPUTS` existed are kept (unknown inputs
+    * degrade to no reclamation, never to a wrong delete).
+    * Returns the number of entries reclaimed.
+    */
+  def vacuum(spark: SparkSession, root: String, graceMs: Long = 3600000L): Int = {
+    val resRoot = new Path(s"$root/_results")
+    val fs = resRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(resRoot)) return 0
+    var reclaimed = 0
+    for (tagDir <- fs.listStatus(resRoot) if tagDir.isDirectory;
+         entry <- fs.listStatus(tagDir.getPath) if entry.isDirectory) {
+      val marker = new Path(entry.getPath, "_RESULT_COMMITTED")
+      val inputsFile = new Path(entry.getPath, "_INPUTS")
+      val dead =
+        if (!fs.exists(marker))
+          System.currentTimeMillis() - entry.getModificationTime > graceMs
+        else if (!fs.exists(inputsFile)) false // pre-vacuum entry: keep
+        else {
+          val in = fs.open(inputsFile)
+          val inputs = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList.filter(_.nonEmpty) finally in.close()
+          val versions = entry.getPath.getName.stripPrefix("k")
+            .split('_').toSeq.map(_.toInt)
+          versions.size == inputs.size && inputs.zip(versions).exists {
+            case (d, 0) => ManifestTable.snapshots(spark, d).nonEmpty
+            case (d, v) => !ManifestTable.snapshots(spark, d).exists(_.version == v)
+          }
+        }
+      if (dead) {
+        fs.delete(marker, false) // unpublish FIRST: no marker over partial data
+        fs.delete(entry.getPath, true)
+        reclaimed += 1
+      }
+    }
+    reclaimed
   }
 
   val queries: Map[String, Q] = Map(

@@ -101,13 +101,14 @@ object TableDiff {
     val version = latest.version + 1
     // tombstone the divergent buckets on the RAW scan (already-deleted
     // positions re-tombstone harmlessly — the union dedups), X64 pattern
-    val raw = spark.read.parquet(latest.files.map(f => s"$dir/$f"): _*)
+    val raw = ManifestTable.rawVersionScan(spark, dir, latest)
     val newDel = raw.where(hit)
       .select(DeleteVectors.relFile.as("file"),
         col("_metadata.row_index").as("pos"))
     val oldDel =
       if (latest.deletes.isEmpty) newDel.limit(0)
-      else spark.read.parquet(latest.deletes.map(f => s"$dir/$f"): _*)
+      else spark.read.schema("file STRING, pos BIGINT")
+        .parquet(latest.deletes.map(f => s"$dir/$f"): _*)
     val rel = f"deletes/v$version%08d"
     oldDel.unionByName(newDel).dropDuplicates("file", "pos")
       .write.mode("overwrite").parquet(s"$dir/$rel")

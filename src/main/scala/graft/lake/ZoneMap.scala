@@ -229,7 +229,7 @@ object ZoneMap {
       // narrow the file list, never the delete semantics
       val snap = ManifestTable.snapshots(spark, dir).find(_.version == version).get
       DeleteVectors.applyTo(spark, dir, snap,
-        spark.read.parquet(cand.map(f => s"$dir/$f"): _*)).where(pred)
+        graft.sources.Tables.cachedScan(spark, cand.map(f => s"$dir/$f"))).where(pred)
     }
   }
 
@@ -256,7 +256,7 @@ object ZoneMap {
       ManifestTable.readVersion(spark, dir, version).where(pred)
     else
       DeleteVectors.applyTo(spark, dir, snap,
-        spark.read.parquet(cand.map(f => s"$dir/$f"): _*)).where(pred)
+        graft.sources.Tables.cachedScan(spark, cand.map(f => s"$dir/$f"))).where(pred)
   }
 
   /** X168: files that can hold `column ∈ values`, judged by the per-file
@@ -296,7 +296,7 @@ object ZoneMap {
     else {
       val snap = ManifestTable.snapshots(spark, dir).find(_.version == version).get
       DeleteVectors.applyTo(spark, dir, snap,
-        spark.read.parquet(cand.map(f => s"$dir/$f"): _*)).where(pred)
+        graft.sources.Tables.cachedScan(spark, cand.map(f => s"$dir/$f"))).where(pred)
     }
   }
 
@@ -370,7 +370,7 @@ object ZoneMap {
     val (_, inside, straddle) = classifyRange(spark, dir, version, column, lo, hi)
     val boundary =
       if (straddle.isEmpty) 0L
-      else spark.read.parquet(straddle.map(f => s"$dir/$f"): _*)
+      else graft.sources.Tables.cachedScan(spark, straddle.map(f => s"$dir/$f"))
         .where(col(column) >= lo && col(column) <= hi).count()
     (inside.map(_.rows).sum + boundary, straddle.size)
   }

@@ -508,6 +508,189 @@ object NamesDict {
 
   private val diacriticMostlyMale = Seq("René") // mirrors core "Rene"
 
+  // ------------------------------------------------------------------
+  // Round-7 breadth: top names per major locale from public census-style
+  // lists (India, China/pinyin, Japan/romaji, Korea, the Arab world,
+  // Türkiye, Russia/Slavic, Vietnam, Indonesia, West/South/East Africa,
+  // Israel, Scandinavia/NL/DE) — romanized forms first, then NATIVE
+  // NON-LATIN SCRIPT entries (Cyrillic, Greek, Arabic, Devanagari,
+  // Hangul, Hebrew) so un-transliterated profiles resolve instead of
+  // degrading to `unknown`. Unisex-leaning names land in mostly_*/andy
+  // rather than guessing; Han-character given names stay ABSENT by
+  // design (a single hanzi rarely determines gender — documented
+  // transliteration-or-unknown, pinned in GenderSpec). Suffix digits
+  // dedupe repeats of core spellings as elsewhere.
+  // ------------------------------------------------------------------
+
+  private val localeMale = Seq(
+    // India (romanized)
+    "Aarav", "Arjun", "Rohan", "Rahul", "Amit", "Sanjay", "Vijay", "Anil",
+    "Sunil", "Rajesh", "Suresh", "Ramesh", "Deepak", "Manish", "Ankit",
+    "Nikhil", "Karan", "Varun", "Aditya", "Abhishek", "Siddharth", "Ashok",
+    "Vikram", "Gaurav", "Pranav", "Ishaan", "Kabir", "Aryan", "Ganesh",
+    "Prakash", "Dinesh", "Mahesh", "Naveen", "Sachin", "Vivek", "Ajay",
+    "Harish", "Kiran2", "Mohan", "Ravi", "Sandeep", "Tarun", "Uday", "Yash",
+    // China (pinyin, clearly-gendered picks only)
+    "Qiang", "Gang", "Feng", "Lei", "Cheng", "Peng", "Bin", "Dong", "Liang",
+    "Yong", "Zhiqiang", "Jianguo", "Weiming",
+    // Japan (romaji)
+    "Haruto", "Sota", "Yuto", "Riku", "Daiki", "Takumi", "Kenji", "Takashi",
+    "Kazuki", "Taro", "Ichiro", "Jiro", "Satoshi", "Naoki", "Shinji",
+    "Kenta", "Daisuke", "Yusuke", "Shota", "Kaito", "Sho", "Kenichi",
+    "Masashi", "Tetsuya", "Ryota", "Yuya", "Koji", "Osamu", "Susumu",
+    // Korea (romanized)
+    "Minjun", "Seojun", "Dohyun", "Jihun", "Minho", "Sungmin", "Joon",
+    "Taeyang", "Hyunwoo", "Jinwoo",
+    // Arab world
+    "Hassan", "Hussein", "Ibrahim", "Khalid", "Tariq", "Yusuf", "Mustafa",
+    "Mahmoud", "Karim", "Samir", "Nabil", "Rashid", "Faisal", "Hamza",
+    "Bilal", "Zaid", "Amir", "Adel", "Fahad", "Saeed", "Waleed", "Ziad",
+    "Osman", "Salim", "Anwar", "Imran", "Kamal", "Nasser", "Tarek", "Ayman",
+    "Bassam", "Fadi", "Ghassan", "Hakim", "Jawad", "Abdullah", "Abdul",
+    "Hamid", "Jamil", "Mansour", "Qasim", "Sultan", "Walid", "Yahya",
+    // Türkiye
+    "Mehmet", "Ahmet", "Emre", "Burak", "Murat", "Kemal", "Ozan", "Serkan",
+    "Volkan", "Baran", "Cem", "Arda", "Kaan", "Onur", "Tolga", "Baris",
+    "Hakan", "Erdem", "Selim", "Yavuz",
+    // Russia / Slavic (romanized)
+    "Dmitri", "Dmitry", "Sergei", "Sergey", "Andrei", "Andrey", "Alexei",
+    "Alexey", "Mikhail", "Nikolai", "Vladimir", "Oleg", "Igor", "Yuri",
+    "Viktor", "Vasily", "Pavel", "Anton", "Artem", "Maxim", "Roman",
+    "Ruslan", "Stanislav", "Vitaly", "Gennady", "Anatoly", "Leonid",
+    "Konstantin", "Grigory", "Bogdan", "Miroslav", "Zoran", "Dragan",
+    "Marko", "Stefan", "Vuk", "Dusan", "Tomasz", "Piotr", "Krzysztof",
+    "Andrzej", "Marek", "Grzegorz", "Wojciech", "Jakub", "Mateusz",
+    "Szymon", "Kamil", "Rafal", "Zbigniew", "Jerzy", "Tadeusz", "Vaclav",
+    "Petr", "Ondrej", "Matej",
+    // Vietnam
+    "Duc", "Hung", "Tuan", "Quang", "Nam", "Hieu", "Phuc", "Dat", "Huy",
+    "Son2", "Trung", "Vinh",
+    // Indonesia / Malaysia
+    "Budi", "Agus", "Bambang", "Dedi", "Eko", "Hadi", "Joko", "Slamet",
+    "Wawan", "Yanto", "Adi", "Rudi",
+    // Africa
+    "Kwame", "Kofi", "Emeka", "Chinedu", "Obinna", "Ikenna", "Nnamdi",
+    "Olusegun", "Adebayo", "Babatunde", "Tunde", "Femi", "Sipho", "Thabo",
+    "Mandla", "Abebe", "Tesfaye", "Girma", "Mamadou", "Ousmane", "Ibrahima",
+    "Moussa", "Amadou", "Sekou", "Cheikh", "Demba",
+    // Israel
+    "Moshe", "Avraham", "Yitzhak", "Yaakov", "Shlomo", "Chaim", "Eitan",
+    "Uri", "Gilad", "Yonatan", "Oren", "Barak", "Yossi", "Ehud", "Zvi",
+    // Scandinavia / NL / DE beyond the core
+    "Lars", "Sven", "Bjorn", "Erik", "Gunnar", "Magnus", "Olaf", "Anders",
+    "Nils", "Per", "Henrik", "Mats", "Thor", "Einar", "Leif", "Knut",
+    "Jesper", "Mikkel", "Rasmus", "Soren", "Kasper", "Frederik", "Wouter",
+    "Jeroen", "Sjoerd", "Gijs", "Bram", "Daan", "Sem", "Thijs", "Florian",
+    "Tobias", "Matthias", "Sebastian2", "Moritz", "Till", "Jonas2", "Henning",
+    "Detlef", "Uwe", "Rainer", "Wolfgang", "Helmut", "Dieter", "Horst")
+
+  private val localeFemale = Seq(
+    // India (romanized)
+    "Aishwarya", "Ananya", "Divya", "Kavya", "Pooja", "Priyanka", "Neha",
+    "Sneha", "Shreya", "Anjali", "Deepika", "Lakshmi", "Sita", "Radha",
+    "Meera", "Sunita", "Kavita", "Savita", "Rekha", "Asha", "Usha", "Geeta",
+    "Seema", "Ritu", "Swati", "Nisha", "Isha", "Riya", "Diya", "Aanya",
+    "Saanvi", "Ishita", "Tanvi", "Pallavi", "Shweta", "Vidya", "Madhuri",
+    // China (pinyin)
+    "Xiu", "Lan", "Ying", "Fang", "Xia", "Qing", "Lili", "Meiling", "Xiaoli",
+    "Xiaomei", "Huifang", "Yanfang",
+    // Japan (romaji)
+    "Sakura", "Yui", "Hina", "Mio", "Koharu", "Ichika", "Himari", "Hana",
+    "Akari", "Ayumi", "Naoko", "Keiko", "Yoko", "Emi", "Mariko", "Sachiko",
+    "Tomoko", "Yumi", "Kana", "Aya", "Miki", "Nana", "Airi", "Misaki",
+    "Kaori", "Megumi", "Chie", "Eri", "Kumiko", "Noriko", "Michiko",
+    "Yukiko", "Hiroko", "Kyoko", "Rie", "Mayumi",
+    // Korea (romanized)
+    "Seoyeon", "Minseo", "Hayoon", "Jiyoon", "Eunji", "Soyeon", "Yuna",
+    "Sooyoung", "Hyejin", "Minji", "Eunae", "Haeun",
+    // Arab world
+    "Layla", "Leila", "Zainab", "Mariam", "Maryam", "Huda", "Salma",
+    "Rania", "Dalia", "Yasmin", "Yasmine", "Hanan", "Samira", "Nadia",
+    "Farida", "Karima", "Latifa", "Najwa", "Rasha", "Reem", "Sana", "Suha",
+    "Zahra", "Khadija", "Fatimah", "Aminah", "Safiya", "Hafsa", "Asma",
+    "Bushra", "Ghada", "Hala", "Jamila", "Lubna", "Mona", "Sahar", "Wafa",
+    "Amira", "Habiba", "Nawal", "Soraya",
+    // Türkiye
+    "Elif", "Zeynep", "Ayse", "Emine", "Hatice", "Meryem", "Esra", "Merve",
+    "Busra", "Seda", "Gamze", "Tugba", "Sibel", "Pinar", "Aylin", "Cansu",
+    "Dilara", "Ebru", "Fulya", "Gizem", "Hande", "Irem", "Kubra", "Melis",
+    "Nilufer", "Ozge", "Selin", "Tuba", "Yasemin", "Ceren",
+    // Russia / Slavic (romanized)
+    "Olga", "Irina", "Svetlana", "Natalia", "Natasha", "Tatiana",
+    "Ekaterina", "Anastasia", "Oksana", "Galina", "Lyudmila", "Valentina",
+    "Yulia", "Alina", "Polina", "Ksenia", "Daria", "Darya", "Vera",
+    "Nadezhda", "Larisa", "Raisa", "Zinaida", "Milena", "Ivana", "Jelena",
+    "Dragana", "Snezana", "Agnieszka", "Malgorzata", "Katarzyna", "Joanna",
+    "Magdalena", "Ewa", "Zofia", "Hanna", "Alicja", "Beata", "Dorota",
+    "Edyta", "Halina", "Iwona", "Jolanta", "Renata", "Urszula", "Wanda",
+    "Zuzanna", "Tereza", "Lenka", "Marketa", "Petra", "Veronika", "Adela",
+    // Vietnam
+    "Huong", "Hoa", "Trang", "Thuy", "Nga", "Hanh", "Yen", "Thi",
+    // Africa
+    "Ama", "Akosua", "Abena", "Ngozi", "Chioma", "Adaeze", "Nneka", "Amara",
+    "Chiamaka", "Folake", "Yetunde", "Bisi", "Funmilayo", "Zanele",
+    "Thandiwe", "Nomvula", "Aminata", "Fatoumata", "Mariama", "Awa",
+    "Khady", "Bintou",
+    // Israel
+    "Rivka", "Leah", "Miriam", "Tamar", "Noa", "Yael", "Michal", "Shira",
+    "Talia", "Avital", "Hadas", "Orit", "Ronit", "Dafna", "Galit", "Liat",
+    "Sigal",
+    // Scandinavia / NL / DE beyond the core
+    "Astrid", "Sigrid", "Solveig", "Maja", "Freja", "Saga", "Tuva", "Elin",
+    "Malin", "Hedda", "Thea", "Nora2", "Femke", "Sanne", "Lotte", "Anouk",
+    "Marit", "Heike", "Ute", "Gudrun", "Hildegard", "Renate", "Sabine",
+    "Silke", "Antje", "Birgit", "Dagmar", "Elke", "Gisela", "Hannelore")
+
+  private val localeMostlyMale = Seq(
+    "Krishna", "Akira", "Ryo", "Minh", "Noam", "Doron", "Nikola", "Rune",
+    "Jun", "Kai2", "Levent", "Sami")
+
+  private val localeMostlyFemale = Seq(
+    "Rin", "Haruka", "Noor", "Amal", "Linh", "Thao", "Maya", "Mai",
+    "Derya2", "Iman")
+
+  private val localeAndy = Seq(
+    "Jie", "Xin", "Yan", "Hong", "Jing", "Hui", "Aoi", "Rei", "Makoto",
+    "Jisoo", "Jiwoo", "Jimin", "Deniz", "Thanh", "Khanh", "Ngoc", "Phuong",
+    "Tal", "Lior", "Shai", "Kagiso", "Oluwaseun", "Sai", "Kiran")
+
+  // Native non-Latin script entries — exact NFC keys, no folding applies.
+  private val scriptMale = Seq(
+    // Cyrillic
+    "Александр", "Дмитрий", "Сергей", "Андрей", "Алексей", "Михаил",
+    "Иван", "Владимир", "Николай", "Пётр", "Юрий", "Олег", "Игорь",
+    "Павел", "Антон", "Максим", "Роман", "Виктор",
+    // Greek
+    "Γιώργος", "Δημήτρης", "Νίκος", "Κώστας", "Γιάννης", "Παναγιώτης",
+    "Βασίλης", "Χρήστος", "Σπύρος",
+    // Arabic script
+    "محمد", "أحمد", "علي", "عمر", "حسن", "حسين", "خالد", "يوسف",
+    "إبراهيم", "عبدالله",
+    // Devanagari
+    "राहुल", "अमित", "रोहन", "विजय", "संजय", "अर्जुन", "राजेश", "सुरेश",
+    // Hangul
+    "민준", "서준", "도윤", "지후",
+    // Hebrew script
+    "משה", "דוד", "אברהם", "יוסף")
+
+  private val scriptFemale = Seq(
+    // Cyrillic
+    "Мария", "Ольга", "Елена", "Наталья", "Ирина", "Светлана", "Татьяна",
+    "Екатерина", "Анастасия", "Анна", "Юлия", "Вера", "Надежда",
+    "Людмила", "Александра",
+    // Greek
+    "Μαρία", "Ελένη", "Κατερίνα", "Σοφία", "Δήμητρα", "Αγγελική",
+    "Βασιλική",
+    // Arabic script
+    "فاطمة", "عائشة", "مريم", "زينب", "خديجة", "ليلى", "سارة", "هدى",
+    "سلمى",
+    // Devanagari
+    "प्रिया", "पूजा", "नेहा", "अंजलि", "काव्या", "दिव्या", "सीता", "गीता",
+    // Hangul
+    "서연", "하윤", "서현", "지유",
+    // Hebrew script
+    "שרה", "רבקה", "רחל", "מרים", "נועה", "יעל")
+
   /** first_name → category. Suffix-digit entries above exist only to keep the
     * seq literals readable where a name appears in several categories in real
     * data; they are filtered out here, first category wins.
@@ -521,7 +704,13 @@ object NamesDict {
       extMostlyMale.map(_ -> "mostly_male") ++
       extMostlyFemale.map(_ -> "mostly_female") ++ extAndy.map(_ -> "andy") ++
       diacriticMale.map(_ -> "male") ++ diacriticFemale.map(_ -> "female") ++
-      diacriticMostlyMale.map(_ -> "mostly_male"))
+      diacriticMostlyMale.map(_ -> "mostly_male") ++
+      // round-7 locale + native-script breadth, still first-category-wins
+      localeMale.map(_ -> "male") ++ localeFemale.map(_ -> "female") ++
+      localeMostlyMale.map(_ -> "mostly_male") ++
+      localeMostlyFemale.map(_ -> "mostly_female") ++
+      localeAndy.map(_ -> "andy") ++
+      scriptMale.map(_ -> "male") ++ scriptFemale.map(_ -> "female"))
     .filterNot(_._1.exists(_.isDigit))
     .map { case (k, v) => normalizeKey(k) -> v } // keys canonically composed
 

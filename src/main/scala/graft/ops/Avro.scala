@@ -68,8 +68,13 @@ object Avro {
         case dt => throw new IllegalArgumentException(
           s"avro round-trip: unsupported type ${dt.simpleString} for field ${f.name}")
       }
-      val s = if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
-      fs.name(f.name).`type`(s).withDefault(null)
+      // a null default is only legal when the type is a null-first union;
+      // a non-nullable field must carry no default at all
+      if (f.nullable)
+        fs.name(f.name)
+          .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), base))
+          .withDefault(null)
+      else fs.name(f.name).`type`(base).noDefault()
     }
     fields.endRecord()
   }

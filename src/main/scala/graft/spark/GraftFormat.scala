@@ -342,10 +342,12 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
   private lazy val stats = ZoneMap.fileStats(spark, dir, snap.version)
 
   lazy val dataSchema: StructType =
-    new ParquetFileFormat()
-      .inferSchema(spark, Map("mergeSchema" -> "true"), statuses)
-      .getOrElse(throw new IllegalStateException(
-        s"graft: cannot infer schema of version ${snap.version} at $dir"))
+    ManifestTable.cachedSchema(spark, dir, snap.version, "merged") {
+      new ParquetFileFormat()
+        .inferSchema(spark, Map("mergeSchema" -> "true"), statuses)
+        .getOrElse(throw new IllegalStateException(
+          s"graft: cannot infer schema of version ${snap.version} at $dir"))
+    }
 
   override def rootPaths: Seq[Path] = Seq(new Path(dir))
 
@@ -585,6 +587,38 @@ object GraftFormat {
         probe("cat_li_v1", "cat_li_v1", "l_quantity"))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY probe"))
     }),
+
+    // Round-6 VERDICT item 7: the registered expression library driven
+    // from PURE SQL over a `USING graft` view — `url_canon` (X146's
+    // codegen'd canonicalizer on the messy-URL fixture), `nfc_normalize`
+    // (X43, decomposed sequences shorten), and `jaro_winkler` (X79,
+    // DuckDB's own jaro_winkler_similarity is the oracle twin). A
+    // SQL-only session calls all three with zero graft imports.
+    "q_sql_functions" -> ((s, d) => {
+      graft.functions.SqlFunctions.registerAll(s)
+      val dir = FixtureCache.dir("sqlfn_docs", d) { dir =>
+        val nameB = when(col("doc_id") % 3 === 0, lit("marhta"))
+          .when(col("doc_id") % 3 === 1, lit("jonathan"))
+          .otherwise(lit("martha"))
+        val docs = Tables.documents(s, d).select("doc_id", "source")
+          .withColumn("url", graft.ext.Url.messyUrl(col("doc_id")))
+          .withColumn("txt", // e+combining-acute, e+combining-diaeresis
+            concat(lit("Jose\u0301 Zoe\u0308 x"), col("doc_id").cast("string")))
+          .withColumn("name_a", lit("martha"))
+          .withColumn("name_b", nameB)
+        ManifestTable.commit(docs, dir, 20250701, 900)
+      }
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW sqlfn_docs
+               |USING graft OPTIONS (path '$dir')""".stripMargin)
+      s.sql(
+        """SELECT source,
+          |  count(DISTINCT url_canon(url)) AS n_canon,
+          |  min(url_canon(url)) AS first_canon,
+          |  CAST(sum(length(nfc_normalize(txt))) AS BIGINT) AS nfc_len,
+          |  CAST(sum(CASE WHEN jaro_winkler(name_a, name_b) >= 0.9
+          |                THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+          |FROM sqlfn_docs GROUP BY source ORDER BY source""".stripMargin)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -664,6 +698,32 @@ object GraftFormat {
         |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |  FROM lineitem WHERE l_orderkey % 3 = 0
         |) ORDER BY probe""".stripMargin,
+
+    // canon_url rebuilt BY HAND (the q_url_dedup rules); txt rebuilt
+    // decomposed with chr() so DuckDB's own nfc_normalize must shorten it
+    // exactly like X43; jaro via DuckDB's jaro_winkler_similarity.
+    "q_sql_functions" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN (doc_id%25)%2=0 THEN 'http' ELSE 'https' END
+        |      || '://example' || CAST((doc_id%25)%3 AS VARCHAR) || '.com'
+        |      || CASE WHEN (doc_id%25)%5=1 THEN ':8080' ELSE '' END
+        |      || '/Docs/' || CAST(doc_id%25 AS VARCHAR)
+        |      || CASE WHEN (doc_id%25)%4=0 THEN '?a=1&b=2'
+        |              WHEN (doc_id%25)%4=1 THEN '?a=1'
+        |              WHEN (doc_id%25)%4=2 THEN '' ELSE '?q=z' END) AS canon_url,
+        |    'Jose' || chr(769) || ' Zoe' || chr(776) || ' x'
+        |      || CAST(doc_id AS VARCHAR) AS txt,
+        |    CASE WHEN doc_id%3=0 THEN 'marhta'
+        |         WHEN doc_id%3=1 THEN 'jonathan' ELSE 'martha' END AS name_b
+        |  FROM documents)
+        |SELECT source,
+        |  count(DISTINCT canon_url) AS n_canon,
+        |  min(canon_url) AS first_canon,
+        |  CAST(sum(length(nfc_normalize(txt))) AS BIGINT) AS nfc_len,
+        |  CAST(sum(CASE WHEN jaro_winkler_similarity('martha', name_b) >= 0.9
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     "q_sql_view" ->
       """SELECT * FROM (

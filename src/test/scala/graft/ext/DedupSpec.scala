@@ -207,6 +207,15 @@ class DedupSpec extends SparkSpec {
     // a generous cap keeps the banner pairs: all C(6,2) pairs appear
     val loose = Dedup.substringMatches(docs, minTokens = 4, maxDocFreq = 100)
     assert(loose.count() == 15L)
+    // plan pin (round-6 verdict): the df cap must NOT be a window over fp
+    // — a hyper-hot fingerprint would funnel every occurrence into one
+    // task's window buffer before the filter drops it. The only windows
+    // in the plan are the per-doc lead() and the diagonal-island run.
+    val plan = Dedup.substringMatches(docs, minTokens = 4, maxDocFreq = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("fp#")),
+      s"df cap must use groupBy+anti-join, not a window over fp:\n$plan")
   }
 
   test("X153 per-source boilerplate: fraction is per-site; globally popular spans survive") {

@@ -61,6 +61,33 @@ class IvfIndexSpec extends SparkSpec {
       rows(IvfIndex.search(spark, direct, queriesDf, Similarity.k)))
   }
 
+  test("vector deletion: tombstoned vectors never return, survivor results unchanged, pre-delete cut time-travels") {
+    val root = Scratch.dir("ivf_idx_del")
+    IvfIndex.build(spark, corpus, root, 20250801, 900)
+    val before = rows(IvfIndex.search(spark, root, queriesDf, Similarity.k))
+    // GDPR-delete every 7th vector (X126 composing with the index)
+    assert(IvfIndex.delete(spark, col("vec_id") % 7 === 3, root, 20250801, 1000) == 2)
+    val after = rows(IvfIndex.search(spark, root, queriesDf, Similarity.k))
+    assert(after.nonEmpty)
+    assert(after.forall { case (_, candId, _, _) => candId % 7 != 3 },
+      "a deleted vector must never be served")
+    // recall on survivors unchanged: post-delete search ≡ an index built
+    // over ONLY the survivors under the SAME quantizer (no data rewrite
+    // happened — pinned by the untouched lists file set)
+    val cents = IvfIndex.loadCentroids(spark, root)
+    val rebuilt = Scratch.dir("ivf_idx_del_rebuilt")
+    IvfIndex.commitIndex(spark, corpus.where(col("vec_id") % 7 =!= 3),
+      rebuilt, cents, 20250801, 900)
+    assert(after == rows(IvfIndex.search(spark, rebuilt, queriesDf, Similarity.k)))
+    val lists1 = graft.lake.ManifestTable.snapshots(spark, s"$root/lists")
+    assert(lists1.last.files.toSet == lists1.head.files.toSet,
+      "delete must tombstone, not rewrite list files")
+    // pre-delete cut still serves the deleted vectors (index time travel)
+    val atCut1 = rows(IvfIndex.search(spark, root, queriesDf, Similarity.k, asOf = Some(1)))
+    assert(atCut1 == before)
+    assert(atCut1.exists { case (_, candId, _, _) => candId % 7 == 3 })
+  }
+
   test("index time travel: the pre-append cut never serves appended vectors") {
     val half = corpus.where(col("vec_id") % 2 === 0)
     val rest = corpus.where(col("vec_id") % 2 === 1)

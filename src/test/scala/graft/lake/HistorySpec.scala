@@ -144,6 +144,97 @@ class HistorySpec extends SparkSpec {
       (2L, "B", true), (3L, "A", true)))
   }
 
+  test("scd2 incremental: replay after a crash between the closed append and the catalog publish lands exactly once") {
+    val root = graft.util.Scratch.dir("scd2_crash_spec")
+    val init = Seq((1L, ts(1), 1L, "A"), (1L, ts(2), 2L, "A"))
+      .toDF("k", "t", "tie", "st")
+    History.scd2Init(init, "k", "t", "tie", "st", root, 20250601, 900)
+    val batch = Seq((1L, ts(5), 3L, "B")).toDF("k", "t", "tie", "st")
+    // Simulate the crashed first attempt: its closed-table append landed
+    // on the table log (committed but unreferenced by any catalog cut),
+    // the catalog publish did not. The orphan carries EXACTLY the rows
+    // the replay will close — the duplicate-on-replay shape.
+    val orphan = Seq((1L, 1L, "A", ts(1), 2L, ts(5)))
+      .toDF("k", "version", "state", "valid_from", "n_rows", "valid_to")
+    ManifestTable.appendRetrying(orphan, s"$root/closed", 20250601, 930)
+    // the replay re-runs the full apply
+    History.scd2Apply(batch, "k", "t", "tie", "st", root, 20250601, 931)
+    val out = History.scd2Read(spark, root)
+    assert(out.where(!col("is_current")).count() === 1L,
+      "closed A-run must appear once — the orphaned append must not be stacked on")
+    assert(out.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("state"),
+      r.getAs[Boolean]("is_current"))).toSet ===
+      Set((1L, "A", false), (1L, "B", true)))
+  }
+
+  test("scd2 apply: shuffle fallback path (maxBroadcastKeys=0) agrees with the broadcast path bit-for-bit") {
+    val o = graft.sources.Tables.orders(spark, sf)
+    val cut = to_date(lit("1998-01-01"))
+    def build(maxB: Long): Seq[String] = {
+      val root = graft.util.Scratch.dir(s"scd2_bb_$maxB")
+      History.scd2Init(o.where(col("o_orderdate").cast("date") < cut),
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus", root, 20250601, 900)
+      History.scd2Apply(o.where(col("o_orderdate").cast("date") >= cut),
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus", root, 20250601, 930,
+        maxBroadcastKeys = maxB)
+      History.scd2Read(spark, root)
+        .orderBy("o_custkey", "version").collect().map(_.toString).toSeq
+    }
+    assert(build(0L) === build(4000000L))
+  }
+
+  test("scd2 apply: a raced concurrent apply refuses with nothing visible committed") {
+    val root = graft.util.Scratch.dir("scd2_race")
+    History.scd2Init(Seq((1L, ts(1), 1L, "A")).toDF("k", "t", "tie", "st"),
+      "k", "t", "tie", "st", root, 20250601, 900)
+    // writer B lands between A's tail read and A's publish — simulate by
+    // publishing an interleaved cut (any catalog advance loses A the CAS)
+    History.scd2Apply(Seq((2L, ts(2), 2L, "B")).toDF("k", "t", "tie", "st"),
+      "k", "t", "tie", "st", root, 20250601, 910)
+    val before = Catalog.snapshots(spark, root).last
+    // A replays against a stale pre-advance read: force it by publishing
+    // B's cut first, then checking A's CAS refusal via publishCatalog
+    val e = intercept[IllegalStateException](
+      Catalog.publishCatalog(spark, root, 20250601, 920,
+        Map("tail" -> 1), expectBase = Some(before.version - 1)))
+    assert(e.getMessage.contains("advanced past expected base"))
+    // nothing visible moved: the latest cut is still B's
+    assert(Catalog.snapshots(spark, root).last.version === before.version)
+    assert(History.scd2Read(spark, root).count() === 2L)
+  }
+
+  test("scd2 reopen: a late batch lands via per-key rebuild and equals the full rebuild; untouched keys' files are byte-identical") {
+    val root = graft.util.Scratch.dir("scd2_reopen_spec")
+    // key 1: A(1) A(2) B(5) with the day-2 A held out; key 2 untouched
+    val full = Seq((1L, ts(1), 1L, "A"), (1L, ts(2), 2L, "A"), (1L, ts(5), 3L, "B"),
+      (2L, ts(3), 4L, "X"), (2L, ts(4), 5L, "Y"))
+    val heldOut = Seq(full(1))
+    val init = full.filterNot(heldOut.contains)
+    History.scd2Init(init.toDF("k", "t", "tie", "st"), "k", "t", "tie", "st",
+      root, 20250601, 900)
+    // late arrival refuses through the apply path…
+    val e = intercept[IllegalArgumentException](History.scd2Apply(
+      heldOut.toDF("k", "t", "tie", "st"), "k", "t", "tie", "st", root, 20250601, 920))
+    assert(e.getMessage.contains("late"))
+    val closedFilesBefore = ManifestTable.snapshots(spark, s"$root/closed").last.files
+    // …and lands through reopen with key 1's COMPLETE history
+    History.scd2Reopen(full.filter(_._1 == 1L).toDF("k", "t", "tie", "st"),
+      "k", "t", "tie", "st", root, 20250601, 930)
+    val got = History.scd2Read(spark, root)
+      .orderBy("k", "version").collect().map(_.toString).toSeq
+    val rebuildRoot = graft.util.Scratch.dir("scd2_reopen_full")
+    History.scd2Init(full.toDF("k", "t", "tie", "st"), "k", "t", "tie", "st",
+      rebuildRoot, 20250601, 900)
+    val want = History.scd2Read(spark, rebuildRoot)
+      .orderBy("k", "version").collect().map(_.toString).toSeq
+    assert(got === want)
+    // the reopen rewrote NO pre-existing data file: old closed files are
+    // all still in the new manifest (tombstoned rows, not rewritten bytes)
+    val closedAfter = ManifestTable.snapshots(spark, s"$root/closed").last
+    assert(closedFilesBefore.toSet.subsetOf(closedAfter.files.toSet))
+    assert(closedAfter.deletes.nonEmpty, "old runs die by deletion vector")
+  }
+
   test("pit join: a same-day status flip yields the LATER run (empty interval filtered)") {
     // A and B both start day 3: A's interval is [3, 3) = empty
     val obs = Seq((1L, ts(3), 1L, "A"), (1L, ts(3), 2L, "B"))

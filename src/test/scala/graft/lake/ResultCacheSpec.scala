@@ -42,6 +42,68 @@ class ResultCacheSpec extends SparkSpec {
     assert(got === 7L)
   }
 
+  test("vacuum reclaims stale entries, keeps live ones, and survives a mid-fill race") {
+    val root = Scratch.dir("rc_vac")
+    ManifestTable.commit(Seq((1L, 10L)).toDF("k", "v"), s"$root/t", 20250701, 900)
+    def agg() = ManifestTable.readLatest(spark, s"$root/t").agg(sum("v").as("s"))
+    ResultCache.cached(spark, root, "sum_v", Seq(s"$root/t"))(agg()).count()
+    // advance the table twice, filling at each version, then expire v1
+    ManifestTable.appendRetrying(Seq((2L, 5L)).toDF("k", "v"), s"$root/t", 20250701, 930)
+    ResultCache.cached(spark, root, "sum_v", Seq(s"$root/t"))(agg()).count()
+    Vacuum.vacuum(spark, s"$root/t", keepLast = 1)
+    // entry k1 is keyed by the now-expired version 1 → garbage;
+    // entry k2 is keyed by the live latest → survives
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ResultCache.vacuum(spark, root) === 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_results/sum_v/k1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_results/sum_v/k2/_RESULT_COMMITTED")))
+    // the live entry still serves without recompute
+    val computes = new AtomicInteger(0)
+    val got = ResultCache.cached(spark, root, "sum_v", Seq(s"$root/t")) {
+      computes.incrementAndGet(); agg()
+    }.collect().head.getLong(0)
+    assert(got === 15L && computes.get() === 0)
+    // idempotent: a second sweep reclaims nothing
+    assert(ResultCache.vacuum(spark, root) === 0)
+  }
+
+  test("vacuum never yanks an in-flight fill (markerless but young) but sweeps a crashed one") {
+    val root = Scratch.dir("rc_vac_fill")
+    ManifestTable.commit(Seq((1L, 7L)).toDF("k", "v"), s"$root/t", 20250701, 900)
+    // an in-flight fill: data staged, marker not yet written
+    Seq((1L, 7L)).toDF("k", "v").write.parquet(s"$root/_results/sum_v/k1/data")
+    assert(ResultCache.vacuum(spark, root) === 0,
+      "a fresh markerless entry is a concurrent fill, not garbage")
+    // with the grace window collapsed it is a crashed fill and sweeps;
+    // marker-last discipline means no reader ever saw it
+    assert(ResultCache.vacuum(spark, root, graceMs = 0L) === 1)
+    // the next cached() call recomputes cleanly over the swept dir
+    val got = ResultCache.cached(spark, root, "sum_v", Seq(s"$root/t"))(
+      ManifestTable.readLatest(spark, s"$root/t").agg(sum("v").as("s")))
+      .collect().head.getLong(0)
+    assert(got === 7L)
+  }
+
+  test("catalog retention sweeps result-cache entries in the same pass (X105 hook)") {
+    val root = Scratch.dir("rc_vac_cat")
+    Catalog.transact(spark, root, 20250701, 900,
+      Seq("t" -> Seq((1L, 10L)).toDF("k", "v")))
+    def agg() = Catalog.readTable(spark, root, "t").agg(sum("v").as("s"))
+    ResultCache.cached(spark, root, "sum_v", Seq(s"$root/t"))(agg()).count()
+    Catalog.transact(spark, root, 20250701, 930,
+      Seq("t" -> Seq((1L, 10L), (2L, 5L)).toDF("k", "v")))
+    ResultCache.cached(spark, root, "sum_v", Seq(s"$root/t"))(agg()).count()
+    Catalog.vacuumCatalog(spark, root, keepLast = 1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_results/sum_v/k1")),
+      "the v1-keyed entry dies with the expired table version")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_results/sum_v/k2/_RESULT_COMMITTED")))
+  }
+
   test("illegal cache tags refuse (path injection)") {
     val e = intercept[IllegalArgumentException](
       ResultCache.cached(spark, Scratch.dir("rc_bad"), "../evil", Seq())(

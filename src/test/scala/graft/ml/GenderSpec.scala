@@ -98,6 +98,38 @@ class GenderSpec extends SparkSpec {
       s"breadth extension missing: ${NamesDict.entries.size} entries")
   }
 
+  test("non-Latin script panel: native-script entries resolve; Han given names stay unknown by design") {
+    // round-7 breadth: un-transliterated profiles in Cyrillic, Greek,
+    // Arabic, Devanagari, Hangul, and Hebrew scripts resolve directly —
+    // the reference's gender_guesser would return unknown for most of
+    // these. Han-character names are the DOCUMENTED exception: a single
+    // hanzi rarely determines gender, so the dictionary deliberately
+    // carries none and the decision table reports unknown rather than
+    // guessing (transliteration-or-unknown).
+    val panel = Seq(
+      ("Александр Пушкин", "male", 0.9f), ("Мария Шарапова", "female", 0.9f),
+      ("Γιώργος Σεφέρης", "male", 0.9f), ("Ελένη Παππά", "female", 0.9f),
+      ("محمد صلاح", "male", 0.9f), ("فاطمة الزهراء", "female", 0.9f),
+      ("राहुल गांधी", "male", 0.9f), ("प्रिया शर्मा", "female", 0.9f),
+      ("민준 김", "male", 0.9f), ("서연 이", "female", 0.9f),
+      ("משה כהן", "male", 0.9f), ("שרה לוי", "female", 0.9f),
+      // romanized long-tail locales added this round
+      ("Aarav Patel", "male", 0.9f), ("Seoyeon Park", "female", 0.9f),
+      ("Mehmet Yilmaz", "male", 0.9f), ("Aminata Diallo", "female", 0.9f),
+      ("Dmitri Ivanov", "male", 0.9f), ("Agnieszka Nowak", "female", 0.9f),
+      // unisex locale names land in the cautious tiers, not a guess
+      ("Makoto Shinkai", "unknown", 0.5f), // andy
+      ("Linh Nguyen", "female", 0.9f), // mostly_female
+      // Han given name: unknown by design
+      ("伟 王", "unknown", 0.5f))
+    panel.foreach { case (fullName, g, c) =>
+      val got = Gender.guess(fullName, "x1")
+      assert((got.predicted_gender, got.confidence) === ((g, c)), fullName)
+    }
+    assert(NamesDict.entries.size >= 2100,
+      s"round-7 breadth missing: ${NamesDict.entries.size} entries")
+  }
+
   test("property: outputs confined to the reference domains") {
     val gen = Gen.zip(Gen.asciiPrintableStr, Gen.asciiPrintableStr)
     (1 to 300).foreach { seed =>

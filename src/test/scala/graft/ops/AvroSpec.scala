@@ -72,6 +72,22 @@ class AvroSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported type"))
   }
 
+  test("avro: non-nullable fields build a defaultless non-union schema and round-trip") {
+    val s = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    val avro = Avro.avroSchema(s) // a null default on a non-union would throw here
+    assert(avro.getField("id").schema().getType === org.apache.avro.Schema.Type.LONG)
+    assert(!avro.getField("id").hasDefaultValue)
+    assert(avro.getField("name").schema().getType === org.apache.avro.Schema.Type.UNION)
+    val dir = Scratch.dir("avro_nonnull")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "a"), Row(2L, null)), 1), s)
+    Avro.write(df, s"$dir/a")
+    assert(Avro.read(spark, s"$dir/a", s).collect().map(_.toString).sorted
+      === Array("[1,a]", "[2,null]"))
+  }
+
   test("avro: empty partitions write no file and read back empty") {
     val dir = Scratch.dir("avro_empty")
     val df = spark.createDataFrame(
