@@ -20,7 +20,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Coalesce-floor knob for experiments. Measured on this inventory:
+      // the 1 MiB default wins overall — smaller floors (64k/256k) help
+      // CPU-bound mid-size joins but tax every iterative operator's
+      // per-round stages more than they save (full-run totals 34.0 s at
+      // 1m vs 36.5 s at 256k, n=211).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "1m"))
       // single-JVM local mode: listing a few hundred partition dirs on
       // the driver beats spinning a whole Spark job per partitioned scan
       // (the default threshold of 32 paths is tuned for object stores)

@@ -130,6 +130,17 @@ object IvfIndex {
     Catalog.publishCatalog(s, root, date, time, Map("lists" -> lv))
   }
 
+  /** Fold accumulated deletion tombstones back into fresh list files
+    * (X64 `materialize`, published as a cut) — the MOR→CoW compaction
+    * for an index that has absorbed many deletes; afterwards probes scan
+    * tombstone-free files again and X105 retention can reclaim the old
+    * generation. Returns the new cut.
+    */
+  def materialize(s: SparkSession, root: String, date: Int, time: Int): Int = {
+    val lv = graft.lake.DeleteVectors.materialize(s, s"$root/lists", date, time)
+    Catalog.publishCatalog(s, root, date, time, Map("lists" -> lv))
+  }
+
   /** Probe the committed index: per query the `nProbes` nearest
     * centroids, candidates from those inverted lists only, exact rerank.
     * Identical output contract to the exact tier (qid, cand_id, cos6,

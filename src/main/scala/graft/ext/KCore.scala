@@ -45,11 +45,26 @@ object KCore {
       .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
   }
 
+  /** Cap a round's partition count before checkpointing: the union +
+    * aggregate + two semi-joins inside a round can fan the partition
+    * count out (and AQE re-splits per stage), so an uncapped loop's
+    * per-round task overhead grows with the round number while the GRAPH
+    * is shrinking — the opposite of what peeling wants. One bound ∝
+    * cluster parallelism keeps every round's scheduling cost flat.
+    */
+  private def bounded(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.sparkContext.defaultParallelism.max(1)
+    // coalesce only ever merges — on a plan already at or under the cap
+    // it is a no-op, so no plan inspection (which would compile the
+    // round's plan twice) is needed
+    df.coalesce(parts).localCheckpoint()
+  }
+
   /** Fixed `rounds` of peeling (deterministic, oracle-able): the edge set
     * after R rounds, with per-round lineage truncation.
     */
   def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
-    (1 to rounds).foldLeft(edges) { (e, _) => peelRound(e, k).localCheckpoint() }
+    (1 to rounds).foldLeft(edges) { (e, _) => bounded(peelRound(e, k)) }
 
   /** Peel to the fixpoint: rounds until no edge is removed (driver sees
     * one count per round — the convergence scalar, never data).
@@ -59,7 +74,7 @@ object KCore {
     var n = e.count()
     var r = 0
     while (r < maxRounds) {
-      val next = peelRound(e, k).localCheckpoint()
+      val next = bounded(peelRound(e, k))
       val m = next.count()
       if (m == n) return next
       e = next; n = m; r += 1

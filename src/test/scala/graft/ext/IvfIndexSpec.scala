@@ -86,6 +86,12 @@ class IvfIndexSpec extends SparkSpec {
     val atCut1 = rows(IvfIndex.search(spark, root, queriesDf, Similarity.k, asOf = Some(1)))
     assert(atCut1 == before)
     assert(atCut1.exists { case (_, candId, _, _) => candId % 7 == 3 })
+    // materialize folds the tombstones into fresh files: same answers,
+    // no deletion vector left on the latest lists version
+    assert(IvfIndex.materialize(spark, root, 20250801, 1100) == 3)
+    assert(rows(IvfIndex.search(spark, root, queriesDf, Similarity.k)) == after)
+    assert(graft.lake.ManifestTable.snapshots(spark, s"$root/lists")
+      .last.deletes.isEmpty)
   }
 
   test("index time travel: the pre-append cut never serves appended vectors") {
