@@ -235,6 +235,21 @@ class HistorySpec extends SparkSpec {
     assert(closedAfter.deletes.nonEmpty, "old runs die by deletion vector")
   }
 
+  test("scd2 reopen: an over-bound key count refuses with nothing committed") {
+    val root = graft.util.Scratch.dir("scd2_reopen_bound")
+    History.scd2Init(Seq((1L, ts(1), 1L, "A"), (2L, ts(1), 2L, "B"))
+      .toDF("k", "t", "tie", "st"), "k", "t", "tie", "st", root, 20250601, 900)
+    val before = Catalog.snapshots(spark, root).last.version
+    // a "backfill" touching more keys than the bound allows
+    val wide = (1L to 5L).map(k => (k, ts(2), 10L + k, "C"))
+      .toDF("k", "t", "tie", "st")
+    val e = intercept[IllegalArgumentException](History.scd2Reopen(
+      wide, "k", "t", "tie", "st", root, 20250601, 930, maxReopenKeys = 3))
+    assert(e.getMessage.contains("full rebuild"))
+    assert(Catalog.snapshots(spark, root).last.version === before,
+      "refusal must leave the catalog where it was")
+  }
+
   test("pit join: a same-day status flip yields the LATER run (empty interval filtered)") {
     // A and B both start day 3: A's interval is [3, 3) = empty
     val obs = Seq((1L, ts(3), 1L, "A"), (1L, ts(3), 2L, "B"))
