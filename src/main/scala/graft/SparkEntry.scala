@@ -53,7 +53,8 @@ object SparkEntry {
       ext.Html.queries ++ ops.Avro.queries ++ ext.Drift.queries ++
       ext.Integrity.queries ++ ext.KCore.queries ++ ops.Skyline.queries ++
       lake.MetaTables.queries ++ lake.RecordIndex.queries ++
-      lake.ResultCache.queries ++ streaming.StreamScd2.queries
+      lake.ResultCache.queries ++ streaming.StreamScd2.queries ++
+      lake.ReplaceWhere.queries
       // (q_format_files rides graft.spark.GraftFormat.queries)
       // (q_commit_guard rides lake.Expectations.queries, already included)
 
@@ -96,5 +97,6 @@ object SparkEntry {
       ext.Html.oracles ++ ops.Avro.oracles ++ ext.Drift.oracles ++
       ext.Integrity.oracles ++ ext.KCore.oracles ++ ops.Skyline.oracles ++
       lake.MetaTables.oracles ++ lake.RecordIndex.oracles ++
-      lake.ResultCache.oracles ++ streaming.StreamScd2.oracles
+      lake.ResultCache.oracles ++ streaming.StreamScd2.oracles ++
+      lake.ReplaceWhere.oracles
 }

@@ -1,0 +1,108 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** X172 — predicate-scoped replacement as one commit. */
+class ReplaceWhereSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def commitClustered(dir: String): Unit = {
+    val df = (1L to 80L).map(k => (k, s"old$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+    ZoneMap.commitWithStats(df, dir, 20250801, 900, Seq("k"))
+  }
+
+  test("result is exactly (old minus band) union new; prior version time-travels") {
+    val dir = graft.util.Scratch.dir("rw_basic")
+    commitClustered(dir)
+    val batch = (30L to 50L).map(k => (k, s"new$k")).toDF("k", "v")
+    val v = ReplaceWhere.replaceWhere(spark, dir, "k", 30, 50, batch,
+      20250802, 900, Seq("k"))
+    assert(v === 2)
+    val got = ManifestTable.readLatest(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 80)
+    (1L to 80L).foreach { k =>
+      val want = if (k >= 30 && k <= 50) s"new$k" else s"old$k"
+      assert(got(k) === want, s"k=$k")
+    }
+    // the previous version is untouched
+    assert(ManifestTable.readVersion(spark, dir, 1)
+      .where(col("v").startsWith("new")).count() === 0L)
+  }
+
+  test("band-disjoint files are retained BY REFERENCE, not rewritten") {
+    val dir = graft.util.Scratch.dir("rw_retain")
+    commitClustered(dir)
+    val before = ManifestTable.snapshots(spark, dir).last
+    val stats = ZoneMap.fileStats(spark, dir, 1).get
+    val disjoint = stats.filter(s => s.hi("k") < 30 || s.lo("k") > 50).map(_.file)
+    assert(disjoint.nonEmpty, "fixture must have provably-disjoint files")
+    ReplaceWhere.replaceWhere(spark, dir,
+      "k", 30, 50, Seq((31L, "x")).toDF("k", "v"), 20250802, 900, Seq("k"))
+    val after = ManifestTable.snapshots(spark, dir).last
+    disjoint.foreach(f => assert(after.files.contains(f),
+      s"disjoint file $f must carry over by reference"))
+    // and the carried-over stats entries still prune: a probe fully below
+    // the band only opens the retained low files
+    val cand = ZoneMap.candidateFiles(spark, dir, after.version, "k", 1, 5)
+    assert(cand.toSet.subsetOf(disjoint.toSet), s"low probe opened $cand")
+  }
+
+  test("an out-of-band row in the new batch refuses the whole commit") {
+    val dir = graft.util.Scratch.dir("rw_refuse")
+    commitClustered(dir)
+    val e = intercept[IllegalArgumentException](ReplaceWhere.replaceWhere(
+      spark, dir, "k", 30, 50,
+      Seq((31L, "ok"), (99L, "leak")).toDF("k", "v"), 20250802, 900, Seq("k")))
+    assert(e.getMessage.contains("outside"))
+    assert(ManifestTable.latestVersion(spark, dir) === Some(1),
+      "refusal must commit nothing")
+  }
+
+  test("NULL predicate-column rows never match — they survive the replace") {
+    val dir = graft.util.Scratch.dir("rw_null")
+    val df = Seq((Some(10L), "a"), (None: Option[Long], "null-row"),
+      (Some(40L), "b")).toDF("k", "v")
+    ZoneMap.commitWithStats(df, dir, 20250801, 900, Seq("k"))
+    ReplaceWhere.replaceWhere(spark, dir, "k", 30, 50,
+      Seq((40L, "b2")).toDF("k", "v"), 20250802, 900, Seq("k"))
+    val vs = ManifestTable.readLatest(spark, dir)
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(vs === Seq("a", "b2", "null-row"))
+  }
+
+  test("a stats-less table rewrites everything but still answers right") {
+    val dir = graft.util.Scratch.dir("rw_nostats")
+    ManifestTable.commit((1L to 20L).map(k => (k, s"old$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k")), dir, 20250801, 900)
+    ReplaceWhere.replaceWhere(spark, dir, "k", 5, 10,
+      (5L to 10L).map(k => (k, s"new$k")).toDF("k", "v"), 20250802, 900, Seq("k"))
+    val got = ManifestTable.readLatest(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 20L).foreach { k =>
+      val want = if (k >= 5 && k <= 10) s"new$k" else s"old$k"
+      assert(got(k) === want)
+    }
+    // no stats = no retention evidence: no v1 file may carry over
+    val v1 = ManifestTable.snapshots(spark, dir).head.files.toSet
+    val v2 = ManifestTable.snapshots(spark, dir).last.files.toSet
+    assert(v1.intersect(v2).isEmpty, "absence of stats must never retain")
+  }
+
+  test("X64 tombstones on retained files still subtract after the replace") {
+    val dir = graft.util.Scratch.dir("rw_dv")
+    commitClustered(dir)
+    // tombstone a row far from the band (lives in a retained file)
+    DeleteVectors.deleteWhere(spark, dir, col("k") === 3L, 20250801, 930)
+    ReplaceWhere.replaceWhere(spark, dir, "k", 30, 50,
+      (30L to 50L).map(k => (k, s"new$k")).toDF("k", "v"), 20250802, 900, Seq("k"))
+    val rows = ManifestTable.readLatest(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(!rows.contains(3L), "tombstone must survive the replace")
+    assert(rows.contains(31L) && rows.contains(2L))
+  }
+}
