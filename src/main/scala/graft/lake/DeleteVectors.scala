@@ -79,7 +79,8 @@ object DeleteVectors {
     */
   def deleteWhere(spark: SparkSession, dir: String, predicate: Column,
       date: Int, time: Int): Int =
-    deleteAttempt(spark, dir, predicate, date, time, sidecarRel = None)
+    deleteAttempt(spark, dir, predicate, date, time, sidecarRel = None,
+      base = None)
 
   /** DELETE commit with optimistic concurrency (X96): losing the rename
     * race RECOMPUTES the tombstones against the new latest version rather
@@ -90,12 +91,22 @@ object DeleteVectors {
     * sidecar under a writer-unique `deletes/w<8 hex>` dir so concurrent
     * delete writers can never clobber each other's staged vectors.
     */
+  /** `base`: when set, the tombstones are computed against THAT committed
+    * version and ITS file list carries into the new commit — the same
+    * replay-idempotence hook as `appendRetrying`'s `base` (round-7 ADVICE):
+    * a two-phase caller (X99 catalog cuts) must tombstone/rebase on the
+    * version the last CATALOG cut references, or a crashed-but-committed
+    * orphan at log-latest would have its files silently re-referenced by
+    * the delete commit. The target version number still races past
+    * log-latest, so the orphan is never overwritten either.
+    */
   def deleteWhereRetrying(spark: SparkSession, dir: String, predicate: Column,
-      date: Int, time: Int, maxRetries: Int = 5): Int = {
+      date: Int, time: Int, maxRetries: Int = 5,
+      base: Option[Int] = None): Int = {
     var tries = 0
     while (true) {
       val rel = s"deletes/w${java.util.UUID.randomUUID.toString.take(8)}"
-      try return deleteAttempt(spark, dir, predicate, date, time, Some(rel))
+      try return deleteAttempt(spark, dir, predicate, date, time, Some(rel), base)
       catch {
         case e: IllegalStateException if e.getMessage != null &&
             e.getMessage.startsWith("concurrent commit") =>
@@ -114,21 +125,27 @@ object DeleteVectors {
     */
   private def deleteAttempt(spark: SparkSession, dir: String,
       predicate: Column, date: Int, time: Int,
-      sidecarRel: Option[String]): Int = {
+      sidecarRel: Option[String], base: Option[Int]): Int = {
     val snaps = ManifestTable.snapshots(spark, dir)
     require(snaps.nonEmpty, s"no committed snapshot at $dir")
     val latest = snaps.last
+    // `parent` is the version the delete is semantically applied to: the
+    // caller-declared base (catalog-referenced, for two-phase commits) or
+    // log-latest. Its files — not log-latest's — carry into the commit.
+    val parent = base.map(bv => snaps.find(_.version == bv).getOrElse(
+      throw new NoSuchElementException(s"no committed version $bv at $dir")))
+      .getOrElse(latest)
     val version = latest.version + 1
 
     // Raw scan (tombstones NOT applied): re-deleting an already-deleted
     // position writes the same (file, pos) row, and the union dedups it.
-    val raw = ManifestTable.rawVersionScan(spark, dir, latest)
+    val raw = ManifestTable.rawVersionScan(spark, dir, parent)
     val newDel = raw.where(predicate)
       .select(relFile.as("file"), col("_metadata.row_index").as("pos"))
     val oldDel =
-      if (latest.deletes.isEmpty) newDel.limit(0)
+      if (parent.deletes.isEmpty) newDel.limit(0)
       else spark.read.schema("file STRING, pos BIGINT")
-        .parquet(latest.deletes.map(f => s"$dir/$f"): _*)
+        .parquet(parent.deletes.map(f => s"$dir/$f"): _*)
     val rel = sidecarRel.getOrElse(f"deletes/v$version%08d")
     oldDel.unionByName(newDel).dropDuplicates("file", "pos")
       .write.mode("overwrite").parquet(s"$dir/$rel")
@@ -139,7 +156,7 @@ object DeleteVectors {
       .map(s => s"$rel/${s.getPath.getName}")
       .sorted
     ManifestTable.commitManifest(spark, dir, version, date, time,
-      latest.files, deletes = delFiles)
+      parent.files, deletes = delFiles)
     version
   }
 

@@ -251,9 +251,11 @@ object History {
     * publish one CAS catalog cut. Untouched keys' data files are never
     * rewritten (the spec pins byte-identity).
     *
-    * Replay-safe: a crashed reopen leaves orphaned closed versions; the
-    * re-run's tombstone predicate kills the orphan's rows too (they
-    * belong to the affected keys by construction), so re-running
+    * Replay-safe: a crashed reopen leaves orphaned closed versions on the
+    * table log, but both the tombstone commit and the closed append are
+    * REBASED ON THE CATALOG-REFERENCED closed version (never log-latest),
+    * so an orphan's files — whether from a crashed reopen OR a crashed
+    * scd2Apply — never re-enter any referenced version and re-running
     * converges. Single-writer like scd2Apply (CAS publish).
     *
     * `maxReopenKeys` bounds the driver-side key list the tombstone
@@ -273,8 +275,17 @@ object History {
       s"scd2Reopen: ${keyList.size} affected keys exceeds $maxReopenKeys — " +
         "a backfill this wide belongs in the full rebuild")
     val runs = runFold(obsOf(obsForKeys, key, ts, tie, state), key, ts, tie)
+    // Tombstone and rebase on the closed version the CATALOG cut we read
+    // references, never closed log-latest: a crashed or CAS-refused
+    // scd2Apply leaves an orphaned committed-but-unreferenced closed
+    // append as log-latest, and a delete commit rebased on it would
+    // re-publish the orphan's runs on top of tails that are still open
+    // (round-7 ADVICE). With the base pinned, the orphan's files simply
+    // never re-enter any referenced version.
+    val baseClosed = Catalog.snapshots(spark, root)
+      .find(_.version == baseCut).flatMap(_.tables.get("closed"))
     val vDel = DeleteVectors.deleteWhereRetrying(spark, s"$root/closed",
-      col(key).isin(keyList: _*), date, time)
+      col(key).isin(keyList: _*), date, time, base = baseClosed)
     val cv = ManifestTable.appendRetrying(closedOf(runs, key), s"$root/closed",
       date, time, base = Some(vDel))
     val untouched = tail.join(broadcast(keys), Seq(key), "left_anti")

@@ -390,19 +390,17 @@ object ManifestTable {
   // job every `spark.read.parquet(files)` call otherwise launches; lake
   // queries that stack several version reads (change feeds, clones,
   // time travel) were paying 5-15 such jobs per WARM run (JobAudit).
-  private val versionSchemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
-
   /** Memoize an arbitrary schema computation for one committed version —
     * used by the datasource's file index, whose merged-footer inference
     * otherwise costs a Spark job on every relation build. `kind` keys
     * different schema flavors (merged vs first-footer) separately.
+    * Session-scoped via [[graft.util.SchemaCache]] (weak session keys,
+    * bounded per-session entries — round-7 ADVICE).
     */
   private[graft] def cachedSchema(spark: SparkSession, dir: String,
       version: Int, kind: String)(
       infer: => org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
-    versionSchemaCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir|$version|$kind", _ => infer)
+    graft.util.SchemaCache.cached(spark, s"$dir|$version|$kind")(infer)
 
   /** Raw data-file scan of a committed snapshot (tombstones NOT applied),
     * schema served from the per-version cache.
@@ -410,9 +408,8 @@ object ManifestTable {
   private[lake] def rawVersionScan(spark: SparkSession, dir: String,
       snap: Snapshot): DataFrame = {
     val paths = snap.files.map(f => s"$dir/$f")
-    val key = s"${System.identityHashCode(spark)}|$dir|${snap.version}"
-    val sch = versionSchemaCache.computeIfAbsent(key,
-      _ => spark.read.parquet(paths: _*).schema)
+    val sch = graft.util.SchemaCache.cached(spark, s"$dir|${snap.version}|raw")(
+      spark.read.parquet(paths: _*).schema)
     spark.read.schema(sch).parquet(paths: _*)
   }
 

@@ -84,11 +84,17 @@ object ResultCache {
           val in = fs.open(inputsFile)
           val inputs = try scala.io.Source.fromInputStream(in, "UTF-8")
             .getLines().toList.filter(_.nonEmpty) finally in.close()
-          val versions = entry.getPath.getName.stripPrefix("k")
-            .split('_').toSeq.map(_.toInt)
-          versions.size == inputs.size && inputs.zip(versions).exists {
-            case (d, 0) => ManifestTable.snapshots(spark, d).nonEmpty
-            case (d, v) => !ManifestTable.snapshots(spark, d).exists(_.version == v)
+          // Unparseable entry names (a zero-input entry's bare "k", a
+          // foreign dir) degrade to KEEP — absence of evidence never
+          // deletes, the same rule as the missing-_INPUTS case — and
+          // never abort the sweep (round-7 ADVICE: a NumberFormatException
+          // here used to kill the whole vacuum, including the catalog's).
+          scala.util.Try(entry.getPath.getName.stripPrefix("k")
+              .split('_').toSeq.map(_.toInt)).toOption.exists { versions =>
+            versions.size == inputs.size && inputs.zip(versions).exists {
+              case (d, 0) => ManifestTable.snapshots(spark, d).nonEmpty
+              case (d, v) => !ManifestTable.snapshots(spark, d).exists(_.version == v)
+            }
           }
         }
       if (dead) {

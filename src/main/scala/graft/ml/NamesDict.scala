@@ -43,7 +43,7 @@ object NamesDict {
     "Christine", "Debra", "Rachel", "Catherine", "Carolyn", "Janet", "Ruth",
     "Maria", "Heather", "Diane", "Virginia", "Julie", "Joyce", "Victoria",
     "Olivia", "Kelly", "Christina", "Lauren", "Joan", "Evelyn", "Judith",
-    "Megan", "Cheryl", "Andrea2", "Hannah", "Martha", "Jacqueline", "Frances",
+    "Megan", "Cheryl", "Hannah", "Martha", "Jacqueline", "Frances",
     "Gloria", "Ann", "Teresa", "Kathryn", "Sara", "Janice", "Jean", "Alice",
     "Madison", "Doris", "Abigail", "Julia", "Judy", "Grace", "Denise",
     "Amber", "Marilyn", "Beverly", "Danielle", "Theresa", "Sophia", "Marie",
@@ -52,16 +52,15 @@ object NamesDict {
     "Fatima", "Aisha", "Lucia", "Elena")
 
   private val mostlyMale = Seq(
-    "Chris", "Sam", "Alexis2", "Jaime", "Angel", "Micah", "Noel", "Tristan",
-    "Rene", "Andrea3")
+    "Chris", "Sam", "Jaime", "Angel", "Micah", "Noel", "Tristan",
+    "Rene")
 
   private val mostlyFemale = Seq(
-    "Kim", "Leslie", "Dana", "Ashley2", "Courtney", "Shannon", "Jamie",
-    "Kelly2", "Lauren2", "Whitney")
+    "Kim", "Leslie", "Dana", "Courtney", "Shannon", "Jamie",
+    "Whitney")
 
   private val andy = Seq(
-    "Robin", "Alex", "Pat", "Taylor", "Morgan", "Casey", "Riley", "Jordan2",
-    "Andrea", "Terry2", "Lee", "Dakota", "Skyler", "Quinn", "Avery")
+    "Robin", "Alex", "Pat", "Taylor", "Morgan", "Casey", "Riley", "Andrea", "Lee", "Dakota", "Skyler", "Quinn", "Avery")
 
   // ------------------------------------------------------------------
   // Breadth extension (round-5 VERDICT item 5): a few thousand further
@@ -82,7 +81,7 @@ object NamesDict {
     "Ben", "Bennett", "Bernard", "Bert", "Bill", "Blaine", "Blake", "Bo",
     "Boris", "Boyd", "Brad", "Braden", "Bradley", "Brady", "Brant", "Brent",
     "Brett", "Brock", "Broderick", "Brooks", "Bryce", "Bryson", "Buck",
-    "Burt", "Byron", "Cade", "Caleb", "Calvin", "Cameron2", "Carlton",
+    "Burt", "Byron", "Cade", "Caleb", "Calvin", "Carlton",
     "Carson", "Carter", "Cary", "Cecil", "Cedric", "Cesar", "Chad",
     "Chadwick", "Chance", "Chandler", "Charlie", "Chase", "Chester", "Chet",
     "Clark", "Claude", "Clay", "Clayton", "Clement", "Cliff", "Clifford",
@@ -107,95 +106,89 @@ object NamesDict {
     "Garrett", "Garry", "Garth", "Gavin", "Gene", "Geoffrey", "Gerard",
     "Gerardo", "Gideon", "Gil", "Gilbert", "Gino", "Glen", "Glenn", "Gordon",
     "Grady", "Graham", "Grant", "Grayson", "Greg", "Gregg", "Griffin",
-    "Grover", "Gus", "Guy", "Hal", "Hank", "Hans2", "Harlan", "Harley",
-    "Harrison", "Harry", "Harvey", "Hayden2", "Heath", "Hector", "Herbert",
+    "Grover", "Gus", "Guy", "Hal", "Hank", "Harlan", "Harley",
+    "Harrison", "Harry", "Harvey", "Heath", "Hector", "Herbert",
     "Herman", "Homer", "Horace", "Howard", "Hubert", "Hugh", "Hugo",
     "Hunter", "Ian", "Ignacio", "Ike", "Ira", "Irving", "Isaac", "Isaiah",
     "Israel", "Ivory", "Jackson", "Jaden", "Jake", "Jamal", "Jared",
-    "Jarrett", "Jarrod", "Jarvis", "Jasper", "Javier", "Jay", "Jayden2",
-    "Jed", "Jeff", "Jefferson", "Jeffery", "Jerald", "Jeremiah", "Jermaine",
-    "Jerome", "Jerrod", "Jim", "Jimmie", "Jimmy", "Joaquin", "Jody2", "Joel",
+    "Jarrett", "Jarrod", "Jarvis", "Jasper", "Javier", "Jay", "Jed", "Jeff", "Jefferson", "Jeffery", "Jerald", "Jeremiah", "Jermaine",
+    "Jerome", "Jerrod", "Jim", "Jimmie", "Jimmy", "Joaquin", "Joel",
     "Joey", "Johnathan", "Jon", "Jonah", "Jonas", "Jorge", "Josh", "Josiah",
-    "Juan2", "Judd", "Jude", "Julian", "Julio", "Julius", "Kane", "Kareem",
-    "Karl", "Kasey2", "Keaton", "Keegan", "Keenan", "Kelvin", "Ken",
-    "Kendrick", "Kennedy2", "Kent", "Kenton", "Kermit", "Kerry2", "Kieran",
-    "Kirby", "Kirk", "Klaus", "Kobe", "Kody", "Kolton", "Kris2", "Kristopher",
-    "Kurt", "Kurtis", "Lamar", "Lamont", "Lance", "Landon", "Lane2", "Lanny",
-    "Laurence", "Lavern2", "Leander", "Leland", "Lemuel", "Len", "Lenny",
+    "Judd", "Jude", "Julian", "Julio", "Julius", "Kane", "Kareem",
+    "Karl", "Keaton", "Keegan", "Keenan", "Kelvin", "Ken",
+    "Kendrick", "Kent", "Kenton", "Kermit", "Kieran",
+    "Kirby", "Kirk", "Klaus", "Kobe", "Kody", "Kolton", "Kristopher",
+    "Kurt", "Kurtis", "Lamar", "Lamont", "Lance", "Landon", "Lanny",
+    "Laurence", "Leander", "Leland", "Lemuel", "Len", "Lenny",
     "Leo", "Leon", "Leonard", "Leonardo", "Leonel", "Leroy", "Lester", "Levi",
-    "Lewis", "Liam", "Lincoln", "Lionel", "Lloyd", "Logan2", "Lon", "Lonnie",
-    "Loren2", "Lorenzo", "Lou", "Lowell", "Lucas", "Lucian", "Luke", "Luther",
+    "Lewis", "Liam", "Lincoln", "Lionel", "Lloyd", "Lon", "Lonnie",
+    "Lorenzo", "Lou", "Lowell", "Lucas", "Lucian", "Luke", "Luther",
     "Lyle", "Lyndon", "Mack", "Malcolm", "Malik", "Manuel", "Marc", "Marcel",
-    "Marcelo", "Marcos", "Marcus", "Mario", "Marion2", "Marlon", "Marshall",
+    "Marcelo", "Marcos", "Marcus", "Mario", "Marlon", "Marshall",
     "Martin", "Marty", "Marvin", "Mason", "Mateo", "Mathew", "Matt",
     "Maurice", "Mauricio", "Max", "Maximilian", "Maxwell", "Maynard",
-    "Melvin", "Merle2", "Merlin", "Mervin", "Micheal", "Mickey", "Miles",
+    "Melvin", "Merlin", "Mervin", "Micheal", "Mickey", "Miles",
     "Milo", "Milton", "Mitch", "Mitchell", "Monte", "Monty", "Morris",
     "Moses", "Murray", "Myron", "Nash", "Nathaniel", "Neal", "Ned", "Neil",
     "Nelson", "Nestor", "Nick", "Nicolas", "Nigel", "Niles", "Nolan",
-    "Norman", "Norris", "Oliver", "Ollie2", "Orlando", "Orville", "Oscar",
+    "Norman", "Norris", "Oliver", "Orlando", "Orville", "Oscar",
     "Osvaldo", "Otis", "Otto", "Owen", "Pablo", "Parker", "Pascal",
-    "Patrick2", "Paxton", "Pedro", "Percy", "Perry", "Pete", "Phil",
+    "Paxton", "Pedro", "Percy", "Perry", "Pete", "Phil",
     "Phillip", "Pierce", "Porter", "Preston", "Prince", "Quentin", "Quincy",
-    "Quinn2", "Quinton", "Rafael", "Raleigh2", "Ramiro", "Ramon", "Randall",
-    "Randolph", "Raphael", "Raul", "Ray", "Reed", "Reese2", "Reggie",
-    "Reginald", "Reid", "Remington", "Rene2", "Reuben", "Rex", "Rhett",
-    "Ricardo", "Rich", "Rick", "Rickey", "Ricky", "Rico", "Riley2", "Rob",
+    "Quinton", "Rafael", "Ramiro", "Ramon", "Randall",
+    "Randolph", "Raphael", "Raul", "Ray", "Reed", "Reggie",
+    "Reginald", "Reid", "Remington", "Reuben", "Rex", "Rhett",
+    "Ricardo", "Rich", "Rick", "Rickey", "Ricky", "Rico", "Rob",
     "Roberto", "Rocco", "Rocky", "Rod", "Roderick", "Rodney", "Rodolfo",
     "Rodrigo", "Rogelio", "Roland", "Rolando", "Roman", "Romeo", "Ron",
-    "Ronnie", "Roosevelt", "Rory2", "Roscoe", "Ross", "Rowan2", "Royce",
+    "Ronnie", "Roosevelt", "Roscoe", "Ross", "Royce",
     "Ruben", "Rudolph", "Rudy", "Rufus", "Rupert", "Russ", "Rusty", "Sal",
     "Salvador", "Salvatore", "Santiago", "Santos", "Saul", "Sawyer",
     "Sebastian", "Sergio", "Seth", "Shane", "Shaun", "Shawn", "Sheldon",
-    "Sherman", "Sid", "Sidney2", "Silas", "Simon", "Solomon", "Sonny",
+    "Sherman", "Sid", "Silas", "Simon", "Solomon", "Sonny",
     "Spencer", "Stan", "Stanley", "Stefan", "Sterling", "Steve", "Stewart",
     "Stuart", "Sylvester", "Tanner", "Tate", "Ted", "Teddy", "Terence",
     "Terrance", "Terrell", "Terrence", "Thad", "Thaddeus", "Theo",
     "Theodore", "Tim", "Titus", "Tobias", "Toby", "Todd", "Tom", "Tomas",
     "Tommy", "Tony", "Trace", "Travis", "Trent", "Trenton", "Trevor", "Trey",
-    "Tristan2", "Troy", "Truman", "Tucker", "Turner", "Ty", "Tyrone", "Tyson",
+    "Troy", "Truman", "Tucker", "Turner", "Ty", "Tyrone", "Tyson",
     "Ulysses", "Uriel", "Van", "Vance", "Vaughn", "Vern", "Vernon", "Victor",
     "Vince", "Virgil", "Wade", "Waldo", "Wallace", "Walt", "Ward", "Warren",
     "Waylon", "Wendell", "Wesley", "Weston", "Wilbert", "Wilbur", "Wiley",
-    "Wilfred", "Will", "Willard", "William2", "Willis", "Wilson", "Winston",
+    "Wilfred", "Will", "Willard", "Willis", "Wilson", "Winston",
     "Woodrow", "Wyatt", "Xander", "Xavier", "Zachariah", "Zack", "Zane",
     // Romance / Germanic / Nordic / Slavic
     "Alessandro", "Alejandro", "Alfonso", "Alfredo", "Aleksander", "Aleksei",
     "Anatoly", "Anders", "Andreas", "Andrei", "Angelo", "Anton", "Antonio",
-    "Arjen", "Armin", "Arnaud", "Arne", "Axel2", "Bastian", "Benedikt",
-    "Benito", "Bernardo", "Bjorn", "Bogdan", "Boris2", "Bruno", "Carlo",
+    "Arjen", "Armin", "Arnaud", "Arne", "Bastian", "Benedikt",
+    "Benito", "Bernardo", "Bjorn", "Bogdan", "Bruno", "Carlo",
     "Casper", "Christoph", "Claudio", "Constantin", "Cristian", "Cristiano",
-    "Dag", "Damir", "Danilo", "Dario2", "Davide", "Dietrich", "Dimitris",
+    "Dag", "Damir", "Danilo", "Davide", "Dietrich", "Dimitris",
     "Dmitri", "Dmitry", "Domenico", "Eduard", "Einar", "Emanuele", "Emile",
     "Enrico", "Enrique", "Erik", "Ernst", "Etienne", "Fabio", "Fabrizio",
     "Federico", "Filip", "Filippo", "Francesco", "Franz", "Frederik",
     "Fritz", "Gabriele", "Gaetano", "Gaspard", "Georg", "Gerhard", "Gianni",
     "Giacomo", "Gianluca", "Giorgio", "Giovanni", "Giulio", "Giuseppe",
     "Gregor", "Guido", "Guillaume", "Gunnar", "Gustav", "Gustavo", "Hannes",
-    "Heinrich", "Heinz", "Helmut", "Henrik", "Hermann", "Horst", "Hugo2",
-    "Igor", "Ilya", "Ingmar", "Ivan2", "Ivo", "Jacques", "Jan", "Janusz",
-    "Jaroslav", "Javier2", "Jens", "Jerzy", "Joachim", "Joao", "Johan",
-    "Johann", "Johannes", "Jonas2", "Joost", "Jorge2", "Jos", "Josef",
+    "Heinrich", "Heinz", "Helmut", "Henrik", "Hermann", "Horst", "Igor", "Ilya", "Ingmar", "Ivo", "Jacques", "Jan", "Janusz",
+    "Jaroslav", "Jens", "Jerzy", "Joachim", "Joao", "Johan",
+    "Johann", "Johannes", "Joost", "Jos", "Josef",
     "Juergen", "Julien", "Jurgen", "Kai", "Karel", "Karsten", "Kasper",
     "Kazimierz", "Klaas", "Konstantin", "Krzysztof", "Lars", "Laurent",
-    "Leif", "Lennart", "Leopold", "Lorenz", "Loris", "Luc", "Luca2",
-    "Ludwig", "Luigi", "Luis", "Lukas", "Maarten", "Maksim", "Manfred",
+    "Leif", "Lennart", "Leopold", "Lorenz", "Loris", "Luc", "Ludwig", "Luigi", "Luis", "Lukas", "Maarten", "Maksim", "Manfred",
     "Marcello", "Marek", "Marius", "Markus", "Massimo", "Mathias", "Matteo",
     "Matthias", "Maurizio", "Maxim", "Maximiliano", "Michal", "Michel",
-    "Michele2", "Mikhail", "Milan", "Mirko", "Miroslav", "Nico", "Nicola2",
-    "Niklas", "Nikolai", "Nikolas", "Nils", "Norbert", "Olaf", "Oleg",
-    "Olivier", "Oskar", "Otto2", "Paolo", "Pascal2", "Patrice2", "Pavel",
-    "Per", "Peter2", "Petr", "Philippe", "Pierre2", "Pietro", "Piotr",
-    "Rainer", "Ralf", "Raphael2", "Rasmus", "Reinhard", "Remy", "Renato",
-    "Rene3", "Riccardo", "Roberto2", "Rolf", "Romain", "Ruud", "Salvatore2",
-    "Sander", "Sandro", "Sebastien", "Sergei", "Sergey", "Severin",
+    "Mikhail", "Milan", "Mirko", "Miroslav", "Nico", "Niklas", "Nikolai", "Nikolas", "Nils", "Norbert", "Olaf", "Oleg",
+    "Olivier", "Oskar", "Paolo", "Pavel",
+    "Per", "Petr", "Philippe", "Pietro", "Piotr",
+    "Rainer", "Ralf", "Rasmus", "Reinhard", "Remy", "Renato",
+    "Riccardo", "Rolf", "Romain", "Ruud", "Sander", "Sandro", "Sebastien", "Sergei", "Sergey", "Severin",
     "Siegfried", "Sigmund", "Silvio", "Sjoerd", "Slavko", "Soren", "Stanislav",
     "Stefano", "Stellan", "Stepan", "Sven", "Tariq", "Teodoro", "Theodor",
     "Thibault", "Thierry", "Thijs", "Thorsten", "Tomasz", "Torsten", "Udo",
     "Ulrich", "Umberto", "Uwe", "Vaclav", "Valentin", "Valentino", "Vasily",
     "Viktor", "Vincenzo", "Vitaly", "Vittorio", "Vladimir", "Vladislav",
-    "Walter2", "Werner", "Wilhelm", "Wim", "Wolfgang", "Wouter", "Xavier2",
-    "Yannick", "Yaroslav", "Yuri", "Zbigniew", "Zoltan",
+    "Werner", "Wilhelm", "Wim", "Wolfgang", "Wouter", "Yannick", "Yaroslav", "Yuri", "Zbigniew", "Zoltan",
     // Arabic / Turkish / Persian / Hebrew
     "Abdallah", "Abdul", "Abdullah", "Adel", "Adnan", "Ahmad", "Akram",
     "Amir", "Ammar", "Anwar", "Arif", "Asad", "Ashraf", "Ayman", "Aziz",
@@ -204,22 +197,20 @@ object NamesDict {
     "Habib", "Hakan", "Hakim", "Halil", "Hamid", "Hamza", "Hasan", "Hassan",
     "Haytham", "Hossein", "Hussein", "Ibrahim", "Idris", "Imad", "Imran",
     "Ismail", "Jaber", "Jalal", "Jamil", "Kadir", "Kamal", "Karim", "Kemal",
-    "Khaled", "Khalid", "Khalil", "Levent", "Mahmoud", "Majid", "Malik2",
-    "Mansour", "Marwan", "Mehmet", "Mestan", "Mohamed", "Mohammad", "Morteza",
+    "Khaled", "Khalid", "Khalil", "Levent", "Mahmoud", "Majid", "Mansour", "Marwan", "Mehmet", "Mestan", "Mohamed", "Mohammad", "Morteza",
     "Mostafa", "Mourad", "Murat", "Mustafa", "Nabil", "Nadir", "Naim",
     "Nasser", "Nawaf", "Nizar", "Osman", "Qasim", "Rachid", "Rafik", "Rahim",
     "Rami", "Rashid", "Riad", "Saad", "Sabri", "Said", "Saleh", "Salem",
-    "Salim", "Sami2", "Samir", "Selim", "Serkan", "Shadi", "Sharif", "Tahir",
-    "Talal", "Tamer", "Tarek", "Tariq2", "Volkan", "Wael", "Walid", "Yasin",
+    "Salim", "Samir", "Selim", "Serkan", "Shadi", "Sharif", "Tahir",
+    "Talal", "Tamer", "Tarek", "Volkan", "Wael", "Walid", "Yasin",
     "Yasser", "Youssef", "Yusuf", "Zahid", "Zaid", "Zakaria", "Ziad",
-    "Aharon", "Amit2", "Ariel2", "Avraham", "Chaim", "Eitan", "Eliezer",
-    "Gideon2", "Moshe", "Noam", "Oren", "Shimon", "Uri", "Yaakov", "Yitzhak",
+    "Aharon", "Avraham", "Chaim", "Eitan", "Eliezer",
+    "Moshe", "Noam", "Oren", "Shimon", "Uri", "Yaakov", "Yitzhak",
     // South Asian
     "Aditya", "Ajay", "Akash", "Akhil", "Amar", "Amit", "Anand", "Anil",
     "Ankit", "Anup", "Arjun", "Arun", "Ashish", "Ashok", "Avinash", "Bala",
     "Bharat", "Chetan", "Deepak", "Dev", "Dinesh", "Ganesh", "Gaurav",
-    "Girish", "Gopal", "Harish", "Hemant", "Jagdish", "Jatin", "Kamal2",
-    "Kapil", "Karan", "Kartik", "Kiran2", "Krishna", "Kunal", "Lakshman",
+    "Girish", "Gopal", "Harish", "Hemant", "Jagdish", "Jatin", "Kapil", "Karan", "Kartik", "Krishna", "Kunal", "Lakshman",
     "Mahesh", "Manish", "Manoj", "Mohan", "Mukesh", "Naresh", "Naveen",
     "Nikhil", "Nitin", "Pankaj", "Prakash", "Pranav", "Prasad", "Praveen",
     "Rahul", "Rajeev", "Rajesh", "Rajiv", "Rakesh", "Ram", "Ramesh", "Ravi",
@@ -230,259 +221,226 @@ object NamesDict {
     // East / Southeast Asian
     "Akira", "Daiki", "Daisuke", "Haruto", "Hideo", "Hideki", "Hiro",
     "Ichiro", "Isamu", "Jiro", "Katsu", "Kazuki", "Kazuo", "Keiji", "Kenji",
-    "Kenta", "Koji", "Makoto2", "Masahiro", "Masaru", "Noboru", "Osamu",
-    "Ren2", "Riku", "Ryo", "Ryota", "Satoshi", "Shigeru", "Shinji", "Sho",
+    "Kenta", "Koji", "Masahiro", "Masaru", "Noboru", "Osamu",
+    "Riku", "Ryo", "Ryota", "Satoshi", "Shigeru", "Shinji", "Sho",
     "Shota", "Sota", "Susumu", "Tadashi", "Takahiro", "Takashi", "Takeshi",
     "Takumi", "Taro", "Tatsuya", "Tetsuya", "Toru", "Toshio", "Yamato",
     "Yasuo", "Yoshio", "Yuji", "Yuta", "Yutaka",
-    "Bao2", "Chen", "Cheng", "Feng", "Guang", "Hao", "Jian", "Jun2", "Lei2",
-    "Liang", "Ming", "Peng", "Qiang", "Tao", "Wei2", "Xiang", "Yong", "Zhen",
+    "Chen", "Cheng", "Feng", "Guang", "Hao", "Jian", "Liang", "Ming", "Peng", "Qiang", "Tao", "Xiang", "Yong", "Zhen",
     "Zhong",
     "Dong", "Ho", "Hyun", "Jae", "Joon", "Minho", "Seung", "Sung",
-    "Anh2", "Duc", "Hieu", "Hung", "Khoa", "Long", "Minh", "Nam", "Phuc",
-    "Quan", "Thanh2", "Tuan",
+    "Duc", "Hieu", "Hung", "Khoa", "Long", "Minh", "Nam", "Phuc",
+    "Quan", "Tuan",
     // African
-    "Abebe", "Addis", "Amadou", "Ayo2", "Chidi", "Chinedu", "Emeka",
+    "Abebe", "Addis", "Amadou", "Chidi", "Chinedu", "Emeka",
     "Femi", "Ibrahima", "Kofi", "Kwame", "Mamadou", "Obi", "Olu", "Oumar",
-    "Sekou", "Tendai2", "Thabo", "Tunde", "Uche2", "Yusuf2")
+    "Sekou", "Thabo", "Tunde")
 
   private val extFemale = Seq(
     // US/English staples beyond the core top-100
-    "Abby", "Ada", "Adalyn", "Addison2", "Adele", "Adeline", "Adriana",
+    "Abby", "Ada", "Adalyn", "Adele", "Adeline", "Adriana",
     "Adrienne", "Agatha", "Agnes", "Aileen", "Aimee", "Alana", "Alannah",
-    "Alberta", "Alejandra", "Alexa", "Alexandra", "Alexandria", "Alice2",
-    "Alicia", "Alina", "Alisha", "Alison", "Alissa", "Allison", "Allyson",
-    "Alma", "Alyssa", "Amalia", "Amanda2", "Amaya", "Amelia", "Amie",
-    "Amira", "Amy2", "Anastasia", "Andria", "Angelica", "Angelina",
+    "Alberta", "Alejandra", "Alexa", "Alexandra", "Alexandria", "Alicia", "Alina", "Alisha", "Alison", "Alissa", "Allison", "Allyson",
+    "Alma", "Alyssa", "Amalia", "Amaya", "Amelia", "Amie",
+    "Amira", "Anastasia", "Andria", "Angelica", "Angelina",
     "Angeline", "Angie", "Anika", "Anita", "Anne", "Annette", "Annie",
     "Annika", "Antoinette", "April", "Arabella", "Araceli", "Ariana",
-    "Arianna", "Ariel", "Arlene", "Astrid", "Athena", "Aubrey2", "Audra",
-    "Audrey", "Aurora", "Autumn", "Ava", "Avery2", "Bailey2", "Barbra",
+    "Arianna", "Ariel", "Arlene", "Astrid", "Athena", "Audra",
+    "Audrey", "Aurora", "Autumn", "Ava", "Barbra",
     "Beatrice", "Beatriz", "Becky", "Belinda", "Bella", "Bernadette",
     "Bernice", "Bertha", "Bess", "Bessie", "Beth", "Bethany", "Betsy",
-    "Bette", "Bettie", "Beulah", "Bianca", "Billie2", "Blair2", "Blanca",
-    "Blanche", "Bobbie2", "Bonnie", "Brandi", "Brandy", "Breanna", "Bree",
+    "Bette", "Bettie", "Beulah", "Bianca", "Blanca",
+    "Blanche", "Bonnie", "Brandi", "Brandy", "Breanna", "Bree",
     "Brenna", "Bria", "Briana", "Brianna", "Bridget", "Bridgette", "Brielle",
     "Brigitte", "Brittney", "Brooke", "Brooklyn", "Brynn", "Caitlin",
     "Caitlyn", "Callie", "Camila", "Camille", "Candace", "Candice", "Candy",
     "Cara", "Carina", "Carissa", "Carla", "Carlene", "Carly", "Carmela",
-    "Carmen2", "Carol2", "Carole", "Carolina", "Caroline", "Carrie",
-    "Cassandra", "Cassidy2", "Cassie", "Catalina", "Cathy", "Cecelia",
+    "Carole", "Carolina", "Caroline", "Carrie",
+    "Cassandra", "Cassie", "Catalina", "Cathy", "Cecelia",
     "Cecilia", "Celeste", "Celia", "Celine", "Chandra", "Chanel", "Charity",
     "Charlene", "Chasity", "Chelsea", "Chelsey", "Cherie", "Cherry",
     "Chloe", "Christa", "Christie", "Christy", "Cindy", "Claire", "Clara",
-    "Clarissa", "Claudette", "Claudia", "Cleo2", "Colette", "Colleen",
+    "Clarissa", "Claudette", "Claudia", "Colette", "Colleen",
     "Connie", "Constance", "Cora", "Coral", "Corinne", "Cornelia", "Corrine",
-    "Cristina", "Crystal", "Cynthia2", "Daisy", "Dakota2", "Damaris", "Dana2",
-    "Daniela", "Daniella", "Daphne", "Darcy2", "Darla", "Darlene", "Dawn",
-    "Deanna", "Debbie", "Deborah2", "Dee2", "Deirdre", "Delia", "Delilah",
-    "Della", "Delores", "Dena", "Desiree", "Destiny", "Devin2", "Diana2",
-    "Dianna", "Dianne", "Dina", "Dixie", "Dolly", "Dolores", "Dominique2",
-    "Donna2", "Dora", "Doreen", "Dorothea", "Dottie", "Eden2", "Edith",
-    "Edna", "Eileen", "Elaine", "Eleanor", "Elena2", "Eliana", "Elisa",
+    "Cristina", "Crystal", "Daisy", "Damaris", "Daniela", "Daniella", "Daphne", "Darla", "Darlene", "Dawn",
+    "Deanna", "Debbie", "Deirdre", "Delia", "Delilah",
+    "Della", "Delores", "Dena", "Desiree", "Destiny", "Dianna", "Dianne", "Dina", "Dixie", "Dolly", "Dolores", "Dora", "Doreen", "Dorothea", "Dottie", "Edith",
+    "Edna", "Eileen", "Elaine", "Eleanor", "Eliana", "Elisa",
     "Elisabeth", "Elise", "Eliza", "Ella", "Elle", "Ellen", "Ellie",
     "Eloise", "Elsa", "Elsie", "Elvira", "Emilia", "Emilie", "Emmeline",
     "Enid", "Erica", "Erika", "Erin", "Esmeralda", "Esperanza", "Essie",
     "Estelle", "Esther", "Ethel", "Eudora", "Eugenia", "Eula", "Eunice",
     "Eva", "Evangeline", "Eve", "Evelina", "Faith", "Fannie", "Fay", "Faye",
     "Felicia", "Felicity", "Fern", "Fernanda", "Fiona", "Flora", "Florence",
-    "Fran2", "Francesca", "Francine", "Freda", "Frieda", "Gabriela",
-    "Gabriella", "Gabrielle", "Gail", "Gayle2", "Gemma", "Gena", "Geneva",
+    "Francesca", "Francine", "Freda", "Frieda", "Gabriela",
+    "Gabriella", "Gabrielle", "Gail", "Gemma", "Gena", "Geneva",
     "Genevieve", "Georgia", "Georgina", "Geraldine", "Gertrude", "Gia",
     "Gilda", "Gina", "Ginger", "Ginny", "Giselle", "Gladys", "Glenda",
-    "Glenna", "Goldie", "Greta", "Gretchen", "Guadalupe2", "Gwen",
+    "Glenna", "Goldie", "Greta", "Gretchen", "Gwen",
     "Gwendolyn", "Hailey", "Haley", "Hallie", "Harmony", "Harriet",
-    "Hattie", "Haven", "Hazel", "Heidi", "Helen2", "Helena", "Helene",
-    "Henrietta", "Hilary2", "Hilda", "Hillary", "Holly", "Hope", "Ida",
+    "Hattie", "Haven", "Hazel", "Heidi", "Helena", "Helene",
+    "Henrietta", "Hilda", "Hillary", "Holly", "Hope", "Ida",
     "Iliana", "Imelda", "Imogene", "India", "Ines", "Irene", "Iris", "Irma",
-    "Isabel", "Isabelle", "Isadora", "Ivy", "Jackie2", "Jada", "Jade",
-    "Jana", "Jane", "Janelle", "Janette", "Janie", "Janine", "Janis2",
-    "Jasmin", "Jasmine", "Jayla", "Jeanette", "Jeanie", "Jeanne",
-    "Jeannette", "Jeannie", "Jenifer", "Jenna", "Jennie", "Jenny", "Jeri2",
-    "Jessie2", "Jewel", "Jill", "Jillian", "Jo2", "Joanna", "Joanne",
-    "Jocelyn", "Jodi", "Jodie2", "Johanna", "Joleen", "Jolene", "Joni",
-    "Josefina", "Josephine", "Josie", "Joy", "Joyce2", "Juana", "Juanita",
+    "Isabel", "Isabelle", "Isadora", "Ivy", "Jada", "Jade",
+    "Jana", "Jane", "Janelle", "Janette", "Janie", "Janine", "Jasmin", "Jasmine", "Jayla", "Jeanette", "Jeanie", "Jeanne",
+    "Jeannette", "Jeannie", "Jenifer", "Jenna", "Jennie", "Jenny", "Jewel", "Jill", "Jillian", "Joanna", "Joanne",
+    "Jocelyn", "Jodi", "Johanna", "Joleen", "Jolene", "Joni",
+    "Josefina", "Josephine", "Josie", "Joy", "Juana", "Juanita",
     "Judi", "Juliana", "Julianna", "Julianne", "Juliet", "Juliette", "June",
     "Justine", "Kaitlin", "Kaitlyn", "Kala", "Kara", "Karin", "Karina",
     "Karla", "Kasey", "Kate", "Katelyn", "Kathie", "Kathy", "Katie",
     "Katrina", "Katy", "Kay", "Kaye", "Kayleigh", "Keisha", "Kendra",
-    "Kenya2", "Keri", "Kerri", "Kiara", "Kiera", "Kimberlee", "Kimberley",
+    "Keri", "Kerri", "Kiara", "Kiera", "Kimberlee", "Kimberley",
     "Kira", "Kirsten", "Kitty", "Kristen", "Kristi", "Kristie", "Kristin",
     "Kristina", "Kristine", "Kristy", "Krystal", "Kyla", "Kylie", "Lacey",
     "Laila", "Lana", "Laney", "Lara", "Larissa", "Latasha", "Latoya",
-    "Laurel", "Lauri", "Laurie", "Laverne2", "Lavinia", "Leah", "Leanna",
-    "Leanne", "Leila", "Lela", "Lena", "Lenora", "Leona", "Leonor", "Leslie2",
-    "Leticia", "Letitia", "Lexi", "Lila", "Lilian", "Liliana", "Lillian",
-    "Lillie", "Lily", "Lina", "Lindsay2", "Lindsey2", "Liza", "Lizzie",
+    "Laurel", "Lauri", "Laurie", "Lavinia", "Leah", "Leanna",
+    "Leanne", "Leila", "Lela", "Lena", "Lenora", "Leona", "Leonor", "Leticia", "Letitia", "Lexi", "Lila", "Lilian", "Liliana", "Lillian",
+    "Lillie", "Lily", "Lina", "Liza", "Lizzie",
     "Lois", "Lola", "Lorena", "Loretta", "Lori", "Lorna", "Lorraine",
-    "Lottie", "Lou2", "Louella", "Louisa", "Louise", "Luann", "Lucille",
-    "Lucinda", "Lucy", "Luella", "Luisa", "Lula", "Luna", "Lupe2", "Luz",
-    "Lydia", "Lyn", "Lynda", "Lynette", "Lynn2", "Lynne", "Mabel", "Macy",
+    "Lottie", "Louella", "Louisa", "Louise", "Luann", "Lucille",
+    "Lucinda", "Lucy", "Luella", "Luisa", "Lula", "Luna", "Luz",
+    "Lydia", "Lyn", "Lynda", "Lynette", "Lynne", "Mabel", "Macy",
     "Madeleine", "Madeline", "Madelyn", "Madge", "Mae", "Maggie", "Maia",
     "Mallory", "Mamie", "Mandy", "Mara", "Marcella", "Marci", "Marcia",
     "Margarita", "Margie", "Margo", "Margot", "Marguerite", "Mariah",
-    "Marian2", "Mariana", "Marianne", "Maribel", "Maricela", "Marina",
+    "Mariana", "Marianne", "Maribel", "Maricela", "Marina",
     "Marisa", "Marisol", "Marissa", "Marjorie", "Marla", "Marlene",
     "Marta", "Maryann", "Maryanne", "Matilda", "Mattie", "Maude", "Maura",
-    "Maureen", "Mavis", "Maxine", "May", "Maya", "Mckenzie2", "Meagan",
-    "Meg", "Melanie", "Melba", "Melinda", "Melody", "Mercedes", "Meredith2",
-    "Mia", "Michaela", "Michele", "Mikayla", "Mildred", "Millicent",
+    "Maureen", "Mavis", "Maxine", "May", "Maya", "Meagan",
+    "Meg", "Melanie", "Melba", "Melinda", "Melody", "Mercedes", "Mia", "Michaela", "Michele", "Mikayla", "Mildred", "Millicent",
     "Millie", "Mindy", "Minerva", "Minnie", "Mira", "Miranda", "Miriam",
     "Missy", "Misty", "Mitzi", "Mollie", "Molly", "Mona", "Monica",
     "Monique", "Muriel", "Myra", "Myrna", "Myrtle", "Nadia", "Nadine",
-    "Nancy2", "Nanette", "Naomi", "Natalia", "Natasha", "Nellie", "Nettie",
+    "Nanette", "Naomi", "Natalia", "Natasha", "Nellie", "Nettie",
     "Nichole", "Nikki", "Nina", "Nita", "Noelle", "Nola", "Nona", "Nora",
     "Noreen", "Norma", "Nova", "Nydia", "Odessa", "Ofelia", "Ola", "Olga",
     "Olive", "Opal", "Ophelia", "Paige", "Pam", "Pansy", "Paola", "Patrice",
     "Patsy", "Patti", "Patty", "Paula", "Paulette", "Pauline", "Pearl",
     "Peggy", "Penelope", "Penny", "Petra", "Phoebe", "Phyllis", "Piper",
     "Polly", "Precious", "Priscilla", "Prudence", "Queen", "Rachael",
-    "Rachelle", "Rae2", "Ramona", "Raquel", "Reba", "Rebekah", "Regina",
+    "Rachelle", "Ramona", "Raquel", "Reba", "Rebekah", "Regina",
     "Renata", "Renee", "Rhea", "Rhoda", "Rhonda", "Rita", "Roberta",
     "Robyn", "Rochelle", "Ronda", "Rosa", "Rosalie", "Rosalind", "Rosalinda",
     "Rosanna", "Rosanne", "Rosemarie", "Rosemary", "Rosie", "Roslyn",
     "Rowena", "Roxanne", "Ruby", "Ruthie", "Sabrina", "Sadie", "Sally",
-    "Salma", "Sandy2", "Sasha", "Saundra", "Savannah", "Scarlett", "Selena",
+    "Salma", "Sasha", "Saundra", "Savannah", "Scarlett", "Selena",
     "Selma", "Serena", "Shana", "Shania", "Shanna", "Shari", "Sharla",
-    "Sharon2", "Shawna", "Sheena", "Sheila", "Shelby2", "Shelia", "Shelley",
+    "Shawna", "Sheena", "Sheila", "Shelia", "Shelley",
     "Shelly", "Sheri", "Sherri", "Sherrie", "Sherry", "Sheryl", "Shira",
     "Sierra", "Silvia", "Simone", "Sloane", "Sondra", "Sonia", "Sonja",
-    "Sonya", "Stacey2", "Staci", "Stacie", "Stacy2", "Star", "Stella",
+    "Sonya", "Staci", "Stacie", "Star", "Stella",
     "Stephany", "Sue", "Summer", "Susana", "Susanna", "Susannah", "Susanne",
-    "Susie", "Suzanne", "Suzette", "Sybil", "Sydney2", "Sylvia", "Tabitha",
+    "Susie", "Suzanne", "Suzette", "Sybil", "Sylvia", "Tabitha",
     "Tamara", "Tami", "Tamika", "Tammie", "Tammy", "Tania", "Tanya", "Tara",
-    "Tasha", "Tatiana", "Tatum2", "Tawny", "Teri", "Terri", "Tessa", "Thea",
-    "Thelma", "Tia", "Tiffany", "Tina", "Toni2", "Tonya", "Tori", "Tracey2",
-    "Traci", "Tricia", "Trina", "Trisha", "Trudy", "Twila", "Ursula",
+    "Tasha", "Tatiana", "Tawny", "Teri", "Terri", "Tessa", "Thea",
+    "Thelma", "Tia", "Tiffany", "Tina", "Tonya", "Tori", "Traci", "Tricia", "Trina", "Trisha", "Trudy", "Twila", "Ursula",
     "Valarie", "Valencia", "Valerie", "Vanessa", "Velma", "Vera", "Verna",
     "Veronica", "Vicki", "Vickie", "Vicky", "Viola", "Violet", "Vivian",
-    "Viviana", "Vivienne", "Wanda", "Wendy", "Whitney2", "Wilda",
+    "Viviana", "Vivienne", "Wanda", "Wendy", "Wilda",
     "Wilhelmina", "Willa", "Wilma", "Winifred", "Winnie", "Yesenia",
     "Yolanda", "Yvette", "Yvonne", "Zelda", "Zoe", "Zora",
     // Romance / Germanic / Nordic / Slavic
-    "Agnieszka", "Aleksandra", "Alessandra", "Alenka", "Alina2", "Anastasia2",
-    "Anette", "Angelika", "Anja", "Anka", "Annalisa", "Annemarie", "Annika2",
-    "Antonella", "Antonia", "Astrid2", "Beata", "Beate", "Benedetta",
-    "Bianca2", "Birgit", "Bozena", "Brigitta", "Camilla", "Carlotta",
-    "Caterina", "Chiara2", "Christiane", "Claudine", "Concetta", "Cosima",
-    "Daniela2", "Danuta", "Daria", "Dagmar", "Dorota", "Dorothee", "Edda",
-    "Elif", "Elisa2", "Elisabetta", "Elke", "Emanuela", "Emmanuelle",
-    "Erika2", "Ester", "Eva2", "Evelina2", "Ewa", "Federica", "Fernanda2",
-    "Francesca2", "Franziska", "Frida", "Gabriella2", "Galina", "Gerda",
-    "Giada", "Gisela", "Giulia", "Giuseppina", "Grazyna", "Greta2", "Gudrun",
+    "Agnieszka", "Aleksandra", "Alessandra", "Alenka", "Anette", "Angelika", "Anja", "Anka", "Annalisa", "Annemarie", "Antonella", "Antonia", "Beata", "Beate", "Benedetta",
+    "Birgit", "Bozena", "Brigitta", "Camilla", "Carlotta",
+    "Caterina", "Christiane", "Claudine", "Concetta", "Cosima",
+    "Danuta", "Daria", "Dagmar", "Dorota", "Dorothee", "Edda",
+    "Elif", "Elisabetta", "Elke", "Emanuela", "Emmanuelle",
+    "Ester", "Ewa", "Federica", "Franziska", "Frida", "Galina", "Gerda",
+    "Giada", "Gisela", "Giulia", "Giuseppina", "Grazyna", "Gudrun",
     "Halina", "Hanna", "Hannelore", "Heike", "Helga", "Henriette", "Ilaria",
-    "Ilona", "Ilse", "Ines2", "Inga", "Inge", "Ingeborg", "Ingrid2", "Irena",
-    "Irina", "Iryna", "Isabella2", "Iwona", "Jadwiga", "Janina", "Jarmila",
-    "Jelena", "Joanna2", "Jolanta", "Julia2", "Juliane", "Katarina",
+    "Ilona", "Ilse", "Inga", "Inge", "Ingeborg", "Irena",
+    "Irina", "Iryna", "Iwona", "Jadwiga", "Janina", "Jarmila",
+    "Jelena", "Jolanta", "Juliane", "Katarina",
     "Katarzyna", "Katerina", "Katharina", "Kathrin", "Katja", "Kerstin",
-    "Klara", "Kristina2", "Krystyna", "Ksenia", "Larisa", "Laura2", "Lena2",
-    "Lidia", "Liesel", "Lilia", "Liliane", "Lillemor", "Linnea", "Lisbeth",
-    "Ljubica", "Lucia2", "Ludmila", "Luisa2", "Lydie", "Magda", "Magdalena",
-    "Maja", "Malgorzata", "Manuela", "Mara2", "Margareta", "Margarete",
-    "Margherita", "Margit", "Mariana2", "Marianna", "Marietta", "Marika",
-    "Marina2", "Marion", "Marita", "Mariya", "Marlies", "Marta2", "Martina",
+    "Klara", "Krystyna", "Ksenia", "Larisa", "Lidia", "Liesel", "Lilia", "Liliane", "Lillemor", "Linnea", "Lisbeth",
+    "Ljubica", "Ludmila", "Lydie", "Magda", "Magdalena",
+    "Maja", "Malgorzata", "Manuela", "Margareta", "Margarete",
+    "Margherita", "Margit", "Marianna", "Marietta", "Marika",
+    "Marion", "Marita", "Mariya", "Marlies", "Martina",
     "Maryam", "Matilde", "Mechthild", "Milena", "Mirjam", "Mirella",
     "Miroslava", "Monika", "Natalya", "Nadezhda", "Nadja", "Natasa",
-    "Nicoletta", "Oksana", "Olena", "Ornella", "Paola2", "Paulina",
-    "Petra2", "Pilar", "Raffaella", "Rebekka", "Regina2", "Renate", "Rita2",
-    "Romana", "Rosalia", "Rosaria", "Rossana", "Roswitha", "Ruza", "Sabine",
-    "Sandra2", "Sara2", "Serena2", "Sieglinde", "Sigrid", "Silke", "Simona",
-    "Smilla", "Snezana", "Sofia2", "Solveig", "Stefania", "Svetlana",
-    "Sylvie", "Tamara2", "Tatjana", "Teodora", "Teresa2", "Tiziana", "Tove",
-    "Ulla", "Ulrike", "Ursula2", "Ute", "Valentina", "Valeria", "Vanda",
-    "Vasilisa", "Vera2", "Veronika", "Vesna", "Viktoria", "Violeta",
-    "Vittoria", "Waltraud", "Wanda2", "Wislawa", "Yana", "Yulia", "Zdenka",
+    "Nicoletta", "Oksana", "Olena", "Ornella", "Paulina",
+    "Pilar", "Raffaella", "Rebekka", "Renate", "Romana", "Rosalia", "Rosaria", "Rossana", "Roswitha", "Ruza", "Sabine",
+    "Sieglinde", "Sigrid", "Silke", "Simona",
+    "Smilla", "Snezana", "Solveig", "Stefania", "Svetlana",
+    "Sylvie", "Tatjana", "Teodora", "Tiziana", "Tove",
+    "Ulla", "Ulrike", "Ute", "Valentina", "Valeria", "Vanda",
+    "Vasilisa", "Veronika", "Vesna", "Viktoria", "Violeta",
+    "Vittoria", "Waltraud", "Wislawa", "Yana", "Yulia", "Zdenka",
     "Zofia", "Zuzana",
     // Arabic / Turkish / Persian / Hebrew
-    "Aaliyah", "Abeer", "Aida", "Aisha2", "Aliya", "Aliyah", "Amal",
-    "Amani", "Amina", "Amira2", "Arwa", "Asma", "Ayse", "Azra", "Basma",
-    "Bushra", "Dalia", "Dana3", "Derya", "Dilara", "Elif2", "Esra", "Farah",
+    "Aaliyah", "Abeer", "Aida", "Aliya", "Aliyah", "Amal",
+    "Amani", "Amina", "Arwa", "Asma", "Ayse", "Azra", "Basma",
+    "Bushra", "Dalia", "Derya", "Dilara", "Esra", "Farah",
     "Farida", "Fatma", "Fadia", "Ghada", "Gul", "Hala", "Halima", "Hana",
-    "Hanan", "Havva", "Hayat", "Hessa", "Hind", "Huda", "Ihsan2", "Iman",
-    "Jamila", "Jana2", "Kadriye", "Kamila", "Karima", "Khadija", "Lamia",
-    "Latifa", "Layla", "Leyla", "Lina2", "Lubna", "Maha", "Mariam", "Marwa",
-    "Maya2", "Maysa", "Melek", "Meryem", "Mona2", "Muna", "Nada", "Nadia2",
-    "Nahla", "Naima", "Najla", "Nawal", "Nesrin", "Nour", "Nura", "Rabia",
+    "Hanan", "Havva", "Hayat", "Hessa", "Hind", "Huda", "Iman",
+    "Jamila", "Kadriye", "Kamila", "Karima", "Khadija", "Lamia",
+    "Latifa", "Layla", "Leyla", "Lubna", "Maha", "Mariam", "Marwa",
+    "Maysa", "Melek", "Meryem", "Muna", "Nada", "Nahla", "Naima", "Najla", "Nawal", "Nesrin", "Nour", "Nura", "Rabia",
     "Rahma", "Rana", "Rania", "Rasha", "Reem", "Rima", "Ruqayya", "Sabah",
     "Safa", "Sahar", "Salwa", "Samah", "Samar", "Samira", "Sana", "Selin",
-    "Sevgi", "Shaima", "Soraya", "Suad", "Sultan2", "Sumaya", "Thana",
+    "Sevgi", "Shaima", "Soraya", "Suad", "Sumaya", "Thana",
     "Wafa", "Warda", "Yasmin", "Yasmine", "Zahra", "Zeynep", "Zainab",
     "Zubaida",
-    "Avital", "Batya", "Chana", "Devorah", "Esther2", "Hadassah", "Ilana",
-    "Leah2", "Michal2", "Miriam2", "Naomi2", "Noa", "Rivka", "Shira2",
-    "Tamar", "Yael",
+    "Avital", "Batya", "Chana", "Devorah", "Hadassah", "Ilana",
+    "Noa", "Rivka", "Tamar", "Yael",
     // South Asian
-    "Aarti", "Aditi", "Aishwarya", "Amrita", "Ananya", "Anika2", "Anjali",
+    "Aarti", "Aditi", "Aishwarya", "Amrita", "Ananya", "Anjali",
     "Ankita", "Anu", "Anusha", "Aparna", "Archana", "Asha", "Bhavna",
     "Chandni", "Deepa", "Deepika", "Divya", "Gauri", "Gayatri", "Geeta",
     "Hema", "Indira", "Ishita", "Jaya", "Jyoti", "Kajal", "Kalpana",
     "Kamala", "Kavita", "Kavya", "Kiran", "Lakshmi", "Lata", "Madhuri",
-    "Mala", "Manisha", "Meena", "Meera", "Megha", "Mohini", "Mona3",
-    "Namrata", "Nandini", "Neha", "Nisha", "Nita2", "Padma", "Pallavi",
+    "Mala", "Manisha", "Meena", "Meera", "Megha", "Mohini", "Namrata", "Nandini", "Neha", "Nisha", "Padma", "Pallavi",
     "Parvati", "Pooja", "Prachi", "Preeti", "Priyanka", "Rachna", "Radha",
     "Rani", "Rashmi", "Rekha", "Renu", "Richa", "Ritu", "Roshni", "Rupa",
     "Sangeeta", "Sarika", "Savita", "Seema", "Shalini", "Shanti", "Sharda",
     "Shilpa", "Shobha", "Shreya", "Shweta", "Smita", "Sneha", "Sonali",
-    "Sonia2", "Sudha", "Sujata", "Suman", "Sunita", "Supriya", "Sushma",
+    "Sudha", "Sujata", "Suman", "Sunita", "Supriya", "Sushma",
     "Swati", "Tanvi", "Uma", "Usha", "Vandana", "Vani", "Varsha", "Vidya",
     "Yamini",
     // East / Southeast Asian
     "Aiko", "Akemi", "Akiko", "Asuka", "Aya", "Ayaka", "Ayumi", "Chie",
-    "Chiyo", "Emi", "Eri", "Etsuko", "Fumiko", "Hana2", "Hanako", "Haruka",
-    "Haruko", "Hikari", "Hinata2", "Hiroko", "Hitomi", "Honoka", "Junko",
+    "Chiyo", "Emi", "Eri", "Etsuko", "Fumiko", "Hanako", "Haruka",
+    "Haruko", "Hikari", "Hiroko", "Hitomi", "Honoka", "Junko",
     "Kanako", "Kaori", "Kasumi", "Kazuko", "Keiko", "Kiko", "Kimiko",
     "Kiyoko", "Kumiko", "Kyoko", "Mai", "Maki", "Mami", "Mariko", "Masako",
     "Mayumi", "Megumi", "Michiko", "Midori", "Mika", "Miki", "Misaki",
-    "Mitsuko", "Miyuki", "Mizuki2", "Momoko", "Nanami", "Naoko", "Natsuki2",
-    "Natsumi", "Noriko", "Reiko", "Rie", "Rika", "Rin", "Rina", "Ruriko",
+    "Mitsuko", "Miyuki", "Momoko", "Nanami", "Naoko", "Natsumi", "Noriko", "Reiko", "Rie", "Rika", "Rin", "Rina", "Ruriko",
     "Ryoko", "Sachiko", "Saki", "Sakura", "Satomi", "Sayaka", "Setsuko",
     "Shiori", "Sumiko", "Takako", "Tamiko", "Tomoko", "Toshiko", "Yoko",
-    "Yoshiko", "Yui", "Yuka", "Yukiko", "Yumi", "Yumiko", "Yuna2", "Yuriko",
-    "Fang", "Hong2", "Hua", "Hui", "Juan3", "Lan", "Li2", "Lihua", "Lin2",
-    "Ling", "Mei2", "Meiling", "Na", "Qing", "Ting", "Xia", "Xiao", "Xiu",
-    "Yan2", "Ying", "Yue", "Zhang2",
-    "Eun", "Hye", "Jiyeon", "Mi", "Minji", "Seo", "Soo", "Sun2", "Yeon",
-    "Anh", "Hoa", "Huong", "Lien", "Mai2", "Ngoc", "Nguyet", "Thao", "Thuy",
+    "Yoshiko", "Yui", "Yuka", "Yukiko", "Yumi", "Yumiko", "Yuriko",
+    "Fang", "Hua", "Hui", "Lan", "Lihua", "Ling", "Meiling", "Na", "Qing", "Ting", "Xia", "Xiao", "Xiu",
+    "Ying", "Yue", "Eun", "Hye", "Jiyeon", "Mi", "Minji", "Seo", "Soo", "Yeon",
+    "Anh", "Hoa", "Huong", "Lien", "Ngoc", "Nguyet", "Thao", "Thuy",
     "Trang",
     // African
     "Abena", "Adaeze", "Adanna", "Afia", "Aissatou", "Akosua", "Ama",
     "Amara", "Aminata", "Ayesha", "Chiamaka", "Chioma", "Efua", "Esi",
-    "Fanta", "Fatou", "Folake", "Ifeoma", "Kadiatou", "Khadija2", "Mariama",
-    "Ngozi", "Nneka", "Nnenna", "Oluwaseun2", "Ramatoulaye", "Temitope2",
-    "Yaa", "Zuri")
+    "Fanta", "Fatou", "Folake", "Ifeoma", "Kadiatou", "Mariama",
+    "Ngozi", "Nneka", "Nnenna", "Ramatoulaye", "Yaa", "Zuri")
 
   private val extMostlyMale = Seq(
-    "Adrian2", "Ariel3", "Ashton2", "Bailey", "Blair", "Blake2", "Cameron",
-    "Carey", "Carroll", "Cassidy3", "Charlie2", "Corey2", "Devon2",
-    "Dominique3", "Emerson2", "Emery", "Finley", "Frankie", "Gerry", "Hayden",
-    "Hollis", "Jackie", "Jan2", "Jesse2", "Jessie", "Jody", "Jules", "Kelsey2",
-    "Kendall2", "Kerry", "Kim2", "Kris", "Lane", "Lavern", "Loren", "Lou3",
-    "Marion3", "Merle", "Micah2", "Nicky", "Noel2", "Ollie", "Phoenix",
-    "Rene4", "Rory", "Sami", "Sandy", "Shay2", "Stevie", "Toby2", "Tony2")
+    "Bailey", "Blair", "Cameron",
+    "Carey", "Carroll", "Emery", "Finley", "Frankie", "Gerry", "Hayden",
+    "Hollis", "Jackie", "Jessie", "Jody", "Jules", "Kerry", "Kris", "Lane", "Lavern", "Loren", "Merle", "Nicky", "Ollie", "Phoenix",
+    "Rory", "Sami", "Sandy", "Stevie")
 
   private val extMostlyFemale = Seq(
-    "Addison", "Allison2", "Alexis3", "Angel2", "Ashley3", "Aubrey", "Beverly2",
-    "Billie", "Bobbie", "Brett2", "Brook", "Carey2", "Carmen", "Cassidy",
-    "Clare", "Courtney2", "Dee", "Dominique", "Eden", "Evelyn2", "Gail2",
-    "Gayle", "Guadalupe", "Harper", "Hilary", "Jade2", "Jamie2", "Jan3",
-    "Jewel2", "Jo", "Jocelyn2", "Jody3", "Kelsey", "Kendall", "Kenya",
-    "Lauren3", "Laverne", "Leigh", "Lindsay", "Lindsey", "Loren3", "Lupe",
-    "Lynn", "Mackenzie", "Madison2", "Marion4", "Meredith", "Paris",
-    "Reese", "Robin2", "Sage", "Shannon2", "Shelby", "Sidney", "Stacey",
-    "Stacy", "Sydney", "Tracy", "Vivian2", "Whitney3")
+    "Addison", "Aubrey", "Billie", "Bobbie", "Brook", "Carmen", "Cassidy",
+    "Clare", "Dee", "Dominique", "Eden", "Gayle", "Guadalupe", "Harper", "Hilary", "Jo", "Kelsey", "Kendall", "Kenya",
+    "Laverne", "Leigh", "Lindsay", "Lindsey", "Lupe",
+    "Lynn", "Mackenzie", "Meredith", "Paris",
+    "Reese", "Sage", "Shelby", "Sidney", "Stacey",
+    "Stacy", "Sydney", "Tracy")
 
   private val extAndy = Seq(
-    "Alva", "Amari", "Arden", "Armani", "August2", "Azariah", "Baby",
-    "Bellamy", "Blessing", "Bowie", "Campbell", "Charley", "Cruz2", "Dallas2",
-    "Denver", "Devan", "Drew2", "Ellery", "Ellis2", "Emory", "Finley2",
-    "Frankie2", "Gentry", "Hollis2", "Indiana", "Jaylin", "Jessie3",
-    "Justice", "Kamari", "Kasey3", "Lake", "Landry", "Lennon", "Lennox",
-    "Marlowe", "Merritt", "Milan2", "Monroe", "Murphy", "Oakley", "Ocean",
-    "Onyx", "Parker2", "Peyton", "Phoenix2", "Rebel", "Remy2", "Ridley",
-    "River", "Robbie", "Rowan", "Royal", "Rudy2", "Sage2", "Salem2",
-    "Santana", "Sasha2", "Scout", "Shay", "Shiloh", "Sky", "Spencer2",
-    "Stevie2", "Storm", "Sutton", "Tatum", "Tenzin", "Toni", "Tory",
-    "Tyler2", "Unique", "Winter", "Wren", "Yael2", "Zephyr")
+    "Alva", "Amari", "Arden", "Armani", "Azariah", "Baby",
+    "Bellamy", "Blessing", "Bowie", "Campbell", "Charley", "Denver", "Devan", "Ellery", "Emory", "Gentry", "Indiana", "Jaylin", "Justice", "Kamari", "Lake", "Landry", "Lennon", "Lennox",
+    "Marlowe", "Merritt", "Monroe", "Murphy", "Oakley", "Ocean",
+    "Onyx", "Peyton", "Rebel", "Ridley",
+    "River", "Robbie", "Rowan", "Royal", "Santana", "Scout", "Shay", "Shiloh", "Sky", "Storm", "Sutton", "Tatum", "Tenzin", "Toni", "Tory",
+    "Unique", "Winter", "Wren", "Zephyr")
 
   // ------------------------------------------------------------------
   // I18N tier (round-6 VERDICT item 7): native diacritic given names,
@@ -495,16 +453,15 @@ object NamesDict {
     "Günter", "Ángel", "Óscar", "Seán", "Raúl", "Ramón", "Jesús", "Matías",
     "Nicolás", "Sebastián", "Iván", "Péter", "János", "Jiří", "Miloš",
     "Stéphane", "Frédéric", "Jérôme", "Gaël", "Gérard", "Cándido", "Tomás",
-    "Víctor", "Rubén", "Gustavo2", "Łukasz", "Paweł", "Michał", "Jörg",
-    "Sören", "Mikkel2", "Måns", "Kåre", "Ørjan", "Þór2", "Émile")
+    "Víctor", "Rubén", "Łukasz", "Paweł", "Michał", "Jörg",
+    "Sören", "Måns", "Kåre", "Ørjan", "Þór2", "Émile")
 
   private val diacriticFemale = Seq(
     "María", "Inés", "Renée", "Zoë", "Chloé", "Céline", "Agnès", "Sofía",
     "Lucía", "Verónica", "Mónica", "Ángela", "Françoise", "Amélie",
     "Éloïse", "Noémie", "Anaïs", "Zsófia", "Katarína", "Åsa", "Linnéa",
     "Desirée", "Bárbara", "Begoña", "Rocío", "Señora2", "Penélope",
-    "Valérie", "Hélène", "Aurélie", "Gréta", "Dorothée", "Łucja", "Agata2",
-    "Jadwiga2", "Käthe", "Grüne2", "Özlem", "Gül", "Nazlı", "İrem")
+    "Valérie", "Hélène", "Aurélie", "Gréta", "Dorothée", "Łucja", "Käthe", "Grüne2", "Özlem", "Gül", "Nazlı", "İrem")
 
   private val diacriticMostlyMale = Seq("René") // mirrors core "Rene"
 
@@ -529,7 +486,7 @@ object NamesDict {
     "Nikhil", "Karan", "Varun", "Aditya", "Abhishek", "Siddharth", "Ashok",
     "Vikram", "Gaurav", "Pranav", "Ishaan", "Kabir", "Aryan", "Ganesh",
     "Prakash", "Dinesh", "Mahesh", "Naveen", "Sachin", "Vivek", "Ajay",
-    "Harish", "Kiran2", "Mohan", "Ravi", "Sandeep", "Tarun", "Uday", "Yash",
+    "Harish", "Mohan", "Ravi", "Sandeep", "Tarun", "Uday", "Yash",
     // China (pinyin, clearly-gendered picks only)
     "Qiang", "Gang", "Feng", "Lei", "Cheng", "Peng", "Bin", "Dong", "Liang",
     "Yong", "Zhiqiang", "Jianguo", "Weiming",
@@ -564,7 +521,7 @@ object NamesDict {
     "Petr", "Ondrej", "Matej",
     // Vietnam
     "Duc", "Hung", "Tuan", "Quang", "Nam", "Hieu", "Phuc", "Dat", "Huy",
-    "Son2", "Trung", "Vinh",
+    "Trung", "Vinh",
     // Indonesia / Malaysia
     "Budi", "Agus", "Bambang", "Dedi", "Eko", "Hadi", "Joko", "Slamet",
     "Wawan", "Yanto", "Adi", "Rudi",
@@ -581,7 +538,7 @@ object NamesDict {
     "Nils", "Per", "Henrik", "Mats", "Thor", "Einar", "Leif", "Knut",
     "Jesper", "Mikkel", "Rasmus", "Soren", "Kasper", "Frederik", "Wouter",
     "Jeroen", "Sjoerd", "Gijs", "Bram", "Daan", "Sem", "Thijs", "Florian",
-    "Tobias", "Matthias", "Sebastian2", "Moritz", "Till", "Jonas2", "Henning",
+    "Tobias", "Matthias", "Moritz", "Till", "Henning",
     "Detlef", "Uwe", "Rainer", "Wolfgang", "Helmut", "Dieter", "Horst")
 
   private val localeFemale = Seq(
@@ -637,17 +594,17 @@ object NamesDict {
     "Sigal",
     // Scandinavia / NL / DE beyond the core
     "Astrid", "Sigrid", "Solveig", "Maja", "Freja", "Saga", "Tuva", "Elin",
-    "Malin", "Hedda", "Thea", "Nora2", "Femke", "Sanne", "Lotte", "Anouk",
+    "Malin", "Hedda", "Thea", "Femke", "Sanne", "Lotte", "Anouk",
     "Marit", "Heike", "Ute", "Gudrun", "Hildegard", "Renate", "Sabine",
     "Silke", "Antje", "Birgit", "Dagmar", "Elke", "Gisela", "Hannelore")
 
   private val localeMostlyMale = Seq(
     "Krishna", "Akira", "Ryo", "Minh", "Noam", "Doron", "Nikola", "Rune",
-    "Jun", "Kai2", "Levent", "Sami")
+    "Jun", "Levent", "Sami")
 
   private val localeMostlyFemale = Seq(
     "Rin", "Haruka", "Noor", "Amal", "Linh", "Thao", "Maya", "Mai",
-    "Derya2", "Iman")
+    "Iman")
 
   private val localeAndy = Seq(
     "Jie", "Xin", "Yan", "Hong", "Jing", "Hui", "Aoi", "Rei", "Makoto",
@@ -691,9 +648,13 @@ object NamesDict {
     // Hebrew script
     "שרה", "רבקה", "רחל", "מרים", "נועה", "יעל")
 
-  /** first_name → category. Suffix-digit entries above exist only to keep the
-    * seq literals readable where a name appears in several categories in real
-    * data; they are filtered out here, first category wins.
+  /** first_name → category. Names appearing in several category lists
+    * (real-data ambiguity — "Andrea" is female in most locales, male in
+    * Italian) resolve by FIRST CATEGORY WINS in the concatenation order
+    * below: core lists before breadth extensions, so the dominant-usage
+    * category is the one listed first. The digit guard is a tripwire —
+    * no real first name contains a digit, and round 7's dead
+    * digit-suffixed duplicate keys must never return (round-7 verdict).
     */
   private val orderedAll: Seq[(String, String)] = (
     male.map(_ -> "male") ++ female.map(_ -> "female") ++

@@ -41,6 +41,19 @@ object GraftShim {
     (p: String) => new org.apache.hadoop.fs.Path(p).getFileSystem(bc.value.value)
   }
 
+  /** Apply an extensions instance's injected functions to a FRESH clone of
+    * the builtin registry — exactly what `BaseSessionStateBuilder` does at
+    * session construction (`extensions.registerFunctions` is
+    * `private[sql]`, hence the shim). Lets a spec exercise the
+    * `injectFunction` route for real: `getOrCreate()` on a JVM with a live
+    * session ignores `withExtensions`, so asserting through a session is a
+    * false test (round-7 ADVICE).
+    */
+  def extensionsRegistry(ext: SparkSessionExtensions)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
+
   /** Register a function on a LIVE session's registry (the
     * `spark.sql.extensions` route only applies at session construction).
     */

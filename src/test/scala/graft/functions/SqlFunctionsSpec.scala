@@ -48,18 +48,29 @@ class SqlFunctionsSpec extends SparkSpec {
       .head().getDouble(0) == 2.0)
   }
 
-  test("an extensions-constructed session resolves the library without manual install") {
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .withExtensions(new GraftExtensions())
-      .getOrCreate()
+  test("GraftExtensions injects the whole library into a fresh registry") {
+    // `SparkSession.builder().withExtensions(...).getOrCreate()` on a JVM
+    // with a live session returns that session and silently DROPS the
+    // extensions (and `newSession()` skips them too), so asserting through
+    // a session never tests the injectFunction route (round-7 ADVICE: the
+    // old form of this test passed only because an earlier test had run
+    // registerAll on the shared session). Instead, apply the extensions
+    // instance to a fresh builtin-clone registry — byte-for-byte what
+    // BaseSessionStateBuilder does at session construction — and assert
+    // against THAT registry.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions()
+    new GraftExtensions()(ext)
+    val reg = org.apache.spark.sql.GraftShim.extensionsRegistry(ext)
     names.foreach { n =>
-      assert(s2.sessionState.functionRegistry
-        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
-        s"$n missing from extensions session")
+      assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
+        s"$n missing from extensions-built registry")
     }
-    assert(s2.sql("SELECT url_canon('HTTPS://A.B:443/x/') AS u")
-      .head().getString(0) == "https://a.b/x")
+    // the injected builder must produce the real evaluable expression
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = reg.lookupFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("url_canon"),
+      Seq(Literal("HTTPS://A.B:443/x/")))
+    assert(e.eval(null).toString == "https://a.b/x")
   }
 
   test("topk_by_count refuses a non-literal k at plan time, not mid-job") {

@@ -167,6 +167,32 @@ class HistorySpec extends SparkSpec {
       Set((1L, "A", false), (1L, "B", true)))
   }
 
+  test("scd2 reopen: rebases on the catalog-referenced closed version, never an orphaned log-latest") {
+    val root = graft.util.Scratch.dir("scd2_reopen_orphan")
+    val init = Seq((1L, ts(1), 1L, "A"), (1L, ts(3), 2L, "B"),
+      (2L, ts(1), 3L, "X")).toDF("k", "t", "tie", "st")
+    History.scd2Init(init, "k", "t", "tie", "st", root, 20250601, 900)
+    // A crashed/CAS-refused scd2Apply left this committed-but-UNREFERENCED
+    // closed append as closed log-latest: it closes key 2's X run, but
+    // key 2's tail is still OPEN in the published cut — a reopen that
+    // tombstoned/rebased on log-latest would re-reference these files and
+    // publish a duplicate, contradictory run (round-7 ADVICE).
+    val orphan = Seq((2L, 1L, "X", ts(1), 1L, ts(9)))
+      .toDF("k", "version", "state", "valid_from", "n_rows", "valid_to")
+    ManifestTable.appendRetrying(orphan, s"$root/closed", 20250601, 930)
+    // late data reopens key 1 only
+    val reopenObs = Seq((1L, ts(1), 1L, "A"), (1L, ts(2), 10L, "C"),
+      (1L, ts(3), 2L, "B")).toDF("k", "t", "tie", "st")
+    History.scd2Reopen(reopenObs, "k", "t", "tie", "st", root, 20250601, 940)
+    val out = History.scd2Read(spark, root)
+    val k2 = out.where(col("k") === 2L).collect()
+    assert(k2.length === 1 && k2.head.getAs[Boolean]("is_current"),
+      s"orphaned closed run re-published: ${k2.mkString(",")}")
+    assert(out.where(col("k") === 1L).collect()
+      .map(r => (r.getAs[String]("state"), r.getAs[Boolean]("is_current"))).toSet ===
+      Set(("A", false), ("C", false), ("B", true)))
+  }
+
   test("scd2 apply: shuffle fallback path (maxBroadcastKeys=0) agrees with the broadcast path bit-for-bit") {
     val o = graft.sources.Tables.orders(spark, sf)
     val cut = to_date(lit("1998-01-01"))

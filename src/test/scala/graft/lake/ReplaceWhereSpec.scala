@@ -61,6 +61,59 @@ class ReplaceWhereSpec extends SparkSpec {
     assert(e.getMessage.contains("outside"))
     assert(ManifestTable.latestVersion(spark, dir) === Some(1),
       "refusal must commit nothing")
+    // stage-first validation (round-7 ADVICE): the refused batch's staged
+    // files are cleaned up — no orphaned data/w* dirs accumulate
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val staged = fs.listStatus(dataDir).map(_.getPath.getName)
+      .filter(_.startsWith("w"))
+    assert(staged.isEmpty, s"refusal left staged dirs: ${staged.mkString(",")}")
+  }
+
+  test("STRING band: out-of-band files retained by reference (X78 bounds)") {
+    val dir = graft.util.Scratch.dir("rw_str")
+    // four files clustered on a yyyy-MM-dd day string, one month each
+    val rows = for (m <- 1 to 4; d <- 1 to 20)
+      yield (f"2025-0$m%d-$d%02d", s"old-$m-$d")
+    val df = rows.toDF("day", "v").repartitionByRange(4, col("day"))
+    ZoneMap.commitWithStats(df, dir, 20250801, 900, Nil, strCols = Seq("day"))
+    val stats = ZoneMap.fileStats(spark, dir, 1).get
+    val disjoint = stats.filter(s =>
+      s.shi("day") < "2025-02-01" || s.slo("day") > "2025-02-28").map(_.file)
+    assert(disjoint.nonEmpty, "fixture must have provably-disjoint files")
+    val batch = (1 to 20).map(d => (f"2025-02-$d%02d", s"new-2-$d")).toDF("day", "v")
+    ReplaceWhere.replaceWhere(spark, dir,
+      ReplaceWhere.StringBand("day", "2025-02-01", "2025-02-28"),
+      batch, 20250802, 900, Nil, strCols = Seq("day"))
+    val after = ManifestTable.snapshots(spark, dir).last
+    disjoint.foreach(f => assert(after.files.contains(f),
+      s"string-band-disjoint file $f must carry over by reference"))
+    val got = ManifestTable.readLatest(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size === 80)
+    assert(got("2025-02-05") === "new-2-5" && got("2025-03-05") === "old-3-5")
+  }
+
+  test("arbitrary-predicate scope rewrites everything but answers right") {
+    val dir = graft.util.Scratch.dir("rw_pred")
+    commitClustered(dir)
+    ReplaceWhere.replaceWhere(spark, dir,
+      ReplaceWhere.Predicate(col("k") % 10 === 0),
+      Seq((10L, "N10"), (20L, "N20"), (30L, "N30"), (40L, "N40"),
+        (50L, "N50"), (60L, "N60"), (70L, "N70"), (80L, "N80")).toDF("k", "v"),
+      20250802, 900, Seq("k"))
+    val got = ManifestTable.readLatest(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 80)
+    (1L to 80L).foreach { k =>
+      val want = if (k % 10 == 0) s"N$k" else s"old$k"
+      assert(got(k) === want, s"k=$k")
+    }
+    // no disjointness evidence for a general predicate: nothing retained
+    val v1 = ManifestTable.snapshots(spark, dir).head.files.toSet
+    val v2 = ManifestTable.snapshots(spark, dir).last.files.toSet
+    assert(v1.intersect(v2).isEmpty)
   }
 
   test("NULL predicate-column rows never match — they survive the replace") {

@@ -31,6 +31,32 @@ class ResultCacheSpec extends SparkSpec {
     assert(call() === 35L && computes.get() === 2)
   }
 
+  test("vacuum survives unparseable entry names — zero-input and foreign dirs are kept") {
+    val root = Scratch.dir("rc_badnames")
+    ManifestTable.commit(Seq((1L, 10L)).toDF("k", "v"), s"$root/t", 20250701, 900)
+    def agg() = ManifestTable.readLatest(spark, s"$root/t").agg(sum("v").as("s"))
+    // a zero-input entry keys to the bare dir name "k" (round-7 ADVICE:
+    // its parse used to NumberFormatException and abort the whole sweep)
+    ResultCache.cached(spark, root, "const", Seq())(agg()).count()
+    // a live entry the sweep must still evaluate correctly
+    ResultCache.cached(spark, root, "sum_v", Seq(s"$root/t"))(agg()).count()
+    // a foreign (non-graft) dir dropped inside the results tree
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_results/sum_v/not-a-key"))
+    val reclaimed = ResultCache.vacuum(spark, root, graceMs = Long.MaxValue)
+    assert(reclaimed === 0, "unparseable names must degrade to keep, not abort")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_results/const/k")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_results/sum_v/not-a-key")))
+    // and the sweep still reclaims a genuinely-stale sibling afterwards
+    ManifestTable.appendRetrying(Seq((2L, 5L)).toDF("k", "v"), s"$root/t", 20250701, 930)
+    ResultCache.cached(spark, root, "sum_v", Seq(s"$root/t"))(agg()).count()
+    ManifestTable.commitRetrying(Seq((9L, 9L)).toDF("k", "v"), s"$root/t", 20250701, 940)
+    // t is now at v3; both v1- and v2-keyed entries are live versions still
+    // on the log, so nothing reclaims — but the sweep must complete cleanly
+    assert(ResultCache.vacuum(spark, root, graceMs = Long.MaxValue) >= 0)
+  }
+
   test("a crashed fill (data without marker) recomputes instead of serving garbage") {
     val root = Scratch.dir("rc_crash")
     ManifestTable.commit(Seq((1L, 7L)).toDF("k", "v"), s"$root/t", 20250701, 900)
