@@ -149,7 +149,8 @@ object History {
 
   private def commitCut(spark: SparkSession, root: String, date: Int, time: Int,
       closed: DataFrame, tail: DataFrame, append: Boolean,
-      expectBase: Option[Int] = None): Int = {
+      expectBase: Option[Int] = None,
+      extra: Map[String, Int] = Map.empty): Int = {
     val tv = ManifestTable.commitRetrying(tail, s"$root/tail", date, time)
     val cv = if (append) {
       // Rebase the closed append on the version the latest CATALOG cut
@@ -165,7 +166,7 @@ object History {
         base = base)
     } else ManifestTable.commitRetrying(closed, s"$root/closed", date, time)
     Catalog.publishCatalog(spark, root, date, time,
-      Map("closed" -> cv, "tail" -> tv), expectBase = expectBase)
+      Map("closed" -> cv, "tail" -> tv) ++ extra, expectBase = expectBase)
   }
 
   /** Initialize the maintained SCD2 catalog at `root` from a full
@@ -218,6 +219,19 @@ object History {
     require(late == 0L,
       s"scd2Apply: $late late observation(s) at or before an absorbed one — " +
         "late data reopens closed runs; use scd2Reopen (or the full rebuild)")
+    applyCore(spark, batch, key, ts, tie, state, root, date, time,
+      hint, tail, keys, touched, baseCut, Map.empty)
+  }
+
+  /** The shared apply tail: recompute the touched tails (+ batch),
+    * append newly closed runs, replace the tail table, publish one CAS
+    * catalog cut carrying `extra` table versions along.
+    */
+  private def applyCore(spark: SparkSession, batch: DataFrame, key: String,
+      ts: String, tie: String, state: String, root: String, date: Int,
+      time: Int, hint: DataFrame => DataFrame, tail: DataFrame,
+      keys: DataFrame, touched: DataFrame, baseCut: Int,
+      extra: Map[String, Int]): Int = {
     // the touched tail re-enters as one weighted pseudo-observation that
     // sorts before every (contract-checked) batch row of its key and
     // remembers its true last-absorbed marker
@@ -236,7 +250,61 @@ object History {
     commitCut(spark, root, date, time,
       closedOf(recomputed, key),
       tailOf(recomputed, key).unionByName(untouched), append = true,
-      expectBase = Some(baseCut))
+      expectBase = Some(baseCut), extra = extra)
+  }
+
+  /** X175: apply with DEAD-LETTER semantics — the 100 TB CDC posture the
+    * round-7 verdict asked for: an out-of-order batch must not kill the
+    * stream (X169's refusal used to fail the whole query), and it must
+    * not silently corrupt closed history either. Keys carrying ANY late
+    * observation have their ENTIRE batch slice routed to a `quarantine`
+    * table under the same root (X107 discipline — applying just their
+    * in-order suffix would close runs the reopen must then tombstone);
+    * every other key applies exactly as scd2Apply. Both land in ONE CAS
+    * catalog cut, so no reader ever sees applied data without its
+    * dead-letter ledger. The quarantine append rebases on the
+    * catalog-referenced quarantine version (the same orphan rule as the
+    * closed table). Remediation is X170: hand `scd2Reopen` the
+    * quarantined keys' COMPLETE upstream history; the maintained table
+    * then converges to the full rebuild bit-for-bit (spec-pinned).
+    * Returns (catalog version, quarantined row count).
+    */
+  def scd2ApplyOrQuarantine(batch: DataFrame, key: String, ts: String,
+      tie: String, state: String, root: String, date: Int, time: Int,
+      maxBroadcastKeys: Long = 4000000L): (Int, Long) = {
+    val spark = batch.sparkSession
+    val baseCut = Catalog.latestVersion(spark, root).getOrElse(
+      throw new NoSuchElementException(s"no committed catalog version at $root"))
+    val tail = Catalog.readTable(spark, root, "tail", asOf = Some(baseCut))
+    val allKeys = batch.select(col(key)).distinct()
+    val nKeys = allKeys.count()
+    def hint(df: DataFrame): DataFrame =
+      if (nKeys <= maxBroadcastKeys) broadcast(df) else df
+    val touchedAll = tail.join(hint(allKeys), Seq(key), "left_semi")
+    val lateKeys = batch.join(
+        touchedAll.select(col(key), col("last_ts"), col("last_tie")), Seq(key))
+      .where(col(ts) < col("last_ts") ||
+        (col(ts) === col("last_ts") && col(tie).cast("long") <= col("last_tie")))
+      .select(col(key)).distinct()
+    val nLate = lateKeys.count()
+    if (nLate == 0L) {
+      // clean batch: identical commit shape to scd2Apply (no quarantine
+      // table enters the cut)
+      return (applyCore(spark, batch, key, ts, tie, state, root, date, time,
+        hint, tail, allKeys, touchedAll, baseCut, Map.empty), 0L)
+    }
+    val good = batch.join(hint(lateKeys), Seq(key), "left_anti")
+    val lateRows = batch.join(hint(lateKeys), Seq(key), "left_semi")
+    val qBase = Catalog.snapshots(spark, root)
+      .find(_.version == baseCut).flatMap(_.tables.get("quarantine"))
+    val qv = ManifestTable.appendRetrying(lateRows, s"$root/quarantine",
+      date, time, base = qBase)
+    val goodKeys = good.select(col(key)).distinct()
+    val touched = tail.join(hint(goodKeys), Seq(key), "left_semi")
+    val nQuarantined = lateRows.count()
+    (applyCore(spark, good, key, ts, tie, state, root, date, time,
+      hint, tail, goodKeys, touched, baseCut,
+      Map("quarantine" -> qv)), nQuarantined)
   }
 
   /** Late-data remediation (the round-6 verdict ask): rebuild ONLY the

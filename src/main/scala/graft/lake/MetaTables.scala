@@ -128,6 +128,61 @@ object MetaTables {
       .toDF("rule", "fired")
   }
 
+  /** X174: maintenance EXECUTOR — closes the X163 advisor loop (the
+    * predictive-optimization tick Databricks ships): read the plan,
+    * execute the advised maintenance, re-advise. ALL fired rules are
+    * served by ONE range-clustered, stats-carrying, row-budgeted fold of
+    * the latest version (`op = "optimize"`): the fold applies tombstones
+    * (materialize), packs to `ceil(rows / targetRows)` files (binpack),
+    * and range-lays-out on the advised key (cluster) — one rewrite, never
+    * the same bytes twice, and the fresh X57 sidecar keeps the NEXT tick's
+    * advisor evidence honest (a bare X64 materialize would drop stats and
+    * blind it). Convergent by construction: after the fold every rule's
+    * evidence is zero, so the second tick advises nothing — the
+    * idempotency contract MetaTablesSpec pins.
+    *
+    * Guarded (X125 discipline): a content signature — (row count,
+    * xxhash64 sum over the full row) — is taken before and after; a
+    * mismatch RESTOREs to the pre-maintenance version (X118) and throws,
+    * so a buggy rewrite can never publish silently.
+    *
+    * Returns (fired rule, committed version) pairs — empty when the
+    * advisor fired nothing (nothing is committed then).
+    */
+  def maintain(spark: SparkSession, dir: String, keyCol: String,
+      targetRows: Long, date: Int, time: Int,
+      morDebtPct: Int = 10): Seq[(String, Int)] = {
+    import org.apache.spark.sql.functions._
+    val plan = maintenancePlan(spark, dir, keyCol, targetRows, morDebtPct)
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    val fired = Seq("binpack", "cluster", "materialize").filter(plan(_))
+    if (fired.isEmpty) return Nil
+    val preV = ManifestTable.latestVersion(spark, dir).get
+    // decimal(38,0) sum: exact and overflow-free under ANSI mode for any
+    // realistic row count (a long sum of 64-bit hashes overflows)
+    def signature(df: DataFrame): (Long, BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(struct(df.columns.map(col): _*)).cast("decimal(38,0)"))).first()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    val before = signature(ManifestTable.readVersion(spark, dir, preV))
+    val n = math.max(1, math.ceil(before._1.toDouble / targetRows).toInt)
+    val folded = ManifestTable.readVersion(spark, dir, preV)
+      .repartitionByRange(n, org.apache.spark.sql.functions.col(keyCol))
+      .sortWithinPartitions(keyCol)
+    val v = ZoneMap.commitWithStats(folded, dir, date, time, Seq(keyCol),
+      op = "optimize")
+    val after = signature(ManifestTable.readLatest(spark, dir))
+    if (after != before) {
+      Restore.restore(spark, dir, preV, date, time)
+      throw new IllegalStateException(
+        s"maintain at $dir: content signature changed $before -> $after " +
+          s"across the optimize fold — restored to v$preV")
+    }
+    fired.map(_ -> v)
+  }
+
   val queries: Map[String, Q] = Map(
     // The advisor over two honest states: the clustered+tombstoned table
     // (materialize should fire — ≈11% MOR debt — and nothing else) and a
@@ -150,6 +205,41 @@ object MetaTables {
           .withColumn("tbl", org.apache.spark.sql.functions.lit("fragmented")))
         .select("tbl", "rule", "fired")
         .orderBy("tbl", "rule")
+    }),
+
+    // X174: the executor tick over a table where ALL THREE rules fire —
+    // 64 small files ranged on the WRONG column with ≈12.5% tombstone
+    // debt. Tick 1 executes one optimize fold (3 advised rules, 1
+    // commit); tick 2 advises nothing (idempotency); content is
+    // invisible before/after (the oracle recomputes it from raw orders
+    // minus the delete predicate); the commit log carries exactly one
+    // 'optimize' op.
+    "q_maintenance_run" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val target = graft.sources.Tables.orders(s, d).count() / 10
+      val work = graft.util.FixtureCache.dir("maint_run", d) { work =>
+        val o = graft.sources.Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartitionByRange(64, col("o_custkey"))
+        ZoneMap.commitWithStats(o, work, 20250601, 900, Seq("o_orderkey"))
+        DeleteVectors.deleteWhere(s, work, col("o_orderkey") % 8 === 0,
+          20250601, 930)
+        val t1 = maintain(s, work, "o_orderkey", target, 20250601, 1000)
+        require(t1.map(_._1).toSet == Set("binpack", "cluster", "materialize"),
+          s"tick 1 must fire all three rules, got $t1")
+      }
+      val tick2 = maintain(s, work, "o_orderkey", target, 20250601, 1100)
+      val optimizeOps = ManifestTable.snapshots(s, work).count(_.op == "optimize")
+      val content = ManifestTable.readLatest(s, work)
+        .agg(count(lit(1)).as("n"),
+          graft.util.Exact.dsum(col("o_totalprice")).as("sum_total"))
+        .select(lit("content").as("probe"), col("n"), col("sum_total"))
+      val ticks = s.createDataFrame(Seq(
+        ("tick1_rules_fired", 3L, Option.empty[Double]),
+        ("tick2_rules_fired", tick2.size.toLong, Option.empty[Double]),
+        ("optimize_commits", optimizeOps.toLong, Option.empty[Double])))
+        .toDF("probe", "n", "sum_total")
+      content.unionByName(ticks).orderBy("probe")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -166,5 +256,15 @@ object MetaTables {
         |         (c // 64) < (c // 10) // 2 FROM n
         |  UNION ALL SELECT 'fragmented', 'cluster', true
         |  UNION ALL SELECT 'fragmented', 'materialize', false
-        |) ORDER BY tbl, rule""".stripMargin)
+        |) ORDER BY tbl, rule""".stripMargin,
+
+    "q_maintenance_run" ->
+      """SELECT * FROM (
+        |  SELECT 'content' AS probe, count(*) AS n,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders WHERE o_orderkey % 8 <> 0
+        |  UNION ALL SELECT 'optimize_commits', 1, CAST(NULL AS DOUBLE)
+        |  UNION ALL SELECT 'tick1_rules_fired', 3, CAST(NULL AS DOUBLE)
+        |  UNION ALL SELECT 'tick2_rules_fired', 0, CAST(NULL AS DOUBLE)
+        |) ORDER BY probe""".stripMargin)
 }

@@ -65,11 +65,7 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     val spark = sqlContext.sparkSession
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft: 'path' is required"))
-    val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
-    val date = parameters.get("runDate").map(_.toInt)
-      .getOrElse(now.getYear * 10000 + now.getMonthValue * 100 + now.getDayOfMonth)
-    val time = parameters.get("runTime").map(_.toInt)
-      .getOrElse(now.getHour * 100 + now.getMinute)
+    val (date, time) = GraftDataSource.stampOf(parameters)
     val exists = ManifestTable.latestVersion(spark, dir).nonEmpty
     // Append schema enforcement (Delta's contract): silently appending a
     // drifted schema poisons every future read — refuse unless the
@@ -246,16 +242,81 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     // common state — keep the zero-overhead HadoopFsRelation below.
     val hasColmap = new Path(s"$dataDir/_colmap").getFileSystem(
       spark.sparkContext.hadoopConfiguration).exists(new Path(s"$dataDir/_colmap"))
+    // X173: SQL DML lands on the relation — `INSERT INTO view SELECT …`
+    // routes through InsertableRelation (DataSourceAnalysis matches it
+    // BEFORE the bare-HadoopFsRelation case, so Spark never writes raw
+    // parquet into the layout) and becomes an X96 optimistic append;
+    // `INSERT OVERWRITE` becomes a replace commit. A view pinned to a
+    // version/branch/catalog cut refuses: the relation IS a snapshot,
+    // and "insert into version 3" has no meaning on an immutable log.
+    val pinned = refOpt.nonEmpty || parameters.contains("versionAsOf") ||
+      parameters.contains("asOfDate") || parameters.contains("catalogTable")
     if (snap.deletes.nonEmpty || hasColmap) {
       val planDf =
         if (hasColmap) graft.lake.ColumnMap.read(spark, dataDir, Some(snap.version))
         else ManifestTable.readVersion(spark, dataDir, snap.version)
       return new GraftPlanRelation(spark, planDf)
+          with org.apache.spark.sql.sources.InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+            overwrite: Boolean): Unit =
+          GraftDataSource.insertInto(spark, dataDir, parameters, pinned,
+            data, overwrite)
+      }
     }
     val index = new ManifestFileIndex(spark, dataDir, snap)
-    HadoopFsRelation(index, partitionSchema = StructType(Nil),
-      dataSchema = index.dataSchema, bucketSpec = None,
-      fileFormat = new ParquetFileFormat, options = parameters)(spark)
+    new HadoopFsRelation(index, partitionSchema = StructType(Nil),
+        dataSchema = index.dataSchema, bucketSpec = None,
+        fileFormat = new ParquetFileFormat, options = parameters)(spark)
+        with org.apache.spark.sql.sources.InsertableRelation {
+      override def insert(data: org.apache.spark.sql.DataFrame,
+          overwrite: Boolean): Unit =
+        GraftDataSource.insertInto(spark, dataDir, parameters, pinned,
+          data, overwrite)
+    }
+  }
+}
+
+object GraftDataSource {
+
+  /** Commit stamp for writer paths: caller-pinned `runDate`/`runTime`
+    * options, else the wall clock (UTC).
+    */
+  private[spark] def stampOf(parameters: Map[String, String]): (Int, Int) = {
+    val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+    (parameters.get("runDate").map(_.toInt)
+       .getOrElse(now.getYear * 10000 + now.getMonthValue * 100 + now.getDayOfMonth),
+     parameters.get("runTime").map(_.toInt)
+       .getOrElse(now.getHour * 100 + now.getMinute))
+  }
+
+  /** X173: the `InsertableRelation` body — SQL `INSERT INTO` as an X96
+    * optimistic append, `INSERT OVERWRITE` as a replace commit, both
+    * schema-enforced like the X116 writer (SQL INSERT is positional, and
+    * Spark's insertion preprocessing has already cast the query output to
+    * this relation's schema — a surviving type mismatch is real drift, and
+    * names realign to the table's). The commit targets the table's CURRENT
+    * log; the serving relation stays the snapshot it was created at
+    * (snapshot isolation — re-create the view to read the new version).
+    */
+  private[spark] def insertInto(spark: SparkSession, dir: String,
+      parameters: Map[String, String], pinned: Boolean,
+      data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+    require(!pinned,
+      "graft: INSERT into a version/branch/catalog-pinned view is not " +
+        "supported — the view is an immutable snapshot; create a view over " +
+        "the current table to insert")
+    val (date, time) = stampOf(parameters)
+    val snaps = ManifestTable.snapshots(spark, dir)
+    require(snaps.nonEmpty, s"graft: no committed snapshot at $dir")
+    val current = new ManifestFileIndex(spark, dir, snaps.last).dataSchema
+    require(data.schema.fields.length == current.fields.length &&
+        data.schema.fields.zip(current.fields).forall {
+          case (a, b) => a.dataType.sql == b.dataType.sql },
+      s"graft: INSERT schema ${data.schema.simpleString} does not match " +
+        s"table schema ${current.simpleString}")
+    val aligned = data.toDF(current.fieldNames: _*)
+    if (overwrite) ManifestTable.commitRetrying(aligned, dir, date, time)
+    else ManifestTable.appendRetrying(aligned, dir, date, time)
   }
 }
 
@@ -529,6 +590,43 @@ object GraftFormat {
           |) ORDER BY probe""".stripMargin)
     }),
 
+    // X173: SQL DML — a pure-`spark.sql` session INSERTs into a graft
+    // table through a `USING graft` view and time-travels the result.
+    // v1 = odd orderkeys; the SQL INSERT appends the even half (v2).
+    // Latest reads all rows, versionAsOf=1 still reads the odd half —
+    // the write landed as a real manifest commit, versions intact. The
+    // view serves its creation-time snapshot (snapshot isolation), so
+    // reads go through fresh views — the documented DSv1 contract.
+    "q_sql_insert" -> ((s, d) => {
+      val dir = FixtureCache.dir("sql_insert", d) { dir =>
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        ManifestTable.commit(o.where(col("o_orderkey") % 2 === 1),
+          dir, 20250701, 900)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW sqlins_t
+                 |USING graft OPTIONS (path '$dir', runDate '20250701',
+                 |runTime '930')""".stripMargin)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW sqlins_src
+                 |USING parquet OPTIONS (path '$d/orders.parquet')""".stripMargin)
+        s.sql("""INSERT INTO sqlins_t
+                |SELECT o_orderkey, o_totalprice FROM sqlins_src
+                |WHERE o_orderkey % 2 = 0""".stripMargin)
+      }
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW sqlins_read
+               |USING graft OPTIONS (path '$dir')""".stripMargin)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW sqlins_read_v1
+               |USING graft OPTIONS (path '$dir', versionAsOf '1')""".stripMargin)
+      s.sql(
+        """SELECT * FROM (
+          |  SELECT 'latest' AS probe, count(*) AS n_rows,
+          |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+          |  FROM sqlins_read
+          |  UNION ALL
+          |  SELECT 'v1_pre_insert' AS probe, count(*) AS n_rows,
+          |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+          |  FROM sqlins_read_v1
+          |) ORDER BY probe""".stripMargin)
+    }),
+
     // Round-6 VERDICT item 3: DV-carrying and column-mapped states served
     // THROUGH the public format (plan-backed relation). Probes: the X64
     // timeline's two delete versions read via versionAsOf (one with a
@@ -622,6 +720,17 @@ object GraftFormat {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_insert" ->
+      """SELECT * FROM (
+        |  SELECT 'latest' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'v1_pre_insert' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |) ORDER BY probe""".stripMargin,
+
     "q_read_format" ->
       """WITH b AS (SELECT CAST(max(o_orderkey) // 4 AS BIGINT) AS lo,
         |                  CAST(max(o_orderkey) // 2 AS BIGINT) AS hi FROM orders)

@@ -23,19 +23,25 @@ import graft.sources.Tables
   *
   * Ordering: X165's refusal contract requires batches to arrive in
   * per-key event-time order — exactly what a CDC feed's per-key ordering
-  * provides; an out-of-order batch refuses loudly rather than silently
-  * reopening closed history (the spec pins both).
+  * provides. An out-of-order batch no longer kills the stream (X175,
+  * the round-7 verdict ask): late keys' rows route to the `quarantine`
+  * table in the SAME catalog cut (X107 dead-letter discipline), clean
+  * keys apply normally, the stream continues, and X170 `scd2Reopen`
+  * replays the quarantined keys later — the spec pins that the replay
+  * converges bit-identically to the full rebuild.
   */
 object StreamScd2 {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Idempotent per-batch apply: batch `id` owns catalog cut id+2. */
+  /** Idempotent per-batch apply: batch `id` owns catalog cut id+2.
+    * Late-key rows dead-letter instead of failing the stream (X175).
+    */
   def applyBatch(s: SparkSession, root: String, batch: DataFrame, id: Long,
       key: String, ts: String, tie: String, state: String): Unit = {
     val target = id.toInt + 2
     if (!Catalog.latestVersion(s, root).exists(_ >= target)) {
-      val v = History.scd2Apply(batch, key, ts, tie, state, root,
-        20250301, 900 + id.toInt)
+      val (v, _) = History.scd2ApplyOrQuarantine(batch, key, ts, tie, state,
+        root, 20250301, 900 + id.toInt)
       require(v == target, s"batch $id expected catalog cut $target, got $v")
     }
   }

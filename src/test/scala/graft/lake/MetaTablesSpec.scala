@@ -51,4 +51,37 @@ class MetaTablesSpec extends SparkSpec {
     val f = fired(dir, target = 1000000)
     assert(f === Map("binpack" -> false, "cluster" -> false, "materialize" -> false))
   }
+
+  test("executor: one fold serves all fired rules; a second tick is a no-op; content preserved") {
+    val dir = mk("mt_exec", 32, byCol = "j") // fragmented AND mis-clustered
+    DeleteVectors.deleteWhere(spark, dir, col("k") < 100L, 20250701, 930) // 12.5% debt
+    val before = ManifestTable.readLatest(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t1 = MetaTables.maintain(spark, dir, "k", targetRows = 200, 20250701, 1000)
+    assert(t1.map(_._1).toSet === Set("binpack", "cluster", "materialize"))
+    assert(t1.map(_._2).distinct.size === 1, "one commit serves all rules")
+    // content invisible across the fold
+    val after = ManifestTable.readLatest(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before)
+    // the committed op kind is 'optimize'; no tombstones survive
+    assert(ManifestTable.snapshots(spark, dir).last.op === "optimize")
+    assert(ManifestTable.snapshots(spark, dir).last.deletes.isEmpty)
+    // idempotency: the advisor finds nothing on a maintained table
+    assert(MetaTables.maintain(spark, dir, "k", 200, 20250701, 1100).isEmpty)
+    assert(ManifestTable.latestVersion(spark, dir) === Some(3),
+      "a no-op tick commits nothing")
+    // and the maintained table is clustered: a key probe prunes files
+    val cand = ZoneMap.candidateFiles(spark, dir, 3, "k", 150, 160)
+    assert(cand.size < ManifestTable.snapshots(spark, dir).last.files.size)
+  }
+
+  test("executor: materialize-only state folds tombstones and re-advises clean") {
+    val dir = mk("mt_exec_mat", 4) // well-clustered, well-packed on k
+    DeleteVectors.deleteWhere(spark, dir, col("k") < 100L, 20250701, 930)
+    val t1 = MetaTables.maintain(spark, dir, "k", targetRows = 200, 20250701, 1000)
+    assert(t1.map(_._1) === Seq("materialize"))
+    assert(ManifestTable.readLatest(spark, dir).count() === 700L)
+    assert(MetaTables.maintain(spark, dir, "k", 200, 20250701, 1100).isEmpty)
+  }
 }

@@ -38,6 +38,59 @@ class GraftSinkSpec extends SparkSpec {
       .load(dir).count() == 15)
   }
 
+  test("SQL INSERT INTO appends a commit; INSERT OVERWRITE replaces; time travel intact") {
+    val dir = Scratch.dir("gsink_sqlins")
+    (1L to 5L).map(i => (i, s"a$i")).toDF("k", "tag")
+      .write.format("graft").mode(SaveMode.Overwrite).save(dir)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gsink_ins
+                 |USING graft OPTIONS (path '$dir')""".stripMargin)
+    spark.sql("INSERT INTO gsink_ins SELECT id + 10, concat('b', id) FROM range(3)")
+    assert(ManifestTable.latestVersion(spark, dir).contains(2), "INSERT = one append commit")
+    assert(ManifestTable.readLatest(spark, dir).count() === 8)
+    // the pre-insert version still time-travels
+    assert(ManifestTable.readVersion(spark, dir, 1).count() === 5)
+    // OVERWRITE = a replace commit
+    spark.sql("INSERT OVERWRITE gsink_ins SELECT id, concat('c', id) FROM range(2)")
+    assert(ManifestTable.latestVersion(spark, dir).contains(3))
+    assert(ManifestTable.readLatest(spark, dir).count() === 2)
+    assert(ManifestTable.readVersion(spark, dir, 2).count() === 8)
+  }
+
+  test("SQL INSERT: type drift refuses; pinned (time-travel) views refuse") {
+    val dir = Scratch.dir("gsink_sqlins_refuse")
+    (1L to 3L).map(i => (i, s"a$i")).toDF("k", "tag")
+      .write.format("graft").mode(SaveMode.Overwrite).save(dir)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gsink_bad
+                 |USING graft OPTIONS (path '$dir')""".stripMargin)
+    // wrong arity refuses before anything stages
+    val e1 = intercept[Exception](
+      spark.sql("INSERT INTO gsink_bad SELECT id FROM range(2)"))
+    assert(e1.getMessage.toLowerCase.contains("column") ||
+      e1.getMessage.contains("schema"), e1.getMessage)
+    // a version-pinned view is an immutable snapshot
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gsink_pinned
+                 |USING graft OPTIONS (path '$dir', versionAsOf '1')""".stripMargin)
+    val e2 = intercept[Exception](
+      spark.sql("INSERT INTO gsink_pinned SELECT id + 10, concat('x', id) FROM range(2)"))
+    assert(e2.getMessage.contains("pinned") || e2.getMessage.contains("snapshot"),
+      e2.getMessage)
+    assert(ManifestTable.latestVersion(spark, dir).contains(1),
+      "refusals must commit nothing")
+  }
+
+  test("SQL INSERT into a DV-carrying table routes through the plan relation and appends") {
+    val dir = Scratch.dir("gsink_sqlins_dv")
+    (1L to 10L).map(i => (i, s"a$i")).toDF("k", "tag")
+      .write.format("graft").mode(SaveMode.Overwrite).save(dir)
+    graft.lake.DeleteVectors.deleteWhere(spark, dir, col("k") <= 2L, 20250801, 930)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gsink_dv
+                 |USING graft OPTIONS (path '$dir')""".stripMargin)
+    spark.sql("INSERT INTO gsink_dv SELECT id + 100, concat('n', id) FROM range(2)")
+    val got = ManifestTable.readLatest(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(!got.contains(1L) && !got.contains(2L), "tombstones survive the append")
+    assert(got.contains(101L) && got.size === 10)
+  }
+
   test("stream sink: replayed batch ids skip within a lineage; a new lineage starts over") {
     val src = Scratch.dir("gsink_src")
     val dst = Scratch.dir("gsink_dst")
