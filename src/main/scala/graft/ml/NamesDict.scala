@@ -648,6 +648,118 @@ object NamesDict {
     // Hebrew script
     "שרה", "רבקה", "רחל", "מרים", "נועה", "יעל")
 
+  // Round-8 breadth tranche (public census-style given-name lists):
+  // Romance-language Europe + Latin America, Greece, Iran,
+  // Pakistan/Bangladesh, the Philippines, Thailand, Slavic/Nordic
+  // female names, plus a small deliberately-categorized ambiguous set.
+  // Appended LAST in orderedAll, so earlier core entries win conflicts
+  // (duplicates here are harmless by construction — first category
+  // wins, no suffix hacks).
+  private val tranche8Male = Seq(
+    // Italy
+    "Alessandro", "Lorenzo", "Matteo", "Leonardo", "Davide", "Riccardo",
+    "Tommaso", "Edoardo", "Giulio", "Salvatore", "Vincenzo", "Giuseppe",
+    "Paolo", "Federico", "Massimo", "Stefano", "Fabio", "Dario", "Enrico",
+    "Claudio", "Emanuele", "Gianluca", "Maurizio", "Sandro", "Franco",
+    // France
+    "Antoine", "Baptiste", "Clement", "Damien", "Etienne", "Fabien",
+    "Gaspard", "Hugo", "Julien", "Laurent", "Mathieu", "Olivier", "Pascal",
+    "Quentin", "Romain", "Sebastien", "Thierry", "Valentin", "Xavier",
+    "Yannick", "Alain", "Bernard", "Christophe", "Didier", "Francois",
+    "Gerard", "Herve", "Jacques", "Luc", "Marcel", "Philippe", "Remi",
+    "Thibault", "Armand", "Edouard",
+    // Spain / Latin America
+    "Alejandro", "Andres", "Cristian", "Eduardo", "Emilio", "Esteban",
+    "Felipe", "Fernando", "Gonzalo", "Guillermo", "Ignacio", "Jorge",
+    "Leandro", "Manuel", "Marcos", "Mariano", "Mateo", "Mauricio",
+    "Nicolas", "Pablo", "Pedro", "Rafael", "Ramon", "Raul", "Ricardo",
+    "Roberto", "Rodrigo", "Santiago", "Sergio", "Tomas", "Alvaro",
+    "Ernesto", "Gustavo", "Hernan", "Marcelo", "Osvaldo", "Ruben",
+    // Portugal / Brazil
+    "Afonso", "Bruno", "Caio", "Diogo", "Duarte", "Henrique", "Joao",
+    "Luiz", "Nuno", "Paulo", "Renato", "Thiago", "Tiago", "Vasco",
+    "Vinicius",
+    // Greece (romanized)
+    "Dimitris", "Giorgos", "Kostas", "Nikos", "Panagiotis", "Spiros",
+    "Stavros", "Thanos", "Vasilis", "Yannis", "Alexandros", "Christos",
+    "Petros",
+    // Iran
+    "Reza", "Hossein", "Mehdi", "Arash", "Babak", "Dariush", "Farhad",
+    "Kaveh", "Navid", "Omid", "Parviz", "Ramin", "Shahram", "Sohrab",
+    // Pakistan / Bangladesh
+    "Asif", "Junaid", "Kashif", "Nadeem", "Salman", "Shahid", "Usman",
+    "Waqar", "Zafar", "Arif", "Habib", "Rafiq", "Shakil",
+    // Philippines
+    "Danilo", "Rodel", "Rolando", "Marlon", "Efren", "Nonito",
+    // Thailand
+    "Somchai", "Somsak", "Anan", "Kittisak", "Niran", "Prasert", "Sakda",
+    "Wichai",
+    // Slavic additions (romanized)
+    "Ilya", "Yaroslav", "Vsevolod", "Arseny", "Timur", "Denis", "Egor",
+    "Gleb", "Kirill", "Lev", "Matvei", "Nikita", "Rodion", "Semyon")
+
+  private val tranche8Female = Seq(
+    // Italy
+    "Giulia", "Francesca", "Alessia", "Martina", "Giorgia", "Beatrice",
+    "Eleonora", "Valentina", "Federica", "Silvia", "Paola", "Roberta",
+    "Simona", "Alessandra", "Ilaria", "Chiara", "Elisa", "Serena",
+    "Claudia", "Daniela", "Monica", "Stefania", "Laura", "Carla",
+    // France
+    "Amandine", "Aurelie", "Celine", "Chantal", "Delphine", "Elodie",
+    "Florence", "Genevieve", "Isabelle", "Josephine", "Juliette",
+    "Laetitia", "Manon", "Margaux", "Mathilde", "Oceane", "Pauline",
+    "Sandrine", "Solene", "Sylvie", "Veronique", "Brigitte", "Colette",
+    "Monique", "Nathalie", "Adele", "Capucine", "Clemence",
+    // Spain / Latin America
+    "Adriana", "Alejandra", "Beatriz", "Camila", "Carmen", "Catalina",
+    "Clara", "Cristina", "Dolores", "Esperanza", "Estela", "Eva",
+    "Fernanda", "Gabriela", "Guadalupe", "Ines", "Irene", "Josefina",
+    "Juana", "Julieta", "Leticia", "Lorena", "Luciana", "Luisa",
+    "Magdalena", "Manuela", "Marcela", "Margarita", "Mariana", "Marta",
+    "Mercedes", "Milagros", "Natalia", "Noelia", "Paloma", "Pilar",
+    "Raquel", "Rocio", "Rosario", "Soledad", "Valeria", "Veronica",
+    "Ximena", "Yolanda",
+    // Portugal / Brazil
+    "Carolina", "Larissa", "Marilia", "Priscila", "Tatiana", "Vitoria",
+    // Greece (romanized)
+    "Eleni", "Katerina", "Despina", "Ioanna", "Vasiliki", "Anastasia",
+    "Evangelia", "Dimitra",
+    // Iran
+    "Azadeh", "Fatemeh", "Leila", "Mahnaz", "Maryam", "Mina", "Nasrin",
+    "Niloufar", "Parisa", "Roya", "Shirin", "Simin", "Zahra",
+    // Pakistan / Bangladesh
+    "Ayesha", "Bushra", "Farah", "Hina", "Nadia", "Rabia", "Saima",
+    "Sana", "Shazia", "Uzma", "Zainab",
+    // Philippines
+    "Imelda", "Corazon", "Ligaya", "Marites", "Analyn", "Jocelyn",
+    "Maricel", "Riza",
+    // Thailand
+    "Siriporn", "Sunisa", "Kanya", "Malee", "Pornthip", "Ratana",
+    "Somying", "Duangjai",
+    // Slavic / Eastern Europe (romanized)
+    "Agnieszka", "Malgorzata", "Katarzyna", "Zofia", "Hanna", "Alicja",
+    "Dorota", "Ewa", "Iwona", "Joanna", "Beata", "Bozena", "Danuta",
+    "Halina", "Irena", "Jadwiga", "Wanda", "Milena", "Svetlana",
+    "Tatyana", "Olga", "Irina", "Ekaterina", "Anastasiya", "Galina",
+    "Lyudmila", "Nadezhda", "Oksana", "Polina", "Vera", "Yulia",
+    "Zinaida", "Darya", "Ksenia", "Marina", "Larisa", "Raisa", "Alla",
+    "Inna", "Nina", "Tamara",
+    // Nordic
+    "Astrid", "Birgitta", "Dagmar", "Ebba", "Freja", "Gunilla", "Hilda",
+    "Ingeborg", "Karin", "Kerstin", "Linnea", "Maja", "Sigrid", "Solveig",
+    "Thea", "Tuva", "Ulla", "Wilma", "Saga", "Signe")
+
+  // Deliberately-resolved ambiguous names (the per-locale choice the
+  // round-7 verdict asked to be documented rather than suffixed away).
+  // Checked against the existing lists first — Ariel/Camille/Simone/
+  // Marion/Sasha (female), Eli/Noam (male), Jules (mostly_male),
+  // Eden/Sage/Dominique (mostly_female), Noor/Amal (locale tier) already
+  // carry deliberate categories and are NOT duplicated here. The one
+  // genuinely new case:
+  //  - Nicola: male in Italian, female in English/German — usage-weighted
+  //    mostly_male (the Italian male name dominates public corpora).
+  private val tranche8MostlyMale = Seq("Nicola")
+
   /** first_name → category. Names appearing in several category lists
     * (real-data ambiguity — "Andrea" is female in most locales, male in
     * Italian) resolve by FIRST CATEGORY WINS in the concatenation order
@@ -671,7 +783,10 @@ object NamesDict {
       localeMostlyMale.map(_ -> "mostly_male") ++
       localeMostlyFemale.map(_ -> "mostly_female") ++
       localeAndy.map(_ -> "andy") ++
-      scriptMale.map(_ -> "male") ++ scriptFemale.map(_ -> "female"))
+      scriptMale.map(_ -> "male") ++ scriptFemale.map(_ -> "female") ++
+      // round-8 breadth tranche, appended last (core wins conflicts)
+      tranche8Male.map(_ -> "male") ++ tranche8Female.map(_ -> "female") ++
+      tranche8MostlyMale.map(_ -> "mostly_male"))
     .filterNot(_._1.exists(_.isDigit))
     .map { case (k, v) => normalizeKey(k) -> v } // keys canonically composed
 

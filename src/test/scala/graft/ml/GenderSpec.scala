@@ -130,6 +130,39 @@ class GenderSpec extends SparkSpec {
       s"round-7 breadth missing: ${NamesDict.entries.size} entries")
   }
 
+  test("round-8 tranche: new locales resolve; native-script names OUTSIDE the dict are unknown, never a transliteration guess") {
+    val panel = Seq(
+      // Romance Europe / Latin America / Greece / Iran / South Asia /
+      // Thailand / Slavic / Nordic — the round-8 census-style tranche
+      ("Alessandro Rossi", "male", 0.9f), ("Giulia Bianchi", "female", 0.9f),
+      ("Antoine Dubois", "male", 0.9f), ("Isabelle Moreau", "female", 0.9f),
+      ("Santiago Alvarez", "male", 0.9f), ("Ximena Soto", "female", 0.9f),
+      ("Joao Silva", "male", 0.9f), ("Carolina Santos", "female", 0.9f),
+      ("Giorgos Papadopoulos", "male", 0.9f), ("Eleni Georgiou", "female", 0.9f),
+      ("Reza Ahmadi", "male", 0.9f), ("Maryam Hosseini", "female", 0.9f),
+      ("Usman Khan", "male", 0.9f), ("Ayesha Malik", "female", 0.9f),
+      ("Somchai Srisuwan", "male", 0.9f), ("Siriporn Chaiyasit", "female", 0.9f),
+      ("Ilya Petrov", "male", 0.9f), ("Oksana Kovalenko", "female", 0.9f),
+      ("Astrid Lindgren", "female", 0.9f), ("Corazon Aquino", "female", 0.9f),
+      // deliberately-resolved ambiguous name (documented in NamesDict):
+      // Nicola = mostly_male, collapsing like its majority
+      ("Nicola Conte", "male", 0.9f),
+      ("Camille Laurent", "female", 0.9f), // pre-existing female entry wins
+      ("Jules Verne", "male", 0.9f), // pre-existing mostly_male entry wins
+      // transliteration-or-unknown: a native-script name OUTSIDE the
+      // dictionary must return unknown — the engine never guesses via a
+      // silent transliteration — while its romanized form resolves
+      ("Ярослав Мудрый", "unknown", 0.5f),
+      ("Yaroslav Kovalenko", "male", 0.9f),
+      ("Νικηφόρος Φωκάς", "unknown", 0.5f))
+    panel.foreach { case (fullName, g, c) =>
+      val got = Gender.guess(fullName, "x1")
+      assert((got.predicted_gender, got.confidence) === ((g, c)), fullName)
+    }
+    assert(NamesDict.entries.size >= 2400,
+      s"round-8 tranche missing: ${NamesDict.entries.size} entries")
+  }
+
   test("property: outputs confined to the reference domains") {
     val gen = Gen.zip(Gen.asciiPrintableStr, Gen.asciiPrintableStr)
     (1 to 300).foreach { seed =>
