@@ -98,6 +98,44 @@ object ReplaceWhere {
     def describe = s"predicate ($predicate)"
   }
 
+  /** Explicit VALUE-SET scope — dynamic-partition-overwrite semantics
+    * (Spark's `partitionOverwriteMode=dynamic`, Hive's insert-overwrite-
+    * partitions): replace exactly the rows whose `column` equals one of
+    * `values`. Disjointness evidence, best first:
+    *   - an X168 categorical value-set entry with empty intersection
+    *     (exhaustive when recorded — absence degrades, never lies);
+    *   - else bounds (X57 long / X78 string) proving EVERY replaced value
+    *     lies outside the file's `[lo, hi]`.
+    * Values compare as strings against X168 entries (they are recorded as
+    * casts to string), so long and string columns both work; other types
+    * degrade to the bounds check or a rewrite.
+    */
+  final case class ValueSet(column: String, values: Seq[Any]) extends Scope {
+    require(values.nonEmpty, "replace scope needs at least one value")
+    def pred: Column = col(column).isin(values: _*)
+    private val asStrings = values.map(String.valueOf).toSet
+    private val asLongs: Option[Seq[Long]] = scala.util.Try(values.map {
+      case n: Number => n.longValue()
+      case s: String => s.toLong
+      case other => throw new IllegalArgumentException(other.toString)
+    }).toOption
+    def disjoint(s: ZoneMap.FileStats): Boolean =
+      s.vals.get(column) match {
+        case Some(recorded) => recorded.toSet.intersect(asStrings).isEmpty
+        case None =>
+          val byLong = for {
+            ls <- asLongs; flo <- s.lo.get(column); fhi <- s.hi.get(column)
+          } yield ls.forall(v => v < flo || v > fhi)
+          val byStr = for {
+            flo <- s.slo.get(column); fhi <- s.shi.get(column)
+            if flo != null && fhi != null
+          } yield values.forall { v =>
+            val sv = String.valueOf(v); sv < flo || sv > fhi }
+          byLong.orElse(byStr).getOrElse(false)
+      }
+    def describe = s"$column in {${values.mkString(", ")}}"
+  }
+
   /** Replace rows of `dir` inside `scope` by `newData`, committed
     * atomically as the next version. `statsCols`/`strCols` are the zone-map
     * columns for the rewritten+new files' sidecar entries (retained files
@@ -105,7 +143,8 @@ object ReplaceWhere {
     */
   def replaceWhere(spark: SparkSession, dir: String, scope: Scope,
       newData: DataFrame, date: Int, time: Int,
-      statsCols: Seq[String], strCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String], strCols: Seq[String] = Nil,
+      setCols: Seq[String] = Nil): Int = {
     val matches: Column = coalesce(scope.pred, lit(false)) // NULL never matches
 
     val snap = ManifestTable.snapshots(spark, dir).lastOption.getOrElse(
@@ -119,14 +158,69 @@ object ReplaceWhere {
       else spark.read.parquet(stagedNew.map(f => s"$dir/$f"): _*)
         .where(!matches).limit(1).count()
     if (bad != 0L) {
-      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      stagedNew.map(_.split('/').dropRight(1).mkString("/")).distinct
-        .foreach(rel => fs.delete(new Path(s"$dir/$rel"), true))
+      dropStaged(spark, dir, stagedNew)
       throw new IllegalArgumentException(
         s"replaceWhere: new data contains rows outside ${scope.describe} — " +
           "refusing the whole commit (predicate-scoped writes must stay in band)")
     }
+    commitReplace(spark, dir, scope, stagedNew, snap, date, time,
+      statsCols, strCols, setCols)
+  }
 
+  /** Dynamic-partition-overwrite form: the replaced VALUE SET is inferred
+    * from the batch itself — `column`'s distinct values in the staged
+    * data (Spark's `partitionOverwriteMode=dynamic`, the idempotent
+    * "reload whatever days this batch carries" primitive). No out-of-band
+    * validation exists by construction (the batch DEFINES the scope);
+    * `maxValues` bounds the driver-side value list and the isin predicate
+    * — a reload claiming more distinct values than that is a full
+    * replace in disguise and belongs in an overwrite commit. An empty
+    * batch refuses loudly: "replace nothing" is almost certainly an
+    * upstream bug, not a no-op to silently commit.
+    */
+  def replaceValues(spark: SparkSession, dir: String, column: String,
+      newData: DataFrame, date: Int, time: Int,
+      statsCols: Seq[String] = Nil, strCols: Seq[String] = Nil,
+      setCols: Seq[String] = Nil, maxValues: Int = 10000): Int = {
+    val snap = ManifestTable.snapshots(spark, dir).lastOption.getOrElse(
+      throw new NoSuchElementException(s"no committed version at $dir"))
+    val stagedNew = ManifestTable.stageDataFiles(newData, dir)
+    def refuse(msg: String): Nothing = {
+      dropStaged(spark, dir, stagedNew)
+      throw new IllegalArgumentException(msg)
+    }
+    val values =
+      if (stagedNew.isEmpty) Seq.empty[Any]
+      else spark.read.parquet(stagedNew.map(f => s"$dir/$f"): _*)
+        .select(col(column)).where(col(column).isNotNull).distinct()
+        .limit(maxValues + 1).collect().map(_.get(0)).toSeq
+    if (values.isEmpty)
+      refuse(s"replaceValues: the batch carries no non-null '$column' values " +
+        "— an empty reload replaces nothing and is refused (use an " +
+        "overwrite commit for a deliberate truncate)")
+    if (values.size > maxValues)
+      refuse(s"replaceValues: over $maxValues distinct '$column' values — " +
+        "a reload this wide is a replace in disguise; use an overwrite commit")
+    commitReplace(spark, dir, ValueSet(column, values), stagedNew, snap,
+      date, time, statsCols, strCols,
+      if (setCols.contains(column)) setCols else column +: setCols)
+  }
+
+  private def dropStaged(spark: SparkSession, dir: String,
+      staged: Seq[String]): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    staged.map(_.split('/').dropRight(1).mkString("/")).distinct
+      .foreach(rel => fs.delete(new Path(s"$dir/$rel"), true))
+  }
+
+  /** The shared commit tail: retain-by-evidence, rewrite survivors of
+    * straddling files, publish one manifest commit with a merged sidecar.
+    */
+  private def commitReplace(spark: SparkSession, dir: String, scope: Scope,
+      stagedNew: Seq[String], snap: ManifestTable.Snapshot, date: Int,
+      time: Int, statsCols: Seq[String], strCols: Seq[String],
+      setCols: Seq[String]): Int = {
+    val matches: Column = coalesce(scope.pred, lit(false))
     val stats = ZoneMap.fileStats(spark, dir, snap.version).getOrElse(Nil)
     val byFile = stats.map(s => s.file -> s).toMap
     val (retained, rewrite) = snap.files.partition(f =>
@@ -145,7 +239,7 @@ object ReplaceWhere {
     val staged = stagedResidual ++ stagedNew
     val newStats =
       if (staged.isEmpty) Nil
-      else ZoneMap.statsFor(spark, dir, staged, statsCols, strCols)
+      else ZoneMap.statsFor(spark, dir, staged, statsCols, strCols, setCols)
 
     ZoneMap.writeStatsSidecar(spark, dir, version,
       retained.flatMap(byFile.get) ++ newStats)
@@ -200,6 +294,29 @@ object ReplaceWhere {
         .orderBy("o_orderstatus")
     }),
 
+    // Dynamic-partition-overwrite twin: the reload carries two of the five
+    // order priorities; replaceValues INFERS that set from the staged
+    // batch and replaces exactly those partitions — the other priorities'
+    // files retain by X168 value-set evidence (spec pins byte-identity).
+    "q_replace_values" -> ((s, d) => {
+      val dir = graft.util.FixtureCache.dir("replace_values", d) { dir =>
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        ZoneMap.commitWithStats(
+          o.repartitionByRange(5, col("o_orderpriority")), dir, 20250801, 900,
+          Nil, setCols = Seq("o_orderpriority"))
+        val reload = o
+          .where(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        replaceValues(s, dir, "o_orderpriority", reload, 20250802, 900)
+      }
+      ManifestTable.readLatest(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.util.Exact.dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_replace_where_str" -> ((s, d) => {
       val dir = graft.util.FixtureCache.dir("replace_where_str", d) { dir =>
         val o = Tables.orders(s, d)
@@ -240,6 +357,17 @@ object ReplaceWhere {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
         |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_replace_values" ->
+      """WITH final AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderpriority NOT IN ('1-URGENT', '3-MEDIUM')
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM'))
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_replace_where_str" ->
       """WITH src AS (

@@ -35,7 +35,9 @@ import graft.util.{Exact, FixtureCache, Scratch}
 class GraftStreamSource(spark: SparkSession, dir: String,
     skipChangeCommits: Boolean, maxVersionsPerBatch: Option[Int] = None,
     metadataPath: Option[String] = None)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override val schema: StructType = {
     val snaps = ManifestTable.snapshots(spark, dir)
@@ -79,8 +81,27 @@ class GraftStreamSource(spark: SparkSession, dir: String,
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  override def getOffset: Option[Offset] = {
-    val latest = ManifestTable.latestVersion(spark, dir).map(_.toLong)
+  // Trigger.AvailableNow end bound (real support, not the engine's
+  // single-batch fallback): the engine calls prepareForTriggerAvailableNow
+  // once at stream start, and every later offer is capped at the version
+  // committed THEN — the run processes exactly the backlog that existed at
+  // the trigger (in rate-limited micro-batches when maxVersionsPerBatch is
+  // set) and terminates, even while concurrent writers keep committing.
+  private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = ManifestTable.latestVersion(spark, dir).map(_.toLong)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  private def offer(): Option[Long] = {
+    val latestRaw = ManifestTable.latestVersion(spark, dir).map(_.toLong)
+    val latest = (latestRaw, availableNowEnd) match {
+      case (Some(l), Some(end)) => Some(math.min(l, end))
+      case _ => latestRaw
+    }
     val capped = (latest, maxVersionsPerBatch) match {
       case (Some(l), Some(cap)) =>
         val base = lastOffered.getOrElse(0L)
@@ -95,8 +116,21 @@ class GraftStreamSource(spark: SparkSession, dir: String,
         lastOffered = Some(c)
       }
     }
-    capped.map(LongOffset(_))
+    capped
   }
+
+  override def getOffset: Option[Offset] = offer().map(LongOffset(_))
+
+  /** Admission-control twin of getOffset — what the engine actually calls
+    * once the source declares SupportsAdmissionControl. The version cap is
+    * our own (versions, not rows/files), so the engine's ReadLimit is
+    * accepted as allAvailable and the pacing stays in [[offer]].
+    */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    offer().map(LongOffset(_)).orNull
 
   private def versionOf(o: Offset): Int = o match {
     case LongOffset(v) => v.toInt

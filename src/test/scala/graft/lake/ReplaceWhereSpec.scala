@@ -95,6 +95,61 @@ class ReplaceWhereSpec extends SparkSpec {
     assert(got("2025-02-05") === "new-2-5" && got("2025-03-05") === "old-3-5")
   }
 
+  test("replaceValues: inferred value-set replaces exactly the batch's partitions; X168 evidence retains the rest by reference") {
+    val dir = graft.util.Scratch.dir("rw_vals")
+    val rows = for (p <- Seq("a", "b", "c", "d"); i <- 1 to 20)
+      yield (s"$p$i", p, s"old-$p-$i")
+    ZoneMap.commitWithStats(
+      rows.toDF("id", "part", "v").repartitionByRange(4, col("part")),
+      dir, 20250801, 900, Nil, setCols = Seq("part"))
+    val stats = ZoneMap.fileStats(spark, dir, 1).get
+    val disjoint = stats.filter(s =>
+      s.vals("part").toSet.intersect(Set("b", "d")).isEmpty).map(_.file)
+    assert(disjoint.nonEmpty, "fixture must have value-disjoint files")
+    // the batch DEFINES the scope: partitions b and d reload
+    val batch = (for (p <- Seq("b", "d"); i <- 1 to 10)
+      yield (s"$p$i", p, s"new-$p-$i")).toDF("id", "part", "v")
+    ReplaceWhere.replaceValues(spark, dir, "part", batch, 20250802, 900)
+    val after = ManifestTable.snapshots(spark, dir).last
+    disjoint.foreach(f => assert(after.files.contains(f),
+      s"value-disjoint file $f must carry over by reference"))
+    val got = ManifestTable.readLatest(spark, dir)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got.count(_._1 == "a") === 20 && got.count(_._1 == "b") === 10)
+    assert(got.filter(_._1 == "b").forall(_._2.startsWith("new")))
+    assert(got.filter(_._1 == "a").forall(_._2.startsWith("old")))
+    // and the NEW files carry value-set stats too: a second reload of b
+    // retains d's fresh file by evidence
+    val batch2 = (1 to 5).map(i => (s"b$i", "b", s"newer-b-$i")).toDF("id", "part", "v")
+    ReplaceWhere.replaceValues(spark, dir, "part", batch2, 20250803, 900)
+    val v3 = ManifestTable.readLatest(spark, dir)
+    assert(v3.where(col("part") === "b").count() === 5)
+    assert(v3.where(col("part") === "d").count() === 10)
+  }
+
+  test("replaceValues: an empty batch and an over-wide batch both refuse with nothing committed") {
+    val dir = graft.util.Scratch.dir("rw_vals_refuse")
+    ZoneMap.commitWithStats(
+      (1L to 20L).map(k => (k, s"p${k % 4}", s"v$k")).toDF("id", "part", "v"),
+      dir, 20250801, 900, Nil, setCols = Seq("part"))
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "part", "v")
+    val e1 = intercept[IllegalArgumentException](
+      ReplaceWhere.replaceValues(spark, dir, "part", empty, 20250802, 900))
+    assert(e1.getMessage.contains("no non-null"))
+    val wide = (1L to 20L).map(k => (k, s"q$k", s"w$k")).toDF("id", "part", "v")
+    val e2 = intercept[IllegalArgumentException](
+      ReplaceWhere.replaceValues(spark, dir, "part", wide, 20250802, 900,
+        maxValues = 10))
+    assert(e2.getMessage.contains("distinct"))
+    assert(ManifestTable.latestVersion(spark, dir) === Some(1))
+    // refusals leave no staged garbage
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data"))
+      .map(_.getPath.getName).filter(_.startsWith("w"))
+    assert(staged.isEmpty, s"refusal left staged dirs: ${staged.mkString(",")}")
+  }
+
   test("arbitrary-predicate scope rewrites everything but answers right") {
     val dir = graft.util.Scratch.dir("rw_pred")
     commitClustered(dir)

@@ -65,6 +65,54 @@ class GraftStreamSpec extends SparkSpec {
     assert(src.getOffset.get.json.toLong == 4L)
   }
 
+  test("Trigger.AvailableNow is truly bounded: offers cap at the version committed at prepare time") {
+    val tbl = Scratch.dir("gstream_anow")
+    (0 until 3).foreach { k =>
+      ManifestTable.appendRetrying(Seq((k.toLong, k.toLong)).toDF("k", "v"),
+        tbl, 20250801, 900 + k)
+    }
+    val src = new GraftStreamSource(spark, tbl, skipChangeCommits = false)
+    src.prepareForTriggerAvailableNow() // engine calls this once at start
+    // concurrent writers keep committing during the run...
+    ManifestTable.appendRetrying(Seq((9L, 9L)).toDF("k", "v"), tbl, 20250801, 1000)
+    ManifestTable.appendRetrying(Seq((10L, 10L)).toDF("k", "v"), tbl, 20250801, 1001)
+    // ...but the bounded run never offers past the prepare-time head
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    assert(src.latestOffset(null, ReadLimit.allAvailable()).json.toLong == 3L)
+    assert(src.getOffset.get.json.toLong == 3L)
+    // a FRESH source (the next AvailableNow pass) sees the new head
+    val next = new GraftStreamSource(spark, tbl, skipChangeCommits = false)
+    assert(next.getOffset.get.json.toLong == 5L)
+  }
+
+  test("AvailableNow + maxVersionsPerBatch drains the backlog in MULTIPLE paced batches, then terminates") {
+    // the old engine fallback ("source does not support Trigger.AvailableNow")
+    // ran Trigger.Once semantics — ONE batch, the rate cap never honored
+    // across the backlog; with SupportsTriggerAvailableNow the engine loops
+    // capped micro-batches until the prepare-time end, then stops
+    val tbl = Scratch.dir("gstream_anow_paced")
+    (0 until 4).foreach { k =>
+      ManifestTable.appendRetrying(
+        (k * 10L until (k + 1) * 10L).map(i => (i, i)).toDF("k", "v"),
+        tbl, 20250801, 900 + k)
+    }
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val rows = new java.util.concurrent.atomic.AtomicLong
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerBatch", 1).load(tbl)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Scratch.dir("gstream_anow_chk"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet(); rows.addAndGet(b.count()): Unit
+      }
+      .start()
+    q.awaitTermination()
+    assert(rows.get() === 40L, "the whole backlog lands exactly once")
+    assert(batches.get() >= 4,
+      s"one version per paced batch expected, got ${batches.get()} batches")
+  }
+
   test("rate-limited stream never regresses below the checkpoint on restart") {
     // Restart bug class: a fresh source instance whose in-memory cap base
     // restarts at 0 offers an offset BELOW the committed one, and the
@@ -89,17 +137,18 @@ class GraftStreamSpec extends SparkSpec {
         .start()
       q.awaitTermination()
     }
-    // A v1 Source under AvailableNow falls back to single-batch
-    // execution, so each pass is a full restart delivering ONE paced
-    // version — every iteration exercises the persisted base. Without
-    // it, pass 2's fresh instance would offer min(latest, 0+1) = 1,
-    // BELOW the committed offset, and the drain would stall at 10 rows
-    // (or re-emit on later passes).
-    (1 to 3).foreach { p => pipe(); assert(spark.read.parquet(sink).count() == p * 10L) }
+    // With real SupportsTriggerAvailableNow, one pass drains the whole
+    // backlog in paced micro-batches (one version each) and terminates.
+    pipe()
+    assert(spark.read.parquet(sink).count() == 30L)
 
     ManifestTable.appendRetrying((30L until 35L).map(i => (i, i)).toDF("k", "v"),
       tbl, 20250801, 1000)
-    pipe() // fresh Source instance, same checkpoint: only v4 may land
+    // Pass 2 is a fresh Source instance on the SAME checkpoint: without
+    // the persisted base its rate cap would restart at 0 and offer
+    // min(latest, 0+1) = 1, BELOW the committed offset 3 — the restart
+    // regression this test pins. With it, only v4 may land.
+    pipe()
     val got = spark.read.parquet(sink)
     assert(got.count() == 35, "restart re-emitted already-delivered versions")
     assert(got.groupBy("k").count().where(col("count") > 1).count() == 0)
