@@ -58,7 +58,7 @@ object IvfIndex {
       Seq("centroids" -> centroidsDf(s, cents), "lists" -> lists))
   }
 
-  private def centroidsDf(s: SparkSession, cents: Array[Array[Float]]): DataFrame = {
+  private[ext] def centroidsDf(s: SparkSession, cents: Array[Array[Float]]): DataFrame = {
     import s.implicits._
     cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("cluster", "centroid")

@@ -56,6 +56,24 @@ class GraftSinkSpec extends SparkSpec {
     assert(ManifestTable.readVersion(spark, dir, 2).count() === 8)
   }
 
+  test("CTAS: CREATE TABLE ... USING graft AS SELECT commits v1 and reads back through SQL") {
+    val dir = Scratch.dir("gsink_ctas")
+    spark.sql("DROP TABLE IF EXISTS gsink_ctas_t")
+    try {
+      spark.sql(
+        s"""CREATE TABLE gsink_ctas_t USING graft OPTIONS (path '$dir')
+           |AS SELECT id AS k, concat('v', id) AS tag FROM range(6)""".stripMargin)
+      // the CTAS landed as a real manifest commit...
+      assert(ManifestTable.latestVersion(spark, dir).contains(1))
+      assert(ManifestTable.readLatest(spark, dir).count() === 6)
+      // ...and the catalog table serves it through plain SQL + INSERT
+      assert(spark.sql("SELECT count(*) FROM gsink_ctas_t").head().getLong(0) === 6)
+      spark.sql("INSERT INTO gsink_ctas_t SELECT id + 10, concat('w', id) FROM range(2)")
+      assert(ManifestTable.latestVersion(spark, dir).contains(2))
+      assert(ManifestTable.readLatest(spark, dir).count() === 8)
+    } finally spark.sql("DROP TABLE IF EXISTS gsink_ctas_t")
+  }
+
   test("SQL INSERT: type drift refuses; pinned (time-travel) views refuse") {
     val dir = Scratch.dir("gsink_sqlins_refuse")
     (1L to 3L).map(i => (i, s"a$i")).toDF("k", "tag")
