@@ -54,7 +54,8 @@ object SparkEntry {
       ext.Integrity.queries ++ ext.KCore.queries ++ ops.Skyline.queries ++
       lake.MetaTables.queries ++ lake.RecordIndex.queries ++
       lake.ResultCache.queries ++ streaming.StreamScd2.queries ++
-      lake.ReplaceWhere.queries ++ ext.Pq.queries ++ ext.IvfPq.queries
+      lake.ReplaceWhere.queries ++ ext.Pq.queries ++ ext.IvfPq.queries ++
+      spark.GraftDml.queries
       // (q_format_files rides graft.spark.GraftFormat.queries)
       // (q_commit_guard rides lake.Expectations.queries, already included)
 
@@ -98,5 +99,6 @@ object SparkEntry {
       ext.Integrity.oracles ++ ext.KCore.oracles ++ ops.Skyline.oracles ++
       lake.MetaTables.oracles ++ lake.RecordIndex.oracles ++
       lake.ResultCache.oracles ++ streaming.StreamScd2.oracles ++
-      lake.ReplaceWhere.oracles ++ ext.Pq.oracles ++ ext.IvfPq.oracles
+      lake.ReplaceWhere.oracles ++ ext.Pq.oracles ++ ext.IvfPq.oracles ++
+      spark.GraftDml.oracles
 }

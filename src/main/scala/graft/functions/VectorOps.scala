@@ -181,5 +181,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // rewrite portable HOF dot products into the native expression
     ext.injectOptimizerRule(_ => VecRewrite)
+    // X179: SQL row-level DML (DELETE/UPDATE/MERGE) on graft tables —
+    // post-hoc resolution swaps the resolved DML node for a graft command
+    // before checkAnalysis's "v2 tables only" refusal fires (Delta's
+    // architecture for the same gap)
+    ext.injectPostHocResolutionRule(_ => graft.spark.GraftDmlRule)
   }
 }

@@ -256,24 +256,43 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
         if (hasColmap) graft.lake.ColumnMap.read(spark, dataDir, Some(snap.version))
         else ManifestTable.readVersion(spark, dataDir, snap.version)
       return new GraftPlanRelation(spark, planDf)
-          with org.apache.spark.sql.sources.InsertableRelation {
+          with org.apache.spark.sql.sources.InsertableRelation
+          with GraftTableRef {
         override def insert(data: org.apache.spark.sql.DataFrame,
             overwrite: Boolean): Unit =
           GraftDataSource.insertInto(spark, dataDir, parameters, pinned,
             data, overwrite)
+        override def graftDir: String = dataDir
+        override def graftParams: Map[String, String] = parameters
+        override def graftPinned: Boolean = pinned
       }
     }
     val index = new ManifestFileIndex(spark, dataDir, snap)
     new HadoopFsRelation(index, partitionSchema = StructType(Nil),
         dataSchema = index.dataSchema, bucketSpec = None,
         fileFormat = new ParquetFileFormat, options = parameters)(spark)
-        with org.apache.spark.sql.sources.InsertableRelation {
+        with org.apache.spark.sql.sources.InsertableRelation
+        with GraftTableRef {
       override def insert(data: org.apache.spark.sql.DataFrame,
           overwrite: Boolean): Unit =
         GraftDataSource.insertInto(spark, dataDir, parameters, pinned,
           data, overwrite)
+      override def graftDir: String = dataDir
+      override def graftParams: Map[String, String] = parameters
+      override def graftPinned: Boolean = pinned
     }
   }
+}
+
+/** Marker carried by every relation [[GraftDataSource]] serves: lets
+  * analyzer-level machinery (the X179 DML rule) recognize a graft table
+  * inside an arbitrary plan and recover its layout root + read options
+  * without re-parsing the view definition.
+  */
+trait GraftTableRef {
+  def graftDir: String
+  def graftParams: Map[String, String]
+  def graftPinned: Boolean
 }
 
 object GraftDataSource {

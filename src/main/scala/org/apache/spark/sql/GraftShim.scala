@@ -64,4 +64,40 @@ object GraftShim {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** DataFrame over an already-analyzed logical plan — what a DML command
+    * needs to execute the statement's resolved SOURCE subtree (`MERGE
+    * INTO … USING <source>`) as a query (`Dataset.ofRows` is
+    * `private[sql]`, hence the shim).
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A GENUINE extensions-built session on the current SparkContext: a
+    * fresh `SessionState` constructed with `applyExts` applied, sharing
+    * the context, `SharedState` (catalog/warehouse) and the parent's
+    * runtime conf. This is the only honest in-JVM route to test (or use)
+    * analyzer-level injection — `builder().withExtensions(...)
+    * .getOrCreate()` returns the already-running session with the
+    * extensions silently IGNORED (round-7 ADVICE on the false
+    * SqlFunctionsSpec test), and `newSession()` clones the parent's
+    * (extension-less) state builder.
+    */
+  def sessionWithExtensions(spark: SparkSession,
+      applyExts: SparkSessionExtensions => Unit): SparkSession = {
+    val ext = new SparkSessionExtensions
+    applyExts(ext)
+    val c = spark.asInstanceOf[classic.SparkSession]
+    // the 6-arg constructor is Scala-`private` (companion-only) but
+    // bytecode-public — the same reflective hop Spark's own connect
+    // server uses to mint sibling sessions
+    val ctor = classOf[classic.SparkSession].getDeclaredConstructors
+      .find(_.getParameterCount == 6)
+      .getOrElse(throw new IllegalStateException(
+        "classic.SparkSession: no 6-arg constructor — Spark version drift"))
+    ctor.newInstance(c.sparkContext, Some(c.sharedState), None, ext,
+      c.conf.getAll, Map.empty[String, String])
+      .asInstanceOf[SparkSession]
+  }
 }
