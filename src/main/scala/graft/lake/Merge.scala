@@ -61,6 +61,150 @@ object Merge {
     undeleted.select(outCols.toIndexedSeq: _*)
   }
 
+  /** Distinct-value probe cap for [[candidateFiles]]: a batch with more
+    * distinct key values than this skips the X168 value-set evidence and
+    * falls back to range bounds alone — the probe list is driver-side.
+    */
+  private[graft] val MaxProbeVals = 4096
+
+  /** X180 — keyed upsert committed COPY-ON-WRITE over touched files only:
+    * the streaming-CDC shape of [[upsert]]. [[upsert]] computes the
+    * table's next FULL state — correct, but O(table) per call, which at
+    * 100 TB makes a micro-batch of a thousand updates rewrite every
+    * byte. This path makes the commit cost track the BATCH:
+    *
+    *  1. candidate files — the batch's key bounds (and, when the X168
+    *     sidecar carries value sets, its distinct key values) prune the
+    *     manifest's file list driver-side, zero data bytes read: a
+    *     key-clustered table (the X48/X106 layout) drops to the few
+    *     files whose ranges the batch straddles;
+    *  2. touched files — one scan of the candidates (tombstones
+    *     applied), semi-joined against the batch's keys (broadcast: the
+    *     batch is micro-batch-sized), names the files that actually
+    *     hold a matching row;
+    *  3. rewrite — [[upsert]] over ONLY the touched rows ∪ the batch:
+    *     updated rows replace, surviving touched rows carry, new keys
+    *     insert (pruning soundness makes "not in any touched file" =
+    *     "not in the table"), `deleteCol`-flagged keys drop;
+    *  4. commit — [[Cow.commit]]: untouched files retained BY REFERENCE
+    *     with their stats entries verbatim, staged files get fresh
+    *     stats on the same columns, one manifest rename.
+    *
+    * A batch matching nothing and inserting nothing commits nothing
+    * (returns the current version). A lost rename race throws the
+    * "concurrent commit" error — callers retry by re-invoking (the
+    * rewrite must recompute against the new latest or a concurrent
+    * writer's rows would be lost; the streaming sink's loop does this).
+    * `beforeCommit` is the exactly-once txn-sidecar hook (see
+    * [[Cow.commit]]). Small per-batch insert files accumulate by design;
+    * X174 maintenance bin-packs them.
+    */
+  def upsertCow(spark: SparkSession, dir: String, updates: DataFrame,
+      keys: Seq[String], date: Int, time: Int,
+      deleteCol: Option[String] = None,
+      beforeCommit: Int => Unit = _ => ()): Int = {
+    val snap = ManifestTable.snapshots(spark, dir).lastOption.getOrElse(
+      throw new NoSuchElementException(
+        s"no committed version at $dir — commit the initial state first"))
+    val cands = candidateFiles(spark, dir, snap, updates, keys)
+    val touched: Seq[String] =
+      if (cands.isEmpty) Nil
+      else {
+        val scan = DeleteVectors.applyTo(spark, dir, snap,
+          Tables.cachedScan(spark, cands.map(f => s"$dir/$f"))
+            .select(col("*"), DeleteVectors.relFile.as("__cow_file")))
+        scan.join(updates.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .select("__cow_file").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      }
+    val base: DataFrame =
+      if (touched.nonEmpty)
+        DeleteVectors.applyTo(spark, dir, snap,
+          Tables.cachedScan(spark, touched.map(f => s"$dir/$f")))
+      else if (snap.files.nonEmpty)
+        // schema-only: limit(0) folds to an empty relation, no data read
+        Tables.cachedScan(spark, snap.files.map(f => s"$dir/$f")).limit(0)
+      else deleteCol.foldLeft(updates)(_ drop _).limit(0)
+    val merged = upsert(base, updates, keys, deleteCol)
+    // true no-op (nothing matched, nothing survives to insert): no commit.
+    // The isEmpty probe only runs on the cheap path — base is empty, so
+    // it costs one pass over the micro-batch.
+    if (touched.isEmpty && merged.isEmpty) snap.version
+    else Cow.commit(spark, dir, snap,
+      retained = snap.files.filterNot(touched.toSet),
+      staged = ManifestTable.stageDataFiles(merged, dir),
+      date, time, op = "merge", beforeCommit = beforeCommit)
+  }
+
+  /** Files of `snap` that CAN hold a key of `updates` — judged entirely
+    * from the version's stats sidecar (X57 long bounds, X78 string
+    * bounds, X168 value sets) against one small aggregate over the
+    * batch. Soundness rule everywhere: absence of evidence keeps a file
+    * in scope; only a PROVEN-disjoint key column excludes one (any key
+    * column disjoint suffices — an equi-join row must match on all).
+    * A batch with no non-null values for a tracked key matches nothing
+    * and prunes to the empty list.
+    */
+  private[graft] def candidateFiles(spark: SparkSession, dir: String,
+      snap: ManifestTable.Snapshot, updates: DataFrame,
+      keys: Seq[String]): Seq[String] = {
+    if (snap.files.isEmpty) return Nil
+    val stats = ZoneMap.fileStats(spark, dir, snap.version)
+      .getOrElse(return snap.files)
+    val byFile = stats.map(s => s.file -> s).toMap
+    import org.apache.spark.sql.types._
+    val sch = updates.schema
+    val longKeys = keys.filter(k => sch(k).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    })
+    val strKeys = keys.filter(k => sch(k).dataType == StringType)
+    // evidence only exists for key columns the sidecar actually tracks
+    val trackedLong = longKeys.filter(k => stats.exists(_.lo.contains(k)))
+    val trackedStr = strKeys.filter(k => stats.exists(_.slo.contains(k)))
+    val trackedVals = (longKeys ++ strKeys)
+      .filter(k => stats.exists(_.vals.contains(k)))
+    if (trackedLong.isEmpty && trackedStr.isEmpty && trackedVals.isEmpty)
+      return snap.files
+    val aggs = trackedLong.flatMap(k => Seq(
+        min(col(k).cast("long")).as(s"lo_$k"),
+        max(col(k).cast("long")).as(s"hi_$k"))) ++
+      trackedStr.flatMap(k => Seq(
+        min(col(k).cast("string")).as(s"slo_$k"),
+        max(col(k).cast("string")).as(s"shi_$k")))
+    val bounds = if (aggs.isEmpty) None
+      else Some(updates.agg(aggs.head, aggs.tail: _*).collect()(0))
+    // an entirely-null (or empty) batch key can match no row at all
+    val dead = bounds.exists(r =>
+      trackedLong.exists(k => r.isNullAt(r.fieldIndex(s"lo_$k"))) ||
+      trackedStr.exists(k => r.isNullAt(r.fieldIndex(s"slo_$k"))))
+    if (dead) return Nil
+    val batchVals: Map[String, Set[String]] = trackedVals.flatMap { k =>
+      val vs = updates.select(col(k).cast("string")).na.drop()
+        .distinct().limit(MaxProbeVals + 1)
+        .collect().map(_.getString(0))
+      if (vs.length > MaxProbeVals) None else Some(k -> vs.toSet)
+    }.toMap
+    def longDisjoint(s: ZoneMap.FileStats, k: String): Boolean =
+      (for { r <- bounds; flo <- s.lo.get(k); fhi <- s.hi.get(k) } yield
+        r.getLong(r.fieldIndex(s"hi_$k")) < flo ||
+          r.getLong(r.fieldIndex(s"lo_$k")) > fhi).getOrElse(false)
+    def strDisjoint(s: ZoneMap.FileStats, k: String): Boolean =
+      (for { r <- bounds; flo <- s.slo.get(k); fhi <- s.shi.get(k) } yield
+        r.getString(r.fieldIndex(s"shi_$k")) < flo ||
+          r.getString(r.fieldIndex(s"slo_$k")) > fhi).getOrElse(false)
+    def valsDisjoint(s: ZoneMap.FileStats, k: String): Boolean =
+      (for { bv <- batchVals.get(k); fv <- s.vals.get(k) } yield
+        !fv.exists(bv.contains)).getOrElse(false)
+    snap.files.filter { f =>
+      byFile.get(f).forall { s =>
+        !(trackedLong.exists(longDisjoint(s, _)) ||
+          trackedStr.exists(strDisjoint(s, _)) ||
+          trackedVals.exists(valsDisjoint(s, _)))
+      }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // All four paths load-bearing: base drops %10 keys, updates touch %3
     // keys — so %3∧%10 keys INSERT, other %3 keys UPDATE (name/balance

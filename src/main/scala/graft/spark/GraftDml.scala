@@ -205,30 +205,14 @@ private object GraftDmlExec {
 
   def colOf(e: Expression): Column = GraftShim.column(e)
 
-  /** CoW commit tail shared by UPDATE and MERGE: stats entries of
-    * retained files carry verbatim; rewritten/new files get fresh entries
-    * on the SAME columns the old sidecar tracked (the next reader prunes
-    * as well as before); no sidecar stays no sidecar.
+  /** CoW commit tail shared by UPDATE and MERGE — see
+    * [[graft.lake.Cow.commit]] (factored there so the X180 streaming
+    * CoW upsert publishes through the identical stats-carrying tail).
     */
   def commitCow(spark: SparkSession, dir: String,
       snap: ManifestTable.Snapshot, retained: Seq[String],
-      staged: Seq[String], date: Int, time: Int, op: String): Int = {
-    val version = snap.version + 1
-    ZoneMap.fileStats(spark, dir, snap.version).foreach { stats =>
-      val byFile = stats.map(s => s.file -> s).toMap
-      val statsCols = stats.flatMap(_.lo.keys).distinct
-      val strCols = stats.flatMap(_.slo.keys).distinct
-      val setCols = stats.flatMap(_.vals.keys).distinct
-      val fresh =
-        if (staged.isEmpty) Nil
-        else ZoneMap.statsFor(spark, dir, staged, statsCols, strCols, setCols)
-      ZoneMap.writeStatsSidecar(spark, dir, version,
-        retained.flatMap(byFile.get) ++ fresh)
-    }
-    ManifestTable.commitManifest(spark, dir, version, date, time,
-      retained ++ staged, deletes = snap.deletes, op = op)
-    version
-  }
+      staged: Seq[String], date: Int, time: Int, op: String): Int =
+    graft.lake.Cow.commit(spark, dir, snap, retained, staged, date, time, op)
 }
 
 /** `DELETE FROM t WHERE cond` → one X64 deletion-vector commit: no data

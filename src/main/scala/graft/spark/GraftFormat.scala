@@ -120,9 +120,14 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
       "graft sink: partitionBy is not supported — graft tables lay out " +
         "files by commit version (use hidden partitioning / Z-order " +
         "maintenance on the table instead)")
+    val deleteCol = parameters.get("deleteCol")
+    require(deleteCol.isEmpty || mergeKeys.nonEmpty,
+      "graft sink: option 'deleteCol' needs 'mergeKeys' — a CDC delete " +
+        "only means something against a keyed upsert")
     new GraftSink.StreamSink(sqlContext.sparkSession, dir,
       appId = parameters.getOrElse("checkpointLocation", dir),
-      mergeKeys = mergeKeys, statsCols = csv("statsCols"))
+      mergeKeys = mergeKeys, statsCols = csv("statsCols"),
+      deleteCol = deleteCol)
   }
 
   // X114: the same format string serves readStream — versions as offsets

@@ -115,10 +115,17 @@ object GraftSink {
     * previous state (the "merge in foreachBatch" pattern, canned): last
     * write per key wins within the stream order, and the same lineage
     * idempotence makes replayed batches skip BEFORE any merge runs, so
-    * a replay can never double-apply an update.
+    * a replay can never double-apply an update. The upsert commits
+    * COPY-ON-WRITE over touched files only (X180,
+    * [[graft.lake.Merge.upsertCow]]) — per-batch cost tracks the batch,
+    * not the table, and a key-clustered table prunes the touched-file
+    * probe by its zone maps. `deleteCol` names a boolean batch column
+    * flagging CDC deletes (flag wins over the row's other values; a
+    * delete for an absent key is a no-op).
     */
   class StreamSink(spark: SparkSession, dir: String, appId: String,
-      mergeKeys: Seq[String] = Nil, statsCols: Seq[String] = Nil) extends Sink {
+      mergeKeys: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      deleteCol: Option[String] = None) extends Sink {
     override def addBatch(batchId: Long, data: DataFrame): Unit = {
       val replayed = committedTxn(spark, dir)
         .exists(t => t.appId == appId && batchId <= t.batchId)
@@ -127,30 +134,34 @@ object GraftSink {
       // computed rows (the construction every DSv1 sink uses)
       val batch = GraftShim.internalCreateDataFrame(
         spark, data.queryExecution.toRdd, data.schema, isStreaming = false)
-      if (mergeKeys.isEmpty || ManifestTable.latestVersion(spark, dir).isEmpty)
-        appendWithTxn(batch, dir, Txn(appId, batchId), 20250801, 0,
+      if (mergeKeys.isEmpty || ManifestTable.latestVersion(spark, dir).isEmpty) {
+        // first batch of an upsert stream: a delete for a key the table
+        // never held is a no-op, so flagged rows drop rather than insert
+        val first = deleteCol.foldLeft(batch) { (b, dc) =>
+          b.where(!coalesce(col(dc), lit(false))).drop(dc)
+        }
+        appendWithTxn(first, dir, Txn(appId, batchId), 20250801, 0,
           statsCols = statsCols)
-      else {
-        // upsert produces the table's next FULL state, published as a
-        // replace commit carrying the same txn sidecar. The merge is
-        // computed INSIDE the retry loop: a lost race means a concurrent
-        // writer advanced the table after we read it, and re-committing
-        // the pre-race merge would silently erase those rows (the classic
-        // lost update). Each retry re-reads the new latest and re-merges
-        // against it — cache the batch so only the merge re-runs.
+      } else {
+        // X180: each batch lands COPY-ON-WRITE over touched files only
+        // (Merge.upsertCow) — commit cost tracks the batch, not the
+        // table; the txn sidecar is placed by upsertCow's beforeCommit
+        // hook, immediately before the manifest rename, preserving the
+        // crash-replay ordering. The upsert recomputes INSIDE the retry
+        // loop: a lost race means a concurrent writer advanced the
+        // table, and re-committing the pre-race rewrite would silently
+        // erase those rows (the classic lost update) — each retry
+        // re-reads the new latest. Cache the batch so only the merge
+        // re-runs.
         batch.persist()
         try {
           var tries = 0
           var done = false
           while (!done) {
-            val latest = ManifestTable.snapshots(spark, dir).lastOption
-            val v = latest.map(_.version).getOrElse(0) + 1
-            val merged = graft.lake.Merge.upsert(
-              ManifestTable.readLatest(spark, dir), batch, mergeKeys)
-            val staged = ManifestTable.stageDataFiles(merged, dir)
-            writeSidecar(spark, dir, v, Txn(appId, batchId))
             try {
-              ManifestTable.commitManifest(spark, dir, v, 20250801, 0, staged)
+              graft.lake.Merge.upsertCow(spark, dir, batch, mergeKeys,
+                20250801, 0, deleteCol = deleteCol,
+                beforeCommit = v => writeSidecar(spark, dir, v, Txn(appId, batchId)))
               done = true
             } catch {
               case e: IllegalStateException if e.getMessage != null &&
@@ -223,6 +234,49 @@ object GraftSink {
           Exact.dsum(col("value")).as("sum_value"))
         .orderBy("event_type")
     }),
+
+    // X180: streaming CDC upsert — two micro-batches through the keyed
+    // CoW merge sink (updates, inserts, and deleteCol-flagged deletes),
+    // final state read through the public format. A full-rewrite bug, a
+    // lost delete, or a double-applied batch all break the oracle.
+    "q_stream_upsert" -> ((s, d) => {
+      val dst = FixtureCache.dir("graft_supsert", d) { dst =>
+        val src = Scratch.dir("graft_supsert_src")
+        val chk = Scratch.dir("graft_supsert_chk")
+        val o = Tables.orders(s, d).select(
+          col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        def pipe(): Unit = {
+          val q = s.readStream.format("graft").load(src)
+            .writeStream.format("graft")
+            .option("path", dst)
+            .option("checkpointLocation", chk)
+            .option("mergeKeys", "k")
+            .option("deleteCol", "del")
+            .option("statsCols", "k")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // batch 1: the base population (k % 4 != 0), no deletes
+        ManifestTable.commit(
+          o.where(col("k") % 4 =!= 0).withColumn("del", lit(false))
+            .repartitionByRange(8, col("k")),
+          src, 20250801, 900)
+        pipe()
+        // batch 2: CDC slice on k % 5 == 0 — doubled price, every third
+        // key a delete; hits updates, inserts AND absent-key deletes
+        ManifestTable.appendRetrying(
+          o.where(col("k") % 5 === 0)
+            .withColumn("p", col("p") * 2)
+            .withColumn("del", col("k") % 3 === 0),
+          src, 20250801, 1000)
+        pipe()
+      }
+      s.read.format("graft").load(dst)
+        .groupBy((col("k") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .orderBy("bucket")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -237,5 +291,19 @@ object GraftSink {
       """SELECT event_type, count(*) AS n_rows,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_upsert" ->
+      """WITH s1 AS (SELECT o_orderkey AS k, o_totalprice AS p
+        |            FROM orders WHERE o_orderkey % 4 <> 0),
+        |b2 AS (SELECT o_orderkey AS k, o_totalprice * 2 AS p,
+        |              o_orderkey % 3 = 0 AS del
+        |       FROM orders WHERE o_orderkey % 5 = 0),
+        |fin AS (SELECT coalesce(b.k, s.k) AS k,
+        |               CASE WHEN b.k IS NOT NULL THEN b.p ELSE s.p END AS p
+        |        FROM s1 s FULL JOIN b2 b ON s.k = b.k
+        |        WHERE b.k IS NULL OR NOT b.del)
+        |SELECT CAST(k % 7 AS BIGINT) AS bucket, count(*) AS n_rows,
+        |       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_p
+        |FROM fin GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

@@ -174,6 +174,55 @@ class GraftSinkSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dst).count() == 8)
   }
 
+  test("X180: merge sink commits CoW — untouched files carry by reference, deleteCol removes keys") {
+    val src = Scratch.dir("gsink_cow_src")
+    val dst = Scratch.dir("gsink_cow_dst")
+    val chk = Scratch.dir("gsink_cow_chk")
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("path", dst)
+        .option("checkpointLocation", chk)
+        .option("mergeKeys", "k")
+        .option("deleteCol", "del")
+        .option("statsCols", "k")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: 100 keys, one pre-flagged delete (a delete for a key the
+    // table never held must not insert)
+    ManifestTable.commit(
+      (0L until 100L).map(i => (i, i * 10, i == 99L)).toDF("k", "v", "del"),
+      src, 20250801, 900)
+    pipe()
+    val t1 = spark.read.format("graft").load(dst)
+    assert(t1.count() == 99)
+    assert(!t1.columns.contains("del"), "the CDC flag is metadata, not data")
+    val v1files = ManifestTable.snapshots(spark, dst).last.files
+    assert(v1files.size > 1, "several files so retention is observable")
+
+    // batch 2: update k=5, delete k=7, insert k=200
+    ManifestTable.appendRetrying(
+      Seq((5L, 555L, false), (7L, 0L, true), (200L, 2000L, false))
+        .toDF("k", "v", "del"), src, 20250801, 1000)
+    pipe()
+    val rows = spark.read.format("graft").load(dst)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 99) // 99 - 1 deleted + 1 inserted
+    assert(rows(5L) == 555L)
+    assert(!rows.contains(7L))
+    assert(rows(200L) == 2000L)
+    // copy-on-write, not rewrite: untouched batch-1 files carry by name
+    val snap2 = ManifestTable.snapshots(spark, dst).last
+    val carried = snap2.files.toSet.intersect(v1files.toSet)
+    assert(carried.nonEmpty,
+      s"expected untouched files retained by reference, got ${snap2.files}")
+
+    pipe() // quiet source + same lineage: nothing double-applies
+    assert(ManifestTable.snapshots(spark, dst).last.version == snap2.version)
+  }
+
   test("statsCols sink keeps the streamed table prunable") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val src = Scratch.dir("gsink_st_src")
