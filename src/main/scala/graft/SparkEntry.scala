@@ -55,7 +55,8 @@ object SparkEntry {
       lake.MetaTables.queries ++ lake.RecordIndex.queries ++
       lake.ResultCache.queries ++ streaming.StreamScd2.queries ++
       lake.ReplaceWhere.queries ++ ext.Pq.queries ++ ext.IvfPq.queries ++
-      spark.GraftDml.queries
+      spark.GraftDml.queries ++ spark.GraftSqlQueries.queries ++
+      spark.GraftTableFunctions.queries
       // (q_format_files rides graft.spark.GraftFormat.queries)
       // (q_commit_guard rides lake.Expectations.queries, already included)
 
@@ -100,5 +101,6 @@ object SparkEntry {
       lake.MetaTables.oracles ++ lake.RecordIndex.oracles ++
       lake.ResultCache.oracles ++ streaming.StreamScd2.oracles ++
       lake.ReplaceWhere.oracles ++ ext.Pq.oracles ++ ext.IvfPq.oracles ++
-      spark.GraftDml.oracles
+      spark.GraftDml.oracles ++ spark.GraftSqlQueries.oracles ++
+      spark.GraftTableFunctions.oracles
 }

@@ -186,5 +186,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // before checkAnalysis's "v2 tables only" refusal fires (Delta's
     // architecture for the same gap)
     ext.injectPostHocResolutionRule(_ => graft.spark.GraftDmlRule)
+    // X181: the maintenance SQL surface (VACUUM / OPTIMIZE / DESCRIBE
+    // HISTORY) — a delegating parser that owns only its own leading
+    // keywords, Delta's architecture for the same statements
+    ext.injectParser((_, delegate) => new graft.spark.GraftSqlParser(delegate))
+    // X184: table_changes('<path>', from, to [, keys]) — the change data
+    // feed as a SQL table-valued function (Delta's table_changes)
+    ext.injectTableFunction(graft.spark.GraftTableFunctions.tableChanges)
   }
 }

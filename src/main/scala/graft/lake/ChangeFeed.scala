@@ -55,7 +55,7 @@ object ChangeFeed {
     * promise, as in Delta CDF's merge-key requirement.
     */
   def changeFeed(spark: SparkSession, dir: String, fromV: Int, toV: Int,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], updateAware: Boolean = false): DataFrame = {
     require(fromV < toV, s"empty feed range [$fromV, $toV]")
     val snaps = ManifestTable.snapshots(spark, dir)
     def snap(v: Int) = snaps.find(_.version == v)
@@ -72,7 +72,16 @@ object ChangeFeed {
         else if (sNew.op == "append" && sNew.deletes == sOld.deletes &&
             sOld.files.forall(sNew.files.toSet))
           appendStep(spark, dir, sOld, sNew)
-        else SnapshotDiff.diff(
+        else if (updateAware) {
+          // X183's CDC contract: a replace step surfaces a changed key as
+          // its delete+insert pair, not as "matched, nothing to report"
+          require(keys.nonEmpty,
+            s"change feed: version ${v + 1} at $dir is a replace commit — " +
+              "surfacing it needs the row-identity `keys`")
+          SnapshotDiff.diffCdc(
+            ManifestTable.readVersion(spark, dir, v + 1),
+            ManifestTable.readVersion(spark, dir, v), keys)
+        } else SnapshotDiff.diff(
           ManifestTable.readVersion(spark, dir, v + 1),
           ManifestTable.readVersion(spark, dir, v), keys)
       step.withColumn("from_version", lit(v))

@@ -356,7 +356,7 @@ object ManifestTable {
     * consumers (q_commit_log) can compose them with other driver-side
     * metadata (footer counts) without a Spark join of two 4-row frames.
     */
-  private[lake] def historyRows(spark: SparkSession,
+  private[graft] def historyRows(spark: SparkSession,
       dir: String): Seq[(Snapshot, String)] = {
     val snaps = snapshots(spark, dir)
     snaps.zip(None +: snaps.map(Option(_))).map { case (s, prev) =>

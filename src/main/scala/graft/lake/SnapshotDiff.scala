@@ -63,6 +63,33 @@ object SnapshotDiff {
         "diff input collides with internal marker columns")
     }
 
+  /** Update-aware keyed diff (the X183 CDC shape): like [[diff]], but a
+    * key present on BOTH sides with any non-key column changed emits its
+    * delete+insert pair (`deleted` carrying the old values, `added` the
+    * new) instead of vanishing as "matched". Non-key columns compare
+    * null-safely, so NULL→value and value→NULL both surface. Same single
+    * key-shuffle full-outer join; the two projections reuse its exchange.
+    * Keys must be row-unique per side (the [[diff]] contract) — duplicate
+    * key groups join-multiply here exactly as they mis-pair there.
+    */
+  def diffCdc(cur: DataFrame, prev: DataFrame, keys: Seq[String]): DataFrame = {
+    requireDiffable(cur, prev)
+    val c = cur.withColumn(cMark, lit(1))
+    val p = prev.withColumn(pMark, lit(1))
+    val nonKey = cur.columns.filterNot(keys.contains)
+    val differs = nonKey.map(n => !(c(n) <=> p(n)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val joined = c.join(p, keys, "full_outer")
+    def side(mark: String, otherMark: String, pick: String => Column,
+        tag: String): DataFrame =
+      joined.where(col(mark).isNotNull && (col(otherMark).isNull || differs))
+        .select(cur.columns.map { n =>
+          (if (keys.contains(n)) col(n) else pick(n)).as(n)
+        }.toIndexedSeq :+ lit(tag).as("change"): _*)
+    side(cMark, pMark, c(_), "added")
+      .unionByName(side(pMark, cMark, p(_), "deleted"))
+  }
+
   /** Null-safe variant of [[diff]]: keys compare with `<=>` so NULL = NULL
     * matches. The reference inherits SQL null semantics from its anti-joins
     * (a NULL-keyed row double-tags as both added and deleted — SURVEY §2

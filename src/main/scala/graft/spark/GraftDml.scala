@@ -395,6 +395,9 @@ object GraftDml {
     * SQL MERGE (update ∪ insert — the insert half re-adds keys the DELETE
     * tombstoned, pinning that MERGE sees through deletion vectors).
     */
+  private[spark] def dmlFixture(s: SparkSession, d: String): String =
+    fixture(s, d)
+
   private def fixture(s: SparkSession, d: String): String =
     graft.util.FixtureCache.dir("sql_dml", d) { dir =>
       val o = Tables.orders(s, d)

@@ -131,28 +131,37 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
   }
 
   // X114: the same format string serves readStream — versions as offsets
-  // (see GraftStreamSource).
-  private def streamParams(parameters: Map[String, String]): (String, Boolean) =
-    (parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft: 'path' is required")),
-      parameters.get("skipChangeCommits").exists(_.toBoolean))
+  // (see GraftStreamSource). X183: `readChangeFeed=true` (+ `keys`)
+  // switches to the CDF shape — rows plus _change_type/_commit_version.
+  private def streamParams(
+      parameters: Map[String, String]): (String, Boolean, Option[Seq[String]]) = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft: 'path' is required"))
+    val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
+    val keys = parameters.get("keys").map(_.split(",").map(_.trim).toSeq)
+    if (cdf) require(keys.exists(_.nonEmpty),
+      "graft stream: readChangeFeed needs option 'keys' (comma-separated " +
+        "row-identity columns) — replace commits surface through a keyed diff")
+    (dir, parameters.get("skipChangeCommits").exists(_.toBoolean),
+      if (cdf) keys else None)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val (dir, skip) = streamParams(parameters)
+    val (dir, skip, cdf) = streamParams(parameters)
     (shortName(),
-      schema.getOrElse(
-        new GraftStreamSource(sqlContext.sparkSession, dir, skip).schema))
+      schema.getOrElse(new GraftStreamSource(
+        sqlContext.sparkSession, dir, skip, cdfKeys = cdf).schema))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
-    val (dir, skip) = streamParams(parameters)
+    val (dir, skip, cdf) = streamParams(parameters)
     new GraftStreamSource(sqlContext.sparkSession, dir, skip,
       maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toInt),
-      metadataPath = Some(metadataPath))
+      metadataPath = Some(metadataPath), cdfKeys = cdf)
   }
 
   override def createRelation(sqlContext: SQLContext,

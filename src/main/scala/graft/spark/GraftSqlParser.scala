@@ -1,0 +1,439 @@
+package graft.spark
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType, DataType}
+
+import graft.lake.{CopyInto, ManifestTable, Restore, Vacuum, ZOrder}
+
+/** X181 — the table-maintenance SQL surface: `VACUUM`, `OPTIMIZE` and
+  * `DESCRIBE HISTORY` as real SQL statements, the statements Delta adds
+  * through its own injected parser (the reference operates its lake from
+  * an orchestrator — `airflow/dags/apify_dag.py` — and an operator on
+  * call runs maintenance from a SQL prompt, not a Scala REPL).
+  *
+  * Architecture: `SparkSessionExtensions.injectParser` wraps the session
+  * parser in a [[GraftSqlParser]] delegate. A statement whose LEADING
+  * keyword is one of ours parses against a strict shape and becomes a
+  * runnable command; everything else — including plain `DESCRIBE t` —
+  * passes through to Spark's parser untouched, so the wrapped session
+  * loses no SQL. A malformed graft statement refuses with its usage
+  * line rather than delegating (Spark's parser would only produce a
+  * baffling generic syntax error for a keyword it never owned).
+  *
+  * Statement shapes (paths are single-quoted, like the OPTIONS the DDL
+  * surface already takes; `AT <yyyymmdd> <hhmm>` pins the commit stamp,
+  * defaulting to wall clock like every other write surface):
+  *
+  *  - `VACUUM '<path>' [RETAIN <n> VERSIONS]` → X61/X105 ref-aware
+  *    retention, returns the reclaimed versions (default keeps 7);
+  *  - `OPTIMIZE '<path>' [ZORDER BY (c1, c2)] [TARGET <n> BYTES] [AT …]`
+  *    → X129 bin-packing (or X106 z-order clustering) as one commit,
+  *    returns the committed version — zero rows when the table is
+  *    already within budget (the idempotent-maintenance contract);
+  *  - `DESCRIBE HISTORY '<path>'` → the X102 commit log as rows.
+  *
+  * X182 widens the same surface to the remaining lake operations — the
+  * statements an on-call operator needs when a bad load ships:
+  *
+  *  - `RESTORE '<path>' TO VERSION AS OF <n> [AT …]` → X118 rollback as
+  *    a new commit (the bad version stays time-travelable);
+  *  - `CLONE '<src>' TO '<dst>' [VERSION AS OF <n>] [AT …]` → X108 deep
+  *    clone, an independent table sharing nothing with its source;
+  *  - `COPY INTO '<path>' FROM '<landing>' [DEDUPE BY content] [AT …]`
+  *    → X119 exactly-once file ingestion — zero rows when every landed
+  *    file was already ingested (idempotent re-run, visible in SQL);
+  *  - `DESCRIBE DETAIL '<path>'` → one metadata row (version, op, file
+  *    counts, bytes, exact row count) from manifests + parquet FOOTERS
+  *    alone — no Spark job, so a 100 TB table answers as fast as a
+  *    100 MB one.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseGraft(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan =
+    GraftSqlParser.parseGraft(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** Default OPTIMIZE file-size budget: the 128 MiB Delta/parquet
+    * convention (one comfortable task per file at scan time).
+    */
+  val DefaultTargetBytes: Long = 128L * 1024 * 1024
+
+  /** Default VACUUM retention in versions. */
+  val DefaultKeepLast: Int = 7
+
+  private val Id = """[A-Za-z_][A-Za-z_0-9]*"""
+  private val VacuumRe =
+    ("""(?is)\s*VACUUM\s+'([^']+)'""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
+  private val OptimizeRe =
+    ("""(?is)\s*OPTIMIZE\s+'([^']+)'""" +
+      s"""(?:\\s+ZORDER\\s+BY\\s*\\(\\s*($Id)\\s*,\\s*($Id)\\s*\\))?""" +
+      """(?:\s+TARGET\s+(\d+)\s+BYTES)?""" +
+      """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s*;?\s*""").r
+  private val HistoryRe =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
+  private val RestoreRe =
+    ("""(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)""" +
+      """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s*;?\s*""").r
+  private val CloneRe =
+    ("""(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s*;?\s*""").r
+  private val CopyIntoRe =
+    ("""(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
+      """(?:\s+DEDUPE\s+BY\s+(path|content))?""" +
+      """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s*;?\s*""").r
+
+  private def stamp(d: String, t: String): (Int, Int) =
+    if (d != null) (d.toInt, t.toInt)
+    else {
+      val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+      (now.getYear * 10000 + now.getMonthValue * 100 + now.getDayOfMonth,
+        now.getHour * 100 + now.getMinute)
+    }
+
+  /** Some(plan) when the statement is ours; None delegates. A leading
+    * graft keyword with a malformed tail refuses with the usage shape.
+    */
+  private[spark] def parseGraft(sql: String): Option[LogicalPlan] = {
+    val lead = sql.trim.split("\\s+").take(2).map(_.toUpperCase)
+    sql match {
+      case VacuumRe(path, keep) =>
+        Some(GraftVacuumCommand(path,
+          Option(keep).map(_.toInt).getOrElse(DefaultKeepLast)))
+      case OptimizeRe(path, c1, c2, target, d, t) =>
+        val (date, time) = stamp(d, t)
+        Some(GraftOptimizeCommand(path,
+          Option(c1).map(_ -> c2),
+          Option(target).map(_.toLong).getOrElse(DefaultTargetBytes),
+          date, time))
+      case HistoryRe(path) => Some(GraftHistoryCommand(path))
+      case DetailRe(path) => Some(GraftDetailCommand(path))
+      case RestoreRe(path, v, d, t) =>
+        val (date, time) = stamp(d, t)
+        Some(GraftRestoreCommand(path, v.toInt, date, time))
+      case CloneRe(src, dst, v, d, t) =>
+        val (date, time) = stamp(d, t)
+        Some(GraftCloneCommand(src, dst, Option(v).map(_.toInt), date, time))
+      case CopyIntoRe(path, landing, dedupe, d, t) =>
+        val (date, time) = stamp(d, t)
+        Some(GraftCopyIntoCommand(path, landing,
+          Option(dedupe).map(_.toLowerCase).getOrElse("path"), date, time))
+      case _ if lead.headOption.contains("RESTORE") =>
+        throw new IllegalArgumentException(
+          "graft RESTORE: expected RESTORE '<path>' TO VERSION AS OF <n> " +
+            "[AT <yyyymmdd> <hhmm>]")
+      case _ if lead.headOption.contains("CLONE") =>
+        throw new IllegalArgumentException(
+          "graft CLONE: expected CLONE '<src>' TO '<dst>' " +
+            "[VERSION AS OF <n>] [AT <yyyymmdd> <hhmm>]")
+      case _ if lead.length == 2 && lead(0) == "COPY" && lead(1) == "INTO" =>
+        throw new IllegalArgumentException(
+          "graft COPY INTO: expected COPY INTO '<path>' FROM '<landing>' " +
+            "[DEDUPE BY content] [AT <yyyymmdd> <hhmm>]")
+      case _ if lead.length == 2 && lead(0).startsWith("DESC") &&
+          lead(1) == "DETAIL" =>
+        throw new IllegalArgumentException(
+          "graft DESCRIBE DETAIL: expected DESCRIBE DETAIL '<path>'")
+      case _ if lead.headOption.contains("VACUUM") =>
+        throw new IllegalArgumentException(
+          "graft VACUUM: expected VACUUM '<path>' [RETAIN <n> VERSIONS]")
+      case _ if lead.headOption.contains("OPTIMIZE") =>
+        throw new IllegalArgumentException(
+          "graft OPTIMIZE: expected OPTIMIZE '<path>' [ZORDER BY (c1, c2)] " +
+            "[TARGET <n> BYTES] [AT <yyyymmdd> <hhmm>]")
+      case _ if lead.length == 2 && lead(0).startsWith("DESC") &&
+          lead(1) == "HISTORY" =>
+        throw new IllegalArgumentException(
+          "graft DESCRIBE HISTORY: expected DESCRIBE HISTORY '<path>'")
+      case _ => None
+    }
+  }
+}
+
+/** `VACUUM '<path>' [RETAIN n VERSIONS]` → X61/X105: ref-aware version
+  * retention + reference-counted file sweep, one row per reclaimed
+  * version (none when nothing expired — retention is idempotent).
+  */
+case class GraftVacuumCommand(dir: String, keepLast: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("reclaimed_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Vacuum.vacuum(spark, dir, keepLast).map(v => Row(v.toLong))
+}
+
+/** `OPTIMIZE '<path>' [ZORDER BY (c1, c2)] [TARGET n BYTES]` → one
+  * maintenance commit (X129 bin-pack, or X106 z-order when a clustering
+  * dimension is given), sized from the manifest's own listed footprint.
+  * Returns the committed version; zero rows = already within budget,
+  * nothing committed.
+  */
+case class GraftOptimizeCommand(dir: String, zorder: Option[(String, String)],
+    targetBytes: Long, date: Int, time: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = zorder match {
+    case None =>
+      ZOrder.binPack(spark, dir, targetBytes, date, time)
+        .map(v => Row(v.toLong)).toSeq
+    case Some((c1, c2)) =>
+      val latest = ManifestTable.snapshots(spark, dir).lastOption.getOrElse(
+        throw new NoSuchElementException(s"no committed snapshot at $dir"))
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = latest.files.map(f => fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      Seq(Row(ZOrder.optimize(spark, dir, c1, c2, n, date, time).toLong))
+  }
+}
+
+/** `DESCRIBE HISTORY '<path>'` → the X102 commit log (driver-side
+  * manifest metadata only, zero data bytes read).
+  */
+case class GraftHistoryCommand(dir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("run_date", IntegerType, nullable = false)(),
+    AttributeReference("run_time", IntegerType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_delete_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    ManifestTable.history(spark, dir).collect().toSeq
+}
+
+/** `RESTORE '<path>' TO VERSION AS OF n` → X118: commit the target
+  * version's exact content as the new latest (files re-referenced, zero
+  * bytes copied; the rolled-back-over versions stay time-travelable).
+  * Returns `(restored_to_version, version)` — the target and the commit
+  * that now serves it.
+  */
+case class GraftRestoreCommand(dir: String, toVersion: Int, date: Int,
+    time: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to_version", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = Restore.restore(spark, dir, toVersion, date, time)
+    Seq(Row(toVersion.toLong, v.toLong))
+  }
+}
+
+/** `CLONE '<src>' TO '<dst>' [VERSION AS OF n]` → X108 deep clone: an
+  * independent table whose version 1 carries the source version's exact
+  * content (tombstones remapped with their files) and shares no file
+  * lifetime with the source afterwards.
+  */
+case class GraftCloneCommand(src: String, dst: String, version: Option[Int],
+    date: Int, time: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("src_version", LongType, nullable = false)(),
+    AttributeReference("dst_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = version.orElse(ManifestTable.latestVersion(spark, src)).getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot at $src"))
+    val dv = ManifestTable.cloneVersion(spark, src, dst, date, time, Some(v))
+    Seq(Row(v.toLong, dv.toLong))
+  }
+}
+
+/** `COPY INTO '<path>' FROM '<landing>'` → X119: exactly-once ingestion
+  * of the landing dir's parquet drops — one row with the committed
+  * version when new files landed, ZERO rows when every file was already
+  * ingested (the idempotent re-run, now visible from SQL).
+  */
+case class GraftCopyIntoCommand(dir: String, landing: String,
+    dedupeBy: String, date: Int, time: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    CopyInto.copyInto(spark, dir, landing, date, time, dedupeBy = dedupeBy)
+      .map(v => Row(v.toLong)).toSeq
+}
+
+/** `DESCRIBE DETAIL '<path>'` → one table-level metadata row, Delta's
+  * DESCRIBE DETAIL shape: latest version, its op kind, file counts,
+  * total data bytes and the EXACT row count — all from the manifest and
+  * parquet footers on the driver (X69 discipline: zero Spark jobs, so
+  * the answer costs the same at 100 TB as at 100 MB).
+  */
+case class GraftDetailCommand(dir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_delete_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (snap, kind) = ManifestTable.historyRows(spark, dir).lastOption
+      .getOrElse(throw new NoSuchElementException(
+        s"no committed snapshot at $dir"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = snap.files.map(f => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen).sum
+    Seq(Row(snap.version.toLong, kind, snap.files.size.toLong,
+      snap.deletes.size.toLong, bytes,
+      ManifestTable.footerCount(spark, dir, snap)))
+  }
+}
+
+/** X181 query surface: one fixture drives the whole maintenance loop
+  * from pure SQL — fragment a table across three commits, `OPTIMIZE` it
+  * into one commit, `VACUUM` the expired parents — then one query checks
+  * the surviving content (maintenance must be invisible) and one checks
+  * the `DESCRIBE HISTORY` ledger (deterministic because the statements
+  * pin their commit stamps with `AT`).
+  */
+object GraftSqlQueries {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  import graft.sources.Tables
+  import graft.util.{Exact, FixtureCache}
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def fixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("sql_maint", d) { dir =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        .repartition(16)
+      ManifestTable.commit(o.where(col("k") % 3 === 0), dir, 20250901, 900)
+      ManifestTable.appendRetrying(o.where(col("k") % 3 === 1), dir, 20250901, 910)
+      ManifestTable.appendRetrying(o.where(col("k") % 3 === 2), dir, 20250901, 920)
+      val ext = GraftDml.extSession(s)
+      ext.sql(s"OPTIMIZE '$dir' AT 20250901 1000")
+      ext.sql(s"VACUUM '$dir' RETAIN 1 VERSIONS")
+    }
+
+  /** X182 fixture: one root drives all four lake-op statements from a
+    * pure-SQL session — a bad replace RESTOREd away, the bad version
+    * CLONEd out for forensics, and a landing dir COPY INTOed twice (the
+    * second a visible no-op).
+    */
+  private def lakeopsFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("sql_lakeops", d) { root =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      ManifestTable.commit(o.repartition(8), s"$root/t", 20250901, 900)
+      ManifestTable.commit(o.where(col("k") % 3 === 0), s"$root/t", 20250901, 910)
+      val ext = GraftDml.extSession(s)
+      ext.sql(s"RESTORE '$root/t' TO VERSION AS OF 1 AT 20250901 1000")
+      ext.sql(s"CLONE '$root/t' TO '$root/c' VERSION AS OF 2 AT 20250901 1010")
+      o.where(col("k") % 7 === 0).coalesce(1).write.parquet(s"$root/land")
+      ext.sql(s"COPY INTO '$root/cp' FROM '$root/land' AT 20250901 1020")
+      // idempotent re-run: already-ingested drops commit nothing
+      ext.sql(s"COPY INTO '$root/cp' FROM '$root/land' AT 20250901 1030")
+    }
+
+  val queries: Map[String, Q] = Map(
+    // X182: RESTORE rolled the bad replace back — latest content equals
+    // v1 again, and DESCRIBE DETAIL's driver-side row count / version /
+    // op kind ride as literals against the content-derived oracle
+    "q_sql_restore" -> ((s, d) => {
+      val root = lakeopsFixture(s, d)
+      val det = GraftDml.extSession(s)
+        .sql(s"DESCRIBE DETAIL '$root/t'").collect()(0)
+      ManifestTable.readLatest(s, s"$root/t")
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .withColumn("version", lit(det.getLong(0)))
+        .withColumn("last_op", lit(det.getString(1)))
+        .withColumn("detail_rows", lit(det.getLong(5)))
+    }),
+    // X182: the clone carries exactly the bad v2 content as ITS v1
+    "q_sql_clone" -> ((s, d) => {
+      val root = lakeopsFixture(s, d)
+      val det = GraftDml.extSession(s)
+        .sql(s"DESCRIBE DETAIL '$root/c'").collect()(0)
+      ManifestTable.readLatest(s, s"$root/c")
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .withColumn("version", lit(det.getLong(0)))
+    }),
+    // X182: COPY INTO landed the drop exactly once across two runs
+    "q_sql_copy_into" -> ((s, d) => {
+      val root = lakeopsFixture(s, d)
+      val snaps = ManifestTable.snapshots(s, s"$root/cp")
+      ManifestTable.readLatest(s, s"$root/cp")
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .withColumn("n_versions", lit(snaps.size))
+    }),
+    // content invisible under OPTIMIZE + VACUUM; the ledger facts ride
+    // as literals so a wrong op kind / version count / file count fails
+    "q_sql_maintenance" -> ((s, d) => {
+      val dir = fixture(s, d)
+      val snaps = ManifestTable.snapshots(s, dir)
+      ManifestTable.readLatest(s, dir)
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .withColumn("n_versions", lit(snaps.size))
+        .withColumn("last_op", lit(snaps.last.op))
+        .withColumn("n_files", lit(snaps.last.files.size))
+    }),
+    // the post-vacuum commit log, straight from DESCRIBE HISTORY
+    "q_sql_history" -> ((s, d) => {
+      val dir = fixture(s, d)
+      GraftDml.extSession(s).sql(s"DESCRIBE HISTORY '$dir'").orderBy("version")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_sql_restore" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |       CAST(3 AS BIGINT) AS version, 'restore' AS last_op,
+        |       count(*) AS detail_rows
+        |FROM orders""".stripMargin,
+    "q_sql_clone" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |       CAST(1 AS BIGINT) AS version
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    "q_sql_copy_into" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |       CAST(1 AS INT) AS n_versions
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    "q_sql_maintenance" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |       CAST(1 AS INT) AS n_versions, 'optimize' AS last_op,
+        |       CAST(1 AS INT) AS n_files
+        |FROM orders""".stripMargin,
+    "q_sql_history" ->
+      """SELECT CAST(4 AS BIGINT) AS version, 20250901 AS run_date,
+        |       1000 AS run_time, 'optimize' AS op,
+        |       CAST(1 AS BIGINT) AS n_files,
+        |       CAST(0 AS BIGINT) AS n_delete_files""".stripMargin)
+}

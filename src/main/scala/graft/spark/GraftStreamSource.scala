@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.lake.ManifestTable
+import graft.lake.{ChangeFeed, ManifestTable}
 import graft.sources.Tables
 import graft.util.{Exact, FixtureCache, Scratch}
 
@@ -31,19 +31,41 @@ import graft.util.{Exact, FixtureCache, Scratch}
   * (Delta's own escape hatch) for consumers that only want arrivals.
   * Exactly-once falls out of deterministic offsets: a replayed batch
   * (same version range) reads the same immutable files.
+  *
+  * X183 — `option("readChangeFeed", "true")` (plus `keys`) switches the
+  * source to Delta CDF's streaming shape: every batch carries the table
+  * columns plus `_change_type` (`insert`/`delete` — an update is its
+  * key's delete+insert pair) and `_commit_version`. The initial snapshot
+  * (version 1) is emitted as inserts, exactly Delta's starting-snapshot
+  * semantics; every later version's rows come from the X75 change feed,
+  * whose metadata routing keeps batch cost ∝ the step's own change
+  * (append commits scan only appended files, DV commits only the
+  * tombstone delta, optimize/materialize contribute zero rows without
+  * reading the version at all). Change commits are the POINT here, so
+  * nothing refuses — a replace commit surfaces through the keyed diff,
+  * which is why `keys` is required up front. Offsets, rate limiting,
+  * AvailableNow and exactly-once replay are the same version machinery
+  * as the arrivals mode; the feed of a replayed range is deterministic
+  * because it derives from immutable manifests and files.
   */
 class GraftStreamSource(spark: SparkSession, dir: String,
     skipChangeCommits: Boolean, maxVersionsPerBatch: Option[Int] = None,
-    metadataPath: Option[String] = None)
+    metadataPath: Option[String] = None, cdfKeys: Option[Seq[String]] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  override val schema: StructType = {
+  private val tableSchema: StructType = {
     val snaps = ManifestTable.snapshots(spark, dir)
     require(snaps.nonEmpty, s"graft stream: no committed snapshot at $dir")
     spark.read.parquet(snaps.last.files.map(f => s"$dir/$f"): _*).schema
   }
+
+  override val schema: StructType =
+    if (cdfKeys.isEmpty) tableSchema
+    else tableSchema
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
 
   // Backfill rate limiting (the file source's maxFilesPerTrigger, in
   // versions): never offer more than N versions past what the engine
@@ -147,6 +169,7 @@ class GraftStreamSource(spark: SparkSession, dir: String,
       }
     val fromV = start.map(versionOf).getOrElse(0)
     val toV = versionOf(end)
+    if (cdfKeys.isDefined) return cdfBatch(fromV, toV)
     val all = ManifestTable.snapshots(spark, dir)
     val byVersion = all.map(s => s.version -> s).toMap
     val snaps = all.filter(s => s.version > fromV && s.version <= toV)
@@ -181,6 +204,38 @@ class GraftStreamSource(spark: SparkSession, dir: String,
       spark, batch.queryExecution.toRdd, schema, isStreaming = true)
   }
 
+  /** X183: the CDF batch for `(fromV, toV]` — the initial snapshot as
+    * inserts when the range opens at 0, then one X75 step per version.
+    * Deterministic per range (immutable manifests + files), so replays
+    * are exactly-once like the arrivals mode.
+    */
+  private def cdfBatch(fromV: Int, toV: Int): DataFrame = {
+    val cols = tableSchema.fieldNames.map(col)
+    def shape(df: DataFrame, change: org.apache.spark.sql.Column,
+        ver: org.apache.spark.sql.Column): DataFrame =
+      df.select(cols :+ change.as("_change_type")
+        :+ ver.cast("long").as("_commit_version"): _*)
+    val init =
+      if (fromV == 0)
+        Some(shape(ManifestTable.readVersion(spark, dir, 1),
+          lit("insert"), lit(1L)))
+      else None
+    val from = math.max(fromV, 1)
+    val steps =
+      if (toV > from)
+        Some(shape(
+          ChangeFeed.changeFeed(spark, dir, from, toV, cdfKeys.get,
+            updateAware = true),
+          when(col("change") === "added", "insert").otherwise("delete"),
+          col("to_version")))
+      else None
+    val batch = (init.toSeq ++ steps.toSeq).reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    GraftShim.internalCreateDataFrame(
+      spark, batch.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -202,7 +257,43 @@ object GraftStream {
     q.awaitTermination()
   }
 
+  /** One AvailableNow pass of the X183 change feed into a parquet sink. */
+  def runCdfOnce(spark: SparkSession, tableDir: String, keys: String,
+      sinkDir: String, chkDir: String): Unit = {
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("keys", keys)
+      .load(tableDir)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", chkDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   val queries: Map[String, Q] = Map(
+    // X183: initial snapshot as inserts, an append, a DV delete and a
+    // second append streamed as one CDF pass; the per-(change, version)
+    // ledger is rebuilt by the oracle from raw orders, so a re-emitted
+    // snapshot, a missed tombstone or a wrong commit stamp all fail.
+    "q_stream_cdf" -> ((s, d) => {
+      val sink = FixtureCache.dir("graft_scdf", d) { sink =>
+        val tbl = Scratch.dir("graft_scdf_tbl")
+        val chk = Scratch.dir("graft_scdf_chk")
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        ManifestTable.commit(o.where(col("k") % 4 === 0), tbl, 20250801, 900)
+        ManifestTable.appendRetrying(o.where(col("k") % 4 === 1), tbl, 20250801, 1000)
+        graft.lake.DeleteVectors.deleteWhereRetrying(
+          s, tbl, col("k") % 16 === 0, 20250801, 1100)
+        ManifestTable.appendRetrying(o.where(col("k") % 4 === 2), tbl, 20250801, 1200)
+        runCdfOnce(s, tbl, "k", sink, chk)
+      }
+      s.read.parquet(sink)
+        .groupBy("_change_type", "_commit_version")
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .orderBy("_commit_version", "_change_type")
+    }),
     // Three append commits streamed in one AvailableNow pass, a fourth
     // appended AFTER it and picked up by a second pass on the SAME
     // checkpoint. Any re-emission (initial snapshot replayed, appended
@@ -228,6 +319,25 @@ object GraftStream {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_cdf" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+        |         count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT 'insert', 2, count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 4 = 1
+        |  UNION ALL
+        |  SELECT 'delete', 3, count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 16 = 0
+        |  UNION ALL
+        |  SELECT 'insert', 4, count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 4 = 2
+        |) ORDER BY _commit_version, _change_type""".stripMargin,
     "q_stream_format" ->
       """SELECT event_type, count(*) AS n_rows,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

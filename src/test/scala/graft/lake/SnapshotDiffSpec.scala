@@ -71,6 +71,34 @@ class SnapshotDiffSpec extends SparkSpec {
       ("nullgone", null, "deleted")).sortBy(key))
   }
 
+  test("golden update-aware CDC diff: value changes emit delete+insert pairs") {
+    // key = username only; full_name is a payload column here
+    val prev = df(Seq(
+      ("stay", "Same Person"),     // unchanged → silent
+      ("gone", "Was Here"),        // deleted
+      ("edit", "Old Name"),        // value update → delete+insert pair
+      ("nulled", "Had A Name")     // value → NULL, must surface
+    ))
+    val cur = df(Seq(
+      ("stay", "Same Person"),
+      ("fresh", "New Person"),     // added
+      ("edit", "New Name"),
+      ("nulled", null)
+    ))
+    val out = SnapshotDiff.diffCdc(cur, prev, Seq("username"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(out == Set(
+      ("fresh", "New Person", "added"),
+      ("gone", "Was Here", "deleted"),
+      ("edit", "New Name", "added"),
+      ("edit", "Old Name", "deleted"),
+      ("nulled", null, "added"),
+      ("nulled", "Had A Name", "deleted")))
+    // and the plain keyed diff stays presence-only for the same inputs
+    assert(SnapshotDiff.diff(cur, prev, Seq("username")).count() == 2)
+  }
+
   test("property: diff(s, s) is empty") {
     val s1 = df(Seq(("a", "A"), ("b", "B"), ("b", "B")))
     assert(SnapshotDiff.diff(s1, s1, keys).count() === 0)

@@ -182,6 +182,49 @@ class GraftStreamSpec extends SparkSpec {
     assert(spark.read.parquet(sink2).count() == 11)
   }
 
+  test("X183 readChangeFeed: snapshot as inserts, DV deletes and replace updates as keyed changes, exactly-once") {
+    val tbl = Scratch.dir("gcdf_tbl")
+    val sink = Scratch.dir("gcdf_sink")
+    val chk = Scratch.dir("gcdf_chk")
+    ManifestTable.commit((0L until 10L).map(i => (i, i)).toDF("k", "v"),
+      tbl, 20250801, 900)
+    ManifestTable.appendRetrying((10L until 15L).map(i => (i, i)).toDF("k", "v"),
+      tbl, 20250801, 1000)
+    DeleteVectors.deleteWhereRetrying(spark, tbl, col("k") < 2, 20250801, 1100)
+
+    GraftStream.runCdfOnce(spark, tbl, "k", sink, chk)
+    val feed1 = spark.read.parquet(sink)
+    def n(feed: org.apache.spark.sql.DataFrame, ct: String, v: Long): Long =
+      feed.where(col("_change_type") === ct && col("_commit_version") === v).count()
+    assert(n(feed1, "insert", 1) == 10, "initial snapshot as inserts")
+    assert(n(feed1, "insert", 2) == 5, "append step scans only appended files")
+    assert(n(feed1, "delete", 3) == 2, "DV step emits the tombstoned rows")
+    assert(feed1.count() == 17)
+
+    // an update shipped as a replace commit: k=5 changes value 5 → 500;
+    // the keyed diff surfaces EXACTLY that key's delete+insert pair
+    ManifestTable.commit(
+      (2L until 15L).map(i => (i, if (i == 5) 500L else i)).toDF("k", "v"),
+      tbl, 20250801, 1200)
+    GraftStream.runCdfOnce(spark, tbl, "k", sink, chk) // same checkpoint
+    val feed2 = spark.read.parquet(sink)
+    assert(feed2.count() == 19, "second pass lands only version 4's changes")
+    val v4 = feed2.where(col("_commit_version") === 4)
+      .select("_change_type", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v4 == Set(("insert", 5L, 500L), ("delete", 5L, 5L)))
+  }
+
+  test("X183 readChangeFeed refuses without keys — replace commits need a row identity") {
+    val tbl = Scratch.dir("gcdf_nokeys")
+    ManifestTable.commit(Seq((1L, 1L)).toDF("k", "v"), tbl, 20250801, 900)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(tbl)
+    }
+    assert(e.getMessage.contains("needs option 'keys'"))
+  }
+
   test("a vacuumed parent refuses the delta instead of re-emitting the table") {
     val tbl = Scratch.dir("gstream_vac")
     (0 until 3).foreach { k =>
