@@ -143,6 +143,30 @@ object ColumnMap {
     v
   }
 
+  /** Enable column mapping on an existing UNMAPPED table: derive field
+    * ids from the latest version's file schema in column order (logical
+    * = physical — the files already store these names), written at the
+    * CURRENT version, so every later schema change is era-tracked from
+    * here on. Idempotent (a no-op on mapped tables); Delta's
+    * `columnMapping = name` upgrade move. Reads footers only — O(files)
+    * metadata, zero data bytes.
+    */
+  def ensureMapping(spark: SparkSession, dir: String): Unit = {
+    val snaps = ManifestTable.snapshots(spark, dir)
+    require(snaps.nonEmpty, s"no committed snapshot at $dir")
+    if (mappings(spark, dir).isEmpty) {
+      val snap = snaps.last
+      require(snap.files.nonEmpty,
+        s"cannot derive a column mapping for an empty table at $dir")
+      val schema = spark.read.option("mergeSchema", "true")
+        .parquet(snap.files.map(f => s"$dir/$f"): _*).schema
+      val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+        Field(i + 1, f.name, f.name, f.dataType.catalogString)
+      }.toSeq
+      writeMapping(spark, dir, snap.version, fields)
+    }
+  }
+
   def renameColumn(spark: SparkSession, dir: String, from: String, to: String): Int =
     schemaCommit(spark, dir, "rename", { fields =>
       require(fields.exists(_.logical == from), s"no column '$from'")

@@ -150,6 +150,17 @@ object ManifestTable {
       .sorted
   }
 
+  /** Delete staged-but-uncommitted data dirs (refusal / scratch cleanup —
+    * the complement of [[stageDataFiles]]). Accepts the relative paths
+    * that call returned; removes each distinct staging dir recursively.
+    */
+  private[graft] def dropStaged(spark: SparkSession, dir: String,
+      staged: Seq[String]): Unit = {
+    val fs = fsFor(spark, dir)
+    staged.map(_.split('/').dropRight(1).mkString("/")).distinct
+      .foreach(rel => fs.delete(new Path(s"$dir/$rel"), true))
+  }
+
   /** Bounded optimistic-commit loop: re-resolve the latest snapshot,
     * attempt the manifest publish, and on a lost rename race try again
     * against the new latest. Only manifest metadata is rebuilt per

@@ -106,34 +106,47 @@ object Merge {
     val snap = ManifestTable.snapshots(spark, dir).lastOption.getOrElse(
       throw new NoSuchElementException(
         s"no committed version at $dir — commit the initial state first"))
-    val cands = candidateFiles(spark, dir, snap, updates, keys)
-    val touched: Seq[String] =
-      if (cands.isEmpty) Nil
-      else {
-        val scan = DeleteVectors.applyTo(spark, dir, snap,
-          Tables.cachedScan(spark, cands.map(f => s"$dir/$f"))
-            .select(col("*"), DeleteVectors.relFile.as("__cow_file")))
-        scan.join(updates.select(keys.map(col): _*).distinct(), keys, "left_semi")
-          .select("__cow_file").distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
-      }
-    val base: DataFrame =
-      if (touched.nonEmpty)
-        DeleteVectors.applyTo(spark, dir, snap,
-          Tables.cachedScan(spark, touched.map(f => s"$dir/$f")))
-      else if (snap.files.nonEmpty)
-        // schema-only: limit(0) folds to an empty relation, no data read
-        Tables.cachedScan(spark, snap.files.map(f => s"$dir/$f")).limit(0)
-      else deleteCol.foldLeft(updates)(_ drop _).limit(0)
-    val merged = upsert(base, updates, keys, deleteCol)
-    // true no-op (nothing matched, nothing survives to insert): no commit.
-    // The isEmpty probe only runs on the cheap path — base is empty, so
-    // it costs one pass over the micro-batch.
-    if (touched.isEmpty && merged.isEmpty) snap.version
-    else Cow.commit(spark, dir, snap,
-      retained = snap.files.filterNot(touched.toSet),
-      staged = ManifestTable.stageDataFiles(merged, dir),
-      date, time, op = "merge", beforeCommit = beforeCommit)
+    // Stage the micro-batch ONCE, then derive the bounds probe, the
+    // touched-file semi-join AND the merge from the STAGED bytes — the
+    // X172 containment discipline ([[ReplaceWhere.replaceWhere]]): a
+    // non-deterministic batch (rand(), now()) evaluated per-use could
+    // pass pruning with one row set yet merge another, leaking keys past
+    // the touched-file proof. The staging dir is scratch (the commit
+    // stages the MERGED rows separately) and is dropped on every exit.
+    val stagedBatch = ManifestTable.stageDataFiles(updates, dir)
+    val batch: DataFrame =
+      if (stagedBatch.isEmpty) updates.limit(0)
+      else spark.read.parquet(stagedBatch.map(f => s"$dir/$f"): _*)
+    try {
+      val cands = candidateFiles(spark, dir, snap, batch, keys)
+      val touched: Seq[String] =
+        if (cands.isEmpty) Nil
+        else {
+          val scan = DeleteVectors.applyTo(spark, dir, snap,
+            Tables.cachedScan(spark, cands.map(f => s"$dir/$f"))
+              .select(col("*"), DeleteVectors.relFile.as("__cow_file")))
+          scan.join(batch.select(keys.map(col): _*).distinct(), keys, "left_semi")
+            .select("__cow_file").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+        }
+      val base: DataFrame =
+        if (touched.nonEmpty)
+          DeleteVectors.applyTo(spark, dir, snap,
+            Tables.cachedScan(spark, touched.map(f => s"$dir/$f")))
+        else if (snap.files.nonEmpty)
+          // schema-only: limit(0) folds to an empty relation, no data read
+          Tables.cachedScan(spark, snap.files.map(f => s"$dir/$f")).limit(0)
+        else deleteCol.foldLeft(batch)(_ drop _).limit(0)
+      val merged = upsert(base, batch, keys, deleteCol)
+      // true no-op (nothing matched, nothing survives to insert): no
+      // commit. The isEmpty probe only runs on the cheap path — base is
+      // empty, so it costs one pass over the staged micro-batch.
+      if (touched.isEmpty && merged.isEmpty) snap.version
+      else Cow.commit(spark, dir, snap,
+        retained = snap.files.filterNot(touched.toSet),
+        staged = ManifestTable.stageDataFiles(merged, dir),
+        date, time, op = "merge", beforeCommit = beforeCommit)
+    } finally ManifestTable.dropStaged(spark, dir, stagedBatch)
   }
 
   /** Files of `snap` that CAN hold a key of `updates` — judged entirely

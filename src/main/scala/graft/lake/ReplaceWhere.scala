@@ -207,11 +207,8 @@ object ReplaceWhere {
   }
 
   private def dropStaged(spark: SparkSession, dir: String,
-      staged: Seq[String]): Unit = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    staged.map(_.split('/').dropRight(1).mkString("/")).distinct
-      .foreach(rel => fs.delete(new Path(s"$dir/$rel"), true))
-  }
+      staged: Seq[String]): Unit =
+    ManifestTable.dropStaged(spark, dir, staged)
 
   /** The shared commit tail: retain-by-evidence, rewrite survivors of
     * straddling files, publish one manifest commit with a merged sidecar.

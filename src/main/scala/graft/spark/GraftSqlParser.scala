@@ -114,6 +114,15 @@ object GraftSqlParser {
     ("""(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
       """(?:\s+DEDUPE\s+BY\s+(path|content))?""" +
       """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s*;?\s*""").r
+  // X185: ALTER TABLE on a quoted graft path — an UNQUOTED table name
+  // delegates to Spark's own ALTER TABLE (catalog tables are not ours)
+  private val AlterRenameRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+'([^']+)'\\s+RENAME\\s+COLUMN\\s+($Id)\\s+TO\\s+($Id)\\s*;?\\s*""").r
+  private val AlterDropRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+'([^']+)'\\s+DROP\\s+COLUMN\\s+($Id)\\s*;?\\s*""".r
+  private val AlterAddRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+'([^']+)'\\s+ADD\\s+COLUMN\\s+($Id)\\s+""" +
+      """([A-Za-z][A-Za-z_0-9]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""").r
 
   private def stamp(d: String, t: String): (Int, Int) =
     if (d != null) (d.toInt, t.toInt)
@@ -150,6 +159,21 @@ object GraftSqlParser {
         val (date, time) = stamp(d, t)
         Some(GraftCopyIntoCommand(path, landing,
           Option(dedupe).map(_.toLowerCase).getOrElse("path"), date, time))
+      case AlterRenameRe(path, from, to) =>
+        Some(GraftAlterColumnCommand(path, "rename", from, to))
+      case AlterDropRe(path, name) =>
+        Some(GraftAlterColumnCommand(path, "drop", name, ""))
+      case AlterAddRe(path, name, dtype) =>
+        val dt = try org.apache.spark.sql.types.DataType.fromDDL(dtype)
+          catch { case _: Exception => throw new IllegalArgumentException(
+            s"graft ALTER TABLE: unknown column type '$dtype'") }
+        Some(GraftAlterColumnCommand(path, "add", name, dt.catalogString))
+      case _ if lead.length == 2 && lead(0) == "ALTER" && lead(1) == "TABLE" &&
+          sql.trim.split("\\s+").lift(2).exists(_.startsWith("'")) =>
+        throw new IllegalArgumentException(
+          "graft ALTER TABLE: expected ALTER TABLE '<path>' " +
+            "RENAME COLUMN <a> TO <b> | DROP COLUMN <c> | " +
+            "ADD COLUMN <c> <type>")
       case _ if lead.headOption.contains("RESTORE") =>
         throw new IllegalArgumentException(
           "graft RESTORE: expected RESTORE '<path>' TO VERSION AS OF <n> " +
@@ -312,6 +336,35 @@ case class GraftDetailCommand(dir: String) extends LeafRunnableCommand {
   }
 }
 
+/** X185 — `ALTER TABLE '<path>' RENAME COLUMN a TO b | DROP COLUMN c |
+  * ADD COLUMN c <type>`: the everyday schema-evolution statements as
+  * X110 column-mapping commits. Rename is METADATA-ONLY (same file
+  * list, one tiny mapping JSON — zero data bytes on a 100 TB table);
+  * drop removes the field id (X61 vacuum reclaims the bytes with their
+  * versions); re-adding a dropped name mints a FRESH field id and
+  * physical name, so old bytes never resurrect (Delta's no-resurrection
+  * rule, already pinned by ColumnMapSpec). An unmapped graft table is
+  * upgraded in place first ([[graft.lake.ColumnMap.ensureMapping]] —
+  * ids derived from the current footer schema), so ALTER works on any
+  * graft table, not just ColumnMap-born ones. Time travel serves each
+  * version under the LOGICAL names it had then — era-correct reads.
+  */
+case class GraftAlterColumnCommand(dir: String, op: String, a: String,
+    b: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.lake.ColumnMap.ensureMapping(spark, dir)
+    val v = op match {
+      case "rename" => graft.lake.ColumnMap.renameColumn(spark, dir, a, b)
+      case "drop" => graft.lake.ColumnMap.dropColumn(spark, dir, a)
+      case "add" => graft.lake.ColumnMap.addColumn(spark, dir, a, b)
+    }
+    Seq(Row(op, v.toLong))
+  }
+}
+
 /** X181 query surface: one fixture drives the whole maintenance loop
   * from pure SQL — fragment a table across three commits, `OPTIMIZE` it
   * into one commit, `VACUUM` the expired parents — then one query checks
@@ -360,7 +413,37 @@ object GraftSqlQueries {
       ext.sql(s"COPY INTO '$root/cp' FROM '$root/land' AT 20250901 1030")
     }
 
+  /** X185 fixture: a plain (unmapped) graft table taken through the SQL
+    * schema-evolution statements — the first ALTER upgrades it to column
+    * mapping in place; the drop + re-add of `note` pins no-resurrection.
+    */
+  private def alterFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("sql_alter", d) { dir =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      ManifestTable.commit(o, dir, 20250901, 900) // v1, no mapping yet
+      val ext = GraftDml.extSession(s)
+      ext.sql(s"ALTER TABLE '$dir' RENAME COLUMN p TO amount") // v2
+      ext.sql(s"ALTER TABLE '$dir' ADD COLUMN note string") // v3
+      ext.sql(s"ALTER TABLE '$dir' DROP COLUMN note") // v4
+      ext.sql(s"ALTER TABLE '$dir' ADD COLUMN note string") // v5, fresh id
+    }
+
   val queries: Map[String, Q] = Map(
+    // X185: latest serves (k, amount, note=NULL); version 1 time-travels
+    // under its ERA-CORRECT pre-rename name `p`; ledger facts as literals
+    "q_sql_alter" -> ((s, d) => {
+      val dir = alterFixture(s, d)
+      val snaps = ManifestTable.snapshots(s, dir)
+      val v1 = graft.lake.ColumnMap.read(s, dir, Some(1))
+        .agg(Exact.dsum(col("p")).as("sum_p_v1"))
+      graft.lake.ColumnMap.read(s, dir)
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("amount")).as("sum_amount"),
+          count(col("note")).as("n_notes"))
+        .crossJoin(v1)
+        .withColumn("n_versions", lit(snaps.size))
+        .withColumn("last_op", lit(snaps.last.op))
+    }),
     // X182: RESTORE rolled the bad replace back — latest content equals
     // v1 again, and DESCRIBE DETAIL's driver-side row count / version /
     // op kind ride as literals against the content-derived oracle
@@ -409,6 +492,13 @@ object GraftSqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_alter" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+        |       CAST(0 AS BIGINT) AS n_notes,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p_v1,
+        |       CAST(5 AS INT) AS n_versions, 'add' AS last_op
+        |FROM orders""".stripMargin,
     "q_sql_restore" ->
       """SELECT count(*) AS n_rows,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,

@@ -60,4 +60,29 @@ class InventorySpec extends AnyFunSuite {
     val dups = ids.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate SURVEY §2 rows: $dups")
   }
+
+  /** FROZEN allowlist: legacy keys that ride other rows' fixtures and are
+    * deliberately uncited in SURVEY §2. This list may only SHRINK — a new
+    * query key must land with a SURVEY row citing it (the X172/X184
+    * failure mode this tripwire now actually catches, round-8 verdict
+    * ask #3).
+    */
+  private val uncitedLegacy = Set(
+    "q_dedup_doc_exact", "q_dedup_embedding", "q_dedup_ngram_jaccard",
+    "q_dedup_simhash", "q_doc_fingerprint", "q_frame_sample", "q_lang_id",
+    "q_media_meta", "q_read_format_dv", "q_sessionize", "q_sim_lsh",
+    "q_sql_refs", "q_stream_diff", "q_text_quality", "q_token_count")
+
+  test("every query key is cited in SURVEY.md (or frozen-allowlisted)") {
+    val survey = read("SURVEY.md")
+    val uncited = queryKeys.filter(k => !survey.contains(s"`$k`"))
+    val orphans = uncited -- uncitedLegacy
+    assert(orphans.isEmpty,
+      s"queries shipped without a SURVEY §2 citation: $orphans — add a " +
+        "contract row (do NOT grow the allowlist)")
+    // the allowlist can only shrink: every entry must still be a real,
+    // still-uncited query — a cited or deleted key must leave the list
+    val stale = uncitedLegacy -- uncited
+    assert(stale.isEmpty, s"allowlist entries now cited/deleted: $stale")
+  }
 }

@@ -94,6 +94,16 @@ class MergeCowSpec extends SparkSpec {
       20250801, 1000, deleteCol = Some("del"))
     assert(v == v1)
     assert(ManifestTable.snapshots(spark, dir).last.version == v1)
+    // ...and the stage-first scratch dir is gone: every data file on disk
+    // is one the committed manifest references
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data"))
+      .map(_.getPath.getName).toSet
+    val referenced = ManifestTable.snapshots(spark, dir)
+      .flatMap(_.files).map(_.split('/')(1)).toSet
+    assert((onDisk -- referenced).isEmpty,
+      s"staged scratch left behind: ${onDisk -- referenced}")
   }
 
   test("a tombstoned key re-inserts cleanly; the old tombstone stays effective") {
@@ -107,6 +117,28 @@ class MergeCowSpec extends SparkSpec {
       "hides the original and the insert lands once")
     assert(rows(0).getString(1) == "re")
     assert(ManifestTable.readVersion(spark, dir, v3).count() == 200)
+  }
+
+  test("stage-first: a nondeterministic batch cannot leak past pruning") {
+    val dir = mkTable("cow_rand")
+    // keys drawn fresh on EVERY evaluation: before the round-9 stage-first
+    // fix, the bounds probe / touched-file semi-join / merge each saw a
+    // DIFFERENT key set, so the merge could insert keys the pruning never
+    // accounted for — duplicating rows the retained files still carry
+    val drawn = new java.util.concurrent.atomic.AtomicLong(0)
+    val nextKey = udf(() => drawn.getAndIncrement() % 400L).asNondeterministic()
+    val batch = spark.range(0, 40).select(nextKey().as("k"))
+      .withColumn("name", lit("r")).withColumn("bal", lit(-1.0))
+      .dropDuplicates("k")
+    val v2 = Merge.upsertCow(spark, dir, batch, Seq("k"), 20250801, 1100)
+    val rows = ManifestTable.readVersion(spark, dir, v2)
+      .groupBy("k").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall(_._2 == 1L),
+      s"leaked keys appear twice: ${rows.filter(_._2 > 1).map(_._1).toSeq}")
+    // every pre-existing key still present exactly once (updated or not)
+    val keys = rows.map(_._1).toSet
+    assert((0L until 200L).forall(keys.contains))
   }
 
   test("X168 value sets prune where ranges cannot (interleaved keys)") {

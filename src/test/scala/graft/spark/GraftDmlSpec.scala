@@ -144,4 +144,39 @@ class GraftDmlSpec extends SparkSpec {
                  |USING graft OPTIONS (path '$dir')""".stripMargin)
     intercept[Exception] { spark.sql("DELETE FROM dml_plain_v WHERE k = 1") }
   }
+
+  test("X184 table_changes TVF: keyless append range, refusals") {
+    val dir = Scratch.dir("dml_tvf")
+    def write(lo: Long, hi: Long, mode: String, time: String): Unit =
+      (lo to hi).map(i => (i, i * 10L)).toDF("k", "v")
+        .write.mode(mode).format("graft").option("path", dir)
+        .option("runDate", "20250701").option("runTime", time).save()
+    write(1, 5, "overwrite", "900")  // v1
+    write(6, 8, "append", "1000")    // v2: append step
+    // an append-only range needs no keys — metadata routing scans only
+    // the appended files
+    val step = ext.sql(
+      s"""SELECT change, to_version, count(*) AS n, sum(k) AS sk
+         |FROM table_changes('$dir', 1, 2) GROUP BY 1, 2""".stripMargin)
+      .collect()
+    assert(step.map(r => (r.getString(0), r.get(1).toString.toInt,
+      r.getLong(2), r.getLong(3))).toSeq === Seq(("added", 2, 3L, 21L)))
+    // a replace commit in range pays a keyed diff — keyless refuses, loudly
+    write(1, 4, "overwrite", "1100") // v3: replace step
+    val e = intercept[Exception] {
+      ext.sql(s"SELECT * FROM table_changes('$dir', 2, 3)").collect()
+    }
+    assert(e.getMessage.contains("keys"))
+    // ...and with keys the replaced rows surface as their delete+insert pairs
+    val replaced = ext.sql(
+      s"""SELECT change, count(*) AS n FROM table_changes('$dir', 2, 3, 'k')
+         |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(replaced.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("deleted", 4L))) // keys 5..8 vanish; 1..4 identical → no pair
+    // analysis-time builder: arguments must be literals
+    val lit = intercept[Exception] {
+      ext.sql(s"SELECT * FROM table_changes(concat('$dir', ''), 1, 2)")
+    }
+    assert(lit.getMessage.contains("literal"))
+  }
 }

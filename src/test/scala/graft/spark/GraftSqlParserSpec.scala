@@ -155,4 +155,41 @@ class GraftSqlParserSpec extends SparkSpec {
     // no extensions, no statement: the base session refuses VACUUM itself
     intercept[Exception](spark.sql("VACUUM '/tmp/x'"))
   }
+
+  test("X185 ALTER TABLE: rename is metadata-only; drop+re-add never resurrects") {
+    val dir = mkVersions("sqlp_alter", 1) // plain unmapped table (k, v)
+    val before = ManifestTable.snapshots(spark, dir).last
+    val r = ext.sql(s"ALTER TABLE '$dir' RENAME COLUMN v TO price").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ===
+      Seq(("rename", 2L)))
+    val after = ManifestTable.snapshots(spark, dir).last
+    assert(after.files === before.files, "rename must be metadata-only")
+    val renamed = graft.lake.ColumnMap.read(spark, dir)
+    assert(renamed.columns.toSeq === Seq("k", "price"))
+    assert(renamed.agg(sum("price")).head.getDouble(0) === (0 until 10).sum)
+    // era-correct time travel: v1 still serves the pre-rename name
+    assert(graft.lake.ColumnMap.read(spark, dir, Some(1)).columns.toSeq ===
+      Seq("k", "v"))
+    // drop, then re-add the same name: fresh field id, old bytes stay dark
+    ext.sql(s"ALTER TABLE '$dir' DROP COLUMN price")
+    ext.sql(s"ALTER TABLE '$dir' ADD COLUMN price double")
+    val readd = graft.lake.ColumnMap.read(spark, dir)
+    assert(readd.columns.toSeq === Seq("k", "price"))
+    assert(readd.where(col("price").isNotNull).count() === 0,
+      "re-added column must not resurrect dropped bytes")
+  }
+
+  test("X185 ALTER TABLE: usage refusal; unquoted names delegate to Spark") {
+    val e = intercept[IllegalArgumentException](
+      ext.sql("ALTER TABLE '/tmp/x' FROBNICATE COLUMN a"))
+    assert(e.getMessage.contains("ALTER TABLE '<path>'"))
+    val e2 = intercept[IllegalArgumentException](
+      ext.sql("ALTER TABLE '/tmp/x' ADD COLUMN a notatype"))
+    assert(e2.getMessage.contains("unknown column type"))
+    // an unquoted table name is Spark's own ALTER TABLE — delegated, so
+    // the failure is Spark's not-found analysis error, not our usage line
+    val e3 = intercept[Exception](
+      ext.sql("ALTER TABLE graft_no_such_tbl ADD COLUMNS (a INT)"))
+    assert(!e3.getMessage.contains("graft ALTER TABLE"))
+  }
 }
