@@ -28,6 +28,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Opt-in GC log for bench-drift forensics: SPARK_GRAFT_GCLOG=/path.log
+javaOptions ++= sys.env.get("SPARK_GRAFT_GCLOG")
+  .map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -15,7 +15,7 @@ object Bench {
     // large-scale points where timing the full inventory is wasteful
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -34,6 +34,10 @@ object Bench {
       // (the default threshold of 32 paths is tuned for object stores)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "2048")
       .config("spark.ui.enabled", "false")
+    // free-form experiment knobs: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .foldLeft(builder) { (b, kv) => b.config(kv(0).trim, kv(1).trim) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time JVM/JIT/codegen/parquet-writer warmup outside the
@@ -74,6 +78,14 @@ object Bench {
           times.sorted.apply(1) > times.min * 1.2)
       while (runs.size < 6 && runs.forall(_._2.isEmpty) && noisy)
         runs = runs :+ once()
+      // drift forensics (opt-in): per-query repeats + heap, to stderr so
+      // the one-line JSON contract on stdout is untouched
+      if (sys.env.contains("SPARK_GRAFT_TRACE")) {
+        val rt = Runtime.getRuntime
+        val usedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+        System.err.println(f"[bench-trace] $name%-28s min=${times.min}%8.3f " +
+          s"runs=[${times.map(t => f"$t%.3f").mkString(",")}] heapMB=$usedMb")
+      }
       (name, times.min, runs.flatMap(_._2).headOption)
     }
     val qs = results.map { case (k, sec, err) =>

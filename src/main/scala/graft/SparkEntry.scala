@@ -56,7 +56,8 @@ object SparkEntry {
       lake.ResultCache.queries ++ streaming.StreamScd2.queries ++
       lake.ReplaceWhere.queries ++ ext.Pq.queries ++ ext.IvfPq.queries ++
       spark.GraftDml.queries ++ spark.GraftSqlQueries.queries ++
-      spark.GraftTableFunctions.queries
+      spark.GraftTableFunctions.queries ++ lake.OptimizedWrite.queries ++
+      ext.WeightedSample.queries ++ ext.SemDedup.queries
       // (q_format_files rides graft.spark.GraftFormat.queries)
       // (q_commit_guard rides lake.Expectations.queries, already included)
 
@@ -102,5 +103,6 @@ object SparkEntry {
       lake.ResultCache.oracles ++ streaming.StreamScd2.oracles ++
       lake.ReplaceWhere.oracles ++ ext.Pq.oracles ++ ext.IvfPq.oracles ++
       spark.GraftDml.oracles ++ spark.GraftSqlQueries.oracles ++
-      spark.GraftTableFunctions.oracles
+      spark.GraftTableFunctions.oracles ++ lake.OptimizedWrite.oracles ++
+      ext.WeightedSample.oracles ++ ext.SemDedup.oracles
 }

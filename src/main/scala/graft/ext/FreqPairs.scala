@@ -38,8 +38,16 @@ object FreqPairs {
   def frequentPairs(baskets: DataFrame, maxBasket: Int, minSupport: Long): DataFrame = {
     // capped item set per basket: collect_set dedups, sort_array gives the
     // deterministic id order, slice keeps the K smallest — one map-side-
-    // combinable aggregate replaces distinct + window (two shuffles → one)
-    val capped = baskets.groupBy("basket")
+    // combinable aggregate replaces distinct + window (two shuffles → one).
+    // The basket exchange is PINNED at one-partition-per-core: AQE's
+    // byte-based coalescing sees a few MB of capped arrays and would fold
+    // the downstream C(K,2) pair EXPANSION onto 1-2 cores — bytes
+    // underestimate CPU when a stage multiplies its row count. An
+    // explicit numbered repartition on the aggregate's own key adds no
+    // extra shuffle (the groupBy reuses the distribution) and holds the
+    // explosion stage wide on any cluster size.
+    val cores = baskets.sparkSession.sparkContext.defaultParallelism
+    val capped = baskets.repartition(cores, col("basket")).groupBy("basket")
       .agg(slice(sort_array(collect_set(col("item"))), 1, maxBasket).as("items"))
     // inline pair expansion: for the SORTED array, (i, j>i) pairs already
     // satisfy u < v; C(K,2) structs per basket, generated in the same
@@ -48,6 +56,9 @@ object FreqPairs {
         transform(slice(col("items"), i + 2, size(col("items"))), v =>
           struct(u.as("u"), v.as("v")))))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
+      // same pin on the pair exchange: the final count runs over ~#pairs
+      // groups, and a byte-coalesced single reducer would serialize it
+      .repartition(cores, col("u"), col("v"))
       .groupBy("u", "v")
       .agg(count(lit(1)).as("n_baskets"))
       .where(col("n_baskets") >= minSupport)

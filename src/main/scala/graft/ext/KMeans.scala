@@ -158,7 +158,7 @@ object KMeans {
     }),
   )
 
-  private def assignSql(src: String, cents: String, out: String): String =
+  private[ext] def assignSql(src: String, cents: String, out: String): String =
     s"""$out AS (SELECT vec_id, v, cid FROM (
        |    SELECT q.vec_id, q.v, c.cid,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -166,7 +166,7 @@ object KMeans {
        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
        |    FROM $src q, $cents c) WHERE rn = 1)""".stripMargin
 
-  private def updateSql(src: String, out: String): String =
+  private[ext] def updateSql(src: String, out: String): String =
     s"""$out AS (SELECT cid, list(el ORDER BY pos) AS v FROM (
        |    SELECT cid, pos, CAST(floor(CAST(sum(el) AS DOUBLE) / count(*)) AS BIGINT) AS el
        |    FROM (SELECT cid, unnest(v) AS el, generate_subscripts(v, 1) AS pos FROM $src)

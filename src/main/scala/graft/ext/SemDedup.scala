@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** SemDeDup (extension X191) — semantic deduplication via cluster-scoped
+  * cosine near-dup removal (Abbas et al., "SemDeDup: Data-efficient
+  * learning at web-scale through semantic deduplication", 2023): embed,
+  * k-means cluster, and remove near-duplicates WITHIN each cluster only.
+  * The clustering is what makes web-scale semantic dedup tractable — the
+  * candidate set shrinks from all-pairs O(N²) to Σ c² over cluster sizes
+  * (the same bucket-bound discipline as every other dedup tier here:
+  * MinHash bands E2, LSH planes, SimHash bands), and the clusters are
+  * the X111 fixed-point Lloyd's assignment, so membership is
+  * bit-deterministic and ORACLE-REPLAYABLE — unlike the ANN tiers, this
+  * dedup is exact-checkable end to end.
+  *
+  * Dedup rule (the paper's, with a deterministic survivor): inside a
+  * cluster, drop row d when some EARLIER row e (lower id — the
+  * backfill-stable total order every dedup family here uses) satisfies
+  * cos(e, d) ≥ τ. The cosine test runs in EXACT integer arithmetic on
+  * the ×10⁴-quantized vectors: `cos ≥ τ` (with positive dot) iff
+  * `dot² · 10⁴ ≥ (τ²·10⁴) · |a|²·|b|²` — 128-bit-safe via DECIMAL(38,0)
+  * on the engine side and HUGEINT in the oracle, no sqrt, no floats, no
+  * last-ulp cross-engine drift.
+  *
+  * Scale shape: one equi-join on `cluster` bounded per-cluster (never
+  * all-pairs), quantization and the dot products inside whole-stage
+  * codegen, the assignment memoized as a committed artifact exactly like
+  * X115's (Lloyd's is the INPUT here; q_kmeans times that).
+  */
+object SemDedup {
+
+  /** τ²·10⁴ for τ = 0.95 — the similarity threshold as an exact
+    * integer.
+    */
+  val Tau2E4: Long = 9025L
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, e) => acc + e)
+
+  /** Survivors of cluster-scoped cosine dedup. `assigned` must carry
+    * (`idCol`, `__v` quantized vector, `cluster`). Returns `assigned`
+    * minus dropped rows.
+    */
+  def semdedup(assigned: DataFrame, idCol: String,
+      tau2E4: Long = Tau2E4): DataFrame = {
+    val a = assigned.select(col("cluster").as("__ca"),
+      col(idCol).as("__ida"), col("__v").as("__va"))
+    val dup = assigned.join(a,
+      col("__ca") === col("cluster") && col("__ida") < col(idCol) &&
+        dot(col("__va"), col("__v")) > 0 &&
+        dec(dot(col("__va"), col("__v"))) * dec(dot(col("__va"), col("__v"))) * lit(10000L) >=
+          lit(tau2E4) * dec(dot(col("__va"), col("__va"))) * dec(dot(col("__v"), col("__v"))),
+      "left_semi")
+    assigned.join(dup.select(col(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** The corpus with planted semantic duplicates: every `vec_id % 10 ==
+    * 0` row re-enters as `vec_id + 100000` scaled by 1.02 — same
+    * direction (cosine 1 to its source), different magnitude, so
+    * cluster-scoped cosine dedup must catch it while L2 k-means may
+    * place it anywhere. The double multiply is IEEE-exact, so the
+    * oracle rebuilds the identical corpus from raw embeddings.
+    */
+  def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val copies = e.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => x * 1.02)
+          .as("embedding"))
+    e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(copies)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // X191: planted duplicates drop, distinct-direction vectors survive;
+    // per-cluster membership, drop counts, and the surviving id checksum
+    // are all exact — the oracle replays Lloyd's AND the integer cosine
+    // test from raw embeddings.
+    "q_semdedup" -> ((s, d) => {
+      val adir = graft.util.FixtureCache.dir("semdedup_assign", d) { dir =>
+        KMeans.kmeans(plantedCorpus(s, d), "vec_id", "embedding", 4, 2)
+          .select(col("vec_id"), col("__v"), col("cluster"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      val assigned = graft.sources.Tables.cachedParquet(s, adir)
+      val kept = semdedup(assigned, "vec_id")
+      assigned.groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+        .join(kept.groupBy(col("cluster").cast("long").as("cluster"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("vec_id")).cast("long").as("sum_kept_ids")), Seq("cluster"))
+        .withColumn("n_dropped", col("n_members") - col("n_kept"))
+        .orderBy("cluster")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_semdedup" -> {
+      val prelude =
+        s"""WITH base AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           |  FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.02)
+           |  FROM embeddings WHERE vec_id % 10 = 0),
+           |q AS (SELECT vec_id,
+           |    list_transform(emb, x -> CAST(floor(x * 10000) AS BIGINT)) AS v
+           |  FROM base),
+           |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+           |       FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 4)),
+           |${KMeans.assignSql("q", "c0", "a0")},
+           |${KMeans.updateSql("a0", "c1")},
+           |${KMeans.assignSql("q", "c1", "a1")},
+           |${KMeans.updateSql("a1", "c2")},
+           |${KMeans.assignSql("q", "c2", "a2")}""".stripMargin
+      prelude +
+        """,
+          |dots AS (
+          |  SELECT d.vec_id, d.cid
+          |  FROM a2 d JOIN a2 e
+          |    ON e.cid = d.cid AND e.vec_id < d.vec_id
+          |   AND list_sum(list_transform(list_zip(e.v, d.v), p -> p[1] * p[2])) > 0
+          |   AND CAST(list_sum(list_transform(list_zip(e.v, d.v), p -> p[1] * p[2])) AS HUGEINT)
+          |       * list_sum(list_transform(list_zip(e.v, d.v), p -> p[1] * p[2])) * 10000
+          |       >= 9025
+          |       * CAST(list_sum(list_transform(e.v, x -> x * x)) AS HUGEINT)
+          |       * list_sum(list_transform(d.v, x -> x * x))
+          |  GROUP BY d.vec_id, d.cid),
+          |kept AS (SELECT * FROM a2 WHERE vec_id NOT IN (SELECT vec_id FROM dots))
+          |SELECT CAST(m.cid AS BIGINT) AS cluster, m.n_members, k.n_kept,
+          |       k.sum_kept_ids, m.n_members - k.n_kept AS n_dropped
+          |FROM (SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid) m
+          |JOIN (SELECT cid, count(*) AS n_kept,
+          |             CAST(sum(vec_id) AS BIGINT) AS sum_kept_ids
+          |      FROM kept GROUP BY cid) k ON k.cid = m.cid
+          |ORDER BY cluster""".stripMargin
+    })
+}

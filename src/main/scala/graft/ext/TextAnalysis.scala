@@ -177,8 +177,12 @@ object TextAnalysis {
       val support = 0.02
       val toks = documents(s, d)
         .select(explode(tokens(col("text"))).as("token"))
-      val exact = toks.groupBy("token").agg(count(lit(1)).as("tf"))
-        .withColumn("total", sum(col("tf")).over())
+      // scalar total via broadcast, not an empty-window WindowExec: the
+      // global window would single-partition the vocabulary-sized count
+      // table (the X62 rule)
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      val exact = counts
+        .crossJoin(broadcast(counts.agg(sum(col("tf")).as("total"))))
         .where(col("tf") >= col("total") * support)
         .drop("total")
       val sketch = toks.stat.freqItems(Seq("token"), support)
@@ -198,7 +202,9 @@ object TextAnalysis {
     // mirrors the formula textually and both round to 5dp.
     "q_bm25" -> ((s, d) => {
       val (k1, b) = (1.2, 0.75)
-      val docs = documents(s, d)
+      // widened: tokenization is the cost and feeds TWO passes (stats,
+      // scoring); see Tables.widened
+      val docs = widened(documents(s, d))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("dl", size(col("toks")).cast("double"))
       val aggCols = count(lit(1)).cast("double").as("n_docs") +:

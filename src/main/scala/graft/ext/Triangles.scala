@@ -63,7 +63,17 @@ object Triangles {
     // so all three consumers sit downstream of ONE shuffle and Spark's
     // ReuseExchange serves the other two from it — the orientation joins
     // run once per invocation instead of once per consumer.
-    val adj = oriented.groupBy(col("src").as("node"))
+    // The adjacency exchange is PINNED at one-partition-per-core (a
+    // numbered repartition on the aggregate's own key — no extra
+    // shuffle, the groupBy reuses the distribution, and collect_list
+    // has no map-side shrink to lose): AQE's byte-based coalescing sees
+    // kilobytes of adjacency arrays and would run the per-edge
+    // intersections — the O(m^1.5) compute heart of the operator — on
+    // 1-2 cores. The join strategy stays the planner's (broadcast at
+    // test scale, shuffle at corpus scale).
+    val cores = edges.sparkSession.sparkContext.defaultParallelism
+    val adj = oriented.repartition(cores, col("src"))
+      .groupBy(col("src").as("node"))
       .agg(collect_list(col("dst")).as("ns"))
     val anchors = adj.select(col("node").as("src"), explode(col("ns")).as("dst"))
     val tris = anchors

@@ -190,15 +190,21 @@ object ManifestTable {
     * version.
     */
   def commitRetrying(df: DataFrame, dir: String, date: Int, time: Int,
-      maxRetries: Int = 5): Int = {
-    val spark = df.sparkSession
-    val files = stageDataFiles(df, dir)
+      maxRetries: Int = 5): Int =
+    commitStagedRetrying(df.sparkSession, dir, date, time,
+      stageDataFiles(df, dir), maxRetries)
+
+  /** [[commitRetrying]] from already-staged files — the stage-first hook
+    * X187 constraint enforcement needs (validate the staged bytes, then
+    * publish exactly those bytes).
+    */
+  def commitStagedRetrying(spark: SparkSession, dir: String, date: Int,
+      time: Int, staged: Seq[String], maxRetries: Int = 5): Int =
     retryLoop(spark, dir, maxRetries) { latest =>
       val v = latest.map(_.version).getOrElse(0) + 1
-      commitManifest(spark, dir, v, date, time, files)
+      commitManifest(spark, dir, v, date, time, staged)
       v
     }
-  }
 
   /** APPEND commit with optimistic concurrency: the new version is
     * `latest.files ++ staged`, re-read on every attempt so a concurrent
@@ -219,13 +225,20 @@ object ManifestTable {
     * Returns the committed version.
     */
   def appendRetrying(df: DataFrame, dir: String, date: Int, time: Int,
-      maxRetries: Int = 5, base: Option[Int] = None): Int = {
-    val spark = df.sparkSession
+      maxRetries: Int = 5, base: Option[Int] = None): Int =
+    appendStagedRetrying(df.sparkSession, dir, date, time,
+      stageDataFiles(df, dir), maxRetries, base)
+
+  /** [[appendRetrying]] from already-staged files — the stage-first hook
+    * X187 constraint enforcement needs.
+    */
+  def appendStagedRetrying(spark: SparkSession, dir: String, date: Int,
+      time: Int, staged: Seq[String], maxRetries: Int = 5,
+      base: Option[Int] = None): Int = {
     val baseSnap = base.map { bv =>
       snapshots(spark, dir).find(_.version == bv).getOrElse(
         throw new NoSuchElementException(s"no committed version $bv at $dir"))
     }
-    val staged = stageDataFiles(df, dir)
     retryLoop(spark, dir, maxRetries) { latest =>
       val v = latest.map(_.version).getOrElse(0) + 1
       val carried = baseSnap.orElse(latest)

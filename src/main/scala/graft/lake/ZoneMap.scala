@@ -100,6 +100,35 @@ object ZoneMap {
     * (long-comparable columns) and `strCols` (string columns, X78 —
     * lexicographic bounds). Returns the committed version.
     */
+  /** X189 — (re)build the stats sidecar for the LATEST version in place
+    * (`ANALYZE TABLE … COMPUTE STATISTICS`): a table committed without
+    * stats gains X57/X78/X69 pruning with zero data rewrites. Default
+    * column pick: every integral column (long bounds) + every string
+    * column (lexicographic bounds); others skipped — X57 bounds are
+    * integral by design. Sound under tombstones (bounds over the raw
+    * files bound every subset). Returns the recorded stats.
+    */
+  def analyze(spark: SparkSession, dir: String,
+      cols: Option[Seq[String]] = None): Seq[FileStats] = {
+    import org.apache.spark.sql.types._
+    val snap = ManifestTable.snapshots(spark, dir).lastOption.getOrElse(
+      throw new NoSuchElementException(s"no table at $dir"))
+    require(snap.files.nonEmpty, s"cannot analyze an empty table at $dir")
+    val schema = spark.read.parquet(snap.files.map(f => s"$dir/$f"): _*).schema
+    val pick = cols.getOrElse(schema.fields.map(_.name).toSeq)
+    pick.foreach(c => require(schema.fieldNames.contains(c), s"no column '$c'"))
+    val numeric = pick.filter(c => schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType => true
+      case _ => false
+    })
+    val strs = pick.filter(c => schema(c).dataType == StringType)
+    require(numeric.nonEmpty || strs.nonEmpty,
+      s"no integral or string columns among ${pick.mkString(",")}")
+    val stats = statsFor(spark, dir, snap.files, numeric, strs)
+    writeStatsSidecar(spark, dir, snap.version, stats)
+    stats
+  }
+
   def commitWithStats(df: DataFrame, dir: String, date: Int, time: Int,
       statsCols: Seq[String], strCols: Seq[String] = Nil,
       op: String = "write", setCols: Seq[String] = Nil): Int = {

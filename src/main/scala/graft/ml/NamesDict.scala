@@ -760,6 +760,178 @@ object NamesDict {
   //    mostly_male (the Italian male name dominates public corpora).
   private val tranche8MostlyMale = Seq("Nicola")
 
+  // Round-9 breadth tranche (public census-style given-name lists):
+  // the regions the round-8 sweep still left thin — Central Asia
+  // (Kazakh/Uzbek/Azeri), the Caucasus (Armenia, Georgia), the Balkans
+  // (Albania, Romania, Bulgaria, ex-Yugoslavia), the Baltics, Finland,
+  // Hungary, Southeast Asia (Myanmar, Cambodia, Mongolia), the Celtic
+  // nations (Wales, Ireland, Scotland), the Pacific (Māori, Samoa,
+  // Tonga, Hawai'i), and East/West Africa (Swahili coast, Ethiopia,
+  // Nigeria). Same discipline as earlier tranches: clearly-gendered
+  // names only; unisex candidates (Janne, Nino, Uche, Desta, Sokha …)
+  // are deliberately OMITTED rather than guessed; appended last so
+  // core entries win conflicts.
+  private val tranche9Male = Seq(
+    // Kazakhstan / Kyrgyzstan
+    "Nursultan", "Aibek", "Erlan", "Serik", "Bolat", "Daniyar", "Arman",
+    "Yerlan", "Askar", "Marat", "Talgat", "Nurlan", "Kairat", "Azamat",
+    // Uzbekistan / Tajikistan
+    "Ulugbek", "Rustam", "Bekzod", "Jasur", "Shavkat", "Aziz", "Farrukh",
+    "Javohir", "Sardor", "Shokhrukh",
+    // Azerbaijan
+    "Elnur", "Rashad", "Orkhan", "Vugar", "Ilham", "Elchin", "Tural",
+    // Armenia
+    "Armen", "Tigran", "Vahan", "Hayk", "Gevorg", "Aram", "Sargis",
+    "Vardan", "Hovhannes",
+    // Georgia
+    "Giorgi", "Levan", "Irakli", "Zurab", "Davit", "Nodar", "Tornike",
+    "Vakhtang", "Mamuka", "Givi",
+    // Albania / Kosovo
+    "Altin", "Arber", "Besnik", "Dritan", "Fatos", "Gezim", "Ilir",
+    "Luan", "Valon", "Agron", "Shkelzen",
+    // Romania / Moldova
+    "Catalin", "Florin", "Ionut", "Mihai", "Radu", "Sorin", "Vlad",
+    "Dragos", "Gheorghe", "Marius", "Nicusor", "Vasile", "Costel",
+    // Bulgaria
+    "Georgi", "Dimitar", "Stoyan", "Todor", "Hristo", "Plamen",
+    "Veselin", "Zdravko", "Lyubomir", "Svetoslav",
+    // ex-Yugoslavia beyond the round-7 Slavic core
+    "Ante", "Davor", "Goran", "Ivica", "Josip", "Nenad", "Sinisa",
+    "Zeljko", "Zlatko", "Branimir", "Hrvoje", "Mladen",
+    // Lithuania
+    "Mindaugas", "Gediminas", "Vytautas", "Mantas", "Saulius", "Arunas",
+    "Kestutis", "Algirdas",
+    // Latvia
+    "Janis", "Andris", "Juris", "Valdis", "Guntis", "Maris",
+    // Estonia
+    "Jaan", "Tarmo", "Priit", "Urmas", "Margus", "Toomas", "Indrek",
+    // Finland
+    "Juha", "Mikko", "Pekka", "Timo", "Jari", "Antti", "Ville", "Matti",
+    "Esa", "Heikki", "Ilkka", "Kimmo", "Lauri", "Olli", "Seppo", "Tapio",
+    "Teemu", "Tuomas", "Veikko", "Juhani", "Jorma", "Kari", "Raimo",
+    // Hungary beyond the diacritic core
+    "Attila", "Bela", "Csaba", "Ferenc", "Gabor", "Gyula", "Imre",
+    "Istvan", "Jozsef", "Karoly", "Laszlo", "Lajos", "Miklos", "Sandor",
+    "Tamas", "Tibor", "Zoltan", "Zsolt", "Arpad", "Balazs", "Bence",
+    "Gergely", "Levente",
+    // Myanmar / Cambodia / Mongolia
+    "Aung", "Kyaw", "Zaw", "Thant", "Rithy", "Vannak", "Batbayar",
+    "Ganbold", "Sukhbaatar",
+    // Wales
+    "Rhys", "Gareth", "Dafydd", "Gwilym", "Emyr", "Aled", "Ieuan",
+    "Owain",
+    // Ireland / Scotland
+    "Cormac", "Declan", "Eoin", "Fergus", "Lorcan", "Niall", "Padraig",
+    "Tadhg", "Hamish", "Lachlan", "Angus", "Alasdair", "Fionnbarr",
+    // Pacific (Māori, Samoa, Tonga, Hawai'i)
+    "Tane", "Wiremu", "Sione", "Tevita", "Mosese", "Kekoa", "Keoni",
+    // Swahili coast / East Africa
+    "Juma", "Hamisi", "Bakari", "Jabari", "Omari", "Baraka",
+    // Ethiopia / Eritrea
+    "Dawit", "Yonas", "Bereket", "Mulugeta", "Haile", "Tewodros",
+    "Getachew", "Fikru",
+    // Nigeria (Igbo / Hausa / Yoruba beyond the round-7 core)
+    "Chukwudi", "Ifeanyi", "Sani", "Musa", "Garba", "Aliyu", "Bello",
+    "Chinonso", "Oluwaseun")
+
+  private val tranche9Female = Seq(
+    // Kazakhstan / Kyrgyzstan
+    "Aigerim", "Aizhan", "Dinara", "Gulnara", "Saule", "Zarina",
+    "Madina", "Gulmira", "Aliya", "Ainur", "Zhanar", "Asel",
+    // Uzbekistan / Tajikistan
+    "Nargiza", "Feruza", "Dilnoza", "Gulbahor", "Nilufar", "Zulfiya",
+    // Azerbaijan
+    "Aygun", "Gunel", "Leyla", "Nigar", "Sevinj", "Aysel", "Lamiya",
+    // Armenia
+    "Anahit", "Gayane", "Narine", "Lusine", "Armine", "Hasmik",
+    "Siranush", "Shushan",
+    // Georgia
+    "Tamar", "Ketevan", "Natia", "Khatuna", "Salome", "Mariam", "Eka",
+    "Maka", "Manana",
+    // Albania / Kosovo
+    "Albana", "Besa", "Blerta", "Drita", "Elira", "Flutura", "Mirela",
+    "Teuta", "Valbona", "Shpresa",
+    // Romania / Moldova
+    "Ioana", "Andreea", "Raluca", "Mihaela", "Alina", "Corina",
+    "Georgiana", "Ileana", "Lavinia", "Oana", "Rodica", "Viorica",
+    "Anca", "Camelia", "Doina", "Lacramioara",
+    // Bulgaria
+    "Desislava", "Gergana", "Ivanka", "Nadya", "Radka", "Tsvetelina",
+    "Yordanka", "Bilyana", "Stanislava",
+    // ex-Yugoslavia
+    "Dragana", "Gordana", "Jasna", "Ljiljana", "Mirjana", "Snezana",
+    "Vesna", "Zorica", "Biljana", "Dubravka", "Jadranka",
+    // Lithuania
+    "Egle", "Ruta", "Ausra", "Daiva", "Jurga", "Rasa", "Vaida",
+    "Gintare",
+    // Latvia
+    "Liga", "Inese", "Baiba", "Zane", "Ilze", "Dace",
+    // Estonia
+    "Kadri", "Tiiu", "Maarja", "Piret", "Kersti", "Epp",
+    // Finland
+    "Aino", "Tuula", "Paivi", "Ritva", "Pirkko", "Marjatta", "Anneli",
+    "Kaisa", "Leena", "Minna", "Noora", "Outi", "Sanna", "Satu",
+    "Terhi", "Tiina", "Virpi", "Eeva", "Maarit", "Sirpa", "Helmi",
+    // Hungary
+    "Erzsebet", "Ilona", "Katalin", "Margit", "Piroska", "Reka",
+    "Timea", "Tunde", "Zsuzsanna", "Aniko", "Boglarka", "Csilla",
+    "Eniko", "Gizella", "Gyongyi", "Ibolya", "Judit", "Kinga",
+    "Orsolya",
+    // Myanmar / Cambodia / Mongolia
+    "Thida", "Sanda", "Bopha", "Channary", "Sreypov", "Enkhtuya",
+    "Narantuya", "Bolormaa", "Oyunchimeg", "Sarangerel",
+    // Wales
+    "Angharad", "Bronwen", "Carys", "Eleri", "Ffion", "Nerys",
+    "Rhiannon", "Sioned",
+    // Ireland / Scotland
+    "Aoife", "Aisling", "Caoimhe", "Ciara", "Niamh", "Orla", "Roisin",
+    "Saoirse", "Sinead", "Siobhan", "Grainne", "Eilidh", "Isla",
+    "Mairi", "Morag", "Senga",
+    // Pacific
+    "Aroha", "Moana", "Leilani", "Noelani", "Sina", "Litia",
+    // Swahili coast / East Africa
+    "Zuhura", "Mwanaisha", "Rehema", "Neema", "Subira", "Zawadi",
+    "Amina",
+    // Ethiopia / Eritrea
+    "Almaz", "Aster", "Birtukan", "Genet", "Hirut", "Meseret",
+    "Tigist", "Selamawit",
+    // Nigeria
+    "Ngozi", "Chioma", "Adaeze", "Nneka", "Chiamaka", "Funmilayo",
+    "Yetunde", "Halima", "Hauwa")
+
+  // Round-9 native-script tier: scripts the round-7 sweep didn't reach —
+  // Ukrainian Cyrillic (distinct orthography from Russian), Thai,
+  // Bengali, Tamil, Armenian, Georgian. Same transliteration-or-unknown
+  // contract: a native-script name OUTSIDE these entries returns
+  // `unknown`, never a silent transliteration guess.
+  private val tranche9ScriptMale = Seq(
+    // Ukrainian Cyrillic
+    "Володимир", "Олександр", "Тарас", "Богдан", "Андрій", "Сергій",
+    // Thai
+    "สมชาย", "สมศักดิ์",
+    // Bengali
+    "রাহুল", "অমিত",
+    // Tamil
+    "அருண்", "கார்த்திக்",
+    // Armenian script
+    "Արմեն", "Տիգրան",
+    // Georgian script (mkhedruli)
+    "გიორგი", "ლევან", "ირაკლი")
+
+  private val tranche9ScriptFemale = Seq(
+    // Ukrainian Cyrillic
+    "Оксана", "Наталія", "Ірина", "Катерина", "Олена", "Тетяна",
+    // Thai
+    "ศิริพร", "สมหญิง",
+    // Bengali
+    "প্রিয়া", "অনন্যা",
+    // Tamil
+    "பிரியா", "தீபிகா",
+    // Armenian script
+    "Անահիտ", "Գայանե",
+    // Georgian script
+    "თამარ", "ნათია")
+
   /** first_name → category. Names appearing in several category lists
     * (real-data ambiguity — "Andrea" is female in most locales, male in
     * Italian) resolve by FIRST CATEGORY WINS in the concatenation order
@@ -786,7 +958,11 @@ object NamesDict {
       scriptMale.map(_ -> "male") ++ scriptFemale.map(_ -> "female") ++
       // round-8 breadth tranche, appended last (core wins conflicts)
       tranche8Male.map(_ -> "male") ++ tranche8Female.map(_ -> "female") ++
-      tranche8MostlyMale.map(_ -> "mostly_male"))
+      tranche8MostlyMale.map(_ -> "mostly_male") ++
+      // round-9 breadth + native-script tranche, appended last
+      tranche9Male.map(_ -> "male") ++ tranche9Female.map(_ -> "female") ++
+      tranche9ScriptMale.map(_ -> "male") ++
+      tranche9ScriptFemale.map(_ -> "female"))
     .filterNot(_._1.exists(_.isDigit))
     .map { case (k, v) => normalizeKey(k) -> v } // keys canonically composed
 

@@ -260,6 +260,9 @@ case class GraftUpdateCommand(dir: String, params: Map[String, String],
       }
     }
     val staged = ManifestTable.stageDataFiles(base.select(out.toSeq: _*), dir)
+    // X187: the rewritten rows must still satisfy the table's CHECK
+    // constraints — validated from the staged bytes (stage-first)
+    graft.lake.Constraints.enforceStaged(spark, dir, staged)
     commitCow(spark, dir, snap, retained, staged, date, time, "update")
     Seq.empty
   }
@@ -360,6 +363,8 @@ case class GraftMergeCommand(dir: String, params: Map[String, String],
       staged ++= ManifestTable.stageDataFiles(srcOnly.select(insOut.toSeq: _*), dir)
     }
     val retained = snap.files.filterNot(touched.toSet)
+    // X187: rewritten + inserted rows validated from their staged bytes
+    graft.lake.Constraints.enforceStaged(spark, dir, staged.toSeq)
     if (staged.nonEmpty || touched.nonEmpty)
       commitCow(spark, dir, snap, retained, staged.toSeq, date, time, "merge")
     Seq.empty

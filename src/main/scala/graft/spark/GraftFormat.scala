@@ -81,15 +81,34 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
           s"schema ${current.simpleString}; set allowSchemaDrift=true to " +
           "append anyway and reconcile reads via Evolution.readHistory")
     }
+    // X187: every batch write stages first and validates the staged bytes
+    // against the table's CHECK constraints (zero Spark work when the
+    // table has none — the common case). X188: option("optimizeWrite",
+    // "true") rebalances the batch to option("targetFileBytes", n)
+    // before staging — Delta's optimizeWrite writer option.
+    def checkedCommit(append: Boolean): Int = {
+      val target = parameters.get("targetFileBytes").map(_.toLong)
+        .getOrElse(graft.lake.OptimizedWrite.DefaultTargetBytes)
+      val optimize = parameters.get("optimizeWrite").exists(_.toBoolean)
+      if (optimize) {
+        if (append) graft.lake.OptimizedWrite.append(data, dir, date, time, target)
+        else graft.lake.OptimizedWrite.commit(data, dir, date, time, target)
+      } else {
+        val staged = ManifestTable.stageDataFiles(data, dir)
+        graft.lake.Constraints.enforceStaged(spark, dir, staged)
+        if (append) ManifestTable.appendStagedRetrying(spark, dir, date, time, staged)
+        else ManifestTable.commitStagedRetrying(spark, dir, date, time, staged)
+      }
+    }
     mode match {
-      case SaveMode.Overwrite => ManifestTable.commitRetrying(data, dir, date, time)
-      case SaveMode.Append => ManifestTable.appendRetrying(data, dir, date, time)
+      case SaveMode.Overwrite => checkedCommit(append = false)
+      case SaveMode.Append => checkedCommit(append = true)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"graft: table at $dir already has committed versions")
-        else ManifestTable.commitRetrying(data, dir, date, time)
+        else checkedCommit(append = false)
       case SaveMode.Ignore =>
-        if (!exists) ManifestTable.commitRetrying(data, dir, date, time)
+        if (!exists) checkedCommit(append = false)
     }
     createRelation(sqlContext, parameters)
   }
@@ -348,8 +367,14 @@ object GraftDataSource {
       s"graft: INSERT schema ${data.schema.simpleString} does not match " +
         s"table schema ${current.simpleString}")
     val aligned = data.toDF(current.fieldNames: _*)
-    if (overwrite) ManifestTable.commitRetrying(aligned, dir, date, time)
-    else ManifestTable.appendRetrying(aligned, dir, date, time)
+    // X187: stage first, validate the staged bytes against the table's
+    // CHECK constraints (no constraints → zero Spark work), then publish
+    // exactly the validated bytes
+    val staged = ManifestTable.stageDataFiles(aligned, dir)
+    graft.lake.Constraints.enforceStaged(spark, dir, staged)
+    if (overwrite)
+      ManifestTable.commitStagedRetrying(spark, dir, date, time, staged)
+    else ManifestTable.appendStagedRetrying(spark, dir, date, time, staged)
   }
 }
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType, DataType}
 
-import graft.lake.{CopyInto, ManifestTable, Restore, Vacuum, ZOrder}
+import graft.lake.{CopyInto, ManifestTable, Restore, Vacuum, ZOrder, ZoneMap}
 
 /** X181 — the table-maintenance SQL surface: `VACUUM`, `OPTIMIZE` and
   * `DESCRIBE HISTORY` as real SQL statements, the statements Delta adds
@@ -123,6 +123,26 @@ object GraftSqlParser {
   private val AlterAddRe =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+'([^']+)'\\s+ADD\\s+COLUMN\\s+($Id)\\s+""" +
       """([A-Za-z][A-Za-z_0-9]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""").r
+  // X187: persistent CHECK constraints — ADD validates current contents,
+  // both land as metadata-only commits ([[graft.lake.Constraints]])
+  private val AddConstraintRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+'([^']+)'\\s+ADD\\s+CONSTRAINT\\s+($Id)""" +
+      """\s+CHECK\s*\((.+)\)\s*(?:AT\s+(\d{8})\s+(\d{1,4})\s*)?;?\s*""").r
+  private val DropConstraintRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+'([^']+)'\\s+DROP\\s+CONSTRAINT\\s+($Id)""" +
+      """\s*(?:AT\s+(\d{8})\s+(\d{1,4})\s*)?;?\s*""").r
+  private val ShowConstraintsRe =
+    """(?is)\s*SHOW\s+CONSTRAINTS\s+'([^']+)'\s*;?\s*""".r
+  // X189: stats (re)computation for tables committed without sidecars —
+  // quoted paths only; Spark's own ANALYZE TABLE delegates untouched
+  private val AnalyzeRe =
+    (s"""(?is)\\s*ANALYZE\\s+TABLE\\s+'([^']+)'\\s+COMPUTE\\s+STATISTICS""" +
+      s"""(?:\\s+FOR\\s+COLUMNS\\s+($Id(?:\\s*,\\s*$Id)*))?\\s*;?\\s*""").r
+  // X186: CTAS on a quoted graft path — an unquoted name is Spark's own
+  // CREATE TABLE and delegates untouched
+  private val CtasRe =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+'([^']+)'""" +
+      """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s+AS\s+(.+)""").r
 
   private def stamp(d: String, t: String): (Int, Int) =
     if (d != null) (d.toInt, t.toInt)
@@ -159,6 +179,21 @@ object GraftSqlParser {
         val (date, time) = stamp(d, t)
         Some(GraftCopyIntoCommand(path, landing,
           Option(dedupe).map(_.toLowerCase).getOrElse("path"), date, time))
+      case AddConstraintRe(path, name, predicate, d, t) =>
+        val (date, time) = stamp(d, t)
+        Some(GraftConstraintCommand(path, "add", name, predicate.trim,
+          date, time))
+      case DropConstraintRe(path, name, d, t) =>
+        val (date, time) = stamp(d, t)
+        Some(GraftConstraintCommand(path, "drop", name, "", date, time))
+      case ShowConstraintsRe(path) => Some(GraftShowConstraintsCommand(path))
+      case AnalyzeRe(path, cols) =>
+        Some(GraftAnalyzeCommand(path,
+          Option(cols).map(_.split(",").map(_.trim).toSeq)))
+      case CtasRe(orReplace, path, d, t, query) =>
+        val (date, time) = stamp(d, t)
+        Some(GraftCtasCommand(path, orReplace != null,
+          query.trim.stripSuffix(";").trim, date, time))
       case AlterRenameRe(path, from, to) =>
         Some(GraftAlterColumnCommand(path, "rename", from, to))
       case AlterDropRe(path, name) =>
@@ -173,7 +208,24 @@ object GraftSqlParser {
         throw new IllegalArgumentException(
           "graft ALTER TABLE: expected ALTER TABLE '<path>' " +
             "RENAME COLUMN <a> TO <b> | DROP COLUMN <c> | " +
-            "ADD COLUMN <c> <type>")
+            "ADD COLUMN <c> <type> | ADD CONSTRAINT <name> CHECK (<expr>) | " +
+            "DROP CONSTRAINT <name>")
+      case _ if lead.length == 2 && lead(0) == "ANALYZE" &&
+          lead(1) == "TABLE" &&
+          sql.trim.split("\\s+").lift(2).exists(_.startsWith("'")) =>
+        throw new IllegalArgumentException(
+          "graft ANALYZE TABLE: expected ANALYZE TABLE '<path>' COMPUTE " +
+            "STATISTICS [FOR COLUMNS c1, c2]")
+      case _ if lead.length == 2 && lead(0) == "SHOW" &&
+          lead(1) == "CONSTRAINTS" =>
+        throw new IllegalArgumentException(
+          "graft SHOW CONSTRAINTS: expected SHOW CONSTRAINTS '<path>'")
+      case _ if lead.length >= 1 && lead(0) == "CREATE" &&
+          sql.toUpperCase.matches(
+            "(?s)\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+'.*") =>
+        throw new IllegalArgumentException(
+          "graft CREATE TABLE: expected CREATE [OR REPLACE] TABLE '<path>' " +
+            "[AT <yyyymmdd> <hhmm>] AS <select>")
       case _ if lead.headOption.contains("RESTORE") =>
         throw new IllegalArgumentException(
           "graft RESTORE: expected RESTORE '<path>' TO VERSION AS OF <n> " +
@@ -365,6 +417,104 @@ case class GraftAlterColumnCommand(dir: String, op: String, a: String,
   }
 }
 
+/** X187 — `ALTER TABLE '<path>' ADD CONSTRAINT <name> CHECK (<expr>) |
+  * DROP CONSTRAINT <name>`: persistent table CHECK constraints
+  * ([[graft.lake.Constraints]]). ADD validates EXISTING rows in one
+  * combinable aggregate (a constraint the table already violates is a
+  * lie and refuses with the count), then lands as a METADATA-ONLY
+  * commit — same file list, one tiny JSON, zero data bytes at 100 TB.
+  * From then on every new-data write surface (SQL INSERT, UPDATE,
+  * MERGE, the graft batch writer) validates its STAGED bytes against
+  * the active set before publishing. Era-correct like column mapping:
+  * time travel reads serve the constraint set the version had.
+  */
+case class GraftConstraintCommand(dir: String, op: String, name: String,
+    predicate: String, date: Int, time: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = op match {
+      case "add" =>
+        graft.lake.Constraints.add(spark, dir, name, predicate, date, time)
+      case "drop" =>
+        graft.lake.Constraints.drop(spark, dir, name, date, time)
+    }
+    Seq(Row(s"${op}_constraint", v.toLong))
+  }
+}
+
+/** `SHOW CONSTRAINTS '<path>'` — the active set at the latest version,
+  * name-ordered; metadata-only (one sidecar listing, no Spark job).
+  */
+case class GraftShowConstraintsCommand(dir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("predicate", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.lake.Constraints.active(spark, dir).sortBy(_.name)
+      .map(c => Row(c.name, c.predicate))
+}
+
+/** X189 — `ANALYZE TABLE '<path>' COMPUTE STATISTICS [FOR COLUMNS …]`:
+  * (re)build the X57/X78 zone-map sidecar for the LATEST version of a
+  * table that was committed without one — after ANALYZE, file skipping
+  * (X57), string-band retention (X78/X172) and stats-only counts (X69)
+  * all light up with no data rewrite. Column selection defaults to
+  * every integral column (long bounds) plus every string column
+  * (lexicographic bounds); doubles/arrays/structs are skipped — X57
+  * bounds are integral by design. Sound under deletion vectors: bounds
+  * computed over the raw files are bounds over any tombstoned subset.
+  * Output: one row per (file, column) with the recorded bounds — the
+  * evidence an operator reads before trusting a pruning plan.
+  */
+case class GraftAnalyzeCommand(dir: String, cols: Option[Seq[String]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("file", StringType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("lo", StringType, nullable = false)(),
+    AttributeReference("hi", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val stats = graft.lake.ZoneMap.analyze(spark, dir, cols)
+    stats.flatMap { s =>
+      s.lo.toSeq.sortBy(_._1).map { case (c, lo) =>
+        Row(s.file, c, lo.toString, s.hi(c).toString) } ++
+        s.slo.toSeq.sortBy(_._1).map { case (c, lo) =>
+          Row(s.file, c, lo, s.shi(c)) }
+    }.sortBy(r => (r.getString(0), r.getString(1)))
+  }
+}
+
+/** X186 — `CREATE [OR REPLACE] TABLE '<path>' [AT d t] AS <select>`:
+  * CTAS as ONE staged replace commit on the X39 log (Delta's CTAS
+  * shape). Plain CREATE refuses when the table already has committed
+  * versions (accidentally clobbering a lakehouse table must be loud);
+  * OR REPLACE commits the next version with the previous one still
+  * time-travelable — "replace" here is a commit, never a delete. The
+  * inner query runs through the SESSION'S OWN parser/analyzer, so every
+  * registered graft function (X171) and view is available inside it;
+  * when the target table carries CHECK constraints (X187), the staged
+  * result validates before publishing, like every other write surface.
+  */
+case class GraftCtasCommand(dir: String, orReplace: Boolean, query: String,
+    date: Int, time: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val exists = ManifestTable.latestVersion(spark, dir).nonEmpty
+    if (exists && !orReplace) throw new IllegalStateException(
+      s"graft CREATE TABLE: table at $dir already has committed versions " +
+        "(use CREATE OR REPLACE TABLE to commit a replacement version)")
+    val df = spark.sql(query)
+    val staged = ManifestTable.stageDataFiles(df, dir)
+    graft.lake.Constraints.enforceStaged(spark, dir, staged)
+    val v = ManifestTable.commitStagedRetrying(spark, dir, date, time, staged)
+    Seq(Row(v.toLong))
+  }
+}
+
 /** X181 query surface: one fixture drives the whole maintenance loop
   * from pure SQL — fragment a table across three commits, `OPTIMIZE` it
   * into one commit, `VACUUM` the expired parents — then one query checks
@@ -413,6 +563,72 @@ object GraftSqlQueries {
       ext.sql(s"COPY INTO '$root/cp' FROM '$root/land' AT 20250901 1030")
     }
 
+  /** X186 fixture: CTAS creates the table from pure SQL (v1 = the even
+    * keys), then CREATE OR REPLACE reloads it (v2 = the %3 keys) with v1
+    * still time-travelable — "replace" is a commit, never a delete.
+    */
+  private def ctasFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("sql_ctas", d) { root =>
+      val ext = GraftDml.extSession(s)
+      ext.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ctasq_src
+                 |USING parquet OPTIONS (path '$d/orders.parquet')""".stripMargin)
+      ext.sql(s"""CREATE TABLE '$root/t' AT 20250901 900 AS
+                 |SELECT o_orderkey AS k, o_totalprice AS p
+                 |FROM ctasq_src WHERE o_orderkey % 2 = 0""".stripMargin)
+      ext.sql(s"""CREATE OR REPLACE TABLE '$root/t' AT 20250901 910 AS
+                 |SELECT o_orderkey AS k, o_totalprice AS p
+                 |FROM ctasq_src WHERE o_orderkey % 3 = 0""".stripMargin)
+    }
+
+  /** X187 fixture: constraints added from SQL (two metadata-only
+    * commits), a violating INSERT refused with nothing committed, a
+    * passing INSERT landed, one constraint dropped, and a row the
+    * dropped constraint would have refused landed after the drop.
+    */
+  private def constraintFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("sql_constraints", d) { dir =>
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"), col("o_orderpriority").as("pri"))
+      ManifestTable.commit(o, dir, 20250901, 900) // v1
+      val ext = GraftDml.extSession(s)
+      ext.sql(s"ALTER TABLE '$dir' ADD CONSTRAINT positive_price " +
+        "CHECK (p > 0) AT 20250901 910") // v2, validates existing rows
+      ext.sql(s"ALTER TABLE '$dir' ADD CONSTRAINT known_key " +
+        "CHECK (k IS NOT NULL) AT 20250901 920") // v3
+      ext.sql(s"""CREATE OR REPLACE TEMPORARY VIEW conq_t
+                 |USING graft OPTIONS (path '$dir', runDate '20250901',
+                 |runTime '930')""".stripMargin)
+      // violating insert: refused from the STAGED bytes, commits nothing
+      try {
+        ext.sql("INSERT INTO conq_t SELECT CAST(-1 AS BIGINT), " +
+          "CAST(-5.0 AS DOUBLE), 'manual'").collect()
+        throw new IllegalStateException("violating INSERT was not refused")
+      } catch { case e: Exception if e.getMessage != null &&
+          e.getMessage.contains("CHECK constraint violation") => () }
+      ext.sql("INSERT INTO conq_t SELECT CAST(9000000001 AS BIGINT), " +
+        "CAST(1.5 AS DOUBLE), 'manual'") // v4
+      ext.sql(s"ALTER TABLE '$dir' DROP CONSTRAINT positive_price " +
+        "AT 20250901 940") // v5
+      ext.sql(s"""CREATE OR REPLACE TEMPORARY VIEW conq_t2
+                 |USING graft OPTIONS (path '$dir', runDate '20250901',
+                 |runTime '950')""".stripMargin)
+      ext.sql("INSERT INTO conq_t2 SELECT CAST(9000000002 AS BIGINT), " +
+        "CAST(0.0 AS DOUBLE), 'manual'") // v6 — legal once dropped
+    }
+
+  /** X189 fixture: a stats-less table ANALYZEd from SQL — the sidecar
+    * appears for the CURRENT version with no new commit and no data
+    * rewrite.
+    */
+  private def analyzeFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("sql_analyze", d) { dir =>
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"), col("o_orderpriority").as("pri"))
+      ManifestTable.commit(o.repartition(6), dir, 20250901, 900) // no stats
+      GraftDml.extSession(s).sql(
+        s"ANALYZE TABLE '$dir' COMPUTE STATISTICS FOR COLUMNS k, pri").collect()
+    }
+
   /** X185 fixture: a plain (unmapped) graft table taken through the SQL
     * schema-evolution statements — the first ALTER upgrades it to column
     * mapping in place; the drop + re-add of `note` pins no-resurrection.
@@ -430,6 +646,50 @@ object GraftSqlQueries {
     }
 
   val queries: Map[String, Q] = Map(
+    // X186: latest serves the CTAS-replace content (%3 keys); version 1
+    // time-travels to the original CTAS content (%2 keys)
+    "q_sql_ctas" -> ((s, d) => {
+      val dir = s"${ctasFixture(s, d)}/t"
+      val snaps = ManifestTable.snapshots(s, dir)
+      val v1 = ManifestTable.readVersion(s, dir, 1)
+        .agg(count(lit(1)).as("n_v1"), Exact.dsum(col("p")).as("sum_p_v1"))
+      ManifestTable.readLatest(s, dir)
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .crossJoin(v1)
+        .withColumn("n_versions", lit(snaps.size))
+    }),
+    // X187: the refused INSERT is invisible (content = orders + the two
+    // legal inserts); the surviving constraint set and ledger ride as
+    // metadata-derived facts
+    "q_sql_constraints" -> ((s, d) => {
+      val dir = constraintFixture(s, d)
+      val snaps = ManifestTable.snapshots(s, dir)
+      val remaining = GraftDml.extSession(s)
+        .sql(s"SHOW CONSTRAINTS '$dir'").collect()
+        .map(r => r.getString(0)).toSeq.sorted
+      ManifestTable.readLatest(s, dir)
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"),
+          sum(when(col("pri") === "manual", 1L).otherwise(0L)).as("n_manual"))
+        .withColumn("n_versions", lit(snaps.size))
+        .withColumn("constraints_left", lit(remaining.mkString(",")))
+    }),
+    // X189: post-ANALYZE, the sidecar's own global bounds (metadata
+    // facts, zero data reads) agree with the content the oracle scans;
+    // version is UNCHANGED — analyze is sidecar-only
+    "q_sql_analyze" -> ((s, d) => {
+      val dir = analyzeFixture(s, d)
+      val stats = ZoneMap.fileStats(s, dir, 1).getOrElse(Seq.empty)
+      val kLo = stats.map(_.lo("k")).min
+      val kHi = stats.map(_.hi("k")).max
+      val pLo = stats.map(_.slo("pri")).min
+      val pHi = stats.map(_.shi("pri")).max
+      ManifestTable.readLatest(s, dir)
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("k_min", lit(kLo)).withColumn("k_max", lit(kHi))
+        .withColumn("pri_min", lit(pLo)).withColumn("pri_max", lit(pHi))
+        .withColumn("n_versions",
+          lit(ManifestTable.snapshots(s, dir).size))
+    }),
     // X185: latest serves (k, amount, note=NULL); version 1 time-travels
     // under its ERA-CORRECT pre-rename name `p`; ledger facts as literals
     "q_sql_alter" -> ((s, d) => {
@@ -492,6 +752,30 @@ object GraftSqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_analyze" ->
+      """SELECT count(*) AS n_rows,
+        |       min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+        |       min(o_orderpriority) AS pri_min,
+        |       max(o_orderpriority) AS pri_max,
+        |       CAST(1 AS INT) AS n_versions
+        |FROM orders""".stripMargin,
+    "q_sql_ctas" ->
+      """SELECT count(*) FILTER (WHERE o_orderkey % 3 = 0) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            FILTER (WHERE o_orderkey % 3 = 0) AS DOUBLE) AS sum_p,
+        |       count(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_v1,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            FILTER (WHERE o_orderkey % 2 = 0) AS DOUBLE) AS sum_p_v1,
+        |       CAST(2 AS INT) AS n_versions
+        |FROM orders""".stripMargin,
+    "q_sql_constraints" ->
+      """SELECT count(*) + 2 AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            + CAST(1.5 AS DECIMAL(18,2)) AS DOUBLE) AS sum_p,
+        |       CAST(2 AS BIGINT) AS n_manual,
+        |       CAST(6 AS INT) AS n_versions,
+        |       'known_key' AS constraints_left
+        |FROM orders""".stripMargin,
     "q_sql_alter" ->
       """SELECT count(*) AS n_rows,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,

@@ -163,6 +163,41 @@ class GenderSpec extends SparkSpec {
       s"round-8 tranche missing: ${NamesDict.entries.size} entries")
   }
 
+  test("round-9 tranche: Central Asia/Caucasus/Balkans/Baltics/Celtic/Pacific/Africa resolve; new scripts honor transliteration-or-unknown") {
+    val panel = Seq(
+      ("Nursultan Abishev", "male", 0.9f), ("Aigerim Satpaeva", "female", 0.9f),
+      ("Rustam Karimov", "male", 0.9f), ("Nargiza Yusupova", "female", 0.9f),
+      ("Armen Sargsyan", "male", 0.9f), ("Anahit Petrosyan", "female", 0.9f),
+      ("Giorgi Beridze", "male", 0.9f), ("Tamar Gelashvili", "female", 0.9f),
+      ("Dritan Hoxha", "male", 0.9f), ("Valbona Krasniqi", "female", 0.9f),
+      ("Mihai Popescu", "male", 0.9f), ("Ioana Ionescu", "female", 0.9f),
+      ("Georgi Dimitrov", "male", 0.9f), ("Desislava Petrova", "female", 0.9f),
+      ("Mindaugas Kazlauskas", "male", 0.9f), ("Egle Petrauskaite", "female", 0.9f),
+      ("Mikko Virtanen", "male", 0.9f), ("Aino Korhonen", "female", 0.9f),
+      ("Laszlo Kovacs", "male", 0.9f), ("Katalin Nagy", "female", 0.9f),
+      ("Aung Thura", "male", 0.9f), ("Bolormaa Erdene", "female", 0.9f),
+      ("Rhys Williams", "male", 0.9f), ("Angharad Jones", "female", 0.9f),
+      ("Tadhg Murphy", "male", 0.9f), ("Saoirse Ronan", "female", 0.9f),
+      ("Sione Tuilagi", "male", 0.9f), ("Leilani Kealoha", "female", 0.9f),
+      ("Juma Hassan", "male", 0.9f), ("Rehema Mwangi", "female", 0.9f),
+      ("Dawit Tesfaye", "male", 0.9f), ("Tigist Abebe", "female", 0.9f),
+      ("Chukwudi Okafor", "male", 0.9f), ("Ngozi Adichie", "female", 0.9f),
+      // new native scripts resolve directly…
+      ("Володимир Шевченко", "male", 0.9f), ("Оксана Франко", "female", 0.9f),
+      ("สมชาย ใจดี", "male", 0.9f), ("ศิริพร สวัสดี", "female", 0.9f),
+      ("அருண் குமார்", "male", 0.9f), ("প্রিয়া হক", "female", 0.9f),
+      ("Արմեն Գրիգորյան", "male", 0.9f), ("თამარ წერეთელი", "female", 0.9f),
+      // …and out-of-dict native-script names stay unknown, never a
+      // transliteration guess (ตะวัน / ლაშა are real names NOT entered)
+      ("ตะวัน พงษ์", "unknown", 0.5f), ("ლაშა მაისურაძე", "unknown", 0.5f))
+    panel.foreach { case (fullName, g, c) =>
+      val got = Gender.guess(fullName, "x1")
+      assert((got.predicted_gender, got.confidence) === ((g, c)), fullName)
+    }
+    assert(NamesDict.entries.size >= 2800,
+      s"round-9 tranche missing: ${NamesDict.entries.size} entries")
+  }
+
   test("property: outputs confined to the reference domains") {
     val gen = Gen.zip(Gen.asciiPrintableStr, Gen.asciiPrintableStr)
     (1 to 300).foreach { seed =>

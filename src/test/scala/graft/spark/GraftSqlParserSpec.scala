@@ -192,4 +192,114 @@ class GraftSqlParserSpec extends SparkSpec {
       ext.sql("ALTER TABLE graft_no_such_tbl ADD COLUMNS (a INT)"))
     assert(!e3.getMessage.contains("graft ALTER TABLE"))
   }
+
+  test("X186 CTAS: creates, refuses accidental clobber, OR REPLACE keeps time travel") {
+    val dir = Scratch.dir("sqlp_ctas")
+    ext.sql("CREATE OR REPLACE TEMPORARY VIEW ctassp_src AS " +
+      "SELECT id AS k, CAST(id * 2.0 AS DOUBLE) AS v FROM range(100)")
+    val v1 = ext.sql(s"CREATE TABLE '$dir/t' AT 20250901 900 AS " +
+      "SELECT k, v FROM ctassp_src WHERE k % 2 = 0").collect()
+    assert(v1.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(ManifestTable.readLatest(spark, s"$dir/t").count() === 50)
+    // plain CREATE over an existing table is loud, nothing committed
+    val e = intercept[IllegalStateException](
+      ext.sql(s"CREATE TABLE '$dir/t' AS SELECT * FROM ctassp_src"))
+    assert(e.getMessage.contains("already has committed versions"))
+    assert(ManifestTable.snapshots(spark, s"$dir/t").map(_.version) === Seq(1))
+    // OR REPLACE commits v2; v1 still time-travels
+    ext.sql(s"CREATE OR REPLACE TABLE '$dir/t' AT 20250901 910 AS " +
+      "SELECT k, v FROM ctassp_src WHERE k % 5 = 0")
+    assert(ManifestTable.readLatest(spark, s"$dir/t").count() === 20)
+    assert(ManifestTable.readVersion(spark, s"$dir/t", 1).count() === 50)
+    // malformed: quoted path but no AS → usage line, not a generic error
+    val e2 = intercept[IllegalArgumentException](
+      ext.sql(s"CREATE TABLE '$dir/u' LIKE something"))
+    assert(e2.getMessage.contains("graft CREATE TABLE"))
+    // unquoted names delegate to Spark's own CTAS machinery
+    val e3 = intercept[Exception](
+      ext.sql("CREATE TABLE graft_no_such AS SELECT no_col FROM ctassp_src"))
+    assert(!e3.getMessage.contains("graft CREATE TABLE"))
+  }
+
+  test("X187 ADD CONSTRAINT validates existing rows; lands metadata-only; SHOW lists it") {
+    val dir = mkVersions("sqlp_con", 2) // k: 0..19, v = k.toDouble
+    val before = ManifestTable.snapshots(spark, dir).last
+    // a constraint current rows violate is refused with the count
+    val e = intercept[Exception](
+      ext.sql(s"ALTER TABLE '$dir' ADD CONSTRAINT v_pos CHECK (v > 5)"))
+    assert(e.getMessage.contains("existing rows violate"))
+    assert(ManifestTable.snapshots(spark, dir).last.version === before.version)
+    // a satisfied constraint lands as a metadata-only commit
+    val r = ext.sql(s"ALTER TABLE '$dir' ADD CONSTRAINT v_nonneg " +
+      "CHECK (v >= 0) AT 20250901 1000").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ===
+      Seq(("add_constraint", 3L)))
+    val after = ManifestTable.snapshots(spark, dir).last
+    assert(after.files === before.files, "constraint commit is metadata-only")
+    assert(after.op === "constraint")
+    val shown = ext.sql(s"SHOW CONSTRAINTS '$dir'").collect()
+    assert(shown.map(x => (x.getString(0), x.getString(1))).toSeq ===
+      Seq(("v_nonneg", "v >= 0")))
+  }
+
+  test("X187 enforcement: INSERT/writer/UPDATE violations refuse from staged bytes; DROP lifts") {
+    val dir = mkVersions("sqlp_conw", 1) // k: 0..9
+    ext.sql(s"ALTER TABLE '$dir' ADD CONSTRAINT v_nonneg CHECK (v >= 0)")
+    ext.sql(s"""CREATE OR REPLACE TEMPORARY VIEW consp_t
+               |USING graft OPTIONS (path '$dir')""".stripMargin)
+    val filesBefore = ManifestTable.snapshots(spark, dir).last.files
+    // violating INSERT refuses; nothing committed, no staged garbage
+    val e = intercept[Exception](ext.sql(
+      "INSERT INTO consp_t SELECT CAST(-1 AS BIGINT), CAST(-2.0 AS DOUBLE)"))
+    assert(e.getMessage.contains("CHECK constraint violation") &&
+      e.getMessage.contains("v_nonneg"))
+    assert(ManifestTable.snapshots(spark, dir).last.files === filesBefore)
+    val leaked = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("w")).flatMap(_.listFiles())
+    assert(leaked.isEmpty, "refused INSERT left staged files")
+    // the batch writer path refuses identically
+    val bad = Seq((-5L, -1.0)).toDF("k", "v")
+    val e2 = intercept[Exception](bad.write.format("graft")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir))
+    assert(e2.getMessage.contains("CHECK constraint violation"))
+    // an UPDATE rewriting rows out of contract refuses too (CoW staged)
+    val e3 = intercept[Exception](
+      ext.sql("UPDATE consp_t SET v = v - 100 WHERE k < 3"))
+    assert(e3.getMessage.contains("CHECK constraint violation"))
+    assert(ManifestTable.readLatest(spark, dir)
+      .where(col("v") < 0).count() === 0)
+    // DROP lifts the rule; the same insert now lands
+    ext.sql(s"ALTER TABLE '$dir' DROP CONSTRAINT v_nonneg")
+    ext.sql("INSERT INTO consp_t SELECT CAST(-1 AS BIGINT), CAST(-2.0 AS DOUBLE)")
+    assert(ManifestTable.readLatest(spark, dir).count() === 11)
+    // usage refusals
+    val e4 = intercept[IllegalArgumentException](
+      ext.sql("SHOW CONSTRAINTS no_quotes"))
+    assert(e4.getMessage.contains("SHOW CONSTRAINTS '<path>'"))
+  }
+
+  test("X189 ANALYZE TABLE builds the sidecar in place; refusals are typed") {
+    val dir = mkVersions("sqlp_ana", 2) // plain commits, no stats sidecar
+    assert(ZoneMap.fileStats(spark, dir, 2).isEmpty)
+    val rows = ext.sql(s"ANALYZE TABLE '$dir' COMPUTE STATISTICS").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(1)).distinct.sorted.toSeq === Seq("k"),
+      "only the integral column qualifies (v is double — skipped)")
+    // sidecar landed for the CURRENT version, no new commit
+    assert(ManifestTable.snapshots(spark, dir).last.version === 2)
+    val stats = ZoneMap.fileStats(spark, dir, 2).get
+    assert(stats.map(_.lo("k")).min === 0L)
+    assert(stats.map(_.hi("k")).max === 19L)
+    // unknown column / malformed tail refuse with typed messages
+    val e = intercept[Exception](ext.sql(
+      s"ANALYZE TABLE '$dir' COMPUTE STATISTICS FOR COLUMNS nope"))
+    assert(e.getMessage.contains("no column 'nope'"))
+    val e2 = intercept[IllegalArgumentException](
+      ext.sql(s"ANALYZE TABLE '$dir' GATHER STATS"))
+    assert(e2.getMessage.contains("graft ANALYZE TABLE"))
+    // Spark's own ANALYZE TABLE (unquoted) delegates untouched
+    val e3 = intercept[Exception](
+      ext.sql("ANALYZE TABLE graft_no_such COMPUTE STATISTICS"))
+    assert(!e3.getMessage.contains("graft ANALYZE TABLE"))
+  }
 }
