@@ -40,24 +40,37 @@ object SemDedup {
 
   private def dec(c: Column): Column = c.cast("decimal(38,0)")
 
+  // native codegen'd exact integer dot (functions/DotProdL) — the
+  // interpreted aggregate(zip_with(...)) fold was measured ~7× slower
+  // over the pair join, exactly the X177 HOF-vs-kernel lesson
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, e) => acc + e)
+    graft.functions.VectorOps.dotExact(a, b)
 
   /** Survivors of cluster-scoped cosine dedup. `assigned` must carry
     * (`idCol`, `__v` quantized vector, `cluster`). Returns `assigned`
     * minus dropped rows.
+    *
+    * Shape: norms are computed ONCE PER ROW (a projection before the
+    * join — putting them in the join condition would re-fold both
+    * 64-element arrays for every candidate pair), the cluster equi-join
+    * emits pairs, ONE projection computes each pair's dot, and the
+    * exact 128-bit comparison runs on three scalars. The only decimal
+    * work per pair is the three overflow-safe multiplies.
     */
   def semdedup(assigned: DataFrame, idCol: String,
       tau2E4: Long = Tau2E4): DataFrame = {
-    val a = assigned.select(col("cluster").as("__ca"),
-      col(idCol).as("__ida"), col("__v").as("__va"))
-    val dup = assigned.join(a,
-      col("__ca") === col("cluster") && col("__ida") < col(idCol) &&
-        dot(col("__va"), col("__v")) > 0 &&
-        dec(dot(col("__va"), col("__v"))) * dec(dot(col("__va"), col("__v"))) * lit(10000L) >=
-          lit(tau2E4) * dec(dot(col("__va"), col("__va"))) * dec(dot(col("__v"), col("__v"))),
-      "left_semi")
-    assigned.join(dup.select(col(idCol)), Seq(idCol), "left_anti")
+    val withNorm = assigned
+      .withColumn("__n2", dot(col("__v"), col("__v")))
+    val a = withNorm.select(col("cluster").as("__ca"),
+      col(idCol).as("__ida"), col("__v").as("__va"), col("__n2").as("__na"))
+    val dup = withNorm.join(a,
+        col("__ca") === col("cluster") && col("__ida") < col(idCol))
+      .withColumn("__dot", dot(col("__va"), col("__v")))
+      .where(col("__dot") > 0 &&
+        dec(col("__dot")) * dec(col("__dot")) * lit(10000L) >=
+          lit(tau2E4) * dec(col("__na")) * dec(col("__n2")))
+      .select(col(idCol)).distinct()
+    assigned.join(dup, Seq(idCol), "left_anti")
   }
 
   /** The corpus with planted semantic duplicates: every `vec_id % 10 ==
@@ -86,7 +99,7 @@ object SemDedup {
     // test from raw embeddings.
     "q_semdedup" -> ((s, d) => {
       val adir = graft.util.FixtureCache.dir("semdedup_assign", d) { dir =>
-        KMeans.kmeans(plantedCorpus(s, d), "vec_id", "embedding", 4, 2)
+        KMeans.kmeans(plantedCorpus(s, d), "vec_id", "embedding", 16, 2)
           .select(col("vec_id"), col("__v"), col("cluster"))
           .write.mode("overwrite").parquet(dir)
       }
@@ -115,7 +128,7 @@ object SemDedup {
            |    list_transform(emb, x -> CAST(floor(x * 10000) AS BIGINT)) AS v
            |  FROM base),
            |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
-           |       FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 4)),
+           |       FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 16)),
            |${KMeans.assignSql("q", "c0", "a0")},
            |${KMeans.updateSql("a0", "c1")},
            |${KMeans.assignSql("q", "c1", "a1")},

@@ -177,12 +177,17 @@ object TextAnalysis {
       val support = 0.02
       val toks = documents(s, d)
         .select(explode(tokens(col("text"))).as("token"))
-      // scalar total via broadcast, not an empty-window WindowExec: the
-      // global window would single-partition the vocabulary-sized count
-      // table (the X62 rule)
-      val counts = toks.groupBy("token").agg(count(lit(1)).as("tf"))
-      val exact = counts
-        .crossJoin(broadcast(counts.agg(sum(col("tf")).as("total"))))
+      // ONE aggregate pass serves both the per-token counts AND the
+      // grand total: rollup's extra grouping set emits the total as the
+      // token-IS-NULL row, which then broadcasts as a scalar onto the
+      // vocab-sized filter. No empty-window WindowExec (the X62 rule —
+      // a global window would single-partition the vocabulary) and no
+      // second tokenize pass (the r2 rule — the total comes from the
+      // grouped table, never a driver-side count()).
+      val agg = toks.rollup("token").agg(count(lit(1)).as("tf"))
+      val exact = agg.where(col("token").isNotNull)
+        .crossJoin(broadcast(agg.where(col("token").isNull)
+          .select(col("tf").as("total"))))
         .where(col("tf") >= col("total") * support)
         .drop("total")
       val sketch = toks.stat.freqItems(Seq("token"), support)

@@ -46,6 +46,25 @@ object VecMath {
     dot / math.sqrt(na * nb)
   }
 
+  /** EXACT integer dot product over `array<long>` (the X111/X191
+    * quantized-vector domain): overflow-checked accumulation — callers
+    * rely on exactness, so a silent wrap must be impossible. Null on
+    * length mismatch or NULL element.
+    */
+  def dotL(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot = java.lang.Math.addExact(dot,
+        java.lang.Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    dot
+  }
+
   /** Dot product with double accumulation; null on length mismatch or
     * NULL element (same contract as [[cosineF]]).
     */
@@ -138,6 +157,42 @@ case class DotProd(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `array<long> · array<long> -> long`, exact — the quantized-vector
+  * twin of [[DotProd]] (X191 SemDeDup's pair kernel: the interpreted
+  * `aggregate(zip_with(...))` fold costs ~µs per pair and dominated the
+  * cluster-scoped join; this stays in whole-stage codegen).
+  */
+case class DotProdL(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_exact"
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.dotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotL")
+      s"""java.lang.Long $r = graft.functions.VecMath.dotL($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** DataFrame-API entry points for the native vector expressions. */
 object VectorOps {
   def cosine(a: Column, b: Column): Column =
@@ -145,6 +200,9 @@ object VectorOps {
 
   def dot(a: Column, b: Column): Column =
     GraftShim.column(DotProd(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def dotExact(a: Column, b: Column): Column =
+    GraftShim.column(DotProdL(GraftShim.expression(a), GraftShim.expression(b)))
 
   /** Coerce any numeric array onto the float-array contract at the SQL
     * boundary (users write `array(1.0, 2.0)` and get DOUBLE literals).

@@ -72,6 +72,35 @@ object ChangeFeed {
         else if (sNew.op == "append" && sNew.deletes == sOld.deletes &&
             sOld.files.forall(sNew.files.toSet))
           appendStep(spark, dir, sOld, sNew)
+        else if (keys.nonEmpty && sNew.deletes == sOld.deletes &&
+            sOld.files.exists(sNew.files.toSet)) {
+          // CoW routing (X179 UPDATE/MERGE, X180 stream upsert): files
+          // RETAINED BY REFERENCE are byte-identical on both sides and
+          // cancel in any keyed diff (unique keys — a key living in a
+          // retained file in one version and elsewhere in the other
+          // would be a duplicate), so the step's diff runs over the
+          // TOUCHED files only — feed cost ∝ the commit's own change,
+          // never the table. Guarded on an unchanged tombstone set
+          // (sidecar-list equality): a commit that also moved
+          // tombstones on retained files falls through to the full
+          // diff (absence of evidence degrades, never lies).
+          val newSet = sNew.files.toSet
+          val oldSet = sOld.files.toSet
+          def slice(snap: ManifestTable.Snapshot, own: Seq[String],
+              other: Set[String]) = {
+            val touched = own.filterNot(other)
+            val scan = graft.sources.Tables.cachedScan(spark,
+              snap.files.map(f => s"$dir/$f"))
+            if (touched.isEmpty) scan.where(lit(false))
+            else DeleteVectors.applyTo(spark, dir, snap,
+              graft.sources.Tables.cachedScan(spark,
+                touched.map(f => s"$dir/$f")))
+          }
+          val newSlice = slice(sNew, sNew.files, oldSet)
+          val oldSlice = slice(sOld, sOld.files, newSet)
+          if (updateAware) SnapshotDiff.diffCdc(newSlice, oldSlice, keys)
+          else SnapshotDiff.diff(newSlice, oldSlice, keys)
+        }
         else if (updateAware) {
           // X183's CDC contract: a replace step surfaces a changed key as
           // its delete+insert pair, not as "matched, nothing to report"
@@ -144,7 +173,7 @@ object ChangeFeed {
     def rowsAt(files: Seq[String], tomb: DataFrame, tag: String): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(graft.sources.Tables.cachedScan(spark, files.map(f => s"$dir/$f").toIndexedSeq)
-        .select(col("*"), DeleteVectors.relFile.as("__cf_file"),
+        .select(col("*"), DeleteVectors.relFileIn(dir).as("__cf_file"),
           col("_metadata.row_index").as("__cf_pos"))
         .join(broadcast(tomb.select(col("file").as("__cf_file"),
           col("pos").as("__cf_pos"))), Seq("__cf_file", "__cf_pos"), "left_semi")

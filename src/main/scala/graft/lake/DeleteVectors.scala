@@ -40,14 +40,22 @@ import graft.util.Exact.dsum
   */
 object DeleteVectors {
 
-  /** Matches a manifest-relative data path at the end of an absolute
-    * `_metadata.file_path` URI — version-named (`v<8 digits>`) and
-    * writer-unique staged (`w<8 hex>`) dirs alike.
+  /** The manifest-relative path of each scanned row's file: everything
+    * after the TABLE ROOT in the `_metadata.file_path` URI. Computed by
+    * stripping the root prefix — NOT by pattern-matching the
+    * `data/v<NN>` layout — because a manifest may legitimately
+    * reference files anywhere under the root: X193 `CONVERT TO GRAFT`
+    * imports a plain parquet directory whose files sit at the root
+    * itself (the layout-shaped regex silently extracted "" there,
+    * collapsing every file to one key — tombstones then struck the same
+    * POSITIONS in every file).
     */
-  private[lake] val RelPathRe = """data/[vw][0-9a-f]{8}/[^/]+$"""
-
-  private[lake] def relFile: Column =
-    regexp_extract(col("_metadata.file_path"), RelPathRe, 0)
+  private[graft] def relFileIn(dir: String): Column = {
+    val norm = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+      .stripSuffix("/")
+    regexp_extract(col("_metadata.file_path"),
+      java.util.regex.Pattern.quote(norm) + "/(.+)$", 1)
+  }
 
   /** Apply `snap`'s deletion vector to `df`, which must be a parquet scan
     * over (a subset of) `snap`'s data files. No-deletes versions return
@@ -64,7 +72,7 @@ object DeleteVectors {
         .parquet(snap.deletes.map(f => s"$dir/$f"): _*)
         .withColumnRenamed("file", "__dv_file")
         .withColumnRenamed("pos", "__dv_pos")
-      df.select(col("*"), relFile.as("__dv_file"),
+      df.select(col("*"), relFileIn(dir).as("__dv_file"),
           col("_metadata.row_index").as("__dv_pos"))
         .join(broadcast(dv), Seq("__dv_file", "__dv_pos"), "left_anti")
         .drop("__dv_file", "__dv_pos")
@@ -141,7 +149,7 @@ object DeleteVectors {
     // position writes the same (file, pos) row, and the union dedups it.
     val raw = ManifestTable.rawVersionScan(spark, dir, parent)
     val newDel = raw.where(predicate)
-      .select(relFile.as("file"), col("_metadata.row_index").as("pos"))
+      .select(relFileIn(dir).as("file"), col("_metadata.row_index").as("pos"))
     val oldDel =
       if (parent.deletes.isEmpty) newDel.limit(0)
       else spark.read.schema("file STRING, pos BIGINT")

@@ -250,7 +250,35 @@ object HiddenPartition {
         Seq(Transform("ts", "day"), Transform("user_id", "bucket", 8)))
     }
 
-  private[lake] def fixtureDir(s: SparkSession, d: String): String =
+  /** X195 — `SHOW PARTITIONS`: the physical partition directories of a
+    * hidden-partitioned layout, from ONE driver-side listing per
+    * transform level (no Spark job, no data bytes — partition count,
+    * not row count, bounds the cost). Evolved tables report every
+    * generation's directories under its generation id; the spec answers
+    * "what does the layout actually hold" before an operator trusts a
+    * pruning plan — Iceberg's `partitions` metadata-table shape.
+    */
+  def showPartitions(spark: SparkSession, dir: String): Seq[(Int, String)] = {
+    val fs = ManifestTable.fsFor(spark, dir)
+    def walk(base: Path, depth: Int): Seq[String] =
+      if (depth == 0) Seq("")
+      else if (!fs.exists(base)) Nil
+      else fs.listStatus(base).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => walk(st.getPath, depth - 1).map(rest =>
+          st.getPath.getName + (if (rest.isEmpty) "" else s"/$rest")))
+    val gens = generationsOf(spark, dir)
+    if (gens.nonEmpty)
+      gens.zipWithIndex.flatMap { case (ts, gid) =>
+        walk(new Path(s"$dir/g$gid/data"), ts.size).map(gid -> _) }
+    else {
+      require(fs.exists(new Path(specPath(dir))),
+        s"no hidden-partition spec at $dir")
+      walk(new Path(s"$dir/data"), transformsOf(spark, dir).size).map(0 -> _)
+    }
+  }
+
+  private[graft] def fixtureDir(s: SparkSession, d: String): String =
     graft.util.FixtureCache.dir("hidden_part", d) { dir =>
       val ev = graft.sources.Tables.events(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value")

@@ -124,7 +124,7 @@ object Merge {
         else {
           val scan = DeleteVectors.applyTo(spark, dir, snap,
             Tables.cachedScan(spark, cands.map(f => s"$dir/$f"))
-              .select(col("*"), DeleteVectors.relFile.as("__cow_file")))
+              .select(col("*"), DeleteVectors.relFileIn(dir).as("__cow_file")))
           scan.join(batch.select(keys.map(col): _*).distinct(), keys, "left_semi")
             .select("__cow_file").distinct()
             .collect().map(_.getString(0)).toSeq.sorted

@@ -103,7 +103,7 @@ object TableDiff {
     // positions re-tombstone harmlessly — the union dedups), X64 pattern
     val raw = ManifestTable.rawVersionScan(spark, dir, latest)
     val newDel = raw.where(hit)
-      .select(DeleteVectors.relFile.as("file"),
+      .select(DeleteVectors.relFileIn(dir).as("file"),
         col("_metadata.row_index").as("pos"))
     val oldDel =
       if (latest.deletes.isEmpty) newDel.limit(0)

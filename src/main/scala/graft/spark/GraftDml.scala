@@ -200,8 +200,10 @@ private object GraftDmlExec {
   /** Relative `data/…/file.parquet` of each scanned row — the manifest's
     * file key (same extraction as the X64 sidecar writer).
     */
-  val RelPathRe = """data/[vw][0-9a-f]{8}/[^/]+$"""
-  def relFile: Column = regexp_extract(col("_metadata.file_path"), RelPathRe, 0)
+  // table-root-relative file path (delegates to the dir-aware X64
+  // extractor — the layout-shaped regex broke on X193-converted tables
+  // whose files sit at the root)
+  def relFileIn(dir: String): Column = DeleteVectors.relFileIn(dir)
 
   def colOf(e: Expression): Column = GraftShim.column(e)
 
@@ -245,7 +247,7 @@ case class GraftUpdateCommand(dir: String, params: Map[String, String],
     // paths come back. Conservative on tombstoned rows (a file whose
     // only matches are already deleted still rewrites — harmlessly).
     val touched = Tables.cachedScan(spark, snap.files.map(f => s"$dir/$f"))
-      .where(pred).select(relFile.as("f")).distinct()
+      .where(pred).select(relFileIn(dir).as("f")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) return Seq.empty // nothing matched: no commit
     val retained = snap.files.filterNot(touched.toSet)
@@ -305,7 +307,7 @@ case class GraftMergeCommand(dir: String, params: Map[String, String],
     val touched: Seq[String] =
       if (notMatchedBySource.nonEmpty) snap.files
       else Tables.cachedScan(spark, allPaths)
-        .select(col("*"), relFile.as("__file"))
+        .select(col("*"), relFileIn(dir).as("__file"))
         .join(src, on, "left_semi")
         .select("__file").distinct().collect().map(_.getString(0)).toSeq.sorted
 

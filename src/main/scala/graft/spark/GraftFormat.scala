@@ -87,9 +87,16 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     // "true") rebalances the batch to option("targetFileBytes", n)
     // before staging — Delta's optimizeWrite writer option.
     def checkedCommit(append: Boolean): Int = {
-      val target = parameters.get("targetFileBytes").map(_.toLong)
+      // X192: table properties are the DEFAULT, explicit writer options
+      // win — Delta's delta.autoOptimize contract
+      lazy val props =
+        if (exists) graft.lake.Properties.active(spark, dir)
+        else Map.empty[String, String]
+      val target = parameters.get("targetFileBytes")
+        .orElse(props.get("graft.targetFileBytes")).map(_.toLong)
         .getOrElse(graft.lake.OptimizedWrite.DefaultTargetBytes)
-      val optimize = parameters.get("optimizeWrite").exists(_.toBoolean)
+      val optimize = parameters.get("optimizeWrite")
+        .orElse(props.get("graft.optimizeWrite")).exists(_.toBoolean)
       if (optimize) {
         if (append) graft.lake.OptimizedWrite.append(data, dir, date, time, target)
         else graft.lake.OptimizedWrite.commit(data, dir, date, time, target)
@@ -367,14 +374,24 @@ object GraftDataSource {
       s"graft: INSERT schema ${data.schema.simpleString} does not match " +
         s"table schema ${current.simpleString}")
     val aligned = data.toDF(current.fieldNames: _*)
-    // X187: stage first, validate the staged bytes against the table's
-    // CHECK constraints (no constraints → zero Spark work), then publish
-    // exactly the validated bytes
-    val staged = ManifestTable.stageDataFiles(aligned, dir)
-    graft.lake.Constraints.enforceStaged(spark, dir, staged)
-    if (overwrite)
-      ManifestTable.commitStagedRetrying(spark, dir, date, time, staged)
-    else ManifestTable.appendStagedRetrying(spark, dir, date, time, staged)
+    // X192: table properties bind the optimized-write default for SQL
+    // INSERT exactly as for the batch writer
+    val props = graft.lake.Properties.active(spark, dir)
+    if (props.get("graft.optimizeWrite").exists(_.toBoolean)) {
+      val target = props.get("graft.targetFileBytes").map(_.toLong)
+        .getOrElse(graft.lake.OptimizedWrite.DefaultTargetBytes)
+      if (overwrite) graft.lake.OptimizedWrite.commit(aligned, dir, date, time, target)
+      else graft.lake.OptimizedWrite.append(aligned, dir, date, time, target)
+    } else {
+      // X187: stage first, validate the staged bytes against the table's
+      // CHECK constraints (no constraints → zero Spark work), then
+      // publish exactly the validated bytes
+      val staged = ManifestTable.stageDataFiles(aligned, dir)
+      graft.lake.Constraints.enforceStaged(spark, dir, staged)
+      if (overwrite)
+        ManifestTable.commitStagedRetrying(spark, dir, date, time, staged)
+      else ManifestTable.appendStagedRetrying(spark, dir, date, time, staged)
+    }
   }
 }
 

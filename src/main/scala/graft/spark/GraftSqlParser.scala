@@ -133,6 +133,29 @@ object GraftSqlParser {
       """\s*(?:AT\s+(\d{8})\s+(\d{1,4})\s*)?;?\s*""").r
   private val ShowConstraintsRe =
     """(?is)\s*SHOW\s+CONSTRAINTS\s+'([^']+)'\s*;?\s*""".r
+  // X192: table properties — quoted paths only, Spark's own TBLPROPERTIES
+  // statements on catalog tables delegate untouched
+  private val SetPropsRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*""" +
+      """\(([^)]+)\)\s*(?:AT\s+(\d{8})\s+(\d{1,4})\s*)?;?\s*""").r
+  private val UnsetPropsRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*""" +
+      """\(([^)]+)\)\s*(?:AT\s+(\d{8})\s+(\d{1,4})\s*)?;?\s*""").r
+  private val ShowPropsRe =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+'([^']+)'\s*;?\s*""".r
+  // X195: physical partition listing of a hidden-partitioned layout
+  private val ShowPartsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+'([^']+)'\s*;?\s*""".r
+  // X193: in-place conversion of a plain parquet directory
+  private val ConvertRe =
+    ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'""" +
+      """(?:\s+AT\s+(\d{8})\s+(\d{1,4})\s*)?;?\s*""").r
+  // X194: repair after external file loss
+  private val FsckRe =
+    ("""(?is)\s*FSCK\s+REPAIR\s+TABLE\s+'([^']+)'(\s+DRY\s+RUN)?""" +
+      """(?:\s+AT\s+(\d{8})\s+(\d{1,4})\s*)?;?\s*""").r
+  // one 'k' = 'v' pair (keys may be dotted: graft.optimizeWrite)
+  private val PropPairRe = """\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
   // X189: stats (re)computation for tables committed without sidecars —
   // quoted paths only; Spark's own ANALYZE TABLE delegates untouched
   private val AnalyzeRe =
@@ -187,6 +210,31 @@ object GraftSqlParser {
         val (date, time) = stamp(d, t)
         Some(GraftConstraintCommand(path, "drop", name, "", date, time))
       case ShowConstraintsRe(path) => Some(GraftShowConstraintsCommand(path))
+      case SetPropsRe(path, pairs, d, t) =>
+        val (date, time) = stamp(d, t)
+        val kvs = pairs.split(",").map {
+          case PropPairRe(k, v) => k -> v
+          case bad => throw new IllegalArgumentException(
+            s"graft SET TBLPROPERTIES: malformed pair $bad — expected " +
+              "('k' = 'v', …)")
+        }.toMap
+        Some(GraftPropertiesCommand(path, "set", kvs, Nil, date, time))
+      case UnsetPropsRe(path, keys, d, t) =>
+        val (date, time) = stamp(d, t)
+        val ks = keys.split(",").map(_.trim).map { k =>
+          require(k.startsWith("'") && k.endsWith("'") && k.length > 2,
+            s"graft UNSET TBLPROPERTIES: malformed key $k — expected ('k', …)")
+          k.substring(1, k.length - 1)
+        }.toSeq
+        Some(GraftPropertiesCommand(path, "unset", Map.empty, ks, date, time))
+      case ShowPropsRe(path) => Some(GraftShowPropertiesCommand(path))
+      case ShowPartsRe(path) => Some(GraftShowPartitionsCommand(path))
+      case ConvertRe(path, d, t) =>
+        val (date, time) = stamp(d, t)
+        Some(GraftConvertCommand(path, date, time))
+      case FsckRe(path, dry, d, t) =>
+        val (date, time) = stamp(d, t)
+        Some(GraftFsckCommand(path, dry != null, date, time))
       case AnalyzeRe(path, cols) =>
         Some(GraftAnalyzeCommand(path,
           Option(cols).map(_.split(",").map(_.trim).toSeq)))
@@ -209,7 +257,18 @@ object GraftSqlParser {
           "graft ALTER TABLE: expected ALTER TABLE '<path>' " +
             "RENAME COLUMN <a> TO <b> | DROP COLUMN <c> | " +
             "ADD COLUMN <c> <type> | ADD CONSTRAINT <name> CHECK (<expr>) | " +
-            "DROP CONSTRAINT <name>")
+            "DROP CONSTRAINT <name> | SET TBLPROPERTIES ('k' = 'v', …) | " +
+            "UNSET TBLPROPERTIES ('k', …)")
+      case _ if lead.length == 2 && lead(0) == "SHOW" &&
+          lead(1) == "PARTITIONS" &&
+          sql.trim.split("\\s+").lift(2).exists(_.startsWith("'")) =>
+        throw new IllegalArgumentException(
+          "graft SHOW PARTITIONS: expected SHOW PARTITIONS '<path>'")
+      case _ if lead.length == 2 && lead(0) == "SHOW" &&
+          lead(1) == "TBLPROPERTIES" &&
+          sql.trim.split("\\s+").lift(2).exists(_.startsWith("'")) =>
+        throw new IllegalArgumentException(
+          "graft SHOW TBLPROPERTIES: expected SHOW TBLPROPERTIES '<path>'")
       case _ if lead.length == 2 && lead(0) == "ANALYZE" &&
           lead(1) == "TABLE" &&
           sql.trim.split("\\s+").lift(2).exists(_.startsWith("'")) =>
@@ -226,6 +285,14 @@ object GraftSqlParser {
         throw new IllegalArgumentException(
           "graft CREATE TABLE: expected CREATE [OR REPLACE] TABLE '<path>' " +
             "[AT <yyyymmdd> <hhmm>] AS <select>")
+      case _ if lead.headOption.contains("FSCK") =>
+        throw new IllegalArgumentException(
+          "graft FSCK: expected FSCK REPAIR TABLE '<path>' [DRY RUN] " +
+            "[AT <yyyymmdd> <hhmm>]")
+      case _ if lead.length == 2 && lead(0) == "CONVERT" && lead(1) == "TO" =>
+        throw new IllegalArgumentException(
+          "graft CONVERT: expected CONVERT TO GRAFT '<path>' " +
+            "[AT <yyyymmdd> <hhmm>]")
       case _ if lead.headOption.contains("RESTORE") =>
         throw new IllegalArgumentException(
           "graft RESTORE: expected RESTORE '<path>' TO VERSION AS OF <n> " +
@@ -457,6 +524,90 @@ case class GraftShowConstraintsCommand(dir: String)
       .map(c => Row(c.name, c.predicate))
 }
 
+/** X193 — `CONVERT TO GRAFT '<path>'`: in-place import of a plain
+  * parquet directory ([[graft.lake.Convert]]) — one manifest referencing
+  * the files where they already are, zero data bytes moved; the
+  * directory is a full graft table from this commit on.
+  */
+case class GraftConvertCommand(dir: String, date: Int, time: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = graft.lake.Convert.convert(spark, dir, date, time)
+    Seq(Row(v.toLong,
+      ManifestTable.snapshots(spark, dir).last.files.size.toLong))
+  }
+}
+
+/** X195 — `SHOW PARTITIONS '<path>'`: the physical partition
+  * directories of an X100/X103 hidden-partitioned layout, one
+  * driver-side listing per transform level — no Spark job
+  * ([[graft.lake.HiddenPartition.showPartitions]]).
+  */
+case class GraftShowPartitionsCommand(dir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("generation", LongType, nullable = false)(),
+    AttributeReference("part_spec", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.lake.HiddenPartition.showPartitions(spark, dir).sorted
+      .map { case (g, p) => Row(g.toLong, p) }
+}
+
+/** X194 — `FSCK REPAIR TABLE '<path>' [DRY RUN]`: drop dangling file
+  * references after external loss ([[graft.lake.Fsck]]) — DRY RUN
+  * reports and commits nothing; repair is one `op = "fsck"` metadata
+  * commit. One existence probe per referenced file, no Spark job.
+  */
+case class GraftFsckCommand(dir: String, dryRun: Boolean, date: Int,
+    time: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("file", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val bad =
+      if (dryRun) graft.lake.Fsck.missing(spark, dir)
+      else graft.lake.Fsck.repair(spark, dir, date, time)
+    bad.sorted.map { case (k, f) => Row(k, f) }
+  }
+}
+
+/** X192 — `ALTER TABLE '<path>' SET TBLPROPERTIES ('k'='v', …) |
+  * UNSET TBLPROPERTIES ('k', …)`: table properties as era-tracked
+  * metadata commits ([[graft.lake.Properties]]); `graft.optimizeWrite`
+  * / `graft.targetFileBytes` bind the X188 optimized-write default for
+  * every later batch write to the table (explicit writer options win).
+  */
+case class GraftPropertiesCommand(dir: String, op: String,
+    props: Map[String, String], keys: Seq[String], date: Int, time: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = op match {
+      case "set" => graft.lake.Properties.set(spark, dir, props, date, time)
+      case "unset" => graft.lake.Properties.unset(spark, dir, keys, date, time)
+    }
+    Seq(Row(s"${op}_tblproperties", v.toLong))
+  }
+}
+
+/** `SHOW TBLPROPERTIES '<path>'` — the active map, key-ordered;
+  * metadata-only (one sidecar listing, no Spark job).
+  */
+case class GraftShowPropertiesCommand(dir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.lake.Properties.active(spark, dir).toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
+}
+
 /** X189 — `ANALYZE TABLE '<path>' COMPUTE STATISTICS [FOR COLUMNS …]`:
   * (re)build the X57/X78 zone-map sidecar for the LATEST version of a
   * table that was committed without one — after ANALYZE, file skipping
@@ -616,6 +767,76 @@ object GraftSqlQueries {
         "CAST(0.0 AS DOUBLE), 'manual'") // v6 — legal once dropped
     }
 
+  /** X193 fixture: a PLAIN parquet directory (written by a stock
+    * `df.write.parquet`) converted in place, then grown by an INSERT —
+    * proving the converted directory is a live graft table whose v1 is
+    * the pre-conversion bytes, untouched.
+    */
+  private def convertFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("sql_convert", d) { dir =>
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"))
+      o.where(col("k") % 2 === 0).coalesce(4).write.mode("overwrite")
+        .parquet(dir) // a plain parquet dir, nothing graft about it
+      val ext = GraftDml.extSession(s)
+      ext.sql(s"CONVERT TO GRAFT '$dir' AT 20250901 900") // v1, in place
+      ext.sql(s"""CREATE OR REPLACE TEMPORARY VIEW convq_t
+                 |USING graft OPTIONS (path '$dir', runDate '20250901',
+                 |runTime '910')""".stripMargin)
+      ext.sql(s"""CREATE OR REPLACE TEMPORARY VIEW convq_src
+                 |USING parquet OPTIONS (path '$d/orders.parquet')""".stripMargin)
+      ext.sql("""INSERT INTO convq_t
+                |SELECT CAST(o_orderkey AS BIGINT), CAST(o_totalprice AS DOUBLE)
+                |FROM convq_src WHERE o_orderkey % 2 = 1""".stripMargin) // v2
+    }
+
+  /** X194 fixture: four known key-slices appended as one file each, one
+    * file deleted OUT OF BAND (the storage incident), DRY RUN reports
+    * without committing, repair drops the dangling reference — the
+    * surviving slices serve and the loss is a ledgered commit.
+    */
+  private def fsckFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("sql_fsck", d) { dir =>
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"))
+      ManifestTable.commit(o.where(col("k") % 4 === 0).coalesce(1),
+        dir, 20250901, 900) // v1
+      (1 to 3).foreach(i => ManifestTable.appendRetrying(
+        o.where(col("k") % 4 === i).coalesce(1), dir, 20250901, 900 + i * 10))
+      val snaps = ManifestTable.snapshots(s, dir)
+      val victim = // the file holding the k % 4 == 2 slice (v3's append)
+        (snaps(2).files.toSet -- snaps(1).files.toSet).head
+      require(new java.io.File(s"$dir/$victim").delete(),
+        "fixture could not simulate the loss")
+      val ext = GraftDml.extSession(s)
+      val dry = ext.sql(s"FSCK REPAIR TABLE '$dir' DRY RUN").collect()
+      require(dry.length == 1 && dry.head.getString(1) == victim,
+        "DRY RUN must report exactly the lost file")
+      require(ManifestTable.snapshots(s, dir).size == 4,
+        "DRY RUN must commit nothing")
+      ext.sql(s"FSCK REPAIR TABLE '$dir' AT 20250901 940") // v5
+    }
+
+  /** X192 fixture: properties set from SQL bind the optimized-write
+    * default — a 48-partition append lands right-sized with NO caller
+    * option — then one property unsets, leaving the other visible.
+    */
+  private def propsFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("sql_props", d) { dir =>
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"))
+      ManifestTable.commit(o.repartition(4), dir, 20250901, 900) // v1
+      val ext = GraftDml.extSession(s)
+      ext.sql(s"ALTER TABLE '$dir' SET TBLPROPERTIES " +
+        "('graft.optimizeWrite' = 'true', " +
+        "'graft.targetFileBytes' = '1048576') AT 20250901 910") // v2
+      o.where(col("k") % 2 === 0).repartition(48)
+        .write.format("graft")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(dir) // v3, rebalanced
+      ext.sql(s"ALTER TABLE '$dir' UNSET TBLPROPERTIES " +
+        "('graft.optimizeWrite') AT 20250901 930") // v4
+    }
+
   /** X189 fixture: a stats-less table ANALYZEd from SQL — the sidecar
     * appears for the CURRENT version with no new commit and no data
     * rewrite.
@@ -672,6 +893,63 @@ object GraftSqlQueries {
           sum(when(col("pri") === "manual", 1L).otherwise(0L)).as("n_manual"))
         .withColumn("n_versions", lit(snaps.size))
         .withColumn("constraints_left", lit(remaining.mkString(",")))
+    }),
+    // X195: the day-layout's physical directories, listed from metadata
+    // alone — the oracle re-derives every partition value from raw
+    // events (a missing or phantom directory hash-fails)
+    "q_sql_partitions" -> ((s, d) => {
+      val root = graft.lake.HiddenPartition.fixtureDir(s, d)
+      import s.implicits._
+      GraftDml.extSession(s)
+        .sql(s"SHOW PARTITIONS '$root/bytime'").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+        .toDF("generation", "part_spec")
+        .orderBy("part_spec")
+    }),
+    // X194: post-repair, the surviving slices serve (the lost k%4==2
+    // slice is gone — that's the honest outcome) and the repair is a
+    // ledgered 'fsck' commit; an idempotent re-run reports nothing
+    "q_sql_fsck" -> ((s, d) => {
+      val dir = fsckFixture(s, d)
+      val snaps = ManifestTable.snapshots(s, dir)
+      val rerun = GraftDml.extSession(s)
+        .sql(s"FSCK REPAIR TABLE '$dir'").collect().length
+      ManifestTable.readLatest(s, dir)
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .withColumn("n_versions", lit(snaps.size))
+        .withColumn("last_op", lit(snaps.last.op))
+        .withColumn("rerun_reports", lit(rerun))
+    }),
+    // X193: the converted directory serves its pre-conversion bytes as
+    // v1 (zero data moved) and lives on as a normal table (the INSERT
+    // landed as v2); provenance rides as the history's first op
+    "q_sql_convert" -> ((s, d) => {
+      val dir = convertFixture(s, d)
+      val snaps = ManifestTable.snapshots(s, dir)
+      val v1 = ManifestTable.readVersion(s, dir, 1)
+        .agg(count(lit(1)).as("n_v1"), Exact.dsum(col("p")).as("sum_p_v1"))
+      ManifestTable.readLatest(s, dir)
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .crossJoin(v1)
+        .withColumn("n_versions", lit(snaps.size))
+        .withColumn("first_op", lit(snaps.head.op))
+    }),
+    // X192: the property-bound rebalance kept the 48-partition append
+    // at few files (geometry boolean); content + surviving property
+    // from metadata
+    "q_sql_tblproperties" -> ((s, d) => {
+      val dir = propsFixture(s, d)
+      val snaps = ManifestTable.snapshots(s, dir)
+      val appended = snaps.find(_.version == 3).get.files.size -
+        snaps.find(_.version == 1).get.files.size
+      val left = GraftDml.extSession(s)
+        .sql(s"SHOW TBLPROPERTIES '$dir'").collect()
+        .map(r => r.getString(0)).sorted.mkString(",")
+      ManifestTable.readLatest(s, dir)
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .withColumn("n_versions", lit(snaps.size))
+        .withColumn("appended_few_files", lit(appended <= 16))
+        .withColumn("props_left", lit(left))
     }),
     // X189: post-ANALYZE, the sidecar's own global bounds (metadata
     // facts, zero data reads) agree with the content the oracle scans;
@@ -752,6 +1030,34 @@ object GraftSqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_partitions" ->
+      """SELECT CAST(0 AS BIGINT) AS generation,
+        |       'p_ts_day=' || CAST(CAST(ts AS DATE) AS VARCHAR) AS part_spec
+        |FROM events GROUP BY 2 ORDER BY part_spec""".stripMargin,
+    "q_sql_fsck" ->
+      """SELECT count(*) FILTER (WHERE o_orderkey % 4 <> 2) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            FILTER (WHERE o_orderkey % 4 <> 2) AS DOUBLE) AS sum_p,
+        |       CAST(5 AS INT) AS n_versions, 'fsck' AS last_op,
+        |       CAST(0 AS INT) AS rerun_reports
+        |FROM orders""".stripMargin,
+    "q_sql_convert" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |       count(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_v1,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            FILTER (WHERE o_orderkey % 2 = 0) AS DOUBLE) AS sum_p_v1,
+        |       CAST(2 AS INT) AS n_versions, 'convert' AS first_op
+        |FROM orders""".stripMargin,
+    "q_sql_tblproperties" ->
+      """SELECT count(*) + count(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            + SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |              FILTER (WHERE o_orderkey % 2 = 0) AS DOUBLE) AS sum_p,
+        |       CAST(4 AS INT) AS n_versions,
+        |       true AS appended_few_files,
+        |       'graft.targetFileBytes' AS props_left
+        |FROM orders""".stripMargin,
     "q_sql_analyze" ->
       """SELECT count(*) AS n_rows,
         |       min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,

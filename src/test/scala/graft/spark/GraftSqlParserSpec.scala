@@ -278,6 +278,136 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(e4.getMessage.contains("SHOW CONSTRAINTS '<path>'"))
   }
 
+  test("X192 TBLPROPERTIES: metadata-only commits bind the optimized-write default; era-correct; refusals typed") {
+    val dir = Scratch.dir("sqlp_props")
+    val frag = spark.range(20000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .repartition(48)
+    frag.where(col("k") < 10000).write.format("graft")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(dir) // v1: 48 files
+    assert(ManifestTable.snapshots(spark, dir).last.files.size === 48)
+    val before = ManifestTable.snapshots(spark, dir).last
+    val r = ext.sql(s"ALTER TABLE '$dir' SET TBLPROPERTIES " +
+      "('graft.optimizeWrite' = 'true', 'graft.targetFileBytes' = '1048576')")
+      .collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ===
+      Seq(("set_tblproperties", 2L)))
+    assert(ManifestTable.snapshots(spark, dir).last.files === before.files,
+      "property commit is metadata-only")
+    // the NEXT fragmented append rebalances with no caller option
+    frag.where(col("k") >= 10000).write.format("graft")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir) // v3
+    val v3 = ManifestTable.snapshots(spark, dir).last
+    assert(v3.files.size - before.files.size < 16,
+      s"property-bound rebalance ignored: ${v3.files.size - before.files.size} new files")
+    assert(ManifestTable.readLatest(spark, dir).count() === 20000)
+    // era-correct: version 1 had no properties
+    assert(graft.lake.Properties.activeAt(spark, dir, 1).isEmpty)
+    assert(graft.lake.Properties.active(spark, dir)
+      .get("graft.optimizeWrite").contains("true"))
+    // SHOW lists key-ordered; unknown unset refuses; malformed refuses
+    val shown = ext.sql(s"SHOW TBLPROPERTIES '$dir'").collect()
+      .map(x => x.getString(0)).toSeq
+    assert(shown === Seq("graft.optimizeWrite", "graft.targetFileBytes"))
+    val e = intercept[Exception](
+      ext.sql(s"ALTER TABLE '$dir' UNSET TBLPROPERTIES ('nope')"))
+    assert(e.getMessage.contains("no property 'nope'"))
+    val e2 = intercept[IllegalArgumentException](
+      ext.sql(s"ALTER TABLE '$dir' SET TBLPROPERTIES (k = v)"))
+    assert(e2.getMessage.contains("malformed pair"))
+    // unquoted names delegate to Spark's own statement
+    val e3 = intercept[Exception](
+      ext.sql("ALTER TABLE graft_no_such SET TBLPROPERTIES ('a' = 'b')"))
+    assert(!e3.getMessage.contains("graft SET TBLPROPERTIES"))
+  }
+
+  test("X193 CONVERT TO GRAFT: in-place manifest over existing bytes; live table after; refusals typed") {
+    val dir = Scratch.dir("sqlp_conv")
+    val df = spark.range(1000).selectExpr("id AS k", "CAST(id * 2.0 AS DOUBLE) AS v")
+    df.coalesce(3).write.mode("overwrite").parquet(dir) // plain parquet + _SUCCESS
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).sorted
+    val r = ext.sql(s"CONVERT TO GRAFT '$dir' AT 20250901 900").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq === Seq((1L, 3L)))
+    // zero data bytes moved: same files, same mtimes
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).sorted
+    assert(after.toSeq === before.toSeq, "conversion must not touch data bytes")
+    assert(ManifestTable.readLatest(spark, dir).count() === 1000)
+    assert(ManifestTable.snapshots(spark, dir).head.op === "convert")
+    // live table: DML composes on the converted directory
+    ext.sql(s"""CREATE OR REPLACE TEMPORARY VIEW convsp_t
+               |USING graft OPTIONS (path '$dir')""".stripMargin)
+    ext.sql("DELETE FROM convsp_t WHERE k < 100")
+    assert(ManifestTable.readLatest(spark, dir).count() === 900)
+    // refusals: double-convert forks history; empty dir; malformed
+    val e = intercept[Exception](ext.sql(s"CONVERT TO GRAFT '$dir'"))
+    assert(e.getMessage.contains("already a graft table"))
+    val empty = Scratch.dir("sqlp_conv_empty")
+    val e2 = intercept[Exception](ext.sql(s"CONVERT TO GRAFT '$empty'"))
+    assert(e2.getMessage.contains("no parquet files"))
+    val e3 = intercept[IllegalArgumentException](
+      ext.sql("CONVERT TO PARQUET 'x'"))
+    assert(e3.getMessage.contains("graft CONVERT"))
+  }
+
+  test("X195 SHOW PARTITIONS lists the physical layout; evolved tables report per generation") {
+    import graft.lake.HiddenPartition
+    import graft.lake.HiddenPartition.Transform
+    val dir = Scratch.dir("sqlp_parts")
+    val df = spark.range(100).selectExpr("id AS k",
+      "CAST(id % 3 AS LONG) AS grp", "CAST(id AS DOUBLE) AS v")
+    HiddenPartition.write(df, s"$dir/flat", Seq(Transform("grp", "truncate", 1)))
+    val flat = ext.sql(s"SHOW PARTITIONS '$dir/flat'").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(flat === Seq((0L, "p_grp_t1=0"), (0L, "p_grp_t1=1"),
+      (0L, "p_grp_t1=2")))
+    // evolved: two generations with different layouts, both reported
+    HiddenPartition.writeEvolved(df.where(col("k") < 50), s"$dir/evo",
+      Seq(Transform("grp", "truncate", 1)))
+    HiddenPartition.writeEvolved(df.where(col("k") >= 50), s"$dir/evo",
+      Seq(Transform("k", "truncate", 50)))
+    val evo = ext.sql(s"SHOW PARTITIONS '$dir/evo'").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(evo === Seq((0L, "p_grp_t1=0"), (0L, "p_grp_t1=1"),
+      (0L, "p_grp_t1=2"), (1L, "p_k_t50=50")))
+    // a dir with no partition spec refuses; malformed refuses; unquoted
+    // delegates to Spark's own SHOW PARTITIONS
+    val bare = Scratch.dir("sqlp_parts_bare")
+    val e = intercept[Exception](ext.sql(s"SHOW PARTITIONS '$bare'"))
+    assert(e.getMessage.contains("no hidden-partition spec"))
+    val e2 = intercept[IllegalArgumentException](
+      ext.sql(s"SHOW PARTITIONS '$bare' extra"))
+    assert(e2.getMessage.contains("graft SHOW PARTITIONS"))
+    val e3 = intercept[Exception](ext.sql("SHOW PARTITIONS graft_no_such"))
+    assert(!e3.getMessage.contains("graft SHOW PARTITIONS"))
+  }
+
+  test("X194 FSCK: dry run reports without committing; repair drops dangling refs; idempotent") {
+    val dir = mkVersions("sqlp_fsck", 3) // 3 appends, 4 files each
+    val snaps = ManifestTable.snapshots(spark, dir)
+    val victim = (snaps(1).files.toSet -- snaps(0).files.toSet).head
+    val victimRows = spark.read.parquet(s"$dir/$victim").count()
+    assert(new java.io.File(s"$dir/$victim").delete())
+    // dry run: reports exactly the loss, commits nothing
+    val dry = ext.sql(s"FSCK REPAIR TABLE '$dir' DRY RUN").collect()
+    assert(dry.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("data", victim)))
+    assert(ManifestTable.snapshots(spark, dir).size === 3)
+    // a read of the latest version fails until repaired
+    intercept[Exception](ManifestTable.readLatest(spark, dir).count())
+    // repair: one fsck commit, survivors serve, re-run reports nothing
+    val rep = ext.sql(s"FSCK REPAIR TABLE '$dir' AT 20250901 1000").collect()
+    assert(rep.map(_.getString(1)).toSeq === Seq(victim))
+    val after = ManifestTable.snapshots(spark, dir).last
+    assert(after.op === "fsck" && after.version === 4)
+    assert(!after.files.contains(victim))
+    assert(ManifestTable.readLatest(spark, dir).count() === 30 - victimRows)
+    assert(ext.sql(s"FSCK REPAIR TABLE '$dir'").count() === 0)
+    // malformed refuses with usage
+    val e = intercept[IllegalArgumentException](ext.sql("FSCK '/tmp/x'"))
+    assert(e.getMessage.contains("graft FSCK"))
+  }
+
   test("X189 ANALYZE TABLE builds the sidecar in place; refusals are typed") {
     val dir = mkVersions("sqlp_ana", 2) // plain commits, no stats sidecar
     assert(ZoneMap.fileStats(spark, dir, 2).isEmpty)
