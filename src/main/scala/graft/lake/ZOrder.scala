@@ -124,6 +124,47 @@ object ZOrder {
     Some(v)
   }
 
+  /** X196 — banded bin-packing (`OPTIMIZE … WHERE col BETWEEN lo AND
+    * hi`, Delta's partition-predicate OPTIMIZE): compact ONLY the files
+    * whose X57 zone-map range intersects the band — on a 100 TB table
+    * where today's ingest fragmented one day, maintenance touches that
+    * day's files and nothing else. Out-of-band files are RETAINED BY
+    * REFERENCE with their stats entries carried verbatim (the X172/Cow
+    * tail); a file without stats evidence is conservatively IN scope
+    * (absence degrades, never lies). Tombstones on rewritten files fold
+    * in (their sidecar entries become dangling-but-harmless — the X194
+    * invariant); retained files keep theirs live. Returns None (no
+    * commit) when the band holds ≤ 1 file or is already within budget —
+    * idempotent maintenance, like [[binPack]].
+    */
+  def binPackWhere(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long, targetBytes: Long, date: Int,
+      time: Int): Option[Int] = {
+    val latest = ManifestTable.snapshots(spark, dir).lastOption.getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot at $dir"))
+    val stats = ZoneMap.fileStats(spark, dir, latest.version)
+      .getOrElse(Nil).map(f => f.file -> f).toMap
+    val (in, out) = latest.files.partition { f =>
+      stats.get(f) match {
+        case Some(st) if st.lo.contains(column) =>
+          !(st.hi(column) < lo || st.lo(column) > hi) // intersects the band
+        case _ => true // no evidence -> in scope
+      }
+    }
+    if (in.size <= 1) return None
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = in.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (in.size <= n) return None // the band is already within budget
+    val folded = DeleteVectors.applyTo(spark, dir, latest,
+        graft.sources.Tables.cachedScan(spark, in.map(f => s"$dir/$f")))
+      .repartition(n)
+    val staged = ManifestTable.stageDataFiles(folded, dir)
+    Some(Cow.commit(spark, dir, latest, out, staged, date, time, "optimize"))
+  }
+
   /** Per-file fraction of each dimension's span covered — the skipping
     * quality metric ZOrderSpec compares against a linear sort (smaller
     * product = tighter hyper-rectangle = more files pruned per filter).

@@ -97,6 +97,7 @@ object GraftSqlParser {
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+'([^']+)'""" +
       s"""(?:\\s+ZORDER\\s+BY\\s*\\(\\s*($Id)\\s*,\\s*($Id)\\s*\\))?""" +
+      s"""(?:\\s+WHERE\\s+($Id)\\s+BETWEEN\\s+(\\d+)\\s+AND\\s+(\\d+))?""" +
       """(?:\s+TARGET\s+(\d+)\s+BYTES)?""" +
       """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s*;?\s*""").r
   private val HistoryRe =
@@ -184,10 +185,14 @@ object GraftSqlParser {
       case VacuumRe(path, keep) =>
         Some(GraftVacuumCommand(path,
           Option(keep).map(_.toInt).getOrElse(DefaultKeepLast)))
-      case OptimizeRe(path, c1, c2, target, d, t) =>
+      case OptimizeRe(path, c1, c2, bcol, blo, bhi, target, d, t) =>
         val (date, time) = stamp(d, t)
+        require(c1 == null || bcol == null,
+          "graft OPTIMIZE: ZORDER BY and WHERE cannot combine — z-order " +
+            "the whole table, or bin-pack the band")
         Some(GraftOptimizeCommand(path,
           Option(c1).map(_ -> c2),
+          Option(bcol).map(c => (c, blo.toLong, bhi.toLong)),
           Option(target).map(_.toLong).getOrElse(DefaultTargetBytes),
           date, time))
       case HistoryRe(path) => Some(GraftHistoryCommand(path))
@@ -315,6 +320,7 @@ object GraftSqlParser {
       case _ if lead.headOption.contains("OPTIMIZE") =>
         throw new IllegalArgumentException(
           "graft OPTIMIZE: expected OPTIMIZE '<path>' [ZORDER BY (c1, c2)] " +
+            "[WHERE <col> BETWEEN <lo> AND <hi>] " +
             "[TARGET <n> BYTES] [AT <yyyymmdd> <hhmm>]")
       case _ if lead.length == 2 && lead(0).startsWith("DESC") &&
           lead(1) == "HISTORY" =>
@@ -344,13 +350,19 @@ case class GraftVacuumCommand(dir: String, keepLast: Int)
   * nothing committed.
   */
 case class GraftOptimizeCommand(dir: String, zorder: Option[(String, String)],
-    targetBytes: Long, date: Int, time: Int) extends LeafRunnableCommand {
+    band: Option[(String, Long, Long)], targetBytes: Long, date: Int,
+    time: Int) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = zorder match {
     case None =>
-      ZOrder.binPack(spark, dir, targetBytes, date, time)
-        .map(v => Row(v.toLong)).toSeq
+      // X196: a band compacts only the zone-map-intersecting files
+      band.map { case (c, lo, hi) =>
+        ZOrder.binPackWhere(spark, dir, c, lo, hi, targetBytes, date, time)
+          .map(v => Row(v.toLong)).toSeq
+      }.getOrElse(
+        ZOrder.binPack(spark, dir, targetBytes, date, time)
+          .map(v => Row(v.toLong)).toSeq)
     case Some((c1, c2)) =>
       val latest = ManifestTable.snapshots(spark, dir).lastOption.getOrElse(
         throw new NoSuchElementException(s"no committed snapshot at $dir"))
@@ -790,6 +802,26 @@ object GraftSqlQueries {
                 |FROM convq_src WHERE o_orderkey % 2 = 1""".stripMargin) // v2
     }
 
+  /** X196 fixture: four disjoint key-quartile files (stats-carrying);
+    * a banded OPTIMIZE covering quartiles 2-3 packs THOSE two files
+    * into one and retains the outer quartiles byte-identically.
+    */
+  private def optimizeWhereFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("sql_optwhere", d) { dir =>
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"))
+      val maxK = o.agg(max(col("k"))).head.getLong(0)
+      val q = (maxK + 4) / 4
+      ZoneMap.commitWithStats(o.where(col("k") < q).coalesce(1),
+        dir, 20250901, 900, statsCols = Seq("k")) // v1: quartile 1
+      (1 to 3).foreach(i => ZoneMap.appendWithStats(
+        o.where(col("k") >= q * i && col("k") < q * (i + 1)).coalesce(1),
+        dir, 20250901, 900 + i * 10, statsCols = Seq("k")))
+      GraftDml.extSession(s).sql(
+        s"OPTIMIZE '$dir' WHERE k BETWEEN $q AND ${q * 3 - 1} " +
+          s"AT 20250901 1000") // v5: packs quartiles 2+3 only
+    }
+
   /** X194 fixture: four known key-slices appended as one file each, one
     * file deleted OUT OF BAND (the storage incident), DRY RUN reports
     * without committing, repair drops the dangling reference — the
@@ -893,6 +925,25 @@ object GraftSqlQueries {
           sum(when(col("pri") === "manual", 1L).otherwise(0L)).as("n_manual"))
         .withColumn("n_versions", lit(snaps.size))
         .withColumn("constraints_left", lit(remaining.mkString(",")))
+    }),
+    // X196: the banded pack rewrites only quartiles 2-3 (4 files -> 3,
+    // outer quartiles retained byte-identically — file-identity
+    // booleans); content invisible (the full-orders oracle)
+    "q_sql_optimize_where" -> ((s, d) => {
+      val dir = optimizeWhereFixture(s, d)
+      val snaps = ManifestTable.snapshots(s, dir)
+      val v4 = snaps.find(_.version == 4).get
+      val v5 = snaps.last
+      val q1File = v4.files.head // the quartile-1 file (v1's commit)
+      val q4File = (snaps.find(_.version == 4).get.files.toSet --
+        snaps.find(_.version == 3).get.files.toSet).head
+      ManifestTable.readLatest(s, dir)
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .withColumn("n_versions", lit(snaps.size))
+        .withColumn("n_files", lit(v5.files.size))
+        .withColumn("outer_retained",
+          lit(v5.files.contains(q1File) && v5.files.contains(q4File)))
+        .withColumn("last_op", lit(v5.op))
     }),
     // X195: the day-layout's physical directories, listed from metadata
     // alone — the oracle re-derives every partition value from raw
@@ -1030,6 +1081,12 @@ object GraftSqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_optimize_where" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |       CAST(5 AS INT) AS n_versions, CAST(3 AS INT) AS n_files,
+        |       true AS outer_retained, 'optimize' AS last_op
+        |FROM orders""".stripMargin,
     "q_sql_partitions" ->
       """SELECT CAST(0 AS BIGINT) AS generation,
         |       'p_ts_day=' || CAST(CAST(ts AS DATE) AS VARCHAR) AS part_spec

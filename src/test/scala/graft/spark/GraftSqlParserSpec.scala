@@ -350,6 +350,36 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(e3.getMessage.contains("graft CONVERT"))
   }
 
+  test("X196 OPTIMIZE WHERE packs only the band; outer files byte-identical; idempotent") {
+    val dir = Scratch.dir("sqlp_optw")
+    val df = (i: Int) => spark.range(i * 100L, (i + 1) * 100L)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(1)
+    ZoneMap.commitWithStats(df(0), dir, 20250901, 900, statsCols = Seq("k"))
+    (1 to 3).foreach(i => ZoneMap.appendWithStats(df(i), dir, 20250901,
+      900 + i * 10, statsCols = Seq("k")))
+    val v4 = ManifestTable.snapshots(spark, dir).last
+    assert(v4.files.size === 4)
+    val r = ext.sql(s"OPTIMIZE '$dir' WHERE k BETWEEN 100 AND 299 " +
+      "AT 20250901 1000").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(5L))
+    val v5 = ManifestTable.snapshots(spark, dir).last
+    assert(v5.files.size === 3 && v5.op === "optimize")
+    // the out-of-band files carried by reference
+    assert(v5.files.contains(v4.files.head))
+    assert(v5.files.contains(v4.files.last))
+    assert(ManifestTable.readLatest(spark, dir).count() === 400)
+    // fresh stats keep the packed file band-prunable; re-run is a no-op
+    val stats = ZoneMap.fileStats(spark, dir, 5).get
+    val packed = stats.filterNot(s => v4.files.contains(s.file))
+    assert(packed.size === 1 && packed.head.lo("k") === 100L &&
+      packed.head.hi("k") === 299L)
+    assert(ext.sql(s"OPTIMIZE '$dir' WHERE k BETWEEN 100 AND 299").count() === 0)
+    // ZORDER BY + WHERE cannot combine
+    val e = intercept[Exception](ext.sql(
+      s"OPTIMIZE '$dir' ZORDER BY (k, v) WHERE k BETWEEN 0 AND 9"))
+    assert(e.getMessage.contains("cannot combine"))
+  }
+
   test("X195 SHOW PARTITIONS lists the physical layout; evolved tables report per generation") {
     import graft.lake.HiddenPartition
     import graft.lake.HiddenPartition.Transform
