@@ -27,22 +27,42 @@ object ZOrder {
 
   val bits = 16
 
-  /** Bucket a numeric column to [0, 2^bits) given its min/max. */
-  private def bucket(c: Column, lo: Double, hi: Double): Column = {
+  /** Bucket a numeric column to [0, 2^b) given its min/max. */
+  private def bucket(c: Column, lo: Double, hi: Double,
+      b: Int = bits): Column = {
     val span = if (hi > lo) hi - lo else 1.0
-    least(lit((1 << bits) - 1),
-      floor((c.cast("double") - lit(lo)) / lit(span) * lit(1 << bits)).cast("long"))
+    least(lit((1L << b) - 1),
+      floor((c.cast("double") - lit(lo)) / lit(span) * lit(1L << b)).cast("long"))
   }
 
   /** Morton interleave of two bucketed columns: x in even bit positions,
     * y in odd — a fold of shifts and masks, all inside codegen.
     */
-  def zValue(x: Column, y: Column): Column =
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+  def zValue(x: Column, y: Column): Column = zValueN(Seq(x, y))
+
+  /** Bits per dimension for a d-column interleave: the composite must
+    * stay inside a long's 63 value bits; 16 matches the historical
+    * 2-column constant exactly (bit-compatible — X106's committed
+    * layouts and specs are unchanged).
+    */
+  def bitsPerDim(d: Int): Int = math.min(bits, 62 / d)
+
+  /** X197 — Morton interleave of d bucketed columns (column j at bit
+    * positions `d·i + j`): the n-dimensional generalization, still one
+    * codegen'd shift/mask fold. Locality degrades gracefully with d
+    * (each dimension keeps 62/d bits of resolution once d > 3) — the
+    * standard multi-column ZORDER trade, same as Delta's.
+    */
+  def zValueN(cols: Seq[Column]): Column = {
+    val d = cols.size
+    require(d >= 1, "zValueN needs at least one column")
+    val bpd = bitsPerDim(d)
+    (0 until bpd).foldLeft(lit(0L)) { (acc, i) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), d * i + j))
+      }
     }
+  }
 
   /** Rewrite `df` z-ordered on two numeric columns into `nFiles` files at
     * `dir`. Returns the (lo, hi) bounds used per column.
@@ -73,21 +93,32 @@ object ZOrder {
     * OPTIMIZE restores multi-dimensional skipping, readers never notice.
     */
   def optimize(spark: SparkSession, dir: String, c1: String, c2: String,
+      nFiles: Int, date: Int, time: Int): Int =
+    optimizeN(spark, dir, Seq(c1, c2), nFiles, date, time)
+
+  /** X197 — multi-column `OPTIMIZE ZORDER BY (c1, …, cn)`: the X106
+    * commit with the n-dimensional interleave. One bounds aggregate
+    * (2n combinable min/max), one range-partitioned rewrite, fresh X57
+    * stats on every clustered dimension.
+    */
+  def optimizeN(spark: SparkSession, dir: String, cs: Seq[String],
       nFiles: Int, date: Int, time: Int): Int = {
+    require(cs.nonEmpty, "ZORDER BY needs at least one column")
     val v = ManifestTable.latestVersion(spark, dir).getOrElse(
       throw new NoSuchElementException(s"no committed snapshot at $dir"))
     val cur = ManifestTable.readVersion(spark, dir, v)
-    val r = cur.agg(
-      min(col(c1).cast("double")), max(col(c1).cast("double")),
-      min(col(c2).cast("double")), max(col(c2).cast("double"))).first()
-    val zv = zValue(bucket(col(c1), r.getDouble(0), r.getDouble(1)),
-      bucket(col(c2), r.getDouble(2), r.getDouble(3)))
+    val aggs = cs.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val r = cur.agg(aggs.head, aggs.tail: _*).first()
+    val bpd = bitsPerDim(cs.size)
+    val zv = zValueN(cs.zipWithIndex.map { case (c, j) =>
+      bucket(col(c), r.getDouble(2 * j), r.getDouble(2 * j + 1), bpd) })
     val clustered = cur.withColumn("__zv", zv)
       .repartitionByRange(nFiles, col("__zv"))
       .sortWithinPartitions("__zv")
       .drop("__zv")
     ZoneMap.commitWithStats(clustered, dir, date, time,
-      statsCols = Seq(c1, c2), op = "optimize")
+      statsCols = cs, op = "optimize")
   }
 
   /** Plain bin-packing OPTIMIZE (extension X129) — compaction as an
@@ -233,9 +264,47 @@ object ZOrder {
           ZoneMap.readRange(s, dir, 3, "o_custkey", 400L, 600L)))
         .orderBy("probe")
     }),
+
+    // X197: three-dimension ZORDER from pure SQL — content invisible
+    // (the whole-orders oracle), every clustered dimension band-readable
+    // through its fresh stats, maintenance ledgered
+    "q_zorder_nd" -> ((s, d) => {
+      import graft.util.Exact.dsum
+      val dir = graft.util.FixtureCache.dir("zorder_nd", d) { dir =>
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+          .repartition(16)
+        ManifestTable.commit(o, dir, 20250701, 900)
+        graft.spark.GraftDml.extSession(s).sql(
+          s"OPTIMIZE '$dir' ZORDER BY (o_custkey, o_orderkey, o_totalprice) " +
+            "TARGET 1000000 BYTES AT 20250701 1000")
+      }
+      val snaps = ManifestTable.snapshots(s, dir)
+      def agg(tag: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_total"))
+          .select(lit(tag).as("probe"), col("n_rows"), col("sum_total"))
+      agg("all", ManifestTable.readLatest(s, dir))
+        .unionByName(agg("band",
+          ZoneMap.readRange(s, dir, 2, "o_custkey", 400L, 600L)))
+        .withColumn("last_op", lit(snaps.last.op))
+        .withColumn("n_versions", lit(snaps.size))
+        .orderBy("probe")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zorder_nd" ->
+      """SELECT * FROM (
+        |  SELECT 'all' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |         'optimize' AS last_op, CAST(2 AS INT) AS n_versions
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'band', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |         'optimize', CAST(2 AS INT)
+        |  FROM orders WHERE o_custkey BETWEEN 400 AND 600
+        |) ORDER BY probe""".stripMargin,
     "q_binpack" ->
       """SELECT count(*) AS n_rows,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,

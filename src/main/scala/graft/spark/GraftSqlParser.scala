@@ -96,7 +96,7 @@ object GraftSqlParser {
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+'([^']+)'""" +
-      s"""(?:\\s+ZORDER\\s+BY\\s*\\(\\s*($Id)\\s*,\\s*($Id)\\s*\\))?""" +
+      s"""(?:\\s+ZORDER\\s+BY\\s*\\(\\s*($Id(?:\\s*,\\s*$Id)*)\\s*\\))?""" +
       s"""(?:\\s+WHERE\\s+($Id)\\s+BETWEEN\\s+(\\d+)\\s+AND\\s+(\\d+))?""" +
       """(?:\s+TARGET\s+(\d+)\s+BYTES)?""" +
       """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s*;?\s*""").r
@@ -185,13 +185,13 @@ object GraftSqlParser {
       case VacuumRe(path, keep) =>
         Some(GraftVacuumCommand(path,
           Option(keep).map(_.toInt).getOrElse(DefaultKeepLast)))
-      case OptimizeRe(path, c1, c2, bcol, blo, bhi, target, d, t) =>
+      case OptimizeRe(path, zcols, bcol, blo, bhi, target, d, t) =>
         val (date, time) = stamp(d, t)
-        require(c1 == null || bcol == null,
+        require(zcols == null || bcol == null,
           "graft OPTIMIZE: ZORDER BY and WHERE cannot combine — z-order " +
             "the whole table, or bin-pack the band")
         Some(GraftOptimizeCommand(path,
-          Option(c1).map(_ -> c2),
+          Option(zcols).map(_.split(",").map(_.trim).toSeq),
           Option(bcol).map(c => (c, blo.toLong, bhi.toLong)),
           Option(target).map(_.toLong).getOrElse(DefaultTargetBytes),
           date, time))
@@ -349,7 +349,7 @@ case class GraftVacuumCommand(dir: String, keepLast: Int)
   * Returns the committed version; zero rows = already within budget,
   * nothing committed.
   */
-case class GraftOptimizeCommand(dir: String, zorder: Option[(String, String)],
+case class GraftOptimizeCommand(dir: String, zorder: Option[Seq[String]],
     band: Option[(String, Long, Long)], targetBytes: Long, date: Int,
     time: Int) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -363,7 +363,7 @@ case class GraftOptimizeCommand(dir: String, zorder: Option[(String, String)],
       }.getOrElse(
         ZOrder.binPack(spark, dir, targetBytes, date, time)
           .map(v => Row(v.toLong)).toSeq)
-    case Some((c1, c2)) =>
+    case Some(cs) => // X197: any number of clustering columns
       val latest = ManifestTable.snapshots(spark, dir).lastOption.getOrElse(
         throw new NoSuchElementException(s"no committed snapshot at $dir"))
       val fs = new org.apache.hadoop.fs.Path(dir)
@@ -371,7 +371,7 @@ case class GraftOptimizeCommand(dir: String, zorder: Option[(String, String)],
       val bytes = latest.files.map(f => fs.getFileStatus(
         new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen).sum
       val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      Seq(Row(ZOrder.optimize(spark, dir, c1, c2, n, date, time).toLong))
+      Seq(Row(ZOrder.optimizeN(spark, dir, cs, n, date, time).toLong))
   }
 }
 

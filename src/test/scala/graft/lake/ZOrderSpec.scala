@@ -21,6 +21,44 @@ class ZOrderSpec extends SparkSpec {
     assert(out.toSeq == Seq(0L, 1L, 2L, 3L, 0xEL, 0x55555555L))
   }
 
+  test("X197 zValueN: 2-col form bit-identical to the historical zValue; 3-col interleave exact") {
+    import spark.implicits._
+    // 2 columns: zValueN must be the SAME function (committed layouts
+    // and every existing pin depend on it)
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (2L, 3L), (65535L, 0L))
+    val both = rows.toDF("x", "y").select(
+      ZOrder.zValue(col("x"), col("y")).as("a"),
+      ZOrder.zValueN(Seq(col("x"), col("y"))).as("b")).collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+    // 3 columns: column j rides bit positions 3i + j
+    val tri = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (1L, 1L, 1L),
+      (2L, 0L, 3L)).toDF("x", "y", "z")
+      .select(ZOrder.zValueN(Seq(col("x"), col("y"), col("z"))).as("v"))
+      .collect().map(_.getLong(0))
+    assert(tri.toSeq == Seq(1L, 2L, 4L, 7L, 0x2CL))
+  }
+
+  test("X197 three-dim ZORDER: bands on every clustered dimension prune files") {
+    import spark.implicits._
+    import graft.util.Scratch
+    val dir = Scratch.dir("zorder_nd_spec")
+    val df = (0L until 8000L).map(i => (i, i % 97, (i * 31) % 89, i * 1.0))
+      .toDF("a", "b", "c", "v").repartition(16)
+    ManifestTable.commit(df, dir, 20250901, 900)
+    ZOrder.optimizeN(spark, dir, Seq("a", "b", "c"), 16, 20250901, 1000)
+    val stats = ZoneMap.fileStats(spark, dir, 2).get
+    assert(stats.size == 16)
+    // every clustered dimension must prune a narrow band to a strict
+    // subset of files (the whole point of the multi-dim interleave)
+    def pruned(cid: String, lo: Long, hi: Long): Int =
+      stats.count(s => !(s.hi(cid) < lo || s.lo(cid) > hi))
+    assert(pruned("a", 0, 500) < 16)
+    assert(pruned("b", 0, 5) < 16)
+    assert(pruned("c", 0, 5) < 16)
+    // content preserved
+    assert(ManifestTable.readLatest(spark, dir).count() == 8000)
+  }
+
   test("X106 optimize: content-preserving commit that restores skipping") {
     val dir = graft.util.Scratch.dir("opt_commit")
     val o = Tables.orders(spark, sf)

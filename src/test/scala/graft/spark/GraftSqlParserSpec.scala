@@ -137,8 +137,14 @@ class GraftSqlParserSpec extends SparkSpec {
   test("malformed graft statements refuse with usage; plain sessions keep Spark's refusal") {
     val e1 = intercept[IllegalArgumentException](ext.sql("VACUUM no_quotes"))
     assert(e1.getMessage.contains("VACUUM '<path>'"))
+    // X197: a single-column ZORDER list is legal now (plain range
+    // clustering) — it parses and fails only on the missing table;
+    // an EMPTY column list is the malformed shape
+    val e2a = intercept[NoSuchElementException](
+      ext.sql("OPTIMIZE '/tmp/graft_no_such_zx' ZORDER BY (only_one)"))
+    assert(e2a.getMessage.contains("no committed snapshot"))
     val e2 = intercept[IllegalArgumentException](
-      ext.sql("OPTIMIZE '/tmp/x' ZORDER BY (only_one)"))
+      ext.sql("OPTIMIZE '/tmp/x' ZORDER BY ()"))
     assert(e2.getMessage.contains("OPTIMIZE '<path>'"))
     val e3 = intercept[IllegalArgumentException](ext.sql("DESCRIBE HISTORY t"))
     assert(e3.getMessage.contains("DESCRIBE HISTORY '<path>'"))
