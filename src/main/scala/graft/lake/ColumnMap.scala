@@ -48,8 +48,14 @@ object ColumnMap {
 
   /** One mapped column. `dtype` is the Spark DDL type string, used to
     * type the NULL projection for files written before the field existed.
+    * `default` (X198) is the EXISTENCE default: rows from files that
+    * physically lack the column serve this literal instead of NULL —
+    * Delta's `ADD COLUMN … DEFAULT` semantics, where an explicit NULL
+    * written after the column existed stays NULL (per-FILE presence,
+    * never a value-level coalesce).
     */
-  case class Field(id: Int, logical: String, physical: String, dtype: String)
+  case class Field(id: Int, logical: String, physical: String, dtype: String,
+      default: Option[String] = None)
 
   private def mapDir(dir: String) = s"$dir/_colmap"
   private def mapName(version: Int) = f"v$version%08d.json"
@@ -59,9 +65,11 @@ object ColumnMap {
       fields: Seq[Field]): Unit = {
     val fs = ManifestTable.fsFor(spark, dir)
     fs.mkdirs(new Path(mapDir(dir)))
-    val body = fields.map(f =>
-      s"""{"id": ${f.id}, "logical": "${f.logical}", "physical": "${f.physical}", "dtype": "${f.dtype}"}""")
-      .mkString("[", ", ", "]")
+    val body = fields.map { f =>
+      val d = f.default.map(v =>
+        s""", "default": "${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""").getOrElse("")
+      s"""{"id": ${f.id}, "logical": "${f.logical}", "physical": "${f.physical}", "dtype": "${f.dtype}"$d}"""
+    }.mkString("[", ", ", "]")
     val out = fs.create(new Path(mapDir(dir), mapName(version)), true)
     try out.write(s"""{"version": $version, "fields": $body}""".getBytes("UTF-8"))
     finally out.close()
@@ -86,7 +94,8 @@ object ColumnMap {
         (j \ "version").extract[Int] ->
           (j \ "fields").extract[Seq[JValue]].map(f => Field(
             (f \ "id").extract[Int], (f \ "logical").extract[String],
-            (f \ "physical").extract[String], (f \ "dtype").extract[String]))
+            (f \ "physical").extract[String], (f \ "dtype").extract[String],
+            (f \ "default").extractOpt[String]))
       }
       .sortBy(_._1)
   }
@@ -184,12 +193,21 @@ object ColumnMap {
   /** Re-adding a once-dropped name mints a fresh id and a fresh physical
     * name — old bytes never resurrect.
     */
-  def addColumn(spark: SparkSession, dir: String, name: String, dtype: String): Int =
+  def addColumn(spark: SparkSession, dir: String, name: String, dtype: String,
+      default: Option[String] = None): Int = {
+    // X198: the existence default must be a literal of the column's type
+    default.foreach { d =>
+      val ok = try spark.range(1)
+        .select(lit(d).cast(dtype).isNotNull).head.getBoolean(0)
+      catch { case _: Exception => false } // ANSI cast throws; same refusal
+      require(ok, s"default '$d' does not cast to $dtype")
+    }
     schemaCommit(spark, dir, "add", { fields =>
       require(!fields.exists(_.logical == name), s"column '$name' already exists")
       val id = fields.map(_.id).max + 1
-      fields :+ Field(id, name, s"${name}_$id", dtype)
+      fields :+ Field(id, name, s"${name}_$id", dtype, default)
     })
+  }
 
   /** Read a version (default latest) under its then-current LOGICAL
     * names. `mergeSchema` unions the file schemas from footers (files
@@ -202,14 +220,36 @@ object ColumnMap {
     val snap = version.map(v => snaps.find(_.version == v).getOrElse(
       throw new NoSuchElementException(s"no version $v at $dir"))).getOrElse(snaps.last)
     val fields = mappingAt(spark, dir, snap.version)
-    val scan = DeleteVectors.applyTo(spark, dir, snap,
-      spark.read.option("mergeSchema", "true")
-        .parquet(snap.files.map(f => s"$dir/$f"): _*))
-    val present = scan.columns.toSet
-    scan.select(fields.map { f =>
-      if (present(f.physical)) col(f.physical).cast(f.dtype).as(f.logical)
-      else lit(null).cast(f.dtype).as(f.logical)
-    }: _*)
+    def project(files: Seq[String]): DataFrame = {
+      val scan = DeleteVectors.applyTo(spark, dir, snap,
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => s"$dir/$f"): _*))
+      val present = scan.columns.toSet
+      scan.select(fields.map { f =>
+        if (present(f.physical)) col(f.physical).cast(f.dtype).as(f.logical)
+        else f.default match {
+          // X198 existence default: this whole file GROUP lacks the
+          // column, so its rows predate it and serve the declared
+          // literal; files that carry the column serve their stored
+          // values — including explicit NULLs (never a value coalesce)
+          case Some(d) => lit(d).cast(f.dtype).as(f.logical)
+          case None => lit(null).cast(f.dtype).as(f.logical)
+        }
+      }: _*)
+    }
+    val defPhys = fields.filter(_.default.isDefined).map(_.physical).toSet
+    if (defPhys.isEmpty) project(snap.files)
+    else {
+      // group files by WHICH defaulted columns their footers carry —
+      // one driver-side cached schema probe per file (the X57 metadata
+      // class), groups bounded by schema eras, one union branch each
+      val groups = snap.files.groupBy { f =>
+        graft.util.SchemaCache.cached(spark, s"$dir/$f")(
+          spark.read.parquet(s"$dir/$f").schema)
+          .fieldNames.toSet intersect defPhys
+      }
+      groups.values.map(project).reduce(_ unionByName _)
+    }
   }
 
   type Q = (SparkSession, String) => DataFrame

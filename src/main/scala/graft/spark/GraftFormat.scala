@@ -172,6 +172,28 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
       if (cdf) keys else None)
   }
 
+  /** X199 — `option("startingVersion", n | "latest")`: subscribe from a
+    * version instead of backfilling the whole table ("latest" resolves
+    * to the version committed NOW — changes-from-here-on). Validated
+    * against the committed log: a version the log never reached is a
+    * typo, not a wish.
+    */
+  private def startingOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String, parameters: Map[String, String]): Option[Long] =
+    parameters.get("startingVersion").map { v =>
+      val latest = graft.lake.ManifestTable.latestVersion(spark, dir)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft stream: no committed snapshot at $dir")).toLong
+      if (v.equalsIgnoreCase("latest")) latest
+      else {
+        val n = v.toLong
+        require(n >= 0 && n <= latest,
+          s"graft stream: startingVersion $n outside the committed log " +
+            s"[0, $latest] at $dir")
+        n
+      }
+    }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
@@ -187,7 +209,8 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     val (dir, skip, cdf) = streamParams(parameters)
     new GraftStreamSource(sqlContext.sparkSession, dir, skip,
       maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toInt),
-      metadataPath = Some(metadataPath), cdfKeys = cdf)
+      metadataPath = Some(metadataPath), cdfKeys = cdf,
+      startingVersion = startingOf(sqlContext.sparkSession, dir, parameters))
   }
 
   override def createRelation(sqlContext: SQLContext,

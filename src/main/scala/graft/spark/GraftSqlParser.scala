@@ -123,7 +123,8 @@ object GraftSqlParser {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+'([^']+)'\\s+DROP\\s+COLUMN\\s+($Id)\\s*;?\\s*""".r
   private val AlterAddRe =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+'([^']+)'\\s+ADD\\s+COLUMN\\s+($Id)\\s+""" +
-      """([A-Za-z][A-Za-z_0-9]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""").r
+      """([A-Za-z][A-Za-z_0-9]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)""" +
+      """(?:\s+DEFAULT\s+('[^']*'|-?[0-9][0-9.]*))?\s*;?\s*""").r
   // X187: persistent CHECK constraints — ADD validates current contents,
   // both land as metadata-only commits ([[graft.lake.Constraints]])
   private val AddConstraintRe =
@@ -251,11 +252,14 @@ object GraftSqlParser {
         Some(GraftAlterColumnCommand(path, "rename", from, to))
       case AlterDropRe(path, name) =>
         Some(GraftAlterColumnCommand(path, "drop", name, ""))
-      case AlterAddRe(path, name, dtype) =>
+      case AlterAddRe(path, name, dtype, dflt) =>
         val dt = try org.apache.spark.sql.types.DataType.fromDDL(dtype)
           catch { case _: Exception => throw new IllegalArgumentException(
             s"graft ALTER TABLE: unknown column type '$dtype'") }
-        Some(GraftAlterColumnCommand(path, "add", name, dt.catalogString))
+        // X198: DEFAULT literal — quoted string or bare number
+        val d = Option(dflt).map(v =>
+          if (v.startsWith("'")) v.substring(1, v.length - 1) else v)
+        Some(GraftAlterColumnCommand(path, "add", name, dt.catalogString, d))
       case _ if lead.length == 2 && lead(0) == "ALTER" && lead(1) == "TABLE" &&
           sql.trim.split("\\s+").lift(2).exists(_.startsWith("'")) =>
         throw new IllegalArgumentException(
@@ -481,7 +485,7 @@ case class GraftDetailCommand(dir: String) extends LeafRunnableCommand {
   * version under the LOGICAL names it had then — era-correct reads.
   */
 case class GraftAlterColumnCommand(dir: String, op: String, a: String,
-    b: String) extends LeafRunnableCommand {
+    b: String, dflt: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("op", StringType, nullable = false)(),
     AttributeReference("version", LongType, nullable = false)())
@@ -490,7 +494,7 @@ case class GraftAlterColumnCommand(dir: String, op: String, a: String,
     val v = op match {
       case "rename" => graft.lake.ColumnMap.renameColumn(spark, dir, a, b)
       case "drop" => graft.lake.ColumnMap.dropColumn(spark, dir, a)
-      case "add" => graft.lake.ColumnMap.addColumn(spark, dir, a, b)
+      case "add" => graft.lake.ColumnMap.addColumn(spark, dir, a, b, dflt)
     }
     Seq(Row(op, v.toLong))
   }
@@ -882,6 +886,25 @@ object GraftSqlQueries {
         s"ANALYZE TABLE '$dir' COMPUTE STATISTICS FOR COLUMNS k, pri").collect()
     }
 
+  /** X198 fixture: `ADD COLUMN … DEFAULT` on a table with existing rows
+    * — the old file serves the existence default, rows appended after
+    * the column existed serve their stored values INCLUDING an explicit
+    * NULL (per-file presence, never a value coalesce).
+    */
+  private def defaultFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("sql_default", d) { dir =>
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"))
+      ManifestTable.commit(o.where(col("k") % 2 === 0), dir, 20250901, 900)
+      GraftDml.extSession(s).sql(s"ALTER TABLE '$dir' ADD COLUMN tag " +
+        "string DEFAULT 'legacy'") // v2: upgrade-in-place + default
+      graft.lake.ColumnMap.append(
+        o.where(col("k") % 2 === 1).withColumn("tag",
+          when(col("k") % 4 === 1, lit("fresh"))
+            .otherwise(lit(null).cast("string"))),
+        dir, 20250901, 920) // v3: explicit values + explicit NULLs
+    }
+
   /** X185 fixture: a plain (unmapped) graft table taken through the SQL
     * schema-evolution statements — the first ALTER upgrades it to column
     * mapping in place; the drop + re-add of `note` pins no-resurrection.
@@ -1019,6 +1042,19 @@ object GraftSqlQueries {
         .withColumn("n_versions",
           lit(ManifestTable.snapshots(s, dir).size))
     }),
+    // X198: pre-existing rows serve the existence default, appended rows
+    // their stored values, explicit NULLs stay NULL — the three-way
+    // split the oracle rebuilds from key parity
+    "q_sql_default" -> ((s, d) => {
+      val dir = defaultFixture(s, d)
+      graft.lake.ColumnMap.read(s, dir)
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"),
+          sum(when(col("tag") === "legacy", 1L).otherwise(0L)).as("n_legacy"),
+          sum(when(col("tag") === "fresh", 1L).otherwise(0L)).as("n_fresh"),
+          sum(when(col("tag").isNull, 1L).otherwise(0L)).as("n_null"))
+        .withColumn("n_versions",
+          lit(ManifestTable.snapshots(s, dir).size))
+    }),
     // X185: latest serves (k, amount, note=NULL); version 1 time-travels
     // under its ERA-CORRECT pre-rename name `p`; ledger facts as literals
     "q_sql_alter" -> ((s, d) => {
@@ -1081,6 +1117,14 @@ object GraftSqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_default" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |       count(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_legacy,
+        |       count(*) FILTER (WHERE o_orderkey % 4 = 1) AS n_fresh,
+        |       count(*) FILTER (WHERE o_orderkey % 4 = 3) AS n_null,
+        |       CAST(3 AS INT) AS n_versions
+        |FROM orders""".stripMargin,
     "q_sql_optimize_where" ->
       """SELECT count(*) AS n_rows,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,

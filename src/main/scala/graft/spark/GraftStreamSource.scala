@@ -50,7 +50,8 @@ import graft.util.{Exact, FixtureCache, Scratch}
   */
 class GraftStreamSource(spark: SparkSession, dir: String,
     skipChangeCommits: Boolean, maxVersionsPerBatch: Option[Int] = None,
-    metadataPath: Option[String] = None, cdfKeys: Option[Seq[String]] = None)
+    metadataPath: Option[String] = None, cdfKeys: Option[Seq[String]] = None,
+    startingVersion: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -118,6 +119,16 @@ class GraftStreamSource(spark: SparkSession, dir: String,
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
+  // X199: "subscribe from here" — versions at-or-below the starting
+  // version are never delivered and the initial-snapshot backfill is
+  // skipped (Delta's startingVersion). The base anchors the FIRST
+  // batch's lower bound and the rate limiter; a CHECKPOINTED offset
+  // always wins over it (getBatch's `start`), so a restart that
+  // re-resolves `"latest"` to a newer version can never stall or
+  // re-deliver — the offer side needs no filtering (a fresh stream
+  // whose latest == base just commits one empty batch).
+  private val startBase: Long = startingVersion.getOrElse(0L)
+
   private def offer(): Option[Long] = {
     val latestRaw = ManifestTable.latestVersion(spark, dir).map(_.toLong)
     val latest = (latestRaw, availableNowEnd) match {
@@ -126,7 +137,7 @@ class GraftStreamSource(spark: SparkSession, dir: String,
     }
     val capped = (latest, maxVersionsPerBatch) match {
       case (Some(l), Some(cap)) =>
-        val base = lastOffered.getOrElse(0L)
+        val base = lastOffered.getOrElse(startBase)
         Some(math.min(l, base + cap))
       case _ => latest
     }
@@ -167,7 +178,7 @@ class GraftStreamSource(spark: SparkSession, dir: String,
       .flatten.maxOption.foreach { v =>
         if (lastOffered.forall(_ < v)) lastOffered = Some(v)
       }
-    val fromV = start.map(versionOf).getOrElse(0)
+    val fromV = start.map(versionOf).getOrElse(startBase.toInt)
     val toV = versionOf(end)
     if (cdfKeys.isDefined) return cdfBatch(fromV, toV)
     val all = ManifestTable.snapshots(spark, dir)
@@ -257,6 +268,19 @@ object GraftStream {
     q.awaitTermination()
   }
 
+  /** One AvailableNow pass subscribed from `startingVersion` (X199). */
+  def runOnceFrom(spark: SparkSession, tableDir: String, sinkDir: String,
+      chkDir: String, startingVersion: String): Unit = {
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", startingVersion).load(tableDir)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", chkDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** One AvailableNow pass of the X183 change feed into a parquet sink. */
   def runCdfOnce(spark: SparkSession, tableDir: String, keys: String,
       sinkDir: String, chkDir: String): Unit = {
@@ -316,6 +340,28 @@ object GraftStream {
           Exact.dsum(col("value")).as("sum_value"))
         .orderBy("event_type")
     }),
+
+    // X199: subscribed from version 2 — the v1/v2 backfill never flows,
+    // the two post-subscribe appends do (across two checkpointed passes,
+    // so exactly-once composes with the skipped backfill)
+    "q_stream_starting" -> ((s, d) => {
+      val sink = FixtureCache.dir("graft_ssv", d) { sink =>
+        val tbl = Scratch.dir("graft_ssv_tbl")
+        val chk = Scratch.dir("graft_ssv_chk")
+        val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+        ManifestTable.commit(ev.where(col("event_id") % 4 === 0), tbl, 20250801, 900)
+        ManifestTable.appendRetrying(ev.where(col("event_id") % 4 === 1), tbl, 20250801, 1000)
+        ManifestTable.appendRetrying(ev.where(col("event_id") % 4 === 2), tbl, 20250801, 1100)
+        runOnceFrom(s, tbl, sink, chk, "2") // delivers v3 only
+        ManifestTable.appendRetrying(ev.where(col("event_id") % 4 === 3), tbl, 20250801, 1200)
+        runOnceFrom(s, tbl, sink, chk, "2") // same checkpoint: v4 only
+      }
+      s.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -342,5 +388,10 @@ object GraftStream {
       """SELECT event_type, count(*) AS n_rows,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_starting" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_id % 4 IN (2, 3)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

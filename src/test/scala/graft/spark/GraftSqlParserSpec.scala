@@ -356,6 +356,33 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(e3.getMessage.contains("graft CONVERT"))
   }
 
+  test("X198 ADD COLUMN DEFAULT: existence default per file, explicit NULL survives, bad literal refuses") {
+    val dir = mkVersions("sqlp_dflt", 1) // (k, v), 10 rows, one file era
+    ext.sql(s"ALTER TABLE '$dir' ADD COLUMN grade bigint DEFAULT 7")
+    // old rows serve the default...
+    val g1 = graft.lake.ColumnMap.read(spark, dir)
+    assert(g1.where(col("grade") === 7L).count() === 10)
+    // ...new rows their stored values, explicit NULLs included
+    graft.lake.ColumnMap.append(
+      spark.range(100, 105).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .withColumn("grade",
+          when(col("k") % 2 === 0, col("k")).otherwise(lit(null).cast("bigint"))),
+      dir, 20250901, 1000)
+    val g2 = graft.lake.ColumnMap.read(spark, dir)
+    assert(g2.where(col("grade") === 7L).count() === 10)
+    assert(g2.where(col("grade").isNull).count() === 2, "explicit NULL coalesced away")
+    assert(g2.where(col("grade") >= 100L).count() === 3)
+    // era-correct: v1 predates the column
+    assert(!graft.lake.ColumnMap.read(spark, dir, Some(1))
+      .columns.contains("grade"))
+    // a default that does not cast to the type refuses, nothing commits
+    val before = ManifestTable.snapshots(spark, dir).size
+    val e = intercept[Exception](ext.sql(
+      s"ALTER TABLE '$dir' ADD COLUMN n bigint DEFAULT 'not_a_number'"))
+    assert(e.getMessage.contains("does not cast"))
+    assert(ManifestTable.snapshots(spark, dir).size === before)
+  }
+
   test("X196 OPTIMIZE WHERE packs only the band; outer files byte-identical; idempotent") {
     val dir = Scratch.dir("sqlp_optw")
     val df = (i: Int) => spark.range(i * 100L, (i + 1) * 100L)

@@ -241,4 +241,34 @@ class GraftStreamSpec extends SparkSpec {
       src.getBatch(Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(2L)), end))
     assert(e.getMessage.contains("vacuumed"))
   }
+
+  test("X199 startingVersion: backfill skipped, later commits flow, bounds validated") {
+    val tbl = Scratch.dir("gs_startv")
+    val sink = Scratch.dir("gs_startv_sink")
+    val chk = Scratch.dir("gs_startv_chk")
+    val df = (i: Int) => spark.range(i * 10L, (i + 1) * 10L)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    ManifestTable.commit(df(0), tbl, 20250901, 900) // v1
+    ManifestTable.appendRetrying(df(1), tbl, 20250901, 910) // v2
+    // subscribe from "latest" (= v2): the first pass delivers NOTHING
+    GraftStream.runOnceFrom(spark, tbl, sink, chk, "latest")
+    // the empty first batch may land a 0-row part file — rows are the
+    // contract, not file presence
+    assert(spark.read.parquet(sink).count() === 0,
+      "backfill leaked through startingVersion")
+    // a post-subscribe append flows through the same checkpoint
+    ManifestTable.appendRetrying(df(2), tbl, 20250901, 920) // v3
+    GraftStream.runOnceFrom(spark, tbl, sink, chk, "latest")
+    val got = spark.read.parquet(sink)
+    assert(got.count() === 10)
+    assert(got.agg(min("k"), max("k")).head.toSeq === Seq(20L, 29L))
+    // a version outside the committed log refuses at construction
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").option("startingVersion", "99")
+        .load(tbl).writeStream.format("noop").start().awaitTermination()
+    }
+    assert(e.getMessage.contains("outside the committed log") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("outside the committed log"))
+  }
 }
