@@ -68,6 +68,18 @@ object ManifestTable {
   private def manifestDir(dir: String) = s"$dir/_manifests"
   private def manifestName(version: Int) = f"v$version%08d.json"
   private val ManifestRe = """v(\d{8})\.json""".r
+  // X200 log checkpoints — names deliberately outside ManifestRe, so a
+  // pre-checkpoint reader's listing simply ignores them (forward compat)
+  private def checkpointName(version: Int) = f"checkpoint-v$version%08d.json"
+  private val CheckpointRe = """checkpoint-v(\d{8})\.json""".r
+  private val LastCheckpoint = "_last_checkpoint"
+
+  /** Manifest JSON files opened since JVM start — the observable the
+    * X200 checkpoint contract is pinned against (ManifestSpec /
+    * q_log_checkpoint assert a post-checkpoint log open pays reads
+    * proportional to commits SINCE the checkpoint, not log length).
+    */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong
 
   private[lake] def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -118,6 +130,15 @@ object ManifestTable {
       throw new IllegalStateException(
         s"concurrent commit of version $version detected at $dir")
     }
+    // X200: the commit just landed; checkpoint the log every Nth version
+    // (table property `graft.checkpoint.interval`, 0 disables). Strictly
+    // best-effort — a checkpoint accelerates reads, so its failure must
+    // never fail the commit that already published.
+    val interval = try Properties.activeAt(spark, dir, version)
+      .get("graft.checkpoint.interval").map(_.toInt).getOrElse(10)
+    catch { case _: Exception => 10 }
+    if (interval > 0 && version % interval == 0)
+      try writeCheckpoint(spark, dir) catch { case _: Exception => () }
   }
 
   /** Atomic snapshot write: stage data files, then publish the manifest.
@@ -249,31 +270,110 @@ object ManifestTable {
     }
   }
 
-  /** All committed snapshots, oldest first — one listing of the manifest
-    * dir plus one tiny driver-side read per manifest (versions are few;
-    * the data dirs are never listed).
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def parseSnapshot(j: JValue): Snapshot = {
+    implicit val fmts: Formats = DefaultFormats
+    Snapshot((j \ "version").extract[Int], (j \ "run_date").extract[Int],
+      (j \ "run_time").extract[Int], (j \ "files").extract[Seq[String]],
+      (j \ "deletes").extractOpt[Seq[String]].getOrElse(Nil),
+      (j \ "op").extractOpt[String].getOrElse("write"))
+  }
+
+  private def snapshotJson(s: Snapshot): String = {
+    val del = if (s.deletes.isEmpty) ""
+      else s""", "deletes": [${s.deletes.map("\"" + _ + "\"").mkString(", ")}]"""
+    val op = if (s.op == "write") "" else s""", "op": "${s.op}""""
+    s"""{"version": ${s.version}, "run_date": ${s.runDate}, "run_time": ${s.runTime},""" +
+      s""" "files": [${s.files.map("\"" + _ + "\"").mkString(", ")}]$del$op}"""
+  }
+
+  /** One checkpoint file's snapshot map, or empty on ANY failure
+    * (concurrently vacuumed, corrupt bytes) — absence degrades to the
+    * full per-manifest read, never lies.
+    */
+  private def checkpointed(fs: FileSystem, mdir: Path, v: Int): Map[Int, Snapshot] =
+    try {
+      implicit val fmts: Formats = DefaultFormats
+      val body = JsonMethods.parse(readText(fs, new Path(mdir, checkpointName(v))))
+      (body \ "snapshots").extract[Seq[JValue]]
+        .map(parseSnapshot).map(s => s.version -> s).toMap
+    } catch { case _: Exception => Map.empty }
+
+  /** All committed snapshots, oldest first. One listing of the manifest
+    * dir resolves WHICH versions exist; their content comes from the
+    * latest X200 checkpoint where it covers them, and from a per-manifest
+    * read only for commits since — so opening a table with a 10 000-commit
+    * log costs ~2 driver reads, not 10 000 (Delta's `_last_checkpoint`
+    * economics). The listing stays authoritative: a version vacuum
+    * removed is gone even if a stale checkpoint still carries it, and a
+    * version newer than the checkpoint is read directly — a checkpoint
+    * can therefore never add, drop, or alter a commit, only cheapen it
+    * (spec-pinned byte-equality against the manifest-by-manifest read).
     */
   def snapshots(spark: SparkSession, dir: String): Seq[Snapshot] = {
     val fs = fsFor(spark, dir)
     val mdir = new Path(manifestDir(dir))
     if (!fs.exists(mdir)) return Seq.empty
-    fs.listStatus(mdir).toSeq
-      .flatMap(s => s.getPath.getName match {
-        case ManifestRe(_) => Some(s.getPath)
-        case _ => None // in-flight .tmp files are not commits
+    val names = fs.listStatus(mdir).toSeq.map(_.getPath)
+    val listed = names.flatMap(p => p.getName match {
+      case ManifestRe(v) => Some(v.toInt -> p)
+      case _ => None // in-flight .tmp files / checkpoints are not commits
+    })
+    // the listing we already paid reveals the newest checkpoint — a table
+    // that never checkpointed costs NOTHING extra here
+    val ckpt = names.flatMap(_.getName match {
+      case CheckpointRe(v) => Some(v.toInt)
+      case _ => None
+    }).maxOption.map(checkpointed(fs, mdir, _)).getOrElse(Map.empty)
+    listed.map { case (v, p) =>
+      ckpt.getOrElse(v, {
+        manifestReads.incrementAndGet()
+        parseSnapshot(JsonMethods.parse(readText(fs, p)))
       })
-      .map { p =>
-        val in = fs.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        implicit val fmts: Formats = DefaultFormats
-        val j = JsonMethods.parse(text)
-        Snapshot((j \ "version").extract[Int], (j \ "run_date").extract[Int],
-          (j \ "run_time").extract[Int], (j \ "files").extract[Seq[String]],
-          (j \ "deletes").extractOpt[Seq[String]].getOrElse(Nil),
-          (j \ "op").extractOpt[String].getOrElse("write"))
-      }
-      .sortBy(_.version)
+    }.sortBy(_.version)
+  }
+
+  /** Write an X200 log checkpoint at the current latest version: one
+    * consolidated JSON carrying every live snapshot verbatim, published
+    * under `checkpoint-v<latest>.json` with the `_last_checkpoint`
+    * pointer updated (never regressed) — Delta's checkpoint shape over
+    * the X39 log. Content is a pure function of the log, so two racing
+    * checkpointers are idempotent: the rename loser just discards its
+    * temp bytes. Returns the checkpointed version, None on an empty log.
+    */
+  def writeCheckpoint(spark: SparkSession, dir: String): Option[Int] = {
+    val snaps = snapshots(spark, dir)
+    if (snaps.isEmpty) return None
+    val v = snaps.last.version
+    val fs = fsFor(spark, dir)
+    val mdir = new Path(manifestDir(dir))
+    val target = new Path(mdir, checkpointName(v))
+    if (!fs.exists(target)) {
+      val json = s"""{"version": $v, "snapshots": [${
+        snaps.map(snapshotJson).mkString(",\n")}]}"""
+      val tmp = new Path(mdir,
+        s".ckpt$v.${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, target)) fs.delete(tmp, false) // race lost: same bytes landed
+    }
+    // pointer moves forward only — a slow concurrent checkpointer of an
+    // OLDER version must not regress readers to a longer delta
+    val current = try {
+      implicit val fmts: Formats = DefaultFormats
+      (JsonMethods.parse(readText(fs, new Path(mdir, LastCheckpoint))) \ "version")
+        .extract[Int]
+    } catch { case _: Exception => -1 }
+    if (v > current) {
+      val out = fs.create(new Path(mdir, LastCheckpoint), true)
+      try out.write(s"""{"version": $v}""".getBytes("UTF-8")) finally out.close()
+    }
+    Some(v)
   }
 
   def latestVersion(spark: SparkSession, dir: String): Option[Int] =
@@ -531,6 +631,34 @@ object ManifestTable {
         .unionByName(agg("src_latest", readLatest(s, s"$root/src")))
         .orderBy("probe")
     }),
+    // X200: a 12-commit log auto-checkpoints at version 10; a fresh log
+    // open then pays manifest reads only for the 2 commits SINCE it —
+    // measured in-query via the global read counter, while the content
+    // (all 12 appended slices) is rebuilt by the oracle from raw orders,
+    // so the cheap path and the true table state are pinned together.
+    "q_log_checkpoint" -> ((s, d) => {
+      import graft.util.Exact.dsum
+      import org.apache.spark.sql.functions._
+      val dir = graft.util.FixtureCache.dir("manifest_ckpt", d) { dir =>
+        val o = graft.sources.Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice")
+        commit(o.where(col("o_orderkey") % 12 === 0), dir, 20250901, 900)
+        (1 to 11).foreach(i => appendRetrying(
+          o.where(col("o_orderkey") % 12 === i), dir, 20250901, 900 + i))
+      }
+      val before = manifestReads.get()
+      val snaps = snapshots(s, dir)
+      val delta = manifestReads.get() - before
+      val ckptV = fsFor(s, dir).listStatus(new Path(manifestDir(dir)))
+        .toSeq.flatMap(_.getPath.getName match {
+          case CheckpointRe(v) => Some(v.toInt); case _ => None
+        }).max
+      readVersion(s, dir, snaps.last.version)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_total"))
+        .withColumn("n_versions", lit(snaps.size))
+        .withColumn("checkpoint_v", lit(ckptV))
+        .withColumn("reads_since_ckpt", lit(delta))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -560,6 +688,13 @@ object ManifestTable {
         |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
         |    AND NOT (o_orderkey % 7 = 3)
         |) ORDER BY version""".stripMargin,
+    "q_log_checkpoint" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |       CAST(12 AS INT) AS n_versions,
+        |       CAST(10 AS INT) AS checkpoint_v,
+        |       CAST(2 AS BIGINT) AS reads_since_ckpt
+        |FROM orders""".stripMargin,
     "q_clone" ->
       """SELECT * FROM (
         |  SELECT 'clone' AS probe, count(*) AS n_rows,

@@ -36,6 +36,7 @@ object Vacuum {
 
   private val DataDirRe = """v(\d{8})""".r
   private val StagedDirRe = """w[0-9a-f]{8}""".r
+  private val CkptRe = """checkpoint-v(\d{8})\.json""".r
 
   /** Expire all but the newest `keepLast` committed versions. Returns the
     * expired version numbers. Idempotent: vacuuming twice is a no-op, and
@@ -71,6 +72,15 @@ object Vacuum {
       fs.delete(new Path(f"$dir/_manifests/v${s.version}%08d.json"), false)
       fs.delete(new Path(f"$dir/_manifests/v${s.version}%08d.stats.json"), false)
     }
+    // X200 checkpoints: all but the newest are superseded bytes (readers
+    // key off the newest listed checkpoint; staleness is harmless — the
+    // manifest listing stays authoritative — but dead weight accumulates)
+    val ckpts = fs.listStatus(new Path(s"$dir/_manifests")).toSeq
+      .flatMap(_.getPath.getName match {
+        case CkptRe(v) => Some(v.toInt); case _ => None
+      }).sorted
+    ckpts.dropRight(1).foreach(v =>
+      fs.delete(new Path(f"$dir/_manifests/checkpoint-v$v%08d.json"), false))
     // Reference-counted sweep + orphan GC in one pass: a data/ or
     // deletes/ version dir at or below `latest` is dead unless a RETAINED
     // manifest references a file inside it (X64 delete commits share

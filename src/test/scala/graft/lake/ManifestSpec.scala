@@ -222,4 +222,44 @@ class ManifestSpec extends SparkSpec {
         s"footer count drift at v${snap.version}")
     }
   }
+
+  test("X200 checkpoint: content byte-equal, reads O(delta), corruption degrades, vacuum composes") {
+    val dir = tmpTable()
+    val df = (i: Int) => spark.range(i * 10L, (i + 1) * 10L)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    ManifestTable.commit(df(0), dir, 20250901, 900)
+    (1 to 11).foreach(i =>
+      ManifestTable.appendRetrying(df(i), dir, 20250901, 900 + i))
+    // the 10th commit auto-checkpointed; content through the checkpoint
+    // path is IDENTICAL to the manifest-by-manifest read
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(s"$dir/_manifests")
+    val ckpt = new org.apache.hadoop.fs.Path(mdir, "checkpoint-v00000010.json")
+    assert(fs.exists(ckpt), "auto-checkpoint at v10 missing")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(mdir, "_last_checkpoint")))
+    val viaCkpt = ManifestTable.snapshots(spark, dir)
+    // a fresh log open pays manifest reads only for v11, v12
+    val before = ManifestTable.manifestReads.get()
+    ManifestTable.snapshots(spark, dir)
+    assert(ManifestTable.manifestReads.get() - before === 2L,
+      "checkpoint not serving the covered prefix")
+    // corrupt the checkpoint: reads degrade to full listing, same answer
+    val out = fs.create(ckpt, true)
+    out.write("not json".getBytes("UTF-8")); out.close()
+    val b2 = ManifestTable.manifestReads.get()
+    val viaFull = ManifestTable.snapshots(spark, dir)
+    assert(ManifestTable.manifestReads.get() - b2 === 12L)
+    assert(viaFull === viaCkpt, "checkpoint altered the log")
+    // restore a good checkpoint, then vacuum: removed versions stay gone
+    // even though the checkpoint still carries them (listing authority),
+    // and superseded checkpoints are reclaimed by a later vacuum pass
+    ManifestTable.writeCheckpoint(spark, dir) // at v12
+    assert(fs.exists(new org.apache.hadoop.fs.Path(mdir, "checkpoint-v00000012.json")))
+    Vacuum.vacuum(spark, dir, keepLast = 2)
+    assert(ManifestTable.snapshots(spark, dir).map(_.version) === Seq(11, 12),
+      "a stale checkpoint resurrected vacuumed versions")
+    assert(!fs.exists(ckpt), "superseded checkpoint not reclaimed")
+    assert(ManifestTable.readLatest(spark, dir).count() === 120)
+  }
 }
