@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Classifier-based quality filtering (extension X201) — the selector
+  * shape behind fastText quality classifiers in DCLM / FineWeb-Edu /
+  * GPT-3-style pipelines: label a "curated" slice positive and the rest
+  * negative, train a unigram model, score every document, keep the
+  * confident ones. (The reference has no text pipeline at all; this is
+  * north-star-mandate surface.)
+  *
+  * This implementation is the INTEGER-EXACT core of that classifier: a
+  * smoothed multinomial Naive Bayes where each vocabulary token casts a
+  * SIGN vote — token t votes positive iff
+  *
+  *   (c_pos(t)+1) · (T_neg+V)  >  (c_neg(t)+1) · (T_pos+V)
+  *
+  * i.e. the sign of the smoothed log-odds without ever taking a log, so
+  * every product stays in exact DECIMAL arithmetic and the DuckDB oracle
+  * replays the entire model bit-for-bit (the repo's no-FP-drift
+  * discipline; a float fastText would be property-pinned only). A
+  * document's score is its fraction of voting tokens that vote positive;
+  * the filter keeps docs with pos·2 ≥ votes (majority, ties pass).
+  *
+  * Scale shape (100 TB): training is ONE map-side-combinable groupBy over
+  * exploded tokens (the vocabulary aggregate — same class as X85 BPE's
+  * corpus collapse). The vote table is VOCABULARY-sized, and the
+  * standard web-scale move bounds it further: tokens below `minCount`
+  * occurrences carry no vote (frequency pruning — also the hapax-noise
+  * cut), so the scoring join BROADCASTS the votes against the exploded
+  * corpus; the per-doc aggregate partial-combines map-side (a doc's
+  * tokens are contiguous in its partition), so the one shuffle carries
+  * ~one row per document, not per token. No driver-side model state.
+  */
+object QualityClassifier {
+
+  /** Per-token sign votes from a labeled corpus. `isPos` marks the
+    * curated slice. Only tokens with ≥ `minCount` total occurrences
+    * vote. Returns (token, vote: boolean).
+    */
+  def trainVotes(docs: DataFrame, isPos: org.apache.spark.sql.Column,
+      minCount: Long = 3L): DataFrame = {
+    val counts = docs
+      .select(isPos.as("pos"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("c_neg"))
+      .where(col("c_pos") + col("c_neg") >= minCount)
+    // totals over the PRUNED vocabulary (the model's event space —
+    // identical on both engines by construction); one tiny driver row
+    val t = counts.agg(sum("c_pos"), sum("c_neg"), count(lit(1))).head
+    val (tp, tn, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    // exact cross-multiplication in DECIMAL(38,0): counts are ≤ corpus
+    // tokens, so products need ~2× the digits of a BIGINT at web scale
+    counts.select(col("token"),
+      ((col("c_pos") + 1).cast("decimal(19,0)") * lit(tn + v) >
+        (col("c_neg") + 1).cast("decimal(19,0)") * lit(tp + v)).as("vote"))
+  }
+
+  /** Score every document against the votes: (doc columns..., n_votes,
+    * n_pos, pass). Votes are broadcast — the corpus side never shuffles
+    * until the per-doc combine.
+    */
+  def score(docs: DataFrame, votes: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(votes), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote").isNotNull, 1L).otherwise(0L)).as("n_votes"),
+        sum(when(col("vote") === true, 1L).otherwise(0L)).as("n_pos"))
+    docs.join(keyed, Seq("doc_id"))
+      .withColumn("pass", col("n_pos") * 2 >= col("n_votes"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Curated slice = even-numbered sources; the classifier is trained on
+    // that labeling and every doc scored. The oracle replays the whole
+    // model (pruned vocabulary, smoothed cross-multiplied votes, per-doc
+    // majorities) in SQL — any arithmetic drift anywhere hash-fails.
+    "q_quality_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val votes = trainVotes(docs,
+        regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2 === 0)
+      score(docs, votes)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum("n_pos").as("sum_pos_votes"))
+        .orderBy("source")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 2 = 0 AS pos,
+        |         unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), counts AS (
+        |  SELECT token,
+        |         count(*) FILTER (WHERE pos) AS c_pos,
+        |         count(*) FILTER (WHERE NOT pos) AS c_neg
+        |  FROM tok GROUP BY token HAVING count(*) >= 3
+        |), tot AS (
+        |  SELECT SUM(c_pos) AS tp, SUM(c_neg) AS tn, count(*) AS v FROM counts
+        |), votes AS (
+        |  SELECT token, (c_pos + 1) * (tn + v) > (c_neg + 1) * (tp + v) AS vote
+        |  FROM counts, tot
+        |), scored AS (
+        |  SELECT t.doc_id,
+        |         count(*) FILTER (WHERE vt.vote IS NOT NULL) AS n_votes,
+        |         count(*) FILTER (WHERE vt.vote) AS n_pos
+        |  FROM tok t LEFT JOIN votes vt USING (token)
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT d.source, count(*) AS n_docs,
+        |       count(*) FILTER (WHERE s.n_pos * 2 >= s.n_votes) AS n_pass,
+        |       CAST(SUM(s.n_pos) AS BIGINT) AS sum_pos_votes
+        |FROM documents d JOIN scored s USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)
+}
