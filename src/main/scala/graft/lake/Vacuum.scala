@@ -38,6 +38,34 @@ object Vacuum {
   private val StagedDirRe = """w[0-9a-f]{8}""".r
   private val CkptRe = """checkpoint-v(\d{8})\.json""".r
 
+  /** X202 — `VACUUM … DRY RUN`: the exact data files a [[vacuum]] with
+    * the same retention would reclaim, WITHOUT deleting anything (one
+    * row per dead file with its size — Delta's DRY RUN shape). "Dead" =
+    * referenced exclusively by expired versions, under the same ref/
+    * protect pinning rules as the real pass, so the answer is the
+    * contract, not an estimate (VacuumSpec pins set-equality against an
+    * actual vacuum of a twin table). Driver-side metadata only: the
+    * manifests name the files; one `getFileStatus` per dead file prices
+    * them. Staged-orphan dirs are excluded — their reclaim is
+    * age-gated, so a dry run ahead of time cannot speak for them.
+    */
+  def dryRun(spark: SparkSession, dir: String, keepLast: Int,
+      protect: Set[Int] = Set.empty): Seq[(String, Long)] = {
+    require(keepLast >= 1, "retention must keep at least the latest version")
+    val snaps = ManifestTable.snapshots(spark, dir)
+    if (snaps.isEmpty) return Seq.empty
+    val pinned = protect ++ Branches.protectedVersions(spark, dir, keepLast)
+    val expired = snaps.dropRight(keepLast).filterNot(s => pinned(s.version))
+    val expiredSet = expired.map(_.version).toSet
+    val retained = snaps.filterNot(s => expiredSet(s.version))
+    val live = retained.flatMap(s => s.files ++ s.deletes).toSet
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    expired.flatMap(s => s.files ++ s.deletes).distinct
+      .filterNot(live)
+      .map(f => f -> fs.getFileStatus(new Path(s"$dir/$f")).getLen)
+      .sortBy(_._1)
+  }
+
   /** Expire all but the newest `keepLast` committed versions. Returns the
     * expired version numbers. Idempotent: vacuuming twice is a no-op, and
     * a re-run also reclaims data-only orphans a crashed vacuum (or a

@@ -179,8 +179,11 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     * typo, not a wish.
     */
   private def startingOf(spark: org.apache.spark.sql.SparkSession,
-      dir: String, parameters: Map[String, String]): Option[Long] =
-    parameters.get("startingVersion").map { v =>
+      dir: String, parameters: Map[String, String]): Option[Long] = {
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingDate")),
+      "graft stream: startingVersion and startingDate are mutually exclusive")
+    val byVersion = parameters.get("startingVersion").map { v =>
       val latest = graft.lake.ManifestTable.latestVersion(spark, dir)
         .getOrElse(throw new IllegalArgumentException(
           s"graft stream: no committed snapshot at $dir")).toLong
@@ -193,6 +196,20 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
         n
       }
     }
+    // X203 — Delta's startingTimestamp: deliver the commits stamped AT
+    // or AFTER (startingDate, startingTime), i.e. the base is the newest
+    // version stamped strictly before it. A stamp predating the log is a
+    // full backfill (base 0); one after it is changes-from-now — both
+    // ends are meaningful subscriptions, so neither refuses.
+    byVersion.orElse(parameters.get("startingDate").map { d =>
+      val date = d.toInt
+      val time = parameters.get("startingTime").map(_.toInt).getOrElse(0)
+      graft.lake.ManifestTable.snapshots(spark, dir)
+        .filter(s => s.runDate < date || (s.runDate == date && s.runTime < time))
+        .sortBy(s => (s.runDate, s.runTime, s.version))
+        .lastOption.map(_.version.toLong).getOrElse(0L)
+    })
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,

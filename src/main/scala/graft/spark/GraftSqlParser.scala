@@ -93,7 +93,7 @@ object GraftSqlParser {
   private val Id = """[A-Za-z_][A-Za-z_0-9]*"""
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+'([^']+)'""" +
-      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+'([^']+)'""" +
       s"""(?:\\s+ZORDER\\s+BY\\s*\\(\\s*($Id(?:\\s*,\\s*$Id)*)\\s*\\))?""" +
@@ -183,9 +183,10 @@ object GraftSqlParser {
   private[spark] def parseGraft(sql: String): Option[LogicalPlan] = {
     val lead = sql.trim.split("\\s+").take(2).map(_.toUpperCase)
     sql match {
-      case VacuumRe(path, keep) =>
-        Some(GraftVacuumCommand(path,
-          Option(keep).map(_.toInt).getOrElse(DefaultKeepLast)))
+      case VacuumRe(path, keep, dry) =>
+        val keepLast = Option(keep).map(_.toInt).getOrElse(DefaultKeepLast)
+        if (dry != null) Some(GraftVacuumDryRunCommand(path, keepLast))
+        else Some(GraftVacuumCommand(path, keepLast))
       case OptimizeRe(path, zcols, bcol, blo, bhi, target, d, t) =>
         val (date, time) = stamp(d, t)
         require(zcols == null || bcol == null,
@@ -345,6 +346,19 @@ case class GraftVacuumCommand(dir: String, keepLast: Int)
     Seq(AttributeReference("reclaimed_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Vacuum.vacuum(spark, dir, keepLast).map(v => Row(v.toLong))
+}
+
+/** `VACUUM '<path>' [RETAIN n VERSIONS] DRY RUN` (X202) — the exact
+  * files the real pass would reclaim, one row each with its size;
+  * NOTHING is deleted (spec-pinned: log and bytes identical after).
+  */
+case class GraftVacuumDryRunCommand(dir: String, keepLast: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("file", StringType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Vacuum.dryRun(spark, dir, keepLast).map { case (f, b) => Row(f, b) }
 }
 
 /** `OPTIMIZE '<path>' [ZORDER BY (c1, c2)] [TARGET n BYTES]` → one
@@ -1114,6 +1128,40 @@ object GraftSqlQueries {
     "q_sql_history" -> ((s, d) => {
       val dir = fixture(s, d)
       GraftDml.extSession(s).sql(s"DESCRIBE HISTORY '$dir'").orderBy("version")
+    }),
+    // X202: DRY RUN names exactly the files the real pass reclaims and
+    // deletes NOTHING — the fixture probes file existence before/after
+    // and persists the booleans; content + version count are oracled
+    "q_sql_vacuum_dry" -> ((s, d) => {
+      val root = FixtureCache.dir("sql_vacdry", d) { root =>
+        val tbl = s"$root/tbl"
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        ManifestTable.commit(o.where(col("k") % 3 === 0), tbl, 20250901, 900)
+        ManifestTable.commit(o.where(col("k") % 3 <= 1), tbl, 20250901, 1000)
+        ManifestTable.commit(o, tbl, 20250901, 1100)
+        val ext = GraftDml.extSession(s)
+        val dry = ext.sql(s"VACUUM '$tbl' RETAIN 2 VERSIONS DRY RUN")
+          .collect().map(_.getString(0)).toSeq
+        val fs = new org.apache.hadoop.fs.Path(tbl)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def exists(f: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$tbl/$f"))
+        val versionsAfterDry = ManifestTable.snapshots(s, tbl).size
+        val presentBefore = dry.nonEmpty && dry.forall(exists)
+        ext.sql(s"VACUUM '$tbl' RETAIN 2 VERSIONS")
+        val exact = presentBefore && dry.forall(f => !exists(f))
+        val retainedIntact = ManifestTable.snapshots(s, tbl)
+          .flatMap(v => v.files ++ v.deletes).forall(exists)
+        s.createDataFrame(Seq((versionsAfterDry, exact, retainedIntact)))
+          .toDF("versions_after_dry", "dry_exact", "retained_intact")
+          .write.mode("overwrite").parquet(s"$root/probe")
+      }
+      val probe = s.read.parquet(s"$root/probe")
+      ManifestTable.readLatest(s, s"$root/tbl")
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .withColumn("n_versions",
+          lit(ManifestTable.snapshots(s, s"$root/tbl").size))
+        .crossJoin(probe)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1130,6 +1178,13 @@ object GraftSqlQueries {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
         |       CAST(5 AS INT) AS n_versions, CAST(3 AS INT) AS n_files,
         |       true AS outer_retained, 'optimize' AS last_op
+        |FROM orders""".stripMargin,
+    "q_sql_vacuum_dry" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |       CAST(2 AS INT) AS n_versions,
+        |       CAST(3 AS INT) AS versions_after_dry,
+        |       true AS dry_exact, true AS retained_intact
         |FROM orders""".stripMargin,
     "q_sql_partitions" ->
       """SELECT CAST(0 AS BIGINT) AS generation,

@@ -268,6 +268,20 @@ object GraftStream {
     q.awaitTermination()
   }
 
+  /** One AvailableNow pass subscribed from a run stamp (X203). */
+  def runOnceFromStamp(spark: SparkSession, tableDir: String, sinkDir: String,
+      chkDir: String, date: Int, time: Int): Unit = {
+    val q = spark.readStream.format("graft")
+      .option("startingDate", date.toString)
+      .option("startingTime", time.toString).load(tableDir)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", chkDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** One AvailableNow pass subscribed from `startingVersion` (X199). */
   def runOnceFrom(spark: SparkSession, tableDir: String, sinkDir: String,
       chkDir: String, startingVersion: String): Unit = {
@@ -362,6 +376,28 @@ object GraftStream {
           Exact.dsum(col("value")).as("sum_value"))
         .orderBy("event_type")
     }),
+
+    // X203: subscribed from stamp 20250801/1100 — v1 (t=900) and v2
+    // (t=1000) predate it and never flow; v3 (t=1100, AT the stamp) and
+    // the post-subscribe v4 do, across two checkpointed passes
+    "q_stream_starting_ts" -> ((s, d) => {
+      val sink = FixtureCache.dir("graft_sst", d) { sink =>
+        val tbl = Scratch.dir("graft_sst_tbl")
+        val chk = Scratch.dir("graft_sst_chk")
+        val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+        ManifestTable.commit(ev.where(col("event_id") % 4 === 0), tbl, 20250801, 900)
+        ManifestTable.appendRetrying(ev.where(col("event_id") % 4 === 1), tbl, 20250801, 1000)
+        ManifestTable.appendRetrying(ev.where(col("event_id") % 4 === 2), tbl, 20250801, 1100)
+        runOnceFromStamp(s, tbl, sink, chk, 20250801, 1100) // v3 only
+        ManifestTable.appendRetrying(ev.where(col("event_id") % 4 === 3), tbl, 20250801, 1200)
+        runOnceFromStamp(s, tbl, sink, chk, 20250801, 1100) // same checkpoint: v4
+      }
+      s.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -389,6 +425,11 @@ object GraftStream {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_starting" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_id % 4 IN (2, 3)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_starting_ts" ->
       """SELECT event_type, count(*) AS n_rows,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_id % 4 IN (2, 3)

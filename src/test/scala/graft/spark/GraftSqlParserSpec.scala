@@ -29,6 +29,30 @@ class GraftSqlParserSpec extends SparkSpec {
     dir
   }
 
+  test("X202 VACUUM DRY RUN: names exactly the reclaimed files, deletes nothing") {
+    val dir = Scratch.dir("sqlp_vacdry")
+    (0 until 3).foreach(i => ManifestTable.commit(
+      spark.range(i * 10L, (i + 1) * 10L)
+        .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").repartition(2),
+      dir, 20250901, 900 + i))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(f: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$f"))
+    val dry = ext.sql(s"VACUUM '$dir' RETAIN 1 VERSIONS DRY RUN").collect()
+    assert(dry.nonEmpty && dry.forall(_.getLong(1) > 0), "sized dead files")
+    // a dry run deletes NOTHING: full log, every named file still present
+    assert(ManifestTable.snapshots(spark, dir).size === 3)
+    assert(dry.forall(r => exists(r.getString(0))))
+    // an append-only log has no dead data files (appends carry forward)
+    val adir = mkVersions("sqlp_vacdry_app", 3)
+    assert(ext.sql(s"VACUUM '$adir' RETAIN 1 VERSIONS DRY RUN").collect().isEmpty)
+    // the real pass removes exactly the dry set; retained files intact
+    ext.sql(s"VACUUM '$dir' RETAIN 1 VERSIONS")
+    assert(dry.forall(r => !exists(r.getString(0))), "dry set must be reclaimed")
+    assert(ManifestTable.snapshots(spark, dir).flatMap(_.files).forall(exists))
+  }
+
   test("VACUUM '<path>' RETAIN n VERSIONS reclaims and returns expired versions") {
     val dir = mkVersions("sqlp_vac", 4)
     val got = ext.sql(s"VACUUM '$dir' RETAIN 2 VERSIONS")

@@ -242,6 +242,39 @@ class GraftStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("X203 startingDate/Time: pre-stamp commits skipped, at-stamp flows, pre-log stamp backfills") {
+    val tbl = Scratch.dir("gs_startts")
+    val df = (i: Int) => spark.range(i * 10L, (i + 1) * 10L)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    ManifestTable.commit(df(0), tbl, 20250901, 900) // v1
+    ManifestTable.appendRetrying(df(1), tbl, 20250901, 1000) // v2
+    // subscribe AT v2's stamp: v1 never flows, v2 (at the stamp) does
+    val sink = Scratch.dir("gs_startts_sink")
+    val chk = Scratch.dir("gs_startts_chk")
+    GraftStream.runOnceFromStamp(spark, tbl, sink, chk, 20250901, 1000)
+    assert(spark.read.parquet(sink).agg(min("k"), max("k"), count("*"))
+      .head.toSeq === Seq(10L, 19L, 2L * 10 - 10))
+    // a later commit flows through the same checkpoint even though the
+    // re-resolved stamp base would now also cover it (offsets win)
+    ManifestTable.appendRetrying(df(2), tbl, 20250901, 1010) // v3
+    GraftStream.runOnceFromStamp(spark, tbl, sink, chk, 20250901, 1000)
+    assert(spark.read.parquet(sink).count() === 20)
+    // a stamp predating the log is a FULL backfill, not a refusal
+    val sink2 = Scratch.dir("gs_startts_s2")
+    GraftStream.runOnceFromStamp(spark, tbl, sink2,
+      Scratch.dir("gs_startts_c2"), 20250801, 0)
+    assert(spark.read.parquet(sink2).count() === 30)
+    // startingVersion and startingDate refuse to combine
+    val e = intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("startingVersion", "1").option("startingDate", "20250901")
+        .load(tbl).writeStream.format("noop").start().awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("mutually exclusive")), e.getMessage)
+  }
+
   test("X199 startingVersion: backfill skipped, later commits flow, bounds validated") {
     val tbl = Scratch.dir("gs_startv")
     val sink = Scratch.dir("gs_startv_sink")
