@@ -53,9 +53,14 @@ object ColumnMap {
     * Delta's `ADD COLUMN … DEFAULT` semantics, where an explicit NULL
     * written after the column existed stays NULL (per-FILE presence,
     * never a value-level coalesce).
+    * `gen` (X204) is a GENERATED ALWAYS AS expression (SQL over the
+    * table's logical names): writes that omit the column get it computed,
+    * writes that provide it are validated row-for-row against the
+    * expression (Delta's generated-column contract), and files written
+    * before the column existed compute it at read time.
     */
   case class Field(id: Int, logical: String, physical: String, dtype: String,
-      default: Option[String] = None)
+      default: Option[String] = None, gen: Option[String] = None)
 
   private def mapDir(dir: String) = s"$dir/_colmap"
   private def mapName(version: Int) = f"v$version%08d.json"
@@ -65,10 +70,11 @@ object ColumnMap {
       fields: Seq[Field]): Unit = {
     val fs = ManifestTable.fsFor(spark, dir)
     fs.mkdirs(new Path(mapDir(dir)))
+    def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
     val body = fields.map { f =>
-      val d = f.default.map(v =>
-        s""", "default": "${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""").getOrElse("")
-      s"""{"id": ${f.id}, "logical": "${f.logical}", "physical": "${f.physical}", "dtype": "${f.dtype}"$d}"""
+      val d = f.default.map(v => s""", "default": "${esc(v)}"""").getOrElse("")
+      val g = f.gen.map(v => s""", "gen": "${esc(v)}"""").getOrElse("")
+      s"""{"id": ${f.id}, "logical": "${f.logical}", "physical": "${f.physical}", "dtype": "${f.dtype}"$d$g}"""
     }.mkString("[", ", ", "]")
     val out = fs.create(new Path(mapDir(dir), mapName(version)), true)
     try out.write(s"""{"version": $version, "fields": $body}""".getBytes("UTF-8"))
@@ -95,7 +101,7 @@ object ColumnMap {
           (j \ "fields").extract[Seq[JValue]].map(f => Field(
             (f \ "id").extract[Int], (f \ "logical").extract[String],
             (f \ "physical").extract[String], (f \ "dtype").extract[String],
-            (f \ "default").extractOpt[String]))
+            (f \ "default").extractOpt[String], (f \ "gen").extractOpt[String]))
       }
       .sortBy(_._1)
   }
@@ -131,10 +137,38 @@ object ColumnMap {
       throw new NoSuchElementException(s"no table at $dir"))
     val fields = mappingAt(spark, dir, v)
     val logical = fields.map(_.logical)
-    require(df.columns.toSet == logical.toSet,
-      s"append columns ${df.columns.sorted.mkString(",")} != table columns ${logical.sorted.mkString(",")}")
-    val physical = df.select(fields.map(f => col(f.logical).as(f.physical)): _*)
-    ManifestTable.appendRetrying(physical, dir, date, time)
+    // X204: a write may OMIT generated columns — they are computed here
+    val withGen = fields
+      .filter(f => f.gen.isDefined && !df.columns.contains(f.logical))
+      .foldLeft(df)((d, f) => d.withColumn(f.logical, expr(f.gen.get).cast(f.dtype)))
+    require(withGen.columns.toSet == logical.toSet,
+      s"append columns ${withGen.columns.sorted.mkString(",")} != table columns ${logical.sorted.mkString(",")}")
+    val physical = withGen.select(fields.map(f => col(f.logical).as(f.physical)): _*)
+    val provided = fields.filter(f => f.gen.isDefined && df.columns.contains(f.logical))
+    if (provided.isEmpty) ManifestTable.appendRetrying(physical, dir, date, time)
+    else {
+      // X204: a write that PROVIDES a generated column must agree with
+      // the expression row-for-row. Stage first and validate the STAGED
+      // bytes (the X172/X180 containment discipline — a non-deterministic
+      // batch cannot pass validation yet commit different values), then
+      // publish exactly those bytes or drop them on refusal.
+      val staged = ManifestTable.stageDataFiles(physical, dir)
+      val logicalView = spark.read
+        .parquet(staged.map(f => s"$dir/$f"): _*)
+        .select(fields.map(f => col(f.physical).cast(f.dtype).as(f.logical)): _*)
+      val bad = provided.map(f => sum(when(
+        not(col(f.logical) <=> expr(f.gen.get).cast(f.dtype)), 1L)
+        .otherwise(0L)).as(f.logical))
+      val row = logicalView.agg(bad.head, bad.tail: _*).head
+      val viol = provided.zipWithIndex
+        .collect { case (f, i) if row.getLong(i) > 0 => s"${f.logical} (${row.getLong(i)} rows)" }
+      if (viol.nonEmpty) {
+        ManifestTable.dropStaged(spark, dir, staged)
+        throw new IllegalArgumentException(
+          s"generated column values conflict with their expressions: ${viol.mkString(", ")}")
+      }
+      ManifestTable.appendStagedRetrying(spark, dir, date, time, staged)
+    }
   }
 
   /** Metadata-only schema-change commit: same files, same tombstones, a
@@ -209,6 +243,27 @@ object ColumnMap {
     })
   }
 
+  /** X204 — `ADD COLUMN … GENERATED ALWAYS AS (expr)`: a column whose
+    * value is the expression over the table's other logical columns.
+    * Metadata-only commit; the expression is validated HERE against the
+    * current logical schema (unknown columns / un-castable results
+    * refuse with nothing committed). Writes that omit the column compute
+    * it; writes that provide it are validated row-for-row from staged
+    * bytes ([[append]]); pre-ADD files compute it at read time ([[read]]).
+    */
+  def addGenerated(spark: SparkSession, dir: String, name: String,
+      dtype: String, genSql: String): Int = {
+    try read(spark, dir).limit(0).select(expr(genSql).cast(dtype)).schema
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"generated expression ($genSql) does not analyze against the " +
+        s"table as $dtype: ${e.getMessage}") }
+    schemaCommit(spark, dir, "add", { fields =>
+      require(!fields.exists(_.logical == name), s"column '$name' already exists")
+      val id = fields.map(_.id).max + 1
+      fields :+ Field(id, name, s"${name}_$id", dtype, None, Some(genSql))
+    })
+  }
+
   /** Read a version (default latest) under its then-current LOGICAL
     * names. `mergeSchema` unions the file schemas from footers (files
     * from different schema eras differ); fields whose physical column no
@@ -225,7 +280,7 @@ object ColumnMap {
         spark.read.option("mergeSchema", "true")
           .parquet(files.map(f => s"$dir/$f"): _*))
       val present = scan.columns.toSet
-      scan.select(fields.map { f =>
+      val base = scan.select(fields.map { f =>
         if (present(f.physical)) col(f.physical).cast(f.dtype).as(f.logical)
         else f.default match {
           // X198 existence default: this whole file GROUP lacks the
@@ -236,8 +291,15 @@ object ColumnMap {
           case None => lit(null).cast(f.dtype).as(f.logical)
         }
       }: _*)
+      // X204: a file group that predates a GENERATED column computes it
+      // from its own rows (the logical names are in scope after the
+      // projection above); files that carry it serve stored bytes
+      fields.filter(f => f.gen.isDefined && !present(f.physical))
+        .foldLeft(base)((d, f) =>
+          d.withColumn(f.logical, expr(f.gen.get).cast(f.dtype)))
     }
-    val defPhys = fields.filter(_.default.isDefined).map(_.physical).toSet
+    val defPhys = fields.filter(f => f.default.isDefined || f.gen.isDefined)
+      .map(_.physical).toSet
     if (defPhys.isEmpty) project(snap.files)
     else {
       // group files by WHICH defaulted columns their footers carry —

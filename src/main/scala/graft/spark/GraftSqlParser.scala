@@ -125,6 +125,11 @@ object GraftSqlParser {
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+'([^']+)'\\s+ADD\\s+COLUMN\\s+($Id)\\s+""" +
       """([A-Za-z][A-Za-z_0-9]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)""" +
       """(?:\s+DEFAULT\s+('[^']*'|-?[0-9][0-9.]*))?\s*;?\s*""").r
+  // X204: generated columns — expression text between the outer parens
+  private val AlterAddGenRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+'([^']+)'\\s+ADD\\s+COLUMN\\s+($Id)\\s+""" +
+      """([A-Za-z][A-Za-z_0-9]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)""" +
+      """\s+GENERATED\s+ALWAYS\s+AS\s+\((.+)\)\s*;?\s*""").r
   // X187: persistent CHECK constraints — ADD validates current contents,
   // both land as metadata-only commits ([[graft.lake.Constraints]])
   private val AddConstraintRe =
@@ -253,6 +258,12 @@ object GraftSqlParser {
         Some(GraftAlterColumnCommand(path, "rename", from, to))
       case AlterDropRe(path, name) =>
         Some(GraftAlterColumnCommand(path, "drop", name, ""))
+      case AlterAddGenRe(path, name, dtype, genSql) =>
+        val dt = try org.apache.spark.sql.types.DataType.fromDDL(dtype)
+          catch { case _: Exception => throw new IllegalArgumentException(
+            s"graft ALTER TABLE: unknown column type '$dtype'") }
+        Some(GraftAlterColumnCommand(path, "addgen", name, dt.catalogString,
+          Some(genSql.trim)))
       case AlterAddRe(path, name, dtype, dflt) =>
         val dt = try org.apache.spark.sql.types.DataType.fromDDL(dtype)
           catch { case _: Exception => throw new IllegalArgumentException(
@@ -509,6 +520,7 @@ case class GraftAlterColumnCommand(dir: String, op: String, a: String,
       case "rename" => graft.lake.ColumnMap.renameColumn(spark, dir, a, b)
       case "drop" => graft.lake.ColumnMap.dropColumn(spark, dir, a)
       case "add" => graft.lake.ColumnMap.addColumn(spark, dir, a, b, dflt)
+      case "addgen" => graft.lake.ColumnMap.addGenerated(spark, dir, a, b, dflt.get)
     }
     Seq(Row(op, v.toLong))
   }
@@ -919,6 +931,22 @@ object GraftSqlQueries {
         dir, 20250901, 920) // v3: explicit values + explicit NULLs
     }
 
+  /** X204 fixture: GENERATED ALWAYS AS on a table with existing rows —
+    * the legacy file computes the expression at read time, the
+    * post-ADD append omits the column and gets it computed at write
+    * time; both populations must agree with the oracle's recomputation.
+    */
+  private def generatedFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("sql_gen", d) { dir =>
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"))
+      ManifestTable.commit(o.where(col("k") % 2 === 0), dir, 20250901, 900)
+      GraftDml.extSession(s).sql(s"ALTER TABLE '$dir' ADD COLUMN bucket " +
+        "bigint GENERATED ALWAYS AS (k % 5)") // v2: metadata-only
+      graft.lake.ColumnMap.append(
+        o.where(col("k") % 2 === 1), dir, 20250901, 920) // v3: computed
+    }
+
   /** X185 fixture: a plain (unmapped) graft table taken through the SQL
     * schema-evolution statements — the first ALTER upgrades it to column
     * mapping in place; the drop + re-add of `note` pins no-resurrection.
@@ -1056,6 +1084,18 @@ object GraftSqlQueries {
         .withColumn("n_versions",
           lit(ManifestTable.snapshots(s, dir).size))
     }),
+    // X204: legacy files compute the generated column at read time,
+    // post-ADD appends at write time — both must equal the oracle's
+    // recomputation from raw orders, per bucket
+    "q_sql_generated" -> ((s, d) => {
+      val dir = generatedFixture(s, d)
+      graft.lake.ColumnMap.read(s, dir)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .withColumn("n_versions",
+          lit(ManifestTable.snapshots(s, dir).size))
+        .orderBy("bucket")
+    }),
     // X198: pre-existing rows serve the existence default, appended rows
     // their stored values, explicit NULLs stay NULL — the three-way
     // split the oracle rebuilds from key parity
@@ -1165,6 +1205,11 @@ object GraftSqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_generated" ->
+      """SELECT o_orderkey % 5 AS bucket, count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |       CAST(3 AS INT) AS n_versions
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sql_default" ->
       """SELECT count(*) AS n_rows,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,

@@ -380,6 +380,42 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(e3.getMessage.contains("graft CONVERT"))
   }
 
+  test("X204 GENERATED ALWAYS AS: computed on omit, validated on provide, legacy files compute at read") {
+    val dir = mkVersions("sqlp_gen", 1) // (k, v): k = 0..9, one file era
+    ext.sql(s"ALTER TABLE '$dir' ADD COLUMN dbl double GENERATED ALWAYS AS (v * 2)")
+    // legacy rows compute at read
+    val g1 = graft.lake.ColumnMap.read(spark, dir)
+    assert(g1.where(col("dbl") === col("v") * 2).count() === 10)
+    // an append that OMITS the column gets it computed at write time
+    graft.lake.ColumnMap.append(
+      spark.range(100, 105).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+      dir, 20250901, 1000)
+    assert(graft.lake.ColumnMap.read(spark, dir)
+      .where(col("dbl") === col("v") * 2).count() === 15)
+    // an append that PROVIDES matching values is accepted...
+    graft.lake.ColumnMap.append(
+      spark.range(200, 203).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v",
+        "CAST(id AS DOUBLE) * 2 AS dbl"), dir, 20250901, 1010)
+    // ...a conflicting one refuses with nothing committed, no staged garbage
+    val before = ManifestTable.snapshots(spark, dir)
+    val e = intercept[IllegalArgumentException](graft.lake.ColumnMap.append(
+      spark.range(300, 303).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v",
+        "CAST(0.0 AS DOUBLE) AS dbl"), dir, 20250901, 1020))
+    assert(e.getMessage.contains("conflict with their expressions"))
+    assert(ManifestTable.snapshots(spark, dir) === before)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedLeft = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data"))
+      .map(_.getPath.getName).filter(_.startsWith("w")).toSet --
+      before.flatMap(_.files).map(_.split('/')(1)).toSet
+    assert(stagedLeft.isEmpty, s"staged garbage: $stagedLeft")
+    assert(graft.lake.ColumnMap.read(spark, dir).count() === 18)
+    // an expression over unknown columns refuses at declaration
+    val e2 = intercept[IllegalArgumentException](ext.sql(
+      s"ALTER TABLE '$dir' ADD COLUMN bad bigint GENERATED ALWAYS AS (nope + 1)"))
+    assert(e2.getMessage.contains("does not analyze"))
+  }
+
   test("X198 ADD COLUMN DEFAULT: existence default per file, explicit NULL survives, bad literal refuses") {
     val dir = mkVersions("sqlp_dflt", 1) // (k, v), 10 rows, one file era
     ext.sql(s"ALTER TABLE '$dir' ADD COLUMN grade bigint DEFAULT 7")
