@@ -107,6 +107,15 @@ object GraftSqlParser {
   private val RestoreRe =
     ("""(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)""" +
       """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s*;?\s*""").r
+  // X206: stamp-addressed forms — resolve to the newest version committed
+  // at-or-before the stamp (the X26 run-stamp rule), then the same command
+  private val RestoreTsRe =
+    ("""(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(\d{8})\s+(\d{1,4})""" +
+      """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s*;?\s*""").r
+  private val CloneTsRe =
+    ("""(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'""" +
+      """\s+TIMESTAMP\s+AS\s+OF\s+(\d{8})\s+(\d{1,4})""" +
+      """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s*;?\s*""").r
   private val CloneRe =
     ("""(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
@@ -182,6 +191,23 @@ object GraftSqlParser {
         now.getHour * 100 + now.getMinute)
     }
 
+  /** X206 — resolve a `VERSION AS OF n` / `TIMESTAMP AS OF d t` target
+    * to a committed version: stamps resolve to the newest version
+    * committed at-or-before them (the X26 run-stamp rule); a stamp
+    * predating the whole log refuses — there is nothing to address.
+    */
+  private[spark] def resolveStamp(spark: SparkSession, dir: String,
+      to: Either[Int, (Int, Int)]): Int = to match {
+    case Left(v) => v
+    case Right((d, t)) =>
+      graft.lake.ManifestTable.snapshots(spark, dir)
+        .filter(s => s.runDate < d || (s.runDate == d && s.runTime <= t))
+        .sortBy(s => (s.runDate, s.runTime, s.version))
+        .lastOption.map(_.version).getOrElse(
+          throw new NoSuchElementException(
+            s"graft: no version at or before $d/$t at $dir"))
+  }
+
   /** Some(plan) when the statement is ours; None delegates. A leading
     * graft keyword with a malformed tail refuses with the usage shape.
     */
@@ -206,10 +232,18 @@ object GraftSqlParser {
       case DetailRe(path) => Some(GraftDetailCommand(path))
       case RestoreRe(path, v, d, t) =>
         val (date, time) = stamp(d, t)
-        Some(GraftRestoreCommand(path, v.toInt, date, time))
+        Some(GraftRestoreCommand(path, Left(v.toInt), date, time))
+      case RestoreTsRe(path, sd, st, d, t) =>
+        val (date, time) = stamp(d, t)
+        Some(GraftRestoreCommand(path, Right((sd.toInt, st.toInt)), date, time))
+      case CloneTsRe(src, dst, sd, st, d, t) =>
+        val (date, time) = stamp(d, t)
+        Some(GraftCloneCommand(src, dst,
+          Some(Right((sd.toInt, st.toInt))), date, time))
       case CloneRe(src, dst, v, d, t) =>
         val (date, time) = stamp(d, t)
-        Some(GraftCloneCommand(src, dst, Option(v).map(_.toInt), date, time))
+        Some(GraftCloneCommand(src, dst,
+          Option(v).map(x => Left(x.toInt)), date, time))
       case CopyIntoRe(path, landing, dedupe, d, t) =>
         val (date, time) = stamp(d, t)
         Some(GraftCopyIntoCommand(path, landing,
@@ -425,12 +459,13 @@ case class GraftHistoryCommand(dir: String) extends LeafRunnableCommand {
   * Returns `(restored_to_version, version)` — the target and the commit
   * that now serves it.
   */
-case class GraftRestoreCommand(dir: String, toVersion: Int, date: Int,
-    time: Int) extends LeafRunnableCommand {
+case class GraftRestoreCommand(dir: String, to: Either[Int, (Int, Int)],
+    date: Int, time: Int) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("restored_to_version", LongType, nullable = false)(),
     AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val toVersion = GraftSqlParser.resolveStamp(spark, dir, to)
     val v = Restore.restore(spark, dir, toVersion, date, time)
     Seq(Row(toVersion.toLong, v.toLong))
   }
@@ -441,14 +476,16 @@ case class GraftRestoreCommand(dir: String, toVersion: Int, date: Int,
   * content (tombstones remapped with their files) and shares no file
   * lifetime with the source afterwards.
   */
-case class GraftCloneCommand(src: String, dst: String, version: Option[Int],
+case class GraftCloneCommand(src: String, dst: String,
+    version: Option[Either[Int, (Int, Int)]],
     date: Int, time: Int) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("src_version", LongType, nullable = false)(),
     AttributeReference("dst_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val v = version.orElse(ManifestTable.latestVersion(spark, src)).getOrElse(
-      throw new NoSuchElementException(s"no committed snapshot at $src"))
+    val v = version.map(GraftSqlParser.resolveStamp(spark, src, _))
+      .orElse(ManifestTable.latestVersion(spark, src)).getOrElse(
+        throw new NoSuchElementException(s"no committed snapshot at $src"))
     val dv = ManifestTable.cloneVersion(spark, src, dst, date, time, Some(v))
     Seq(Row(v.toLong, dv.toLong))
   }
@@ -754,6 +791,23 @@ object GraftSqlQueries {
       ext.sql(s"COPY INTO '$root/cp' FROM '$root/land' AT 20250901 1020")
       // idempotent re-run: already-ingested drops commit nothing
       ext.sql(s"COPY INTO '$root/cp' FROM '$root/land' AT 20250901 1030")
+    }
+
+  /** X206 fixture: three commits across two run days, then both
+    * stamp-addressed forms — RESTORE to a stamp BETWEEN v2 and v3 (must
+    * resolve to v2) and CLONE at a stamp between v1 and v2 (must carry
+    * v1's content).
+    */
+  private def stampOpsFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("sql_stampops", d) { root =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      ManifestTable.commit(o.where(col("k") % 2 === 0), s"$root/t", 20250901, 900)
+      ManifestTable.commit(o.where(col("k") % 3 === 0), s"$root/t", 20250901, 1000)
+      ManifestTable.commit(o.where(col("k") % 5 === 0), s"$root/t", 20250902, 900)
+      val ext = GraftDml.extSession(s)
+      ext.sql(s"RESTORE '$root/t' TO TIMESTAMP AS OF 20250901 1200 AT 20250902 1000")
+      ext.sql(s"CLONE '$root/t' TO '$root/c' TIMESTAMP AS OF 20250901 930 AT 20250902 1010")
     }
 
   /** X186 fixture: CTAS creates the table from pure SQL (v1 = the even
@@ -1136,6 +1190,20 @@ object GraftSqlQueries {
         .withColumn("last_op", lit(det.getString(1)))
         .withColumn("detail_rows", lit(det.getLong(5)))
     }),
+    // X206: stamp-addressed RESTORE resolves between-commit stamps to
+    // the version at-or-before; stamp-addressed CLONE carries that
+    // version's exact content — both rebuilt by the oracle from raw
+    "q_sql_restore_ts" -> ((s, d) => {
+      val root = stampOpsFixture(s, d)
+      def agg(tag: String, dir: String): org.apache.spark.sql.DataFrame =
+        ManifestTable.readLatest(s, dir)
+          .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+          .select(lit(tag).as("probe"), col("n_rows"), col("sum_p"),
+            lit(ManifestTable.snapshots(s, dir).size).as("n_versions"))
+      agg("clone_at_v1_stamp", s"$root/c")
+        .unionByName(agg("restored_to_v2_stamp", s"$root/t"))
+        .orderBy("probe")
+    }),
     // X182: the clone carries exactly the bad v2 content as ITS v1
     "q_sql_clone" -> ((s, d) => {
       val root = lakeopsFixture(s, d)
@@ -1224,6 +1292,18 @@ object GraftSqlQueries {
         |       CAST(5 AS INT) AS n_versions, CAST(3 AS INT) AS n_files,
         |       true AS outer_retained, 'optimize' AS last_op
         |FROM orders""".stripMargin,
+    "q_sql_restore_ts" ->
+      """SELECT * FROM (
+        |  SELECT 'clone_at_v1_stamp' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |         CAST(1 AS INT) AS n_versions
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'restored_to_v2_stamp', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |         CAST(4 AS INT)
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |) ORDER BY probe""".stripMargin,
     "q_sql_vacuum_dry" ->
       """SELECT count(*) AS n_rows,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,

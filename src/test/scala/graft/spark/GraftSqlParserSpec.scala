@@ -29,6 +29,27 @@ class GraftSqlParserSpec extends SparkSpec {
     dir
   }
 
+  test("X206 stamp-addressed RESTORE/CLONE: between stamps resolve down, pre-log stamps refuse") {
+    val dir = Scratch.dir("sqlp_rests")
+    ManifestTable.commit(spark.range(0, 10)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"), dir, 20250901, 900)
+    ManifestTable.commit(spark.range(0, 3)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"), dir, 20250901, 1000)
+    // a stamp BETWEEN the commits addresses the earlier one
+    val got = ext.sql(
+      s"RESTORE '$dir' TO TIMESTAMP AS OF 20250901 950 AT 20250901 1100").head
+    assert(got.getLong(0) === 1L && got.getLong(1) === 3L)
+    assert(ManifestTable.readLatest(spark, dir).count() === 10)
+    // stamp-addressed clone of the now-restored table's v2 content
+    val cdir = Scratch.dir("sqlp_rests_c")
+    ext.sql(s"CLONE '$dir' TO '$cdir' TIMESTAMP AS OF 20250901 1000 AT 20250901 1110")
+    assert(ManifestTable.readLatest(spark, cdir).count() === 3)
+    // a stamp predating the whole log refuses
+    val e = intercept[Exception](ext.sql(
+      s"RESTORE '$dir' TO TIMESTAMP AS OF 20240101 0"))
+    assert(e.getMessage.contains("no version at or before"))
+  }
+
   test("X202 VACUUM DRY RUN: names exactly the reclaimed files, deletes nothing") {
     val dir = Scratch.dir("sqlp_vacdry")
     (0 until 3).foreach(i => ManifestTable.commit(
