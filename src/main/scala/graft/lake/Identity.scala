@@ -36,7 +36,7 @@ object Identity {
   private def sideName(version: Int) = f"v$version%08d.json"
   private val SideRe = """v(\d{8})\.json""".r
 
-  private def writeSidecar(spark: SparkSession, dir: String, version: Int,
+  private[lake] def writeSidecar(spark: SparkSession, dir: String, version: Int,
       highWater: Long): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(idDir(dir)))
