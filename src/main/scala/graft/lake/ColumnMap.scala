@@ -171,6 +171,56 @@ object ColumnMap {
     }
   }
 
+  /** X208 — automatic schema evolution on write (Delta's `mergeSchema`
+    * append): columns the batch carries that the table lacks are ADDED
+    * to the mapping (fresh field ids, rename-proof physical names) in
+    * the SAME commit that lands the data — one atomic version, no
+    * schema-then-data window where a reader could see half the change.
+    * Columns the table has that the batch lacks land as typed NULLs
+    * (generated columns compute instead — the X204 rule). Like every
+    * schema change here this is a single-writer surface: a lost commit
+    * race refuses loudly rather than leaving an orphan mapping that a
+    * concurrent writer's version could adopt.
+    */
+  def appendEvolve(df: DataFrame, dir: String, date: Int, time: Int): Int = {
+    val spark = df.sparkSession
+    val snap = ManifestTable.snapshots(spark, dir).lastOption.getOrElse(
+      throw new NoSuchElementException(s"no table at $dir"))
+    val fields = mappingAt(spark, dir, snap.version)
+    val extra = df.schema.fields.toSeq
+      .filterNot(f => fields.exists(_.logical == f.name))
+    val maxId = fields.map(_.id).max
+    val evolved = fields ++ extra.zipWithIndex.map { case (f, i) =>
+      Field(maxId + 1 + i, f.name, s"${f.name}_${maxId + 1 + i}",
+        f.dataType.catalogString)
+    }
+    // widen the batch to the evolved schema: absent plain columns are
+    // typed NULLs, absent generated columns compute (X204)
+    val widened = evolved
+      .filterNot(f => df.columns.contains(f.logical))
+      .foldLeft(df)((d, f) => d.withColumn(f.logical, f.gen match {
+        case Some(g) => expr(g).cast(f.dtype)
+        case None => lit(null).cast(f.dtype)
+      }))
+    val physical = widened.select(
+      evolved.map(f => col(f.logical).cast(f.dtype).as(f.physical)): _*)
+    val staged = ManifestTable.stageDataFiles(physical, dir)
+    val v = snap.version + 1
+    if (extra.nonEmpty) writeMapping(spark, dir, v, evolved)
+    try {
+      ManifestTable.commitManifest(spark, dir, v, date, time,
+        snap.files ++ staged, deletes = snap.deletes, op = "append")
+      v
+    } catch { case e: Exception =>
+      // a lost race must leave NOTHING: the orphan mapping at v would
+      // otherwise be adopted by whichever commit claims that version
+      ManifestTable.dropStaged(spark, dir, staged)
+      if (extra.nonEmpty) ManifestTable.fsFor(spark, dir)
+        .delete(new Path(mapDir(dir), mapName(v)), false)
+      throw e
+    }
+  }
+
   /** Metadata-only schema-change commit: same files, same tombstones, a
     * new mapping one version up.
     */
@@ -352,6 +402,29 @@ object ColumnMap {
         .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("amount")).as("sum_amount"))
         .orderBy("era", "slice")
     }),
+    // X208: v1 = (k, p) on even keys; v2 = an EVOLVING append of the odd
+    // keys carrying a new column q AND omitting p — one atomic commit.
+    // Latest: old rows q=NULL / p stored, new rows q stored / p=NULL;
+    // era-correct v1 has no q at all.
+    "q_append_evolve" -> ((s, d) => {
+      val dir = graft.util.FixtureCache.dir("colmap_evolve", d) { dir =>
+        val o = graft.sources.Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        create(o.where(col("k") % 2 === 0), dir, 20250901, 900)
+        appendEvolve(o.where(col("k") % 2 === 1)
+          .select(col("k"), (col("p") * 2).as("q")), dir, 20250901, 1000)
+      }
+      val v1cols = lit(read(s, dir, Some(1)).columns.sorted.mkString(","))
+      read(s, dir)
+        .groupBy((col("k") % 2).cast("long").as("parity"))
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("p")).as("sum_p"),
+          Exact.dsum(col("q")).as("sum_q"),
+          sum(when(col("p").isNull, 1L).otherwise(0L)).as("n_p_null"),
+          sum(when(col("q").isNull, 1L).otherwise(0L)).as("n_q_null"))
+        .withColumn("v1_cols", v1cols)
+        .orderBy("parity")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -370,5 +443,19 @@ object ColumnMap {
         |         END AS sum_amount
         |  FROM base GROUP BY slice
         |) ORDER BY era, slice""".stripMargin,
+    "q_append_evolve" ->
+      """SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS parity, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |         CAST(NULL AS DOUBLE) AS sum_q,
+        |         CAST(0 AS BIGINT) AS n_p_null, count(*) AS n_q_null,
+        |         'k,p' AS v1_cols
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 1, count(*), CAST(NULL AS DOUBLE),
+        |         CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE),
+        |         count(*), CAST(0 AS BIGINT), 'k,p'
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |) ORDER BY parity""".stripMargin,
   )
 }

@@ -76,4 +76,29 @@ class ColumnMapSpec extends SparkSpec {
     assert(ManifestTable.latestVersion(spark, dir).contains(1))
     assert(ColumnMap.read(spark, dir).columns.toSeq == Seq("k", "price"))
   }
+
+  test("X208 appendEvolve: new columns land with the data in ONE commit; subsets null-fill") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_colmap_ev").toString
+    ColumnMap.create(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price"),
+      dir, 20250601, 900)
+    // batch carries a NEW column and omits `price`: one atomic version
+    ColumnMap.appendEvolve(Seq((3L, "x"), (4L, "y")).toDF("k", "tag"),
+      dir, 20250601, 1000)
+    assert(ManifestTable.latestVersion(spark, dir).contains(2),
+      "evolution and data must be one commit, not schema-then-data")
+    val latest = ColumnMap.read(spark, dir)
+    assert(latest.columns.toSeq === Seq("k", "price", "tag"))
+    assert(latest.where(col("tag").isNull).count() === 2, "old rows null tag")
+    assert(latest.where(col("price").isNull).count() === 2, "subset write null-fills")
+    // era-correct: v1 has no `tag`
+    assert(!ColumnMap.read(spark, dir, Some(1)).columns.contains("tag"))
+    // a later plain append still requires the full evolved schema
+    ColumnMap.append(Seq((5L, 50.0, "z")).toDF("k", "price", "tag"),
+      dir, 20250601, 1100)
+    assert(ColumnMap.read(spark, dir).count() === 5)
+    // an evolve-append with no new columns degrades to a plain append
+    ColumnMap.appendEvolve(Seq((6L, 60.0, "w")).toDF("k", "price", "tag"),
+      dir, 20250601, 1200)
+    assert(ColumnMap.read(spark, dir).count() === 6)
+  }
 }
