@@ -84,7 +84,47 @@ object Split {
     (out.withColumnRenamed("rid", "shuffle_idx").drop("__sk"), n)
   }
 
+  /** X209 — leakage-safe splits: near-duplicate documents MUST land in
+    * the same split, or eval content leaks into train through its
+    * near-copies (the reason GPT-3/Pile-era evals dedup across the
+    * split boundary, not just inside train). Composition over the dedup
+    * family: near-dup pairs (E2's oracled n-gram Jaccard) close into
+    * components (X34), and the split keys on the component
+    * REPRESENTATIVE instead of the document — every member of a cluster
+    * shares its rep's md5 bucket by construction. Docs in no cluster are
+    * their own rep (the common case: the rep join is a broadcast of the
+    * docs-in-pairs set, corpus never shuffles — the X137 shape).
+    */
+  def leakageSafeSplits(spark: SparkSession, docs: DataFrame,
+      edges: DataFrame, splits: Seq[(String, Int)]): DataFrame = {
+    val comp = Clusters.connectedComponents(spark, edges)
+      .select(col("node").as("doc_id"), col("label").as("rep0"))
+    assignSplits(
+      docs.join(broadcast(comp), Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("rep0"), col("doc_id"))).drop("rep0"),
+      "rep", splits)
+  }
+
   val queries: Map[String, Q] = Map(
+    // X209: per-split populations under cluster-consistent assignment —
+    // the oracle replays pairs → components → rep buckets, so a single
+    // document split apart from its near-dup cluster breaks its split's
+    // count and id checksum
+    "q_split_leakage_safe" -> ((s, d) => {
+      val edgeDir = graft.util.FixtureCache.dir("cluster_edges", d) { dir =>
+        Dedup.queries("q_dedup_ngram_jaccard")(s, d)
+          .select(col("ia").as("a"), col("ib").as("b"))
+          .write.mode("overwrite").parquet(s"$dir/edges")
+      }
+      leakageSafeSplits(s, Tables.documents(s, d).select("doc_id"),
+        graft.sources.Tables.cachedParquet(s, s"$edgeDir/edges"),
+        standardSplits)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").cast("long").as("sum_ids"),
+          countDistinct("rep").as("n_groups"))
+        .orderBy("split")
+    }),
     // X136: the shuffled order pinned POSITIONALLY: per-ordinal-decile
     // doc counts and id checksums vs the oracle's row_number over the
     // identical (hash40, doc_id) order — an off-by-one anywhere in the
@@ -115,6 +155,40 @@ object Split {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, ${Dedup.shinglesSql} AS s
+         |  FROM (SELECT doc_id, ${Dedup.toksSql} AS l FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND len(list_intersect(a.s, b.s)) * 5 >=
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+         |edges AS (
+         |  SELECT ia AS a, ib AS b FROM pairs
+         |  UNION
+         |  SELECT ib, ia FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, b AS dst FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (
+         |  SELECT node AS doc_id, least(node, min(dst)) AS component
+         |  FROM reach GROUP BY node),
+         |rep AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |assigned AS (
+         |  SELECT doc_id, rep,
+         |         CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS h
+         |  FROM rep)
+         |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |       count(DISTINCT rep) AS n_groups
+         |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin,
+
     "q_corpus_shuffle" ->
       """WITH r AS (
         |  SELECT doc_id,

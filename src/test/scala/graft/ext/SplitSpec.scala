@@ -17,6 +17,29 @@ class SplitSpec extends SparkSpec {
     assert(perUser == 0)
   }
 
+  test("X209 leakage-safe splits: every near-dup cluster lands whole in one split") {
+    val docs = (0L until 40L).toDF("doc_id")
+    // two clusters — {1,2,3} via a chain (1-2, 2-3: transitivity needed)
+    // and {10,11}; everything else unclustered
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Split.leakageSafeSplits(spark, docs, edges, Split.standardSplits)
+      .select("doc_id", "rep", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = got.map(r => r._1 -> r).toMap
+    // reps: cluster members share the min-id rep, loners are their own
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).toSet === Set(1L))
+    assert(Seq(10L, 11L).map(byId(_)._2).toSet === Set(10L))
+    assert(byId(7L)._2 === 7L)
+    // the leakage invariant: one split per cluster
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).toSet.size === 1)
+    assert(Seq(10L, 11L).map(byId(_)._3).toSet.size === 1)
+    // cluster members follow the REP's bucket, not their own: doc 2/3
+    // get doc 1's split even where their own hash would differ
+    val own = Split.assignSplits(docs, "doc_id", Split.standardSplits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(2L)._3 === own(1L) && byId(3L)._3 === own(1L))
+  }
+
   test("assignment is deterministic and partition-invariant") {
     val df = (1L to 500L).toDF("k")
     def assign(parts: Int) =
