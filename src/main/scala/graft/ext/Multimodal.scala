@@ -56,6 +56,28 @@ object Multimodal {
     * not on any operator's read path, and repeat invocations time the
     * DECODE operators, not the fixture encoder).
     */
+  /** X210 — aHash over decoded RGB bytes: 8×8 nearest-neighbor resize,
+    * per-cell integer luma (r+g+b, no division), bit i of the hash set
+    * iff cell i's luma·64 exceeds the 64-cell luma total (the mean test
+    * cross-multiplied — exact). Returns (lo 32 bits, hi 32 bits, bits
+    * set); bit index is row-major `y·8 + x`.
+    */
+  def aHash(px: Array[Int], w: Int, h: Int): (Long, Long, Long) = {
+    val out = Bmp.resizeNearest(px, w, h, 8, 8)
+    val luma = Array.tabulate(64)(i => (out(3 * i) + out(3 * i + 1) + out(3 * i + 2)).toLong)
+    val total = luma.sum
+    var lo = 0L; var hi = 0L; var n = 0L
+    var i = 0
+    while (i < 64) {
+      if (luma(i) * 64L > total) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        n += 1
+      }
+      i += 1
+    }
+    (lo, hi, n)
+  }
+
   def media(s: SparkSession, d: String): DataFrame = {
     val dir = graft.util.FixtureCache.dir("media_tbl", d) { dir =>
       documents(s, d).select(
@@ -230,6 +252,29 @@ object Multimodal {
           (m.media_id, 8L, 6L, out.length.toLong, sum, wsum)
         }
         .toDF("media_id", "out_w", "out_h", "n_out", "sum_px", "wsum_px")
+        .orderBy("media_id")
+    }),
+
+    // X210: perceptual image hash (aHash) — decode → 8×8 nearest resize
+    // → per-cell luma (integer channel sum, no division) → mean-threshold
+    // bit per cell with the mean comparison CROSS-MULTIPLIED (luma·64 >
+    // Σluma — exact integers end to end, so the oracle rebuilds every
+    // bit from the closed-form pixel formula). Packed as two 32-bit
+    // halves (lo, hi) so neither engine touches the sign bit. Near-dup
+    // image detection is then Hamming distance over these longs — the
+    // X205 popcount machinery applied to pixels instead of embeddings
+    // (spec pins a planted near-identical pair vs a structural change).
+    "q_image_phash" -> ((s, d) => {
+      implicit val me = org.apache.spark.sql.Encoders.product[Media]
+      import s.implicits._
+      media(s, d).where(col("fmt") === "bmp").as[Media]
+        .map { m =>
+          val (info, px) = Bmp.parse(m.bytes)
+            .getOrElse(sys.error(s"unparseable bmp payload for media ${m.media_id}"))
+          val (lo, hi, n) = Multimodal.aHash(px, info.width, info.height)
+          (m.media_id, lo, hi, n)
+        }
+        .toDF("media_id", "phash_lo", "phash_hi", "n_bits")
         .orderBy("media_id")
     }),
 
@@ -414,6 +459,29 @@ object Multimodal {
         |       CAST(sum(v * pos) AS BIGINT) AS wsum_px
         |FROM px GROUP BY media_id
         |ORDER BY media_id""".stripMargin,
+    "q_image_phash" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |                  CAST(3 + doc_id % 5 AS BIGINT) AS w,
+        |                  CAST(2 + doc_id % 4 AS BIGINT) AS h
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |cell AS (
+        |  SELECT media_id, yo.i AS y, xo.i AS x,
+        |         sum((media_id * 7 + ((yo.i * h) // 8) * 31
+        |              + ((xo.i * w) // 8) * 3 + c.i) % 256) AS luma
+        |  FROM d
+        |  JOIN range(0, 8) xo(i) ON true
+        |  JOIN range(0, 8) yo(i) ON true
+        |  JOIN range(0, 3) c(i) ON true
+        |  GROUP BY media_id, yo.i, xo.i),
+        |tot AS (SELECT media_id, sum(luma) AS total FROM cell GROUP BY media_id)
+        |SELECT c.media_id,
+        |       CAST(COALESCE(sum(CASE WHEN luma * 64 > total AND y * 8 + x < 32
+        |                               THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INT) END), 0) AS BIGINT) AS phash_lo,
+        |       CAST(COALESCE(sum(CASE WHEN luma * 64 > total AND y * 8 + x >= 32
+        |                               THEN CAST(1 AS BIGINT) << CAST(y * 8 + x - 32 AS INT) END), 0) AS BIGINT) AS phash_hi,
+        |       count(*) FILTER (WHERE luma * 64 > total) AS n_bits
+        |FROM cell c JOIN tot t ON c.media_id = t.media_id
+        |GROUP BY c.media_id ORDER BY c.media_id""".stripMargin,
     "q_video_frames" ->
       """SELECT media_id, width, height, n_frames, fps, n_px_bytes,
         |       CAST(sum((media_id * 7 + f.i * 97 + y.i * 31 + x.i * 3 + c.i) % 256) AS BIGINT) AS sum_px

@@ -138,6 +138,32 @@ class MultimodalSpec extends SparkSpec {
     assert(truncated.isDefined && truncated.get._2.length == (60 - 44) / 2)
   }
 
+  test("X210 aHash: brightness-invariant-ish near-dups collapse, structural change diverges") {
+    // a 16x16 smooth gradient
+    def grad(shift: Int, transpose: Boolean): Array[Int] =
+      Array.tabulate(16 * 16 * 3) { i =>
+        val p = i / 3
+        val (x, y) = if (transpose) (p / 16, p % 16) else (p % 16, p / 16)
+        math.min(255, x * 10 + y * 4 + shift)
+      }
+    def hash(px: Array[Int]): (Long, Long) = {
+      val (lo, hi, _) = Multimodal.aHash(px, 16, 16)
+      (lo, hi)
+    }
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val base = hash(grad(0, transpose = false))
+    // +3 uniform brightness: the mean shifts WITH the pixels — the
+    // threshold bits barely move (the property that makes aHash a
+    // near-dup detector, not an exact-byte hash)
+    assert(ham(base, hash(grad(3, transpose = false))) <= 4)
+    // transposing the gradient is a different image: many bits flip
+    assert(ham(base, hash(grad(0, transpose = true))) >= 16)
+    // exactly 64 cells partitioned by the mean test: bits in [1, 63]
+    val (_, _, n) = Multimodal.aHash(grad(0, transpose = false), 16, 16)
+    assert(n >= 1 && n <= 63)
+  }
+
   test("feature extraction is deterministic, partition-count-invariant") {
     implicit val me = org.apache.spark.sql.Encoders.product[Media]
     implicit val fe = org.apache.spark.sql.Encoders.product[MediaFeatures]
