@@ -359,6 +359,41 @@ object Dedup {
     // times" — different fixes). One combinable two-level aggregate over
     // the same normalized fingerprint the exact dedup keys on; no joins,
     // corpus shuffles once on (source, fp).
+    // X211: corpus-level duplicated n-gram fraction (the Gopher /
+    // RefinedWeb "dup_ngram_frac" gate, distinct from X52's WITHIN-doc
+    // repetition): per doc, how many of its distinct 4-gram shingles
+    // appear in OTHER documents too (doc-frequency ≥ 2), rolled up per
+    // source with a cross-multiplied >50% "heavy" count — exact integers
+    // only. Shape: one (doc_id, shingle) distinct stream feeds BOTH the
+    // doc-frequency aggregate and the per-doc join — two shuffles on the
+    // shingle/doc keys, both map-side combinable; no all-pairs anything.
+    "q_dup_ngram_frac" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val ex = tok
+        .select(col("doc_id"),
+          concat_ws(" ", (0 until shingleLen).map(i =>
+            if (i == 0) col("t") else lead("t", i).over(w)): _*).as("shingle"),
+          lead("t", shingleLen - 1).over(w).isNotNull.as("full"))
+        .where(col("full"))
+        .select("doc_id", "shingle").distinct()
+      val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val perDoc = ex.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      documents(s, d).join(perDoc, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_sh"), lit(0L))).as("sum_sh"),
+          sum(coalesce(col("n_dup"), lit(0L))).as("sum_dup"),
+          sum(when(coalesce(col("n_dup"), lit(0L)) * 2 >
+            coalesce(col("n_sh"), lit(0L)), 1L).otherwise(0L)).as("n_heavy"))
+        .orderBy("source")
+    }),
+
     "q_dup_rate" -> ((s, d) => {
       val base = documents(s, d).select("doc_id", "source", "text")
       val dups = base.where(col("doc_id") % 10 === 0)
@@ -698,6 +733,22 @@ object Dedup {
          |SELECT ia, ib, (shared * 1000) // (na + nb - shared) AS jac_permille,
          |       true AS est_ok
          |FROM pairs WHERE shared * 5 >= (na + nb - shared) * 4 ORDER BY ia, ib""".stripMargin,
+
+    "q_dup_ngram_frac" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s
+         |            FROM (SELECT doc_id, $toksSql AS l FROM documents)),
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_sh,
+         |         count(*) FILTER (WHERE df >= 2) AS n_dup
+         |  FROM ex JOIN dfreq USING (shingle) GROUP BY doc_id)
+         |SELECT d.source, count(*) AS n_docs,
+         |       CAST(COALESCE(sum(p.n_sh), 0) AS BIGINT) AS sum_sh,
+         |       CAST(COALESCE(sum(p.n_dup), 0) AS BIGINT) AS sum_dup,
+         |       count(*) FILTER (WHERE COALESCE(p.n_dup, 0) * 2 > COALESCE(p.n_sh, 0)) AS n_heavy
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "q_dup_rate" ->
       """WITH corpus AS (
