@@ -192,6 +192,37 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // X212: frame-level audio energy features — decode, window into
+    // 32-sample frames (last frame partial), per-frame sum-of-squares
+    // energy in exact integers (32 · 2048² ≪ 2⁶³), then per-clip frame
+    // count / total / max / argmax (lowest index on ties). The standard
+    // VAD/silence-trim primitives of an audio pipeline, exact end to end
+    // so the oracle replays every frame from the closed-form samples.
+    // Per-row arithmetic — embarrassingly parallel at any corpus size.
+    "q_audio_frames" -> ((s, d) => {
+      implicit val me = org.apache.spark.sql.Encoders.product[Media]
+      import s.implicits._
+      media(s, d).where(col("fmt") === "wav").as[Media]
+        .map { m =>
+          val (_, samples) = Wav.parse(m.bytes)
+            .getOrElse(sys.error(s"unparseable wav payload for media ${m.media_id}"))
+          val frame = 32
+          val nF = (samples.length + frame - 1) / frame
+          val energies = Array.tabulate(nF) { f =>
+            var e = 0L
+            var i = f * frame
+            val end = math.min(i + frame, samples.length)
+            while (i < end) { e += samples(i).toLong * samples(i); i += 1 }
+            e
+          }
+          val maxE = energies.max
+          (m.media_id, nF.toLong, energies.sum, maxE,
+            energies.indexOf(maxE).toLong)
+        }
+        .toDF("media_id", "n_frames", "total_energy", "max_energy", "max_frame")
+        .orderBy("media_id")
+    }),
+
     // X83: Goertzel tone power per audio row — decode the PCM payload and
     // measure three DFT bins with the O(N)/O(1)-state recurrence; the
     // DuckDB twin recomputes each bin in direct DFT form (cos/sin-weighted
@@ -531,6 +562,23 @@ object Multimodal {
         |GROUP BY media_id, k
         |ORDER BY media_id, bin""".stripMargin,
 
+    "q_audio_frames" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |                  CAST(50 + doc_id % 100 AS BIGINT) AS n
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT media_id, t.i // 32 AS f,
+        |             ((media_id * 31 + t.i * 7) % 4096) - 2048 AS v
+        |      FROM d JOIN range(0, 150) t(i) ON t.i < d.n),
+        |fe AS (SELECT media_id, f, sum(v * v) AS e FROM s GROUP BY media_id, f),
+        |tot AS (SELECT media_id, count(*) AS n_frames,
+        |               CAST(sum(e) AS BIGINT) AS total_energy,
+        |               CAST(max(e) AS BIGINT) AS max_energy
+        |        FROM fe GROUP BY media_id)
+        |SELECT t.media_id, t.n_frames, t.total_energy, t.max_energy,
+        |       CAST(min(fe.f) AS BIGINT) AS max_frame
+        |FROM tot t JOIN fe ON fe.media_id = t.media_id AND fe.e = t.max_energy
+        |GROUP BY t.media_id, t.n_frames, t.total_energy, t.max_energy
+        |ORDER BY t.media_id""".stripMargin,
     "q_wav_decode" ->
       """SELECT media_id, sample_rate, n_channels, bits_per_sample, n_samples,
         |       CAST(sum(((media_id * 31 + i * 7) % 4096) - 2048) AS BIGINT) AS sum_samples
