@@ -378,13 +378,20 @@ trait GraftTableRef {
 object GraftDataSource {
 
   /** Commit stamp for writer paths: caller-pinned `runDate`/`runTime`
-    * options, else the wall clock (UTC).
+    * options, else the wall clock (UTC). Case-INSENSITIVE lookup: SQL
+    * `OPTIONS (...)` keys reach the relation lowercased (Spark's
+    * CaseInsensitiveMap normalization), so an exact-case get here made
+    * view-driven DML commits silently fall back to the wall clock — a
+    * caller-pinned stamp must win regardless of the route (X213 found
+    * this when a stamp-bounded change feed over a fixed-stamp fixture
+    * resolved an empty window).
     */
   private[spark] def stampOf(parameters: Map[String, String]): (Int, Int) = {
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
     val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
-    (parameters.get("runDate").map(_.toInt)
+    (ci.get("rundate").map(_.toInt)
        .getOrElse(now.getYear * 10000 + now.getMonthValue * 100 + now.getDayOfMonth),
-     parameters.get("runTime").map(_.toInt)
+     ci.get("runtime").map(_.toInt)
        .getOrElse(now.getHour * 100 + now.getMinute))
   }
 

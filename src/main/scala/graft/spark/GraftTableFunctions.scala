@@ -1,5 +1,6 @@
 package graft.spark
 
+import scala.util.chaining._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -38,6 +39,8 @@ object GraftTableFunctions {
 
   private val usage =
     "table_changes('<path>', <from_version>, <to_version> [, '<k1,k2>'])"
+  private val usageTs =
+    "table_changes('<path>', <from_date>, <from_time>, <to_date>, <to_time> [, '<k1,k2>'])"
 
   private def lit(e: Expression, what: String): Any = e match {
     case Literal(v, _) if v != null => v
@@ -56,16 +59,47 @@ object GraftTableFunctions {
     lit(e, what).toString
 
   private[spark] def buildTableChanges(args: Seq[Expression]): LogicalPlan = {
-    require(args.size == 3 || args.size == 4,
-      s"table_changes: expected 3 or 4 arguments — $usage")
+    require(args.size >= 3 && args.size <= 6,
+      s"table_changes: expected 3-6 arguments — $usage or $usageTs")
+    val spark = SparkSession.active
     val dir = strArg(args(0), "path")
-    val fromV = intArg(args(1), "from_version")
-    val toV = intArg(args(2), "to_version")
-    val keys =
-      if (args.size == 4)
-        strArg(args(3), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      else Nil
-    ChangeFeed.changeFeed(SparkSession.active, dir, fromV, toV, keys,
+    // X213: 5/6 args = stamp bounds (from_date, from_time, to_date,
+    // to_time [, keys]) — changes stamped at-or-after the from stamp
+    // through at-or-before the to stamp, i.e. the EXCLUSIVE base is the
+    // newest version stamped strictly before `from` (the X203 rule) and
+    // the inclusive end resolves via the X206 rule; 3/4 args keep the
+    // X184 version form.
+    val (fromV, toV, keys) =
+      if (args.size >= 5) {
+        val (fd, ft) = (intArg(args(1), "from_date"), intArg(args(2), "from_time"))
+        val (td, tt) = (intArg(args(3), "to_date"), intArg(args(4), "to_time"))
+        val snaps = graft.lake.ManifestTable.snapshots(spark, dir)
+        val base = snaps
+          .filter(s => s.runDate < fd || (s.runDate == fd && s.runTime < ft))
+          .sortBy(s => (s.runDate, s.runTime, s.version))
+          .lastOption.map(_.version).getOrElse(
+            // Delta parity: table_changes refuses timestamps at or
+            // before the earliest version — the feed diffs versions, so
+            // there is no base to diff the first commit against (the
+            // version form from 1 starts after it by the same rule)
+            throw new NoSuchElementException(
+              s"table_changes: from stamp $fd/$ft is at or before the " +
+                s"first commit at $dir — no base version to diff against"))
+        val end = snaps
+          .filter(s => s.runDate < td || (s.runDate == td && s.runTime <= tt))
+          .sortBy(s => (s.runDate, s.runTime, s.version))
+          .lastOption.map(_.version).getOrElse(
+            throw new NoSuchElementException(
+              s"table_changes: no version at or before $td/$tt at $dir"))
+        (base, end,
+          if (args.size == 6)
+            strArg(args(5), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          else Nil)
+      } else (intArg(args(1), "from_version"), intArg(args(2), "to_version"),
+        if (args.size == 4)
+          strArg(args(3), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        else Nil)
+    ChangeFeed.changeFeed(spark, dir, fromV, toV, keys,
       updateAware = true).queryExecution.logical
   }
 
@@ -91,6 +125,19 @@ object GraftTableFunctions {
         s"""SELECT change, to_version, count(*) AS n_rows,
            |       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_p
            |FROM table_changes('$dir', 1, 4, 'k')
+           |GROUP BY change, to_version
+           |ORDER BY to_version, change""".stripMargin)
+    }),
+    // X213: the stamp-bounded form over the same DML timeline — the
+    // window (after v1's 900 stamp, through the DML stamp) must resolve
+    // to exactly the version window the X184 query names explicitly, so
+    // both forms share one oracle
+    "q_table_changes_ts" -> ((s, d) => {
+      val dir = GraftDml.dmlFixture(s, d)
+      GraftDml.extSession(s).sql(
+        s"""SELECT change, to_version, count(*) AS n_rows,
+           |       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_p
+           |FROM table_changes('$dir', 20250701, 950, 20250701, 1000, 'k')
            |GROUP BY change, to_version
            |ORDER BY to_version, change""".stripMargin)
     }))
@@ -126,5 +173,6 @@ object GraftTableFunctions {
          |         CAST(SUM(CAST(0.5 AS DECIMAL(18,2))) AS DOUBLE)
          |  FROM ($t1) WHERE k % 3 = 0
          |) ORDER BY to_version, change""".stripMargin)
+      .pipe(m => m + ("q_table_changes_ts" -> m("q_table_changes")))
   }
 }

@@ -179,4 +179,37 @@ class GraftDmlSpec extends SparkSpec {
     }
     assert(lit.getMessage.contains("literal"))
   }
+
+  test("X213 table_changes stamp bounds: window resolution on distinct stamps") {
+    val dir = Scratch.dir("dml_tvf_ts")
+    def write(lo: Long, hi: Long, mode: String, time: String): Unit =
+      (lo to hi).map(i => (i, i * 10L)).toDF("k", "v")
+        .write.mode(mode).format("graft").option("path", dir)
+        .option("runDate", "20250701").option("runTime", time).save()
+    write(1, 5, "overwrite", "900") // v1
+    write(6, 8, "append", "1000")   // v2
+    write(9, 9, "append", "1100")   // v3
+    // window [1000, 1000]: only v2's append flows (v1 is the base, v3 late)
+    val mid = ext.sql(
+      s"""SELECT change, to_version, count(*) AS n
+         |FROM table_changes('$dir', 20250701, 1000, 20250701, 1000)
+         |GROUP BY 1, 2""".stripMargin).collect()
+    assert(mid.map(r => (r.getString(0), r.get(1).toString.toInt, r.getLong(2)))
+      .toSeq === Seq(("added", 2, 3L)))
+    // a window from just after v1 through the end covers both appends
+    val all = ext.sql(
+      s"""SELECT count(*) AS n
+         |FROM table_changes('$dir', 20250701, 901, 20250701, 1100)""".stripMargin)
+      .head.getLong(0)
+    assert(all === 4L) // v2's three rows + v3's one
+    // a from-stamp at or before the first commit refuses (no base to
+    // diff against — Delta's table_changes contract)
+    val e0 = intercept[Exception](ext.sql(
+      s"SELECT * FROM table_changes('$dir', 20250601, 0, 20250701, 1100)").collect())
+    assert(e0.getMessage.contains("no base version"))
+    // a to-stamp predating the log refuses
+    val e = intercept[Exception](ext.sql(
+      s"SELECT * FROM table_changes('$dir', 20250701, 1000, 20250601, 0)").collect())
+    assert(e.getMessage.contains("no version at or before"))
+  }
 }
