@@ -117,6 +117,7 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
       case SaveMode.Ignore =>
         if (!exists) checkedCommit(append = false)
     }
+    GraftDataSource.autoCompact(spark, dir, date, time)
     createRelation(sqlContext, parameters)
   }
 
@@ -395,6 +396,29 @@ object GraftDataSource {
        .getOrElse(now.getHour * 100 + now.getMinute))
   }
 
+  /** X214 — `graft.autoCompact`: after a write lands, fold small-file
+    * debt back to the target in ONE follow-up X129 bin-pack commit —
+    * Delta's `delta.autoOptimize.autoCompact` table property. Fires only
+    * when the latest version carries ≥ `graft.autoCompact.minFiles`
+    * (default 8) files AND the fold would actually shrink the listing
+    * (binPack's within-budget no-op), so steady-state writes pay one
+    * property lookup and nothing else. Streaming sinks deliberately do
+    * NOT auto-compact per micro-batch (churn); the X174 maintenance
+    * executor is the streaming answer.
+    */
+  private[spark] def autoCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, date: Int, time: Int): Unit = {
+    val props = graft.lake.Properties.active(spark, dir)
+    if (props.get("graft.autoCompact").exists(_.toBoolean)) {
+      val target = props.get("graft.targetFileBytes").map(_.toLong)
+        .getOrElse(graft.lake.OptimizedWrite.DefaultTargetBytes)
+      val minFiles = props.get("graft.autoCompact.minFiles").map(_.toInt)
+        .getOrElse(8)
+      graft.lake.ZOrder.binPack(spark, dir, target, date, time,
+        onlyIfMoreThan = minFiles - 1)
+    }
+  }
+
   /** X173: the `InsertableRelation` body — SQL `INSERT INTO` as an X96
     * optimistic append, `INSERT OVERWRITE` as a replace commit, both
     * schema-enforced like the X116 writer (SQL INSERT is positional, and
@@ -439,6 +463,7 @@ object GraftDataSource {
         ManifestTable.commitStagedRetrying(spark, dir, date, time, staged)
       else ManifestTable.appendStagedRetrying(spark, dir, date, time, staged)
     }
+    autoCompact(spark, dir, date, time) // X214: property-gated, no-op without debt
   }
 }
 

@@ -203,6 +203,32 @@ object GraftSink {
         .orderBy("slice")
     }),
 
+    // X214: graft.autoCompact — small appends accumulate file debt until
+    // the threshold, then ONE bin-pack commit folds the listing back;
+    // content is write-order invisible (the whole-table oracle), the
+    // version/op/file ledger pins exactly when compaction fired.
+    "q_auto_compact" -> ((s, d) => {
+      val dir = FixtureCache.dir("graft_autoc", d) { dir =>
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        o.where(col("o_orderkey") % 4 === 0).coalesce(1).write.format("graft")
+          .mode(SaveMode.Overwrite).save(dir) // v1: 1 file
+        GraftDml.extSession(s).sql(s"ALTER TABLE '$dir' SET TBLPROPERTIES " +
+          "('graft.autoCompact' = 'true', 'graft.autoCompact.minFiles' = '4')") // v2
+        (1 to 3).foreach { i => // v3, v4: debt grows; v5 trips → v6 optimize
+          o.where(col("o_orderkey") % 4 === i).coalesce(1).write.format("graft")
+            .mode(SaveMode.Append).option("runDate", "20250901")
+            .option("runTime", (900 + i).toString).save(dir)
+        }
+      }
+      val snaps = ManifestTable.snapshots(s, dir)
+      s.read.format("graft").load(dir)
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("o_totalprice")).as("sum_total"))
+        .withColumn("n_versions", lit(snaps.size))
+        .withColumn("n_optimize", lit(snaps.count(_.op == "optimize")))
+        .withColumn("n_files", lit(snaps.last.files.size))
+    }),
+
     // X117: graft-to-graft streaming pipeline — source log streamed into
     // a sink log through one checkpoint, second pass replays nothing,
     // post-append pass delivers exactly the new version. Duplicates or
@@ -286,6 +312,14 @@ object GraftSink {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
         |       CAST(3 AS INT) AS n_versions
         |FROM orders GROUP BY 1 ORDER BY slice""".stripMargin,
+
+    "q_auto_compact" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |       CAST(6 AS INT) AS n_versions,
+        |       CAST(1 AS INT) AS n_optimize,
+        |       CAST(1 AS INT) AS n_files
+        |FROM orders""".stripMargin,
 
     "q_stream_sink" ->
       """SELECT event_type, count(*) AS n_rows,

@@ -305,4 +305,35 @@ class GraftSinkSpec extends SparkSpec {
     assert(rows.size == 7, s"lost update: $rows") // 5 seed + both writers
     assert(rows(100L) == 10000L && rows(200L) == 20000L)
   }
+
+  test("X214 autoCompact: fires at the threshold, no-ops below it and after folding") {
+    val dir = Scratch.dir("sink_autoc")
+    def app(lo: Long, t: String): Unit =
+      spark.range(lo, lo + 5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .coalesce(1).write.format("graft").mode(SaveMode.Append)
+        .option("runDate", "20250901").option("runTime", t).save(dir)
+    spark.range(0, 5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.format("graft").mode(SaveMode.Overwrite).save(dir)
+    graft.spark.GraftDml.extSession(spark).sql(
+      s"ALTER TABLE '$dir' SET TBLPROPERTIES ('graft.autoCompact' = 'true', " +
+        "'graft.autoCompact.minFiles' = '3')")
+    app(10, "901") // 2 files: below threshold, nothing fires
+    assert(ManifestTable.snapshots(spark, dir).count(_.op == "optimize") === 0)
+    app(20, "902") // 3 files: threshold trips, one optimize commit
+    val snaps = ManifestTable.snapshots(spark, dir)
+    assert(snaps.count(_.op == "optimize") === 1)
+    assert(snaps.last.files.size === 1, "debt not folded")
+    // folded table + one more small write: below threshold again
+    app(30, "903")
+    assert(ManifestTable.snapshots(spark, dir).count(_.op == "optimize") === 1,
+      "autoCompact churned after folding")
+    // content survives every fold
+    assert(spark.read.format("graft").load(dir).count() === 20)
+    // without the property, debt accumulates silently (opt-in contract)
+    val plain = Scratch.dir("sink_autoc_plain")
+    (0 to 4).foreach(i => spark.range(i * 5L, i * 5L + 5)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(1)
+      .write.format("graft").mode(SaveMode.Append).save(plain))
+    assert(ManifestTable.snapshots(spark, plain).count(_.op == "optimize") === 0)
+  }
 }
