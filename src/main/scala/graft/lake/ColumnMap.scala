@@ -116,6 +116,29 @@ object ColumnMap {
     ms.last._2
   }
 
+  /** X215 — schema-first table: commit an EMPTY version 1 whose schema
+    * lives entirely in the mapping (no data files to infer from), the
+    * `CREATE TABLE (cols)` / INSERT-later workflow. Column types are
+    * validated as Spark DDL at declaration.
+    */
+  def createEmpty(spark: SparkSession, dir: String,
+      cols: Seq[(String, String)], date: Int, time: Int): Int = {
+    require(ManifestTable.latestVersion(spark, dir).isEmpty,
+      s"table already exists at $dir")
+    require(cols.nonEmpty, "a table needs at least one column")
+    require(cols.map(_._1).distinct.size == cols.size,
+      s"duplicate column names in ${cols.map(_._1).mkString(", ")}")
+    val fields = cols.zipWithIndex.map { case ((n, t), i) =>
+      val dt = try org.apache.spark.sql.types.DataType.fromDDL(t)
+        catch { case _: Exception => throw new IllegalArgumentException(
+          s"unknown column type '$t' for '$n'") }
+      Field(i + 1, n, n, dt.catalogString)
+    }
+    writeMapping(spark, dir, 1, fields)
+    ManifestTable.commitManifest(spark, dir, 1, date, time, Nil)
+    1
+  }
+
   /** First commit: field ids 1..n in column order, physical = logical. */
   def create(df: DataFrame, dir: String, date: Int, time: Int): Int = {
     val spark = df.sparkSession
@@ -325,6 +348,15 @@ object ColumnMap {
     val snap = version.map(v => snaps.find(_.version == v).getOrElse(
       throw new NoSuchElementException(s"no version $v at $dir"))).getOrElse(snaps.last)
     val fields = mappingAt(spark, dir, snap.version)
+    // X215: an empty version (schema-first CREATE, or every row deleted
+    // by a replace) serves its mapped schema with zero rows — there are
+    // no footers to scan
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(fields.map(f =>
+          org.apache.spark.sql.types.StructField(f.logical,
+            org.apache.spark.sql.types.DataType.fromDDL(f.dtype)))))
     def project(files: Seq[String]): DataFrame = {
       val scan = DeleteVectors.applyTo(spark, dir, snap,
         spark.read.option("mergeSchema", "true")

@@ -438,6 +438,20 @@ object GraftDataSource {
     val (date, time) = stampOf(parameters)
     val snaps = ManifestTable.snapshots(spark, dir)
     require(snaps.nonEmpty, s"graft: no committed snapshot at $dir")
+    // X215: a schema-first (empty) mapped table has no footers to align
+    // against — the mapping IS the schema, and the first INSERT routes
+    // through ColumnMap.append (logical→physical translation, generated-
+    // column validation included)
+    if (snaps.last.files.isEmpty && new Path(s"$dir/_colmap").getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(new Path(s"$dir/_colmap"))) {
+      val fields = graft.lake.ColumnMap.mappingAt(spark, dir, snaps.last.version)
+      require(data.schema.fields.length == fields.length,
+        s"graft: INSERT carries ${data.schema.fields.length} columns, " +
+          s"table declares ${fields.length}")
+      graft.lake.ColumnMap.append(
+        data.toDF(fields.map(_.logical): _*), dir, date, time)
+      return
+    }
     val current = new ManifestFileIndex(spark, dir, snaps.last).dataSchema
     require(data.schema.fields.length == current.fields.length &&
         data.schema.fields.zip(current.fields).forall {

@@ -182,6 +182,10 @@ object GraftSqlParser {
   private val CtasRe =
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+'([^']+)'""" +
       """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s+AS\s+(.+)""").r
+  // X215: schema-first CREATE — a declared column list, no query
+  private val CreateEmptyRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s*\(([^)]+)\)""" +
+      """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s*;?\s*""").r
 
   private def stamp(d: String, t: String): (Int, Int) =
     if (d != null) (d.toInt, t.toInt)
@@ -284,6 +288,16 @@ object GraftSqlParser {
       case AnalyzeRe(path, cols) =>
         Some(GraftAnalyzeCommand(path,
           Option(cols).map(_.split(",").map(_.trim).toSeq)))
+      case CreateEmptyRe(path, colList, d, t) =>
+        val (date, time) = stamp(d, t)
+        val cols = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          .map { c =>
+            val parts = c.split("\\s+", 2)
+            require(parts.length == 2,
+              s"graft CREATE TABLE: expected '<name> <type>', got '$c'")
+            (parts(0), parts(1))
+          }
+        Some(GraftCreateEmptyCommand(path, cols, date, time))
       case CtasRe(orReplace, path, d, t, query) =>
         val (date, time) = stamp(d, t)
         Some(GraftCtasCommand(path, orReplace != null,
@@ -728,6 +742,21 @@ case class GraftAnalyzeCommand(dir: String, cols: Option[Seq[String]])
   * when the target table carries CHECK constraints (X187), the staged
   * result validates before publishing, like every other write surface.
   */
+/** `CREATE TABLE '<path>' (c1 t1, c2 t2, …)` (X215) — schema-first
+  * empty table: version 1 is an empty commit whose schema lives in the
+  * X110 mapping, so DESCRIBE/INSERT/ALTER work before any row exists
+  * (the INSERT-later workflow every warehouse supports). Refuses on an
+  * existing table, unknown types, and duplicate names — with nothing
+  * committed.
+  */
+case class GraftCreateEmptyCommand(dir: String, cols: Seq[(String, String)],
+    date: Int, time: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.lake.ColumnMap.createEmpty(spark, dir, cols, date, time).toLong))
+}
+
 case class GraftCtasCommand(dir: String, orReplace: Boolean, query: String,
     date: Int, time: Int) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -1138,6 +1167,29 @@ object GraftSqlQueries {
         .withColumn("n_versions",
           lit(ManifestTable.snapshots(s, dir).size))
     }),
+    // X215: schema-first CREATE — v1 is empty but fully typed; the first
+    // INSERT lands through the mapping; both eras read back era-correct
+    "q_sql_create_empty" -> ((s, d) => {
+      val root = FixtureCache.dir("sql_createmt", d) { root =>
+        val ext = GraftDml.extSession(s)
+        ext.sql(s"CREATE TABLE '$root/t' (k bigint, p double) AT 20250901 900")
+        ext.sql(s"""CREATE OR REPLACE TEMPORARY VIEW cemt_src
+                   |USING parquet OPTIONS (path '$d/orders.parquet')""".stripMargin)
+        ext.sql(s"""CREATE OR REPLACE TEMPORARY VIEW cemt_t
+                   |USING graft OPTIONS (path '$root/t', runDate '20250901',
+                   |runTime '1000')""".stripMargin)
+        ext.sql("INSERT INTO cemt_t SELECT o_orderkey, o_totalprice " +
+          "FROM cemt_src WHERE o_orderkey % 2 = 0")
+      }
+      val dir = s"$root/t"
+      val v1 = graft.lake.ColumnMap.read(s, dir, Some(1))
+      graft.lake.ColumnMap.read(s, dir)
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .withColumn("v1_rows", lit(v1.count()))
+        .withColumn("v1_cols", lit(v1.columns.mkString(",")))
+        .withColumn("n_versions",
+          lit(ManifestTable.snapshots(s, dir).size))
+    }),
     // X204: legacy files compute the generated column at read time,
     // post-ADD appends at write time — both must equal the oracle's
     // recomputation from raw orders, per bucket
@@ -1273,6 +1325,13 @@ object GraftSqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_create_empty" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |       CAST(0 AS BIGINT) AS v1_rows,
+        |       'k,p' AS v1_cols,
+        |       CAST(2 AS INT) AS n_versions
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
     "q_sql_generated" ->
       """SELECT o_orderkey % 5 AS bucket, count(*) AS n_rows,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,

@@ -29,6 +29,35 @@ class GraftSqlParserSpec extends SparkSpec {
     dir
   }
 
+  test("X215 CREATE TABLE (cols): empty typed v1, INSERT lands, ALTER composes, refusals") {
+    val dir = Scratch.dir("sqlp_cremt")
+    ext.sql(s"CREATE TABLE '$dir' (k bigint, v double) AT 20250901 900")
+    val empty = graft.lake.ColumnMap.read(spark, dir)
+    assert(empty.columns.toSeq === Seq("k", "v") && empty.count() === 0)
+    // schema evolution works before any data exists
+    ext.sql(s"ALTER TABLE '$dir' ADD COLUMN tag string DEFAULT 'none'")
+    // first INSERT routes through the mapping
+    ext.sql(s"""CREATE OR REPLACE TEMPORARY VIEW cremt_t
+               |USING graft OPTIONS (path '$dir', runDate '20250901',
+               |runTime '1000')""".stripMargin)
+    ext.sql("INSERT INTO cremt_t VALUES (1, 1.5, 'a'), (2, 2.5, 'b')")
+    val got = graft.lake.ColumnMap.read(spark, dir)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq === Seq((1L, 1.5, "a"), (2L, 2.5, "b")))
+    // refusals, nothing committed
+    val e1 = intercept[Exception](ext.sql(
+      s"CREATE TABLE '$dir' (x bigint)"))
+    assert(e1.getMessage.contains("already exists"))
+    val d2 = Scratch.dir("sqlp_cremt2")
+    val e2 = intercept[Exception](ext.sql(
+      s"CREATE TABLE '$d2' (x notatype)"))
+    assert(e2.getMessage.contains("unknown column type"))
+    val e3 = intercept[Exception](ext.sql(
+      s"CREATE TABLE '$d2' (x bigint, x double)"))
+    assert(e3.getMessage.contains("duplicate column"))
+    assert(ManifestTable.snapshots(spark, d2).isEmpty)
+  }
+
   test("X206 stamp-addressed RESTORE/CLONE: between stamps resolve down, pre-log stamps refuse") {
     val dir = Scratch.dir("sqlp_rests")
     ManifestTable.commit(spark.range(0, 10)
