@@ -129,6 +129,31 @@ object ZoneMap {
     stats
   }
 
+  /** Retrying REPLACE from already-staged files with stats recorded —
+    * the X216 overwrite path (stage → validate → stats → publish).
+    */
+  def commitStagedWithStats(spark: SparkSession, dir: String, date: Int,
+      time: Int, staged: Seq[String], statsCols: Seq[String],
+      strCols: Seq[String] = Nil, maxRetries: Int = 5): Int = {
+    val stats = statsFor(spark, dir, staged, statsCols, strCols)
+    var tries = 0
+    while (true) {
+      val v = ManifestTable.latestVersion(spark, dir).getOrElse(0) + 1
+      writeStatsSidecar(spark, dir, v, stats)
+      try {
+        ManifestTable.commitManifest(spark, dir, v, date, time, staged)
+        return v
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.startsWith("concurrent commit") =>
+          tries += 1
+          if (tries > maxRetries) throw new IllegalStateException(
+            s"replace at $dir lost $tries consecutive races; giving up", e)
+      }
+    }
+    -1 // unreachable
+  }
+
   def commitWithStats(df: DataFrame, dir: String, date: Int, time: Int,
       statsCols: Seq[String], strCols: Seq[String] = Nil,
       op: String = "write", setCols: Seq[String] = Nil): Int = {
@@ -182,9 +207,17 @@ object ZoneMap {
     */
   def appendWithStats(df: DataFrame, dir: String, date: Int, time: Int,
       statsCols: Seq[String], strCols: Seq[String] = Nil,
-      maxRetries: Int = 5): Int = {
-    val spark = df.sparkSession
-    val staged = ManifestTable.stageDataFiles(df, dir)
+      maxRetries: Int = 5): Int =
+    appendStagedWithStats(df.sparkSession, dir, date, time,
+      ManifestTable.stageDataFiles(df, dir), statsCols, strCols, maxRetries)
+
+  /** [[appendWithStats]] from already-staged files — the stage-first hook
+    * (X187/X216): callers validate the staged bytes, then publish exactly
+    * those bytes with their stats.
+    */
+  def appendStagedWithStats(spark: SparkSession, dir: String, date: Int,
+      time: Int, staged: Seq[String], statsCols: Seq[String],
+      strCols: Seq[String] = Nil, maxRetries: Int = 5): Int = {
     val newStats = statsFor(spark, dir, staged, statsCols, strCols)
     var tries = 0
     while (true) {

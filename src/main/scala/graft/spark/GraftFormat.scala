@@ -97,7 +97,13 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
         .getOrElse(graft.lake.OptimizedWrite.DefaultTargetBytes)
       val optimize = parameters.get("optimizeWrite")
         .orElse(props.get("graft.optimizeWrite")).exists(_.toBoolean)
-      if (optimize) {
+      // X216: a declared write order wins — it range-clusters the batch
+      // (shaping files for pruning) and records zone maps as it lands
+      val order = graft.lake.WriteOrder.orderedCols(props)
+      if (order.isDefined) {
+        graft.lake.WriteOrder.write(data, dir, order.get, date, time, append,
+          props.get("graft.writeOrder.partitions").map(_.toInt))
+      } else if (optimize) {
         if (append) graft.lake.OptimizedWrite.append(data, dir, date, time, target)
         else graft.lake.OptimizedWrite.commit(data, dir, date, time, target)
       } else {
@@ -462,7 +468,12 @@ object GraftDataSource {
     // X192: table properties bind the optimized-write default for SQL
     // INSERT exactly as for the batch writer
     val props = graft.lake.Properties.active(spark, dir)
-    if (props.get("graft.optimizeWrite").exists(_.toBoolean)) {
+    val order = graft.lake.WriteOrder.orderedCols(props)
+    if (order.isDefined) {
+      graft.lake.WriteOrder.write(aligned, dir, order.get, date, time,
+        append = !overwrite,
+        props.get("graft.writeOrder.partitions").map(_.toInt))
+    } else if (props.get("graft.optimizeWrite").exists(_.toBoolean)) {
       val target = props.get("graft.targetFileBytes").map(_.toLong)
         .getOrElse(graft.lake.OptimizedWrite.DefaultTargetBytes)
       if (overwrite) graft.lake.OptimizedWrite.commit(aligned, dir, date, time, target)

@@ -203,6 +203,37 @@ object GraftSink {
         .orderBy("slice")
     }),
 
+    // X216: WRITE ORDERED BY — the declared order range-clusters every
+    // subsequent append and records zone maps on it, so the band read
+    // prunes the ordered files while v1's stat-less file honestly stays
+    // in scope; pruning must be invisible (the oracle is the plain
+    // filter), and the candidate-file count is pinned in the spec.
+    "q_write_order" -> ((s, d) => {
+      val dir = FixtureCache.dir("graft_worder", d) { dir =>
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        o.where(col("o_orderkey") % 4 === 0).write.format("graft")
+          .mode(SaveMode.Overwrite).save(dir) // v1: unordered, no stats
+        GraftDml.extSession(s).sql(
+          s"ALTER TABLE '$dir' WRITE ORDERED BY (o_custkey) AT 20250901 910") // v2
+        (1 to 3).foreach { i => // v3-v5: range-clustered + stats'd appends
+          o.where(col("o_orderkey") % 4 === i).write.format("graft")
+            .mode(SaveMode.Append).option("runDate", "20250901")
+            .option("runTime", (910 + i).toString).save(dir)
+        }
+      }
+      val b = Tables.orders(s, d).agg(min("o_custkey"), max("o_custkey")).head
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+      val latest = ManifestTable.latestVersion(s, dir).get
+      graft.lake.ZoneMap.readRange(s, dir, latest, "o_custkey", lo, hi)
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("o_totalprice")).as("sum_total"),
+          min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"))
+        .withColumn("n_versions",
+          lit(ManifestTable.snapshots(s, dir).size))
+    }),
+
     // X214: graft.autoCompact — small appends accumulate file debt until
     // the threshold, then ONE bin-pack commit folds the listing back;
     // content is write-order invisible (the whole-table oracle), the
@@ -312,6 +343,16 @@ object GraftSink {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
         |       CAST(3 AS INT) AS n_versions
         |FROM orders GROUP BY 1 ORDER BY slice""".stripMargin,
+
+    "q_write_order" ->
+      """WITH b AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM orders),
+        |band AS (SELECT mn + (mx - mn) // 4 AS lo, mn + (mx - mn) // 2 AS hi FROM b)
+        |SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |       min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+        |       CAST(5 AS INT) AS n_versions
+        |FROM orders, band
+        |WHERE o_custkey >= band.lo AND o_custkey <= band.hi""".stripMargin,
 
     "q_auto_compact" ->
       """SELECT count(*) AS n_rows,

@@ -154,6 +154,11 @@ object GraftSqlParser {
   private val SetPropsRe =
     ("""(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*""" +
       """\(([^)]+)\)\s*(?:AT\s+(\d{8})\s+(\d{1,4})\s*)?;?\s*""").r
+  // X216: Iceberg's write-order DDL — sugar over SET TBLPROPERTIES
+  private val WriteOrderRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+'([^']+)'\\s+WRITE\\s+ORDERED\\s+BY\\s*""" +
+      s"""\\(\\s*($Id(?:\\s*,\\s*$Id)*)\\s*\\)""" +
+      """\s*(?:AT\s+(\d{8})\s+(\d{1,4})\s*)?;?\s*""").r
   private val UnsetPropsRe =
     ("""(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*""" +
       """\(([^)]+)\)\s*(?:AT\s+(\d{8})\s+(\d{1,4})\s*)?;?\s*""").r
@@ -269,6 +274,11 @@ object GraftSqlParser {
               "('k' = 'v', …)")
         }.toMap
         Some(GraftPropertiesCommand(path, "set", kvs, Nil, date, time))
+      case WriteOrderRe(path, cols, d, t) =>
+        val (date, time) = stamp(d, t)
+        Some(GraftPropertiesCommand(path, "set",
+          Map("graft.writeOrder" ->
+            cols.split(",").map(_.trim).mkString(",")), Nil, date, time))
       case UnsetPropsRe(path, keys, d, t) =>
         val (date, time) = stamp(d, t)
         val ks = keys.split(",").map(_.trim).map { k =>

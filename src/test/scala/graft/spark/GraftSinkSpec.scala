@@ -336,4 +336,42 @@ class GraftSinkSpec extends SparkSpec {
       .write.format("graft").mode(SaveMode.Append).save(plain))
     assert(ManifestTable.snapshots(spark, plain).count(_.op == "optimize") === 0)
   }
+
+  test("X216 WRITE ORDERED BY: appends range-cluster + record stats; band reads prune; refusals") {
+    val dir = Scratch.dir("sink_worder")
+    // v1: unordered, no stats — must stay in scope forever
+    spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.format("graft").mode(SaveMode.Overwrite).save(dir)
+    graft.spark.GraftDml.extSession(spark).sql(
+      s"ALTER TABLE '$dir' WRITE ORDERED BY (k) AT 20250901 910")
+    graft.spark.GraftDml.extSession(spark).sql(
+      s"ALTER TABLE '$dir' SET TBLPROPERTIES " +
+        "('graft.writeOrder.partitions' = '4') AT 20250901 911")
+    // the order is a visible table property
+    assert(graft.lake.Properties.active(spark, dir)
+      .get("graft.writeOrder").contains("k"))
+    // ordered append: 4 range partitions → 4 files with disjoint k ranges
+    spark.range(100, 500).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .repartition(4).write.format("graft").mode(SaveMode.Append)
+      .option("runDate", "20250901").option("runTime", "920").save(dir)
+    val latest = ManifestTable.latestVersion(spark, dir).get
+    // a band inside the ordered range keeps v1's stat-less file (no
+    // evidence) plus ONLY the intersecting ordered file(s)
+    val cand = graft.lake.ZoneMap.candidateFiles(spark, dir, latest, "k", 150, 160)
+    val all = ManifestTable.snapshots(spark, dir).last.files
+    assert(cand.size < all.size, s"no pruning: $cand of $all")
+    // content through the pruned read is the plain filter
+    assert(graft.lake.ZoneMap.readRange(spark, dir, latest, "k", 150, 160)
+      .count() === 11)
+    assert(spark.read.format("graft").load(dir).count() === 500)
+    // a batch missing the ordered column refuses (schema gate fires first
+    // for drifted appends; the WriteOrder gate covers the logical miss)
+    val e = intercept[Exception] {
+      spark.range(0, 3).selectExpr("id AS wrong", "CAST(id AS DOUBLE) AS v")
+        .write.format("graft").mode(SaveMode.Append)
+        .option("allowSchemaDrift", "true").save(dir)
+    }
+    assert(e.getMessage.contains("writeOrder") ||
+      e.getMessage.contains("not in the batch"), e.getMessage)
+  }
 }
