@@ -90,7 +90,39 @@ object Vacuum {
     // Catalog.vacuumCatalog passes the table versions its retained
     // cross-table cuts resolve to.
     val pinned = protect ++ Branches.protectedVersions(spark, dir, keepLast)
-    val expired = snaps.dropRight(keepLast).filterNot(s => pinned(s.version))
+    reclaim(spark, dir, snaps,
+      snaps.dropRight(keepLast).filterNot(s => pinned(s.version)),
+      stagedOrphanAgeMs)
+  }
+
+  /** X217 — TIME-based retention (Delta's retention-hours shape on the
+    * run-stamp clock): expire every version stamped STRICTLY BEFORE the
+    * cutoff, except the table head (a table never loses its latest) and
+    * ref/protect-pinned versions (tags pin forever; branch heads stay).
+    * Compliance-friendly: "nothing older than N days survives" is a
+    * statement about stamps, not version counts — a hot table with 500
+    * commits today and a cold one with 2 both honor the same policy.
+    */
+  def vacuumBefore(spark: SparkSession, dir: String, date: Int, time: Int,
+      stagedOrphanAgeMs: Long = 24L * 3600 * 1000,
+      protect: Set[Int] = Set.empty): Seq[Int] = {
+    val snaps = ManifestTable.snapshots(spark, dir)
+    if (snaps.isEmpty) return Seq.empty
+    val pinned = protect ++ Branches.protectedVersions(spark, dir, 1)
+    reclaim(spark, dir, snaps,
+      snaps.init.filter(s => (s.runDate < date ||
+        (s.runDate == date && s.runTime < time)) && !pinned(s.version)),
+      stagedOrphanAgeMs)
+  }
+
+  /** The shared reclaim tail: delete expired manifests (+ stats
+    * sidecars), then the reference-counted data/deletes sweep and the
+    * superseded-checkpoint cleanup.
+    */
+  private def reclaim(spark: SparkSession, dir: String,
+      snaps: Seq[ManifestTable.Snapshot],
+      expired: Seq[ManifestTable.Snapshot],
+      stagedOrphanAgeMs: Long): Seq[Int] = {
     val expiredSet = expired.map(_.version).toSet
     val retained = snaps.filterNot(s => expiredSet(s.version))
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -94,6 +94,9 @@ object GraftSqlParser {
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+'([^']+)'""" +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""").r
+  // X217: time-based retention on the run-stamp clock
+  private val VacuumBeforeRe =
+    """(?is)\s*VACUUM\s+'([^']+)'\s+OLDER\s+THAN\s+(\d{8})\s+(\d{1,4})\s*;?\s*""".r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+'([^']+)'""" +
       s"""(?:\\s+ZORDER\\s+BY\\s*\\(\\s*($Id(?:\\s*,\\s*$Id)*)\\s*\\))?""" +
@@ -223,6 +226,8 @@ object GraftSqlParser {
   private[spark] def parseGraft(sql: String): Option[LogicalPlan] = {
     val lead = sql.trim.split("\\s+").take(2).map(_.toUpperCase)
     sql match {
+      case VacuumBeforeRe(path, d, t) =>
+        Some(GraftVacuumBeforeCommand(path, d.toInt, t.toInt))
       case VacuumRe(path, keep, dry) =>
         val keepLast = Option(keep).map(_.toInt).getOrElse(DefaultKeepLast)
         if (dry != null) Some(GraftVacuumDryRunCommand(path, keepLast))
@@ -421,6 +426,18 @@ case class GraftVacuumCommand(dir: String, keepLast: Int)
   * files the real pass would reclaim, one row each with its size;
   * NOTHING is deleted (spec-pinned: log and bytes identical after).
   */
+/** `VACUUM '<path>' OLDER THAN <date> <time>` (X217) — time-based
+  * retention: versions stamped strictly before the cutoff expire (the
+  * head and ref-pinned versions always survive).
+  */
+case class GraftVacuumBeforeCommand(dir: String, date: Int, time: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("reclaimed_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Vacuum.vacuumBefore(spark, dir, date, time).map(v => Row(v.toLong))
+}
+
 case class GraftVacuumDryRunCommand(dir: String, keepLast: Int)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -1177,6 +1194,23 @@ object GraftSqlQueries {
         .withColumn("n_versions",
           lit(ManifestTable.snapshots(s, dir).size))
     }),
+    // X217: stamp-clock retention — both 0901-stamped versions expire,
+    // the 0902 head survives with its content intact
+    "q_sql_vacuum_time" -> ((s, d) => {
+      val dir = FixtureCache.dir("sql_vactime", d) { dir =>
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        ManifestTable.commit(o.where(col("k") % 2 === 0), dir, 20250901, 900)
+        ManifestTable.commit(o.where(col("k") % 3 === 0), dir, 20250901, 1000)
+        ManifestTable.commit(o.where(col("k") % 5 === 0), dir, 20250902, 900)
+        GraftDml.extSession(s).sql(s"VACUUM '$dir' OLDER THAN 20250902 0")
+      }
+      val snaps = ManifestTable.snapshots(s, dir)
+      ManifestTable.readLatest(s, dir)
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .withColumn("n_versions", lit(snaps.size))
+        .withColumn("surviving_version", lit(snaps.head.version))
+    }),
     // X215: schema-first CREATE — v1 is empty but fully typed; the first
     // INSERT lands through the mapping; both eras read back era-correct
     "q_sql_create_empty" -> ((s, d) => {
@@ -1335,6 +1369,12 @@ object GraftSqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_vacuum_time" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |       CAST(1 AS INT) AS n_versions,
+        |       CAST(3 AS INT) AS surviving_version
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin,
     "q_sql_create_empty" ->
       """SELECT count(*) AS n_rows,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,

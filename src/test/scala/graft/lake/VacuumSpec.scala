@@ -32,6 +32,25 @@ class VacuumSpec extends SparkSpec {
     assert(fs.exists(new Path(s"$dir/data/v00000002")))
   }
 
+  test("X217 time-based retention: cutoff expires by stamp, head and tags survive") {
+    val dir = Scratch.dir("vac_time")
+    commit3(dir) // stamps 900, 1000, 1100 on 20250601
+    Branches.createTag(spark, dir, "keep_v1", 1)
+    // cutoff between v2 and v3: v2 expires; v1 is older but TAG-pinned;
+    // v3 is the head
+    assert(Vacuum.vacuumBefore(spark, dir, 20250601, 1100) === Seq(2))
+    assert(ManifestTable.snapshots(spark, dir).map(_.version) === Seq(1, 3))
+    // idempotent
+    assert(Vacuum.vacuumBefore(spark, dir, 20250601, 1100) === Seq.empty)
+    // a cutoff after everything still keeps the head
+    val dir2 = Scratch.dir("vac_time2")
+    commit3(dir2)
+    assert(Vacuum.vacuumBefore(spark, dir2, 20250701, 0) === Seq(1, 2))
+    assert(ManifestTable.snapshots(spark, dir2).map(_.version) === Seq(3))
+    assert(ManifestTable.readLatest(spark, dir2)
+      .select("s").as[String].collect().toSeq === Seq("c"))
+  }
+
   test("idempotent: a second vacuum expires nothing") {
     val dir = Scratch.dir("vac_idem")
     commit3(dir)
