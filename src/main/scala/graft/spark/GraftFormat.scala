@@ -234,7 +234,8 @@ class GraftDataSource extends RelationProvider with DataSourceRegister
     new GraftStreamSource(sqlContext.sparkSession, dir, skip,
       maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toInt),
       metadataPath = Some(metadataPath), cdfKeys = cdf,
-      startingVersion = startingOf(sqlContext.sparkSession, dir, parameters))
+      startingVersion = startingOf(sqlContext.sparkSession, dir, parameters),
+      maxRowsPerTrigger = parameters.get("maxRowsPerTrigger").map(_.toLong))
   }
 
   override def createRelation(sqlContext: SQLContext,

@@ -51,7 +51,8 @@ import graft.util.{Exact, FixtureCache, Scratch}
 class GraftStreamSource(spark: SparkSession, dir: String,
     skipChangeCommits: Boolean, maxVersionsPerBatch: Option[Int] = None,
     metadataPath: Option[String] = None, cdfKeys: Option[Seq[String]] = None,
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -135,22 +136,63 @@ class GraftStreamSource(spark: SparkSession, dir: String,
       case (Some(l), Some(end)) => Some(math.min(l, end))
       case _ => latestRaw
     }
-    val capped = (latest, maxVersionsPerBatch) match {
+    val vCapped = (latest, maxVersionsPerBatch) match {
       case (Some(l), Some(cap)) =>
         val base = lastOffered.getOrElse(startBase)
         Some(math.min(l, base + cap))
       case _ => latest
     }
+    // X218 — row-budget admission (Delta's maxFilesPerTrigger class):
+    // walk version DELTAS until the budget is spent, always admitting at
+    // least one version (a single over-budget commit must still flow —
+    // a cap is pacing, never a wall). Delta rows come from the X57 stats
+    // sidecar when the version carries one, else driver-side parquet
+    // footers — metadata either way, no Spark job.
+    val capped = (vCapped, maxRowsPerTrigger) match {
+      case (Some(l), Some(budget)) =>
+        val base = lastOffered.getOrElse(startBase)
+        var v = base
+        var rows = 0L
+        while (v < l && (v == base || rows + deltaRows(v + 1) <= budget)) {
+          rows += deltaRows(v + 1)
+          v += 1
+        }
+        Some(v)
+      case _ => vCapped
+    }
     capped.foreach { c =>
       if (lastOffered.forall(_ < c)) {
         // only the rate-limited path needs the durable base; an uncapped
         // source always offers the latest and cannot regress
-        if (maxVersionsPerBatch.isDefined) persistOffer(c)
+        if (maxVersionsPerBatch.isDefined || maxRowsPerTrigger.isDefined)
+          persistOffer(c)
         lastOffered = Some(c)
       }
     }
     capped
   }
+
+  // memoized per version — offers re-walk the frontier every trigger
+  private val deltaRowsCache = scala.collection.mutable.Map.empty[Long, Long]
+
+  private def deltaRows(v: Long): Long = deltaRowsCache.getOrElseUpdate(v, {
+    val snaps = ManifestTable.snapshots(spark, dir)
+    val snap = snaps.find(_.version == v).getOrElse(
+      throw new NoSuchElementException(s"no version $v at $dir"))
+    val prevFiles = snaps.find(_.version == v - 1)
+      .map(_.files.toSet).getOrElse(Set.empty)
+    val fresh = snap.files.filterNot(prevFiles)
+    val stats = graft.lake.ZoneMap.fileStats(spark, dir, v.toInt)
+      .getOrElse(Nil).map(s => s.file -> s.rows).toMap
+    val conf = spark.sparkContext.hadoopConfiguration
+    def footerRows(rel: String): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(s"$dir/$rel"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
+    fresh.map(f => stats.getOrElse(f, footerRows(f))).sum
+  })
 
   override def getOffset: Option[Offset] = offer().map(LongOffset(_))
 
@@ -268,6 +310,19 @@ object GraftStream {
     q.awaitTermination()
   }
 
+  /** One AvailableNow pass under a row-budget cap (X218). */
+  def runOnceRows(spark: SparkSession, tableDir: String, sinkDir: String,
+      chkDir: String, maxRows: Long): Unit = {
+    val q = spark.readStream.format("graft")
+      .option("maxRowsPerTrigger", maxRows.toString).load(tableDir)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", chkDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** One AvailableNow pass subscribed from a run stamp (X203). */
   def runOnceFromStamp(spark: SparkSession, tableDir: String, sinkDir: String,
       chkDir: String, date: Int, time: Int): Unit = {
@@ -377,6 +432,28 @@ object GraftStream {
         .orderBy("event_type")
     }),
 
+    // X218: the whole backlog drains through row-budgeted micro-batches
+    // in one AvailableNow pass — pacing must be invisible in the content
+    // (the whole-events oracle); batch boundaries are spec-pinned
+    "q_stream_rows" -> ((s, d) => {
+      val sink = FixtureCache.dir("graft_srows", d) { sink =>
+        val tbl = Scratch.dir("graft_srows_tbl")
+        val chk = Scratch.dir("graft_srows_chk")
+        val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+        ManifestTable.commit(ev.where(col("event_id") % 4 === 0), tbl, 20250801, 900)
+        (1 to 3).foreach(i => ManifestTable.appendRetrying(
+          ev.where(col("event_id") % 4 === i), tbl, 20250801, 900 + i))
+        // budget ≈ one slice: the 4-version backlog drains in ~4 batches
+        runOnceRows(s, tbl, sink, chk,
+          maxRows = math.max(1L, ev.count() / 4))
+      }
+      s.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // X203: subscribed from stamp 20250801/1100 — v1 (t=900) and v2
     // (t=1000) predate it and never flow; v3 (t=1100, AT the stamp) and
     // the post-subscribe v4 do, across two checkpointed passes
@@ -429,6 +506,10 @@ object GraftStream {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_id % 4 IN (2, 3)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_rows" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_starting_ts" ->
       """SELECT event_type, count(*) AS n_rows,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

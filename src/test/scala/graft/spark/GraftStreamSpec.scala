@@ -242,6 +242,26 @@ class GraftStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("X218 maxRowsPerTrigger: version deltas drain within the budget, over-budget commits still flow") {
+    val tbl = Scratch.dir("gs_rowcap")
+    val df = (lo: Long, n: Long) => spark.range(lo, lo + n)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    ManifestTable.commit(df(0, 10), tbl, 20250901, 900) // v1: 10 rows
+    ManifestTable.appendRetrying(df(10, 10), tbl, 20250901, 910) // v2: 10
+    ManifestTable.appendRetrying(df(20, 40), tbl, 20250901, 920) // v3: 40 (over budget)
+    ManifestTable.appendRetrying(df(60, 10), tbl, 20250901, 930) // v4: 10
+    val src = new GraftStreamSource(spark, tbl, skipChangeCommits = false,
+      maxRowsPerTrigger = Some(25L))
+    def next(): Long = src.getOffset
+      .map(_.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.LongOffset].offset)
+      .get
+    // v1+v2 = 20 ≤ 25; +v3 would be 60 → stop at 2
+    assert(next() === 2L)
+    // v3 alone is over budget but MUST flow (a cap paces, never walls)
+    assert(next() === 3L)
+    assert(next() === 4L)
+  }
+
   test("X203 startingDate/Time: pre-stamp commits skipped, at-stamp flows, pre-log stamp backfills") {
     val tbl = Scratch.dir("gs_startts")
     val df = (i: Int) => spark.range(i * 10L, (i + 1) * 10L)
