@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType, DataType}
 
-import graft.lake.{CopyInto, ManifestTable, Restore, Vacuum, ZOrder, ZoneMap}
+import graft.lake.{CopyInto, DeleteVectors, ManifestTable, Restore, Vacuum, ZOrder, ZoneMap}
 
 /** X181 — the table-maintenance SQL surface: `VACUUM`, `OPTIMIZE` and
   * `DESCRIBE HISTORY` as real SQL statements, the statements Delta adds
@@ -97,6 +97,10 @@ object GraftSqlParser {
   // X217: time-based retention on the run-stamp clock
   private val VacuumBeforeRe =
     """(?is)\s*VACUUM\s+'([^']+)'\s+OLDER\s+THAN\s+(\d{8})\s+(\d{1,4})\s*;?\s*""".r
+  // X219: Delta's REORG TABLE … APPLY (PURGE) — fold deletion vectors away
+  private val ReorgRe =
+    ("""(?is)\s*REORG\s+'([^']+)'\s+APPLY\s+\(?\s*PURGE\s*\)?""" +
+      """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s*;?\s*""").r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+'([^']+)'""" +
       s"""(?:\\s+ZORDER\\s+BY\\s*\\(\\s*($Id(?:\\s*,\\s*$Id)*)\\s*\\))?""" +
@@ -228,6 +232,9 @@ object GraftSqlParser {
     sql match {
       case VacuumBeforeRe(path, d, t) =>
         Some(GraftVacuumBeforeCommand(path, d.toInt, t.toInt))
+      case ReorgRe(path, d, t) =>
+        val (date, time) = stamp(d, t)
+        Some(GraftReorgCommand(path, date, time))
       case VacuumRe(path, keep, dry) =>
         val keepLast = Option(keep).map(_.toInt).getOrElse(DefaultKeepLast)
         if (dry != null) Some(GraftVacuumDryRunCommand(path, keepLast))
@@ -426,6 +433,25 @@ case class GraftVacuumCommand(dir: String, keepLast: Int)
   * files the real pass would reclaim, one row each with its size;
   * NOTHING is deleted (spec-pinned: log and bytes identical after).
   */
+/** `REORG '<path>' APPLY (PURGE)` (X219 — Delta's `REORG TABLE … APPLY
+  * (PURGE)`): rewrite ONLY the files that carry deletion-vector debt,
+  * folding the tombstones away (the X64 MOR→CoW materialization as a
+  * SQL statement); content is unchanged by contract (`op =
+  * "materialize"` tells X75 consumers to skip it), and a table with no
+  * tombstones commits nothing.
+  */
+case class GraftReorgCommand(dir: String, date: Int, time: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = ManifestTable.snapshots(spark, dir).lastOption.getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot at $dir"))
+    if (snap.deletes.isEmpty) Seq.empty // nothing to purge: no commit
+    else Seq(Row(DeleteVectors.materialize(spark, dir, date, time).toLong))
+  }
+}
+
 /** `VACUUM '<path>' OLDER THAN <date> <time>` (X217) — time-based
   * retention: versions stamped strictly before the cutoff expire (the
   * head and ref-pinned versions always survive).
@@ -1194,6 +1220,27 @@ object GraftSqlQueries {
         .withColumn("n_versions",
           lit(ManifestTable.snapshots(s, dir).size))
     }),
+    // X219: REORG folds deletion-vector debt away — content invariant
+    // (the oracle is the post-delete table), tombstones gone, op
+    // ledgered; a second REORG commits nothing (idempotent maintenance)
+    "q_sql_reorg" -> ((s, d) => {
+      val dir = FixtureCache.dir("sql_reorg", d) { dir =>
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        ManifestTable.commit(o.repartition(4), dir, 20250901, 900)
+        graft.lake.DeleteVectors.deleteWhere(s, dir,
+          col("k") % 7 === 0, 20250901, 1000)
+        val ext = GraftDml.extSession(s)
+        ext.sql(s"REORG '$dir' APPLY (PURGE) AT 20250901 1100")
+        ext.sql(s"REORG '$dir' APPLY (PURGE) AT 20250901 1200") // no-op
+      }
+      val snaps = ManifestTable.snapshots(s, dir)
+      ManifestTable.readLatest(s, dir)
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"))
+        .withColumn("n_versions", lit(snaps.size))
+        .withColumn("last_op", lit(snaps.last.op))
+        .withColumn("n_delete_files", lit(snaps.last.deletes.size))
+    }),
     // X217: stamp-clock retention — both 0901-stamped versions expire,
     // the 0902 head survives with its content intact
     "q_sql_vacuum_time" -> ((s, d) => {
@@ -1369,6 +1416,13 @@ object GraftSqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_reorg" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |       CAST(3 AS INT) AS n_versions,
+        |       'materialize' AS last_op,
+        |       CAST(0 AS INT) AS n_delete_files
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
     "q_sql_vacuum_time" ->
       """SELECT count(*) AS n_rows,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,

@@ -29,6 +29,24 @@ class GraftSqlParserSpec extends SparkSpec {
     dir
   }
 
+  test("X219 REORG APPLY PURGE: tombstones fold, content invariant, clean tables no-op") {
+    val dir = mkVersions("sqlp_reorg", 1) // 10 rows
+    graft.lake.DeleteVectors.deleteWhere(spark, dir,
+      col("k") % 3 === 0, 20250901, 1000)
+    assert(ManifestTable.snapshots(spark, dir).last.deletes.nonEmpty)
+    val before = ManifestTable.readLatest(spark, dir)
+      .select("k").as[Long].collect().toSet
+    val got = ext.sql(s"REORG '$dir' APPLY (PURGE) AT 20250901 1100").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(3L))
+    val snap = ManifestTable.snapshots(spark, dir).last
+    assert(snap.deletes.isEmpty && snap.op === "materialize")
+    assert(ManifestTable.readLatest(spark, dir)
+      .select("k").as[Long].collect().toSet === before, "REORG changed content")
+    // idempotent: a tombstone-free table commits nothing, returns no rows
+    assert(ext.sql(s"REORG '$dir' APPLY PURGE").collect().isEmpty)
+    assert(ManifestTable.snapshots(spark, dir).size === 3)
+  }
+
   test("X215 CREATE TABLE (cols): empty typed v1, INSERT lands, ALTER composes, refusals") {
     val dir = Scratch.dir("sqlp_cremt")
     ext.sql(s"CREATE TABLE '$dir' (k bigint, v double) AT 20250901 900")
