@@ -170,17 +170,35 @@ object ZOrder {
     */
   def binPackWhere(spark: SparkSession, dir: String, column: String,
       lo: Long, hi: Long, targetBytes: Long, date: Int,
-      time: Int): Option[Int] = {
+      time: Int): Option[Int] =
+    binPackBand(spark, dir, targetBytes, date, time) { st =>
+      if (st.lo.contains(column)) !(st.hi(column) < lo || st.lo(column) > hi)
+      else true // no evidence -> in scope
+    }
+
+  /** X220 — the STRING form of the banded pack: the band intersects via
+    * the X78 lexicographic bounds instead of the X57 numeric ones (the
+    * `q_replace_where_str` precedent applied to maintenance) — a 100 TB
+    * table clustered by a date STRING compacts one day's fragmentation
+    * by `WHERE day BETWEEN '2025-09-01' AND '2025-09-01'`.
+    */
+  def binPackWhereStr(spark: SparkSession, dir: String, column: String,
+      lo: String, hi: String, targetBytes: Long, date: Int,
+      time: Int): Option[Int] =
+    binPackBand(spark, dir, targetBytes, date, time) { st =>
+      if (st.slo.contains(column)) !(st.shi(column) < lo || st.slo(column) > hi)
+      else true // no evidence -> in scope
+    }
+
+  private def binPackBand(spark: SparkSession, dir: String,
+      targetBytes: Long, date: Int, time: Int)(
+      inScope: ZoneMap.FileStats => Boolean): Option[Int] = {
     val latest = ManifestTable.snapshots(spark, dir).lastOption.getOrElse(
       throw new NoSuchElementException(s"no committed snapshot at $dir"))
     val stats = ZoneMap.fileStats(spark, dir, latest.version)
       .getOrElse(Nil).map(f => f.file -> f).toMap
     val (in, out) = latest.files.partition { f =>
-      stats.get(f) match {
-        case Some(st) if st.lo.contains(column) =>
-          !(st.hi(column) < lo || st.lo(column) > hi) // intersects the band
-        case _ => true // no evidence -> in scope
-      }
+      stats.get(f).map(inScope).getOrElse(true) // no stats -> in scope
     }
     if (in.size <= 1) return None
     val fs = new org.apache.hadoop.fs.Path(dir)

@@ -104,7 +104,8 @@ object GraftSqlParser {
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+'([^']+)'""" +
       s"""(?:\\s+ZORDER\\s+BY\\s*\\(\\s*($Id(?:\\s*,\\s*$Id)*)\\s*\\))?""" +
-      s"""(?:\\s+WHERE\\s+($Id)\\s+BETWEEN\\s+(\\d+)\\s+AND\\s+(\\d+))?""" +
+      s"""(?:\\s+WHERE\\s+($Id)\\s+BETWEEN\\s+""" +
+      """(?:(\d+)\s+AND\s+(\d+)|'([^']*)'\s+AND\s+'([^']*)'))?""" +
       """(?:\s+TARGET\s+(\d+)\s+BYTES)?""" +
       """(?:\s+AT\s+(\d{8})\s+(\d{1,4}))?\s*;?\s*""").r
   private val HistoryRe =
@@ -239,14 +240,19 @@ object GraftSqlParser {
         val keepLast = Option(keep).map(_.toInt).getOrElse(DefaultKeepLast)
         if (dry != null) Some(GraftVacuumDryRunCommand(path, keepLast))
         else Some(GraftVacuumCommand(path, keepLast))
-      case OptimizeRe(path, zcols, bcol, blo, bhi, target, d, t) =>
+      case OptimizeRe(path, zcols, bcol, blo, bhi, bslo, bshi, target, d, t) =>
         val (date, time) = stamp(d, t)
         require(zcols == null || bcol == null,
           "graft OPTIMIZE: ZORDER BY and WHERE cannot combine — z-order " +
             "the whole table, or bin-pack the band")
+        // X220: the band is numeric (X57 bounds) or quoted-string (X78)
+        val band = Option(bcol).map { c =>
+          if (blo != null) (c, Left((blo.toLong, bhi.toLong)))
+          else (c, Right((bslo, bshi)))
+        }
         Some(GraftOptimizeCommand(path,
           Option(zcols).map(_.split(",").map(_.trim).toSeq),
-          Option(bcol).map(c => (c, blo.toLong, bhi.toLong)),
+          band,
           Option(target).map(_.toLong).getOrElse(DefaultTargetBytes),
           date, time))
       case HistoryRe(path) => Some(GraftHistoryCommand(path))
@@ -480,16 +486,22 @@ case class GraftVacuumDryRunCommand(dir: String, keepLast: Int)
   * nothing committed.
   */
 case class GraftOptimizeCommand(dir: String, zorder: Option[Seq[String]],
-    band: Option[(String, Long, Long)], targetBytes: Long, date: Int,
+    band: Option[(String, Either[(Long, Long), (String, String)])],
+    targetBytes: Long, date: Int,
     time: Int) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = zorder match {
     case None =>
-      // X196: a band compacts only the zone-map-intersecting files
-      band.map { case (c, lo, hi) =>
-        ZOrder.binPackWhere(spark, dir, c, lo, hi, targetBytes, date, time)
-          .map(v => Row(v.toLong)).toSeq
+      // X196/X220: a band compacts only the zone-map-intersecting files
+      // — numeric bounds via X57 stats, string bounds via X78
+      band.map {
+        case (c, Left((lo, hi))) =>
+          ZOrder.binPackWhere(spark, dir, c, lo, hi, targetBytes, date, time)
+            .map(v => Row(v.toLong)).toSeq
+        case (c, Right((lo, hi))) =>
+          ZOrder.binPackWhereStr(spark, dir, c, lo, hi, targetBytes, date, time)
+            .map(v => Row(v.toLong)).toSeq
       }.getOrElse(
         ZOrder.binPack(spark, dir, targetBytes, date, time)
           .map(v => Row(v.toLong)).toSeq)
@@ -988,6 +1000,23 @@ object GraftSqlQueries {
           s"AT 20250901 1000") // v5: packs quartiles 2+3 only
     }
 
+  /** X220 fixture: four one-day string-keyed files; the quoted band
+    * packs days d1-d2 only, outer days retained byte-identically.
+    */
+  private def optimizeStrFixture(s: SparkSession, d: String): String =
+    FixtureCache.dir("sql_optstr", d) { dir =>
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"))
+        .withColumn("day", concat(lit("d"), (col("k") % 4).cast("string")))
+      ZoneMap.commitWithStats(o.where(col("day") === "d0").coalesce(1),
+        dir, 20250901, 900, statsCols = Seq("k"), strCols = Seq("day"))
+      (1 to 3).foreach(i => ZoneMap.appendWithStats(
+        o.where(col("day") === s"d$i").coalesce(1),
+        dir, 20250901, 900 + i * 10, statsCols = Seq("k"), strCols = Seq("day")))
+      GraftDml.extSession(s).sql(
+        s"OPTIMIZE '$dir' WHERE day BETWEEN 'd1' AND 'd2' AT 20250901 1000")
+    }
+
   /** X194 fixture: four known key-slices appended as one file each, one
     * file deleted OUT OF BAND (the storage incident), DRY RUN reports
     * without committing, repair drops the dangling reference — the
@@ -1144,6 +1173,25 @@ object GraftSqlQueries {
         .withColumn("n_files", lit(v5.files.size))
         .withColumn("outer_retained",
           lit(v5.files.contains(q1File) && v5.files.contains(q4File)))
+        .withColumn("last_op", lit(v5.op))
+    }),
+    // X220: the STRING band packs days d1-d2 only; outer day files
+    // retained byte-identically, content invisible (whole-orders oracle)
+    "q_sql_optimize_str" -> ((s, d) => {
+      val dir = optimizeStrFixture(s, d)
+      val snaps = ManifestTable.snapshots(s, dir)
+      val v4 = snaps.find(_.version == 4).get
+      val v5 = snaps.last
+      val d0File = v4.files.head // v1's single d0 file
+      val d3File = (v4.files.toSet --
+        snaps.find(_.version == 3).get.files.toSet).head
+      ManifestTable.readLatest(s, dir)
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("p")).as("sum_p"),
+          countDistinct("day").as("n_days"))
+        .withColumn("n_versions", lit(snaps.size))
+        .withColumn("n_files", lit(v5.files.size))
+        .withColumn("outer_retained",
+          lit(v5.files.contains(d0File) && v5.files.contains(d3File)))
         .withColumn("last_op", lit(v5.op))
     }),
     // X195: the day-layout's physical directories, listed from metadata
@@ -1416,6 +1464,13 @@ object GraftSqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_optimize_str" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |       CAST(4 AS BIGINT) AS n_days,
+        |       CAST(5 AS INT) AS n_versions, CAST(3 AS INT) AS n_files,
+        |       true AS outer_retained, 'optimize' AS last_op
+        |FROM orders""".stripMargin,
     "q_sql_reorg" ->
       """SELECT count(*) AS n_rows,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,

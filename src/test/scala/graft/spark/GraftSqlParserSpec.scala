@@ -29,6 +29,30 @@ class GraftSqlParserSpec extends SparkSpec {
     dir
   }
 
+  test("X220 OPTIMIZE WHERE string band: lexicographic intersection, disjoint bands no-op") {
+    val dir = Scratch.dir("sqlp_optstr")
+    val df = (tag: String, lo: Long) => spark.range(lo, lo + 50)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .withColumn("day", lit(tag))
+    ZoneMap.commitWithStats(df("d0", 0).coalesce(1), dir, 20250901, 900,
+      statsCols = Seq("k"), strCols = Seq("day"))
+    (1 to 3).foreach(i => ZoneMap.appendWithStats(
+      df(s"d$i", i * 50L).coalesce(1), dir, 20250901, 900 + i,
+      statsCols = Seq("k"), strCols = Seq("day")))
+    // a band beyond every file's range commits nothing
+    assert(ext.sql(s"OPTIMIZE '$dir' WHERE day BETWEEN 'x' AND 'z'")
+      .collect().isEmpty)
+    assert(ManifestTable.snapshots(spark, dir).size === 4)
+    // the d1-d2 band packs exactly those two files
+    val before = ManifestTable.snapshots(spark, dir).last.files
+    ext.sql(s"OPTIMIZE '$dir' WHERE day BETWEEN 'd1' AND 'd2' AT 20250901 1000")
+    val after = ManifestTable.snapshots(spark, dir).last
+    assert(after.files.size === 3 && after.op === "optimize")
+    assert((before.toSet intersect after.files.toSet).size === 2,
+      "outer day files must be retained by reference")
+    assert(ManifestTable.readLatest(spark, dir).count() === 200)
+  }
+
   test("X219 REORG APPLY PURGE: tombstones fold, content invariant, clean tables no-op") {
     val dir = mkVersions("sqlp_reorg", 1) // 10 rows
     graft.lake.DeleteVectors.deleteWhere(spark, dir,
