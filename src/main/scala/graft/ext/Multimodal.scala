@@ -223,6 +223,50 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // X221: near-duplicate IMAGE pairs — the X210 hashes banded into
+    // 4×16-bit chunks (pigeonhole: any pair within Hamming 3 shares at
+    // least one chunk — the X dedup SimHash guarantee applied to
+    // pixels), candidates refined by exact popcount. NOT all-pairs: the
+    // join is chunk-equality, output ∝ near-dup structure. The oracle
+    // brute-forces every pair from the closed-form pixels — a banded
+    // candidate MISS (broken pigeonhole) hash-fails, not just a false
+    // positive.
+    "q_image_neardup" -> ((s, d) => {
+      val hashes = graft.util.FixtureCache.parquet(s, "image_phash", d) { dir =>
+        implicit val me = org.apache.spark.sql.Encoders.product[Media]
+        import s.implicits._
+        media(s, d).where(col("fmt") === "bmp").as[Media]
+          .map { m =>
+            val (info, px) = Bmp.parse(m.bytes)
+              .getOrElse(sys.error(s"unparseable bmp for ${m.media_id}"))
+            val (lo, hi, _) = Multimodal.aHash(px, info.width, info.height)
+            (m.media_id, lo, hi)
+          }.toDF("media_id", "lo", "hi")
+          .write.mode("overwrite").parquet(dir)
+      }
+      val ex = hashes.select(col("media_id"), col("lo"), col("hi"),
+        posexplode(array(
+          col("lo").bitwiseAND(lit(0xFFFFL)),
+          shiftright(col("lo"), 16).bitwiseAND(lit(0xFFFFL)),
+          col("hi").bitwiseAND(lit(0xFFFFL)),
+          shiftright(col("hi"), 16).bitwiseAND(lit(0xFFFFL))))
+          .as(Seq("band", "bval")))
+      val a = ex.toDF("ia", "la", "ha", "band", "bval")
+      val b = ex.toDF("ib", "lb", "hb", "band", "bval")
+      a.join(b, Seq("band", "bval"))
+        .where(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          (bit_count(col("la").bitwiseXOR(col("lb"))) +
+            bit_count(col("ha").bitwiseXOR(col("hb")))).cast("long").as("ham"))
+        .distinct()
+        .where(col("ham") <= 3)
+        .groupBy("ham")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("ia").cast("long").as("sum_ia"),
+          sum("ib").cast("long").as("sum_ib"))
+        .orderBy("ham")
+    }),
+
     // X83: Goertzel tone power per audio row — decode the PCM payload and
     // measure three DFT bins with the O(N)/O(1)-state recurrence; the
     // DuckDB twin recomputes each bin in direct DFT form (cos/sin-weighted
@@ -490,6 +534,37 @@ object Multimodal {
         |       CAST(sum(v * pos) AS BIGINT) AS wsum_px
         |FROM px GROUP BY media_id
         |ORDER BY media_id""".stripMargin,
+    "q_image_neardup" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |                  CAST(3 + doc_id % 5 AS BIGINT) AS w,
+        |                  CAST(2 + doc_id % 4 AS BIGINT) AS h
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |cell AS (
+        |  SELECT media_id, yo.i AS y, xo.i AS x,
+        |         sum((media_id * 7 + ((yo.i * h) // 8) * 31
+        |              + ((xo.i * w) // 8) * 3 + c.i) % 256) AS luma
+        |  FROM d
+        |  JOIN range(0, 8) xo(i) ON true
+        |  JOIN range(0, 8) yo(i) ON true
+        |  JOIN range(0, 3) c(i) ON true
+        |  GROUP BY media_id, yo.i, xo.i),
+        |tot AS (SELECT media_id, sum(luma) AS total FROM cell GROUP BY media_id),
+        |hsh AS (
+        |  SELECT c.media_id,
+        |         CAST(COALESCE(sum(CASE WHEN luma * 64 > total AND y * 8 + x < 32
+        |                                 THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INT) END), 0) AS BIGINT) AS lo,
+        |         CAST(COALESCE(sum(CASE WHEN luma * 64 > total AND y * 8 + x >= 32
+        |                                 THEN CAST(1 AS BIGINT) << CAST(y * 8 + x - 32 AS INT) END), 0) AS BIGINT) AS hi
+        |  FROM cell c JOIN tot t ON c.media_id = t.media_id
+        |  GROUP BY c.media_id),
+        |p AS (
+        |  SELECT a.media_id AS ia, b.media_id AS ib,
+        |         CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS ham
+        |  FROM hsh a JOIN hsh b ON a.media_id < b.media_id)
+        |SELECT ham, count(*) AS n_pairs,
+        |       CAST(sum(ia) AS BIGINT) AS sum_ia,
+        |       CAST(sum(ib) AS BIGINT) AS sum_ib
+        |FROM p WHERE ham <= 3 GROUP BY ham ORDER BY ham""".stripMargin,
     "q_image_phash" ->
       """WITH d AS (SELECT doc_id AS media_id,
         |                  CAST(3 + doc_id % 5 AS BIGINT) AS w,

@@ -164,6 +164,18 @@ class MultimodalSpec extends SparkSpec {
     assert(n >= 1 && n <= 63)
   }
 
+  test("X221 image near-dup pairs: band-equality join, never a cartesian product") {
+    val plan = graft.SparkEntry.queries("q_image_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be a chunk-equality join:\n${plan.take(500)}")
+    // pigeonhole sanity on crafted hashes: 3 flipped bits in ONE chunk
+    // still share the other three chunks — the pair must surface
+    val lo = 0x0000FFFF0000FFFFL & 0xFFFFFFFFL
+    assert(java.lang.Long.bitCount((lo ^ (lo | 0x7L)) & 0xFFFFL) <= 3)
+  }
+
   test("feature extraction is deterministic, partition-count-invariant") {
     implicit val me = org.apache.spark.sql.Encoders.product[Media]
     implicit val fe = org.apache.spark.sql.Encoders.product[MediaFeatures]
