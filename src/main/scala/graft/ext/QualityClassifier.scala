@@ -92,9 +92,64 @@ object QualityClassifier {
           sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
           sum("n_pos").as("sum_pos_votes"))
         .orderBy("source")
+    }),
+
+    // X222: the train/serve SPLIT every production selector runs — the
+    // model trains ONCE on yesterday's snapshot and lands as a COMMITTED
+    // graft table (versioned, time-travelable, vacuum-safe — the X7/X178
+    // committed-index discipline applied to a classifier); today's batch
+    // scores against the committed votes with no retrain, so serving
+    // cost ∝ the batch. The oracle replays the training corpus split AND
+    // the serving split — a stale or leaked model hash-fails.
+    "q_quality_model" -> ((s, d) => {
+      val root = graft.util.FixtureCache.dir("quality_model", d) { root =>
+        val train = Tables.documents(s, d).where(col("doc_id") % 2 === 0)
+        graft.lake.ManifestTable.commit(
+          trainVotes(train,
+            regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2 === 0),
+          s"$root/model", 20250901, 900)
+      }
+      val votes = graft.lake.ManifestTable.readLatest(s, s"$root/model")
+      score(Tables.documents(s, d).where(col("doc_id") % 2 === 1), votes)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum("n_pos").as("sum_pos_votes"))
+        .orderBy("source")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_quality_model" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 2 = 0 AS pos,
+        |         unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), counts AS (
+        |  SELECT token,
+        |         count(*) FILTER (WHERE pos) AS c_pos,
+        |         count(*) FILTER (WHERE NOT pos) AS c_neg
+        |  FROM tok GROUP BY token HAVING count(*) >= 3
+        |), tot AS (
+        |  SELECT SUM(c_pos) AS tp, SUM(c_neg) AS tn, count(*) AS v FROM counts
+        |), votes AS (
+        |  SELECT token, (c_pos + 1) * (tn + v) > (c_neg + 1) * (tp + v) AS vote
+        |  FROM counts, tot
+        |), serve AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), scored AS (
+        |  SELECT t.doc_id,
+        |         count(*) FILTER (WHERE vt.vote IS NOT NULL) AS n_votes,
+        |         count(*) FILTER (WHERE vt.vote) AS n_pos
+        |  FROM serve t LEFT JOIN votes vt USING (token)
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT d.source, count(*) AS n_docs,
+        |       count(*) FILTER (WHERE s.n_pos * 2 >= s.n_votes) AS n_pass,
+        |       CAST(SUM(s.n_pos) AS BIGINT) AS sum_pos_votes
+        |FROM documents d JOIN scored s USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q_quality_classifier" ->
       """WITH tok AS (
         |  SELECT doc_id, source,
