@@ -54,11 +54,12 @@ object KMeans {
     q.withColumn("cluster", least(scored: _*).getField("j"))
   }
 
-  /** Run `iters` Lloyd's rounds and return the final assignment: the
-    * input columns plus `__v` (quantized vector) and `cluster`.
+  /** Train `iters` Lloyd's rounds and return the FINAL CENTROIDS — the
+    * frozen-quantizer hook (X223 drift, or any assign-without-retrain
+    * consumer). Model state is k·dim longs on the driver.
     */
-  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): DataFrame = {
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): Seq[(Int, Seq[Long])] = {
     require(k >= 2, "k must be >= 2")
     val q = df.withColumn("__v", quantize(col(vecCol)))
     var cents: Seq[(Int, Seq[Long])] =
@@ -80,8 +81,20 @@ object KMeans {
         }.getOrElse(old) // emptied cluster keeps its centroid
       }
     }
-    assign(q, cents)
+    cents
   }
+
+  /** Assign `df` to FROZEN centroids (no retrain). */
+  def assignTo(df: DataFrame, vecCol: String,
+      cents: Seq[(Int, Seq[Long])]): DataFrame =
+    assign(df.withColumn("__v", quantize(col(vecCol))), cents)
+
+  /** Run `iters` Lloyd's rounds and return the final assignment: the
+    * input columns plus `__v` (quantized vector) and `cluster`.
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame =
+    assignTo(df, vecCol, trainCentroids(df, idCol, vecCol, k, iters))
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -91,6 +104,28 @@ object KMeans {
     // of first components. The oracle replays every round as chained
     // CTEs — a wrong distance, tie-break, floor division, or init order
     // in ANY round reshuffles the final membership.
+    // X223: embedding drift — centroids train on the REFERENCE corpus
+    // (even ids) and FREEZE; both corpora assign to them and the
+    // per-cluster histograms compare in exact cross-multiplied integers
+    // (the X157 chi-square discipline on embedding space instead of
+    // tokens). A retrained-on-the-wrong-corpus quantizer, a drifted
+    // assignment, or a wrong tie-break reshuffles a histogram and
+    // hash-fails — the oracle replays training AND both assignments.
+    "q_embed_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cents = trainCentroids(e.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", 4, 2)
+      val h = assignTo(e, "embedding", cents)
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_cur"))
+      val tot = h.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+      h.crossJoin(broadcast(tot))
+        .select(col("cluster"), col("n_ref"), col("n_cur"),
+          abs(col("n_cur") * col("tr") - col("n_ref") * col("tc")).as("shift"))
+        .orderBy("cluster")
+    }),
+
     "q_kmeans" -> ((s, d) => {
       kmeans(Tables.embeddings(s, d), "vec_id", "embedding", 4, 2)
         .groupBy(col("cluster").cast("long").as("cluster"))
@@ -173,6 +208,28 @@ object KMeans {
        |    GROUP BY cid, pos) GROUP BY cid)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_embed_drift" ->
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |                   x -> CAST(floor(x * 10000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |qe AS (SELECT * FROM q WHERE vec_id % 2 = 0),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+         |       FROM (SELECT vec_id, v FROM qe ORDER BY vec_id LIMIT 4)),
+         |${assignSql("qe", "c0", "a0")},
+         |${updateSql("a0", "c1")},
+         |${assignSql("qe", "c1", "a1")},
+         |${updateSql("a1", "c2")},
+         |${assignSql("q", "c2", "af")},
+         |h AS (SELECT cid,
+         |        count(*) FILTER (WHERE vec_id % 2 = 0) AS n_ref,
+         |        count(*) FILTER (WHERE vec_id % 2 = 1) AS n_cur
+         |      FROM af GROUP BY cid),
+         |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+         |               CAST(sum(n_cur) AS BIGINT) AS tc FROM h)
+         |SELECT CAST(cid AS BIGINT) AS cluster, n_ref, n_cur,
+         |       CAST(abs(n_cur * tr - n_ref * tc) AS BIGINT) AS shift
+         |FROM h, tot ORDER BY cluster""".stripMargin,
     "q_kmeans" ->
       s"""WITH q AS (SELECT vec_id,
          |    list_transform(CAST(embedding AS DOUBLE[]),
