@@ -218,6 +218,27 @@ object Catalog {
     ManifestTable.readVersion(spark, s"$root/$table", tv)
   }
 
+  /** X224 — catalog-wide point-in-time read: resolve the newest CUT
+    * committed at-or-before the stamp (the X26 run-stamp rule on catalog
+    * versions) and read `table` at exactly the version that cut
+    * references. The property this buys over per-table `asOfDate`:
+    * CROSS-TABLE CONSISTENCY — every table read through the same stamp
+    * comes from ONE atomic X99 cut, so a join between them can never mix
+    * a pre-transaction `a` with a post-transaction `b` (per-table stamp
+    * resolution can, whenever the two tables' commit clocks interleave).
+    * Stamp resolution is catalog-metadata-only; a stamp predating every
+    * cut refuses.
+    */
+  def readTableAsOf(spark: SparkSession, root: String, table: String,
+      date: Int, time: Int): DataFrame = {
+    val cut = snapshots(spark, root)
+      .filter(s => s.runDate < date || (s.runDate == date && s.runTime <= time))
+      .sortBy(s => (s.runDate, s.runTime, s.version))
+      .lastOption.getOrElse(throw new NoSuchElementException(
+        s"no catalog cut at or before $date/$time at $root"))
+    readTable(spark, root, table, Some(cut.version))
+  }
+
   /** Catalog-aware retention (X105): expire all but the newest `keepLast`
     * catalog cuts, then vacuum every table with the versions the RETAINED
     * cuts resolve to pinned — a table version an old-but-retained
@@ -271,6 +292,25 @@ object Catalog {
     }
 
   val queries: Map[String, Q] = Map(
+    // X224: a stamp BETWEEN the two transactions resolves BOTH tables to
+    // cut 1 (cross-table consistency — never a mixed-world read); a
+    // stamp after tx2 serves cut 2. The oracle rebuilds all three reads
+    // from the raw tables' predicates.
+    "q_catalog_asof" -> ((s, d) => {
+      import graft.util.Exact.dsum
+      import org.apache.spark.sql.functions._
+      val root = txFixture(s, d)
+      def agg(tag: String, df: DataFrame, c: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), dsum(col(c)).as("sum_v"))
+          .select(lit(tag).as("probe"), col("n_rows"), col("sum_v"))
+      agg("cut1_li", readTableAsOf(s, root, "li", 20250301, 950), "l_quantity")
+        .unionByName(agg("cut1_ord",
+          readTableAsOf(s, root, "ord", 20250301, 950), "o_totalprice"))
+        .unionByName(agg("cut2_ord",
+          readTableAsOf(s, root, "ord", 20250301, 1100), "o_totalprice"))
+        .orderBy("probe")
+    }),
+
     "q_catalog_tx" -> ((s, d) => {
       import graft.util.Exact.dsum
       import org.apache.spark.sql.functions._
@@ -354,6 +394,20 @@ object Catalog {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_catalog_asof" ->
+      """SELECT * FROM (
+        |  SELECT 'cut1_li' AS probe, count(*) AS n_rows,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |  FROM lineitem WHERE l_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'cut1_ord', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'cut2_ord', count(*),
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 3 <= 1
+        |) ORDER BY probe""".stripMargin,
     "q_catalog_tx" ->
       """SELECT * FROM (
         |  SELECT CAST(1 AS BIGINT) AS cat_version, 'ord' AS tbl, count(*) AS n_rows,

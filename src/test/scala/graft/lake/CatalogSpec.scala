@@ -77,6 +77,31 @@ class CatalogSpec extends SparkSpec {
     assert(rows(root, "b", Some(2)) == Set((1L, "b2")))
   }
 
+  test("X224 catalog-wide AS OF: one cut for every table at a stamp; interleaved clocks never mix") {
+    val root = tmpRoot()
+    Catalog.transact(spark, root, 20250301, 900, Seq(
+      "a" -> Seq((1L, "a1")).toDF("id", "v"),
+      "b" -> Seq((1L, "b1")).toDF("id", "v")))
+    // table `a` advances OUTSIDE any cut (its own clock interleaves)
+    ManifestTable.appendRetrying(Seq((9L, "stray")).toDF("id", "v"),
+      s"$root/a", 20250301, 950)
+    Catalog.transact(spark, root, 20250301, 1000, Seq(
+      "a" -> Seq((1L, "a2")).toDF("id", "v"),
+      "b" -> Seq((1L, "b2")).toDF("id", "v")))
+    // a stamp between the cuts serves BOTH tables from cut 1 — the
+    // stray per-table commit at 950 is invisible (a per-table asOfDate
+    // would have served it, mixing worlds)
+    def vAt(t: String, time: Int): String =
+      Catalog.readTableAsOf(spark, root, t, 20250301, time)
+        .orderBy("id").select("v").as[String].collect().head
+    assert(vAt("a", 970) === "a1" && vAt("b", 970) === "b1")
+    assert(vAt("a", 1200) === "a2" && vAt("b", 1200) === "b2")
+    // a stamp predating every cut refuses
+    val e = intercept[NoSuchElementException](
+      Catalog.readTableAsOf(spark, root, "a", 20250301, 800))
+    assert(e.getMessage.contains("no catalog cut"))
+  }
+
   test("unknown table and unknown catalog version fail loudly") {
     val root = tmpRoot()
     Catalog.transact(spark, root, 20250301, 900, Seq(
