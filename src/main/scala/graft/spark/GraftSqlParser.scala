@@ -172,6 +172,9 @@ object GraftSqlParser {
       """\(([^)]+)\)\s*(?:AT\s+(\d{8})\s+(\d{1,4})\s*)?;?\s*""").r
   private val ShowPropsRe =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+'([^']+)'\s*;?\s*""".r
+  // X225: DDL reconstruction from metadata alone
+  private val ShowCreateRe =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+'([^']+)'\s*;?\s*""".r
   // X195: physical partition listing of a hidden-partitioned layout
   private val ShowPartsRe =
     """(?is)\s*SHOW\s+PARTITIONS\s+'([^']+)'\s*;?\s*""".r
@@ -306,6 +309,7 @@ object GraftSqlParser {
         }.toSeq
         Some(GraftPropertiesCommand(path, "unset", Map.empty, ks, date, time))
       case ShowPropsRe(path) => Some(GraftShowPropertiesCommand(path))
+      case ShowCreateRe(path) => Some(GraftShowCreateCommand(path))
       case ShowPartsRe(path) => Some(GraftShowPartitionsCommand(path))
       case ConvertRe(path, d, t) =>
         val (date, time) = stamp(d, t)
@@ -439,6 +443,40 @@ case class GraftVacuumCommand(dir: String, keepLast: Int)
   * files the real pass would reclaim, one row each with its size;
   * NOTHING is deleted (spec-pinned: log and bytes identical after).
   */
+/** `SHOW CREATE TABLE '<path>'` (X225) — the table's DDL reconstructed
+  * from METADATA alone: columns in mapping order with their X198
+  * DEFAULT and X204 GENERATED clauses (era-correct — this is the
+  * CURRENT schema), active TBLPROPERTIES sorted by key; unmapped tables
+  * serve their footer schema. Zero data bytes at any table size.
+  */
+case class GraftShowCreateCommand(dir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("ddl", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snaps = ManifestTable.snapshots(spark, dir)
+    require(snaps.nonEmpty, s"graft: no committed snapshot at $dir")
+    val mapped = new org.apache.hadoop.fs.Path(s"$dir/_colmap")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$dir/_colmap"))
+    val cols =
+      if (mapped) graft.lake.ColumnMap.mappingAt(spark, dir, snaps.last.version)
+        .map { f =>
+          s"${f.logical} ${f.dtype}" +
+            f.default.map(v => s" DEFAULT '$v'").getOrElse("") +
+            f.gen.map(g => s" GENERATED ALWAYS AS ($g)").getOrElse("")
+        }
+      else new ManifestFileIndex(spark, dir, snaps.last).dataSchema
+        .fields.toSeq.map(f => s"${f.name} ${f.dataType.catalogString}")
+    val props = graft.lake.Properties.active(spark, dir)
+    val ddl = s"CREATE TABLE '$dir' (${cols.mkString(", ")})" +
+      (if (props.isEmpty) ""
+       else props.toSeq.sortBy(_._1)
+         .map { case (k, v) => s"'$k' = '$v'" }
+         .mkString(" TBLPROPERTIES (", ", ", ")"))
+    Seq(Row(ddl))
+  }
+}
+
 /** `REORG '<path>' APPLY (PURGE)` (X219 — Delta's `REORG TABLE … APPLY
   * (PURGE)`): rewrite ONLY the files that carry deletion-vector debt,
   * folding the tombstones away (the X64 MOR→CoW materialization as a
@@ -1268,6 +1306,22 @@ object GraftSqlQueries {
         .withColumn("n_versions",
           lit(ManifestTable.snapshots(s, dir).size))
     }),
+    // X225: the DDL reconstructed from metadata alone (path normalized
+    // out so the oracle can pin the exact string)
+    "q_sql_show_create" -> ((s, d) => {
+      val dir = FixtureCache.dir("sql_showcreate", d) { dir =>
+        val ext = GraftDml.extSession(s)
+        ext.sql(s"CREATE TABLE '$dir' (k bigint, p double) AT 20250901 900")
+        ext.sql(s"ALTER TABLE '$dir' ADD COLUMN tag string DEFAULT 'none'")
+        ext.sql(s"ALTER TABLE '$dir' ADD COLUMN b bigint " +
+          "GENERATED ALWAYS AS (k % 5)")
+        ext.sql(s"ALTER TABLE '$dir' SET TBLPROPERTIES " +
+          "('graft.autoCompact' = 'true') AT 20250901 930")
+      }
+      GraftDml.extSession(s).sql(s"SHOW CREATE TABLE '$dir'")
+        .select(regexp_replace(col("ddl"),
+          java.util.regex.Pattern.quote(dir), "<path>").as("ddl"))
+    }),
     // X219: REORG folds deletion-vector debt away — content invariant
     // (the oracle is the post-delete table), tombstones gone, op
     // ledgered; a second REORG commits nothing (idempotent maintenance)
@@ -1471,6 +1525,10 @@ object GraftSqlQueries {
         |       CAST(5 AS INT) AS n_versions, CAST(3 AS INT) AS n_files,
         |       true AS outer_retained, 'optimize' AS last_op
         |FROM orders""".stripMargin,
+    "q_sql_show_create" ->
+      ("""SELECT 'CREATE TABLE ''<path>'' (k bigint, p double, """ +
+        """tag string DEFAULT ''none'', b bigint GENERATED ALWAYS AS (k % 5)) """ +
+        """TBLPROPERTIES (''graft.autoCompact'' = ''true'')' AS ddl"""),
     "q_sql_reorg" ->
       """SELECT count(*) AS n_rows,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,

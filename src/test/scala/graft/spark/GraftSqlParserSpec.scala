@@ -53,6 +53,25 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(ManifestTable.readLatest(spark, dir).count() === 200)
   }
 
+  test("X225 SHOW CREATE TABLE: metadata DDL, plain-column round-trip, unmapped fallback") {
+    val dir = Scratch.dir("sqlp_showcr")
+    ext.sql(s"CREATE TABLE '$dir' (k bigint, v double) AT 20250901 900")
+    val ddl = ext.sql(s"SHOW CREATE TABLE '$dir'").head.getString(0)
+    assert(ddl === s"CREATE TABLE '$dir' (k bigint, v double)")
+    // a plain-column DDL ROUND-TRIPS: re-running it on a fresh path
+    // creates a table with the identical reconstructed DDL
+    val dir2 = Scratch.dir("sqlp_showcr2")
+    ext.sql(ddl.replace(s"'$dir'", s"'$dir2'") + " AT 20250901 910")
+    assert(ext.sql(s"SHOW CREATE TABLE '$dir2'").head.getString(0)
+      === s"CREATE TABLE '$dir2' (k bigint, v double)")
+    // an unmapped (footer-schema) table serves its file schema
+    val dir3 = Scratch.dir("sqlp_showcr3")
+    ManifestTable.commit(spark.range(3)
+      .selectExpr("id AS a", "CAST(id AS STRING) AS b"), dir3, 20250901, 920)
+    assert(ext.sql(s"SHOW CREATE TABLE '$dir3'").head.getString(0)
+      === s"CREATE TABLE '$dir3' (a bigint, b string)")
+  }
+
   test("X219 REORG APPLY PURGE: tombstones fold, content invariant, clean tables no-op") {
     val dir = mkVersions("sqlp_reorg", 1) // 10 rows
     graft.lake.DeleteVectors.deleteWhere(spark, dir,
