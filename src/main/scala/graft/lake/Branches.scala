@@ -110,6 +110,22 @@ object Branches {
     ref
   }
 
+  /** X226 — delete a ref, KIND-checked: dropping a tag through the
+    * branch statement (or vice versa) refuses — the two make different
+    * retention promises (tags pin forever), so a mixed-up drop is a
+    * retention bug, not a convenience. The underlying versions are
+    * untouched; only the pointer goes.
+    */
+  def dropRef(spark: SparkSession, dir: String, name: String,
+      expectKind: String): Unit = {
+    val ref = readRef(spark, dir, name) // throws on unknown
+    require(ref.kind == expectKind,
+      s"'$name' is a ${ref.kind}, not a $expectKind — use DROP " +
+        s"${ref.kind.toUpperCase}")
+    ManifestTable.fsFor(spark, dir)
+      .delete(new Path(refPath(dir, name)), false)
+  }
+
   /** All refs of the table — one tiny `_refs` listing + one JSON read per
     * ref; empty for a table that never branched.
     */

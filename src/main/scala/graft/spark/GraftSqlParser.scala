@@ -175,6 +175,14 @@ object GraftSqlParser {
   // X225: DDL reconstruction from metadata alone
   private val ShowCreateRe =
     """(?is)\s*SHOW\s+CREATE\s+TABLE\s+'([^']+)'\s*;?\s*""".r
+  // X226: branch/tag DDL (Iceberg's ref statements)
+  private val CreateRefRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+'([^']+)'\\s+CREATE\\s+(BRANCH|TAG)\\s+($Id)""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
+  private val DropRefRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+'([^']+)'\\s+DROP\\s+(BRANCH|TAG)\\s+($Id)\\s*;?\\s*""".r
+  private val ShowRefsRe =
+    """(?is)\s*SHOW\s+(?:BRANCHES|REFS)\s+'([^']+)'\s*;?\s*""".r
   // X195: physical partition listing of a hidden-partitioned layout
   private val ShowPartsRe =
     """(?is)\s*SHOW\s+PARTITIONS\s+'([^']+)'\s*;?\s*""".r
@@ -334,6 +342,12 @@ object GraftSqlParser {
         val (date, time) = stamp(d, t)
         Some(GraftCtasCommand(path, orReplace != null,
           query.trim.stripSuffix(";").trim, date, time))
+      case CreateRefRe(path, kind, name, v) =>
+        Some(GraftRefCommand(path, "create", kind.toLowerCase, name,
+          Option(v).map(_.toInt)))
+      case DropRefRe(path, kind, name) =>
+        Some(GraftRefCommand(path, "drop", kind.toLowerCase, name, None))
+      case ShowRefsRe(path) => Some(GraftShowRefsCommand(path))
       case AlterRenameRe(path, from, to) =>
         Some(GraftAlterColumnCommand(path, "rename", from, to))
       case AlterDropRe(path, name) =>
@@ -443,6 +457,45 @@ case class GraftVacuumCommand(dir: String, keepLast: Int)
   * files the real pass would reclaim, one row each with its size;
   * NOTHING is deleted (spec-pinned: log and bytes identical after).
   */
+/** `ALTER TABLE '<path>' CREATE BRANCH|TAG <name> [AS OF VERSION n]` /
+  * `DROP BRANCH|TAG <name>` (X226) — the X95 refs as SQL DDL. CREATE
+  * defaults to the latest version; DROP is kind-checked (a tag dropped
+  * through DROP BRANCH refuses — the two make different retention
+  * promises). Reads compose through the existing
+  * `option("branch", name)` on the datasource.
+  */
+case class GraftRefCommand(dir: String, op: String, kind: String,
+    name: String, version: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("head_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = op match {
+    case "create" =>
+      val v = version.orElse(ManifestTable.latestVersion(spark, dir))
+        .getOrElse(throw new NoSuchElementException(
+          s"no committed snapshot at $dir"))
+      val ref =
+        if (kind == "branch") graft.lake.Branches.createBranch(spark, dir, name, v)
+        else graft.lake.Branches.createTag(spark, dir, name, v)
+      Seq(Row(ref.name, ref.kind, ref.head.toLong))
+    case "drop" =>
+      graft.lake.Branches.dropRef(spark, dir, name, kind)
+      Seq.empty
+  }
+}
+
+/** `SHOW BRANCHES '<path>'` (X226) — every ref with its kind and head. */
+case class GraftShowRefsCommand(dir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("head_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.lake.Branches.listRefs(spark, dir)
+      .map(r => Row(r.name, r.kind, r.head.toLong))
+}
+
 /** `SHOW CREATE TABLE '<path>'` (X225) — the table's DDL reconstructed
   * from METADATA alone: columns in mapping order with their X198
   * DEFAULT and X204 GENERATED clauses (era-correct — this is the
@@ -1306,6 +1359,28 @@ object GraftSqlQueries {
         .withColumn("n_versions",
           lit(ManifestTable.snapshots(s, dir).size))
     }),
+    // X226: branch/tag DDL — create two pinned refs and a latest-head
+    // branch, drop the latter; SHOW lists the survivors and the branch
+    // read serves its pinned version's content
+    "q_sql_branches" -> ((s, d) => {
+      val dir = FixtureCache.dir("sql_branches", d) { dir =>
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        ManifestTable.commit(o.where(col("k") % 2 === 0), dir, 20250901, 900)
+        ManifestTable.commit(o, dir, 20250901, 1000)
+        val ext = GraftDml.extSession(s)
+        ext.sql(s"ALTER TABLE '$dir' CREATE BRANCH exp AS OF VERSION 1")
+        ext.sql(s"ALTER TABLE '$dir' CREATE TAG rel AS OF VERSION 1")
+        ext.sql(s"ALTER TABLE '$dir' CREATE BRANCH dev") // head = latest
+        ext.sql(s"ALTER TABLE '$dir' DROP BRANCH dev")
+      }
+      val expContent = s.read.format("graft").option("branch", "exp").load(dir)
+        .agg(count(lit(1)).as("n_exp_rows"),
+          Exact.dsum(col("p")).as("sum_exp_p"))
+      GraftDml.extSession(s).sql(s"SHOW BRANCHES '$dir'")
+        .crossJoin(expContent)
+        .orderBy("name")
+    }),
     // X225: the DDL reconstructed from metadata alone (path normalized
     // out so the oracle can pin the exact string)
     "q_sql_show_create" -> ((s, d) => {
@@ -1525,6 +1600,14 @@ object GraftSqlQueries {
         |       CAST(5 AS INT) AS n_versions, CAST(3 AS INT) AS n_files,
         |       true AS outer_retained, 'optimize' AS last_op
         |FROM orders""".stripMargin,
+    "q_sql_branches" ->
+      """SELECT name, kind, head_version, n_exp_rows, sum_exp_p FROM
+        |  (VALUES ('exp', 'branch', CAST(1 AS BIGINT)),
+        |          ('rel', 'tag', CAST(1 AS BIGINT))) AS t(name, kind, head_version)
+        |CROSS JOIN (SELECT count(*) AS n_exp_rows,
+        |                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_exp_p
+        |            FROM orders WHERE o_orderkey % 2 = 0)
+        |ORDER BY name""".stripMargin,
     "q_sql_show_create" ->
       ("""SELECT 'CREATE TABLE ''<path>'' (k bigint, p double, """ +
         """tag string DEFAULT ''none'', b bigint GENERATED ALWAYS AS (k % 5)) """ +

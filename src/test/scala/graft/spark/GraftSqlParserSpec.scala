@@ -53,6 +53,28 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(ManifestTable.readLatest(spark, dir).count() === 200)
   }
 
+  test("X226 branch/tag DDL: create/show/drop, kind-checked drops, unknown refs refuse") {
+    val dir = mkVersions("sqlp_refs", 2) // v1, v2
+    val b = ext.sql(s"ALTER TABLE '$dir' CREATE BRANCH exp AS OF VERSION 1").head
+    assert((b.getString(0), b.getString(1), b.getLong(2)) === (("exp", "branch", 1L)))
+    ext.sql(s"ALTER TABLE '$dir' CREATE TAG rel") // defaults to latest
+    val shown = ext.sql(s"SHOW BRANCHES '$dir'").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(shown === Set(("exp", "branch", 1L), ("rel", "tag", 2L)))
+    // the branch read composes with the datasource option
+    assert(spark.read.format("graft").option("branch", "exp").load(dir)
+      .count() === 10)
+    // dropping a TAG through DROP BRANCH refuses (retention promises differ)
+    val e = intercept[Exception](ext.sql(s"ALTER TABLE '$dir' DROP BRANCH rel"))
+    assert(e.getMessage.contains("is a tag"))
+    // unknown refs refuse
+    intercept[Exception](ext.sql(s"ALTER TABLE '$dir' DROP TAG nope"))
+    // a legal drop removes only the pointer
+    ext.sql(s"ALTER TABLE '$dir' DROP BRANCH exp")
+    assert(ext.sql(s"SHOW BRANCHES '$dir'").count() === 1)
+    assert(ManifestTable.snapshots(spark, dir).size === 2, "versions untouched")
+  }
+
   test("X225 SHOW CREATE TABLE: metadata DDL, plain-column round-trip, unmapped fallback") {
     val dir = Scratch.dir("sqlp_showcr")
     ext.sql(s"CREATE TABLE '$dir' (k bigint, v double) AT 20250901 900")
