@@ -295,11 +295,13 @@ class GraftSinkSpec extends SparkSpec {
       java.util.concurrent.CompletableFuture.supplyAsync { () =>
         val sink = new GraftSink.StreamSink(spark, dst, appId = name,
           mergeKeys = Seq("k"))
-        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        // generous margins: under ambient host load (the documented
+        // page-cache stalls) a 30 s barrier has flaked once in a full run
+        barrier.await(180, java.util.concurrent.TimeUnit.SECONDS)
         sink.addBatch(0L, Seq((key, key * 100)).toDF("k", "v"))
       }
     writer("wa", 100L).thenCombine(writer("wb", 200L), (_: Unit, _: Unit) => ())
-      .get(120, java.util.concurrent.TimeUnit.SECONDS)
+      .get(300, java.util.concurrent.TimeUnit.SECONDS)
     val rows = spark.read.format("graft").load(dst)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.size == 7, s"lost update: $rows") // 5 seed + both writers
