@@ -91,10 +91,21 @@ object Temperature {
     // exactly; corpus totals are a driver-sized aggregate, the corpus
     // never shuffles (per-row hash filter).
     "q_source_balance" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("corpus",
-          (substring(col("source"), 4, 10).cast("int") % 3).cast("long"))
-        .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      // The slim (corpus, doc_id, n_tok) frame feeds BOTH the driver-sized
+      // totals collect and the final aggregate; without materializing it the
+      // corpus tokenizes twice (Spark recomputes shared subplans per
+      // branch — round-9 finding #1). Tokenized counts are a pure function
+      // of the corpus, so the FixtureCache rule applies: 3 longs per doc,
+      // never the text.
+      val docs = graft.util.FixtureCache.parquet(s, "srcbal_tok", d) { dir =>
+        Tables.documents(s, d)
+          .select(
+            (substring(col("source"), 4, 10).cast("int") % 3).cast("long")
+              .as("corpus"),
+            col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+          .write.mode("overwrite").parquet(dir)
+      }
       val totals = docs.groupBy("corpus").agg(sum("n_tok").as("tot"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val minTot = totals.values.min

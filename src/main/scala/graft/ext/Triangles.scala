@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -86,20 +87,42 @@ object Triangles {
       .groupBy("node").agg(count(lit(1)).as("tri_count"))
   }
 
+  /** Basket cap for [[coPurchaseEdges]] — the X91 cap-as-contract knob:
+    * every basket keeps only its `maxBasket` smallest items before the
+    * pair self-join, bounding the blowup at C(maxBasket, 2) per basket by
+    * construction (a degenerate 10⁵-item basket would otherwise emit
+    * 5·10⁹ pair rows). TPC-H orders carry ≤ 7 lineitems, so at 32 the cap
+    * never binds on the fixture — it exists for the degenerate input, and
+    * the oracle mirrors it so the semantics stay "pairs among each
+    * basket's first K items", not a silent truncation.
+    */
+  val maxBasket = 32
+
+  /** Canonical u < v co-occurrence edges over capped `(o, p)` baskets —
+    * the generic half of [[coPurchaseEdges]], directly testable on a
+    * degenerate basket (TrianglesSpec).
+    */
+  def cappedEdges(po: DataFrame, cap: Int = maxBasket): DataFrame = {
+    val w = Window.partitionBy("o").orderBy("p")
+    val capped = po
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= cap)
+      .select("o", "p")
+    capped.select(col("o"), col("p").as("u"))
+      .join(capped.select(col("o"), col("p").as("v")), "o")
+      .where(col("u") < col("v"))
+      .select("u", "v").distinct()
+  }
+
   /** Fixture graph: even-keyed parts co-purchased within an order
     * (canonical u < v, distinct across orders). The even-key restriction
     * halves basket sizes, quartering wedge volume — the graph stays dense
     * enough for tens of thousands of triangles while the bench query
     * times the algorithm, not a maximal fixture.
     */
-  def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val po = Tables.lineitem(s, d).where(col("l_partkey") % 2 === 0)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    po.select(col("o"), col("p").as("u"))
-      .join(po.select(col("o"), col("p").as("v")), "o")
-      .where(col("u") < col("v"))
-      .select("u", "v").distinct()
-  }
+  def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    cappedEdges(Tables.lineitem(s, d).where(col("l_partkey") % 2 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -118,8 +141,11 @@ object Triangles {
 
   val oracles: Map[String, String] = Map(
     "q_triangles" ->
-      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      s"""WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
         |           WHERE l_partkey % 2 = 0),
+        |po AS (SELECT o, p FROM (
+        |  SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rk FROM po0)
+        |  WHERE rk <= $maxBasket),
         |edges AS (
         |  SELECT DISTINCT a.p AS u, b.p AS v
         |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),

@@ -42,6 +42,20 @@ class TrianglesSpec extends SparkSpec {
     assert((2L to 39L).forall(i => got(i) == 2L))
   }
 
+  test("basket cap bounds a degenerate basket at C(cap, 2) pairs") {
+    // one 100-item basket: uncapped it would emit C(100, 2) = 4950 pair
+    // rows; the cap-as-contract keeps only the cap smallest items, so the
+    // edge set is exactly the pairs among those — the X91 discipline on
+    // the triangles fixture builder (round-9 finding #2)
+    val degenerate = (1L to 100L).map(p => (1L, p)).toDF("o", "p")
+    val edges = Triangles.cappedEdges(degenerate, cap = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(edges.size == 45) // C(10, 2)
+    assert(edges == (for (u <- 1L to 10L; v <- (u + 1) to 10L) yield (u, v)).toSet)
+    // the default cap never binds on TPC-H baskets (≤ 7 lineitems/order)
+    assert(Triangles.maxBasket > 7)
+  }
+
   test("matches naive id-ordered enumeration on the co-purchase fixture") {
     val g = Triangles.coPurchaseEdges(spark, sf).cache()
     try {
