@@ -131,20 +131,37 @@ object Dedup {
       .select(col("doc_id"), array((0 until nHashes).map(i => col(s"s$i")): _*).as("sig"))
   }
 
-  /** 64-bit SimHash per document: tokens explode → per-bit ±tf votes (one
-    * map-side-combinable groupBy) → sign bits assembled into a long.
+  /** SimHash signature width and chunk geometry: 60 bits in 4 chunks of
+    * 15. Round-10: the token hash moved from xxhash64 to the top 60 bits
+    * of md5 (15 hex chars → BIGINT), which BOTH engines compute
+    * identically — that is what lets the DuckDB oracle rebuild every
+    * signature bit-for-bit and lift q_dedup_simhash from property-pinned
+    * to fully oracled (the X205 move). md5 is slower per token than
+    * xxhash64, but the signature build is one pass over the token stream
+    * and the corpus collapses to 8 bytes/doc immediately after.
+    */
+  val simhashBits = 60
+  val simhashChunks = 4
+  val simhashChunkBits: Int = simhashBits / simhashChunks
+
+  /** 60-bit SimHash per document: tokens explode → md5-top-60 token hash
+    * → per-bit ±tf votes (one map-side-combinable groupBy) → sign bits
+    * assembled into a long. Exact integer arithmetic end to end (votes
+    * are ±1 counts; the sign rule is strictly-positive), so the signature
+    * is engine-independent.
     */
   def simhashSigs(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitAggs = (0 until 64).map(b =>
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitAggs = (0 until simhashBits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
         .as(s"b$b"))
     tok.groupBy("doc_id")
       .agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        (0 until simhashBits).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
   }
 
@@ -571,9 +588,17 @@ object Dedup {
 
     // MinHash + LSH banding: per-row 32-slot signature → 8 band hashes →
     // band-bucket equi-join for candidates → verify candidates with exact
-    // Jaccard and report the signature estimate next to it. Non-oracle
-    // (xxhash64 has no DuckDB twin); pinned by DedupSpec against
-    // q_dedup_ngram_jaccard's exact answer.
+    // Jaccard. ORACLED (round-10, the X144 discipline): the exact integer
+    // fields (shared, na, nb, jac_permille) hash-compare against DuckDB's
+    // brute-force Jaccard survivors, so the ROW SET pins banding recall =
+    // 1 on the fixture (every true jac ≥ 500 pair sits at ≥ 880‰ here,
+    // where 8-bands-of-4 miss with p ≈ 4·10⁻⁴ per pair — and the fixed
+    // hash family makes the outcome deterministic, re-verified every
+    // round); the signature-estimate quality bound (|est − true| ≤ 250‰,
+    // ≈3.5σ at 32 slots) rides as `est_ok`, literal TRUE in the oracle —
+    // a broken hash family, slot count, band hash, or signature build
+    // either drops a row or flips the boolean. DedupSpec keeps the
+    // recall property pins as the named failure diagnosis.
     "q_dedup_minhash" -> ((s, d) => {
       // materialized: the shingle table feeds signature building and the
       // verification joins; the SLIM (doc_id, sig) table feeds the band
@@ -617,22 +642,35 @@ object Dedup {
           size(col("hb.sh")).cast("long").as("nb"))
         .withColumn("jac_permille", expr("shared * 1000 div (na + nb - shared)"))
         .where(col("jac_permille") >= 500)
+        .select(col("ia"), col("ib"), col("shared"), col("na"), col("nb"),
+          col("jac_permille"),
+          (abs(col("est_matches") * 1000 / lit(nHashes.toLong) -
+            col("jac_permille")) <= 250).as("est_ok"))
         .orderBy("ia", "ib")
     }),
 
-    // SimHash: 64-bit signature from token-hash bit votes (one combinable
-    // groupBy), then 4×16-bit chunk equality join for candidates and exact
-    // Hamming verification via xor + bit_count. Guarantee: Hamming ≤ 3 pairs
-    // are always candidates; the ≤ 8 report threshold is best-effort beyond
-    // that. Non-oracle; pinned by DedupSpec.
+    // SimHash: 60-bit signature from md5-token-hash bit votes (one
+    // combinable groupBy), then 4×15-bit chunk equality join for
+    // candidates and exact Hamming verification via xor + bit_count.
+    // Guarantee: Hamming ≤ 3 pairs are always candidates (pigeonhole over
+    // 4 chunks); the ≤ 8 report threshold is best-effort beyond that.
+    // FULLY ORACLED (round-10, the X205 move): the md5-derived hash makes
+    // every signature bit DuckDB-rebuildable, and the chunk-collision
+    // candidate rule is a pure predicate on the two signatures
+    // ((xor >> 15c) & 0x7FFF = 0 for some chunk c), so the oracle replays
+    // candidates AND Hamming exactly — brute-force all-pairs there, the
+    // banded equi-join here, same row set by construction. DedupSpec
+    // keeps the pigeonhole property as the named failure diagnosis.
     "q_dedup_simhash" -> ((s, d) => {
       // signature table materialized once per JVM (it feeds both sides of
       // the chunk join; see materializeCached)
       val sig = materializeCached(s, simhashSigs(s, d), "sh_sig", d)
+      val chunkMask = (1L << simhashChunkBits) - 1
       val chunks = sig.select(col("doc_id"), col("sig"),
-          explode(array((0 until 4).map(c =>
+          explode(array((0 until simhashChunks).map(c =>
             struct(lit(c).as("ci"),
-              shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*))
+              shiftright(col("sig"), c * simhashChunkBits)
+                .bitwiseAND(lit(chunkMask)).as("cv"))): _*))
             .as("ch"))
         .select(col("doc_id"), col("sig"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
       chunks.as("a")
@@ -722,6 +760,49 @@ object Dedup {
         |SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // SimHash replay: the md5-top-60 token hash, the ±tf bit votes, the
+    // strict-positive sign rule, the 4×15-bit chunk candidate predicate,
+    // and xor/bit_count Hamming are all exact integer arithmetic both
+    // engines share — brute-force all-pairs here (correctness scale),
+    // banded equi-join in Spark, identical row set by construction.
+    "q_dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |h AS (SELECT doc_id,
+         |        list_sum(list_transform(range(1, 16),
+         |          i -> CAST(strpos('0123456789abcdef', md5(t)[i:i]) - 1 AS BIGINT)
+         |               * (1::BIGINT << ((15 - CAST(i AS INT)) * 4)))) AS h
+         |      FROM tok),
+         |votes AS (SELECT doc_id, b.b AS b,
+         |            sum(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM h, range(0, ${simhashBits}) b(b) GROUP BY doc_id, b.b),
+         |sig AS (SELECT doc_id,
+         |          CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sig
+         |        FROM votes GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, xor(a.sig, b.sig) AS x
+         |          FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         |SELECT ia, ib, CAST(bit_count(x) AS BIGINT) AS hamming
+         |FROM pairs
+         |WHERE bit_count(x) <= 8 AND (${(0 until simhashChunks).map(c =>
+                s"(x >> ${c * simhashChunkBits}) & ${(1L << simhashChunkBits) - 1} = 0")
+                .mkString(" OR ")})
+         |ORDER BY ia, ib""".stripMargin,
+    // Brute-force exact Jaccard at the banding tier's ≥ 500‰ threshold:
+    // the row set pins banding recall, `true AS est_ok` pins the
+    // signature-estimate bound (X144 discipline — see the query comment).
+    "q_dedup_minhash" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s
+         |            FROM (SELECT doc_id, $toksSql AS l FROM documents)),
+         |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |                 len(list_intersect(a.s, b.s)) AS shared,
+         |                 len(a.s) AS na, len(b.s) AS nb
+         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |          WHERE len(a.s) > 0 AND len(b.s) > 0)
+         |SELECT ia, ib, CAST(shared AS BIGINT) AS shared,
+         |       CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |       (shared * 1000) // (na + nb - shared) AS jac_permille,
+         |       true AS est_ok
+         |FROM pairs WHERE shared * 2 >= (na + nb - shared)
+         |ORDER BY ia, ib""".stripMargin,
     "q_minhash_est" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s
          |            FROM (SELECT doc_id, $toksSql AS l FROM documents)),
