@@ -50,7 +50,7 @@ object IvfIndex {
     * generation, or a build with an externally trained quantizer).
     */
   def commitIndex(s: SparkSession, corpus: DataFrame, root: String,
-      cents: Array[Array[Float]], date: Int, time: Int): Int = {
+      cents: Array[Array[Long]], date: Int, time: Int): Int = {
     val lists = Similarity.assignClusters(corpus, cents)
       .select(col("cluster"), col("vec_id"), col("embedding"))
       .repartition(col("cluster"))
@@ -58,7 +58,7 @@ object IvfIndex {
       Seq("centroids" -> centroidsDf(s, cents), "lists" -> lists))
   }
 
-  private[ext] def centroidsDf(s: SparkSession, cents: Array[Array[Float]]): DataFrame = {
+  private[ext] def centroidsDf(s: SparkSession, cents: Array[Array[Long]]): DataFrame = {
     import s.implicits._
     cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("cluster", "centroid")
@@ -76,7 +76,7 @@ object IvfIndex {
     * appends (which carry the centroids version over) keep hitting.
     */
   def loadCentroids(s: SparkSession, root: String,
-      asOf: Option[Int] = None): Array[Array[Float]] = {
+      asOf: Option[Int] = None): Array[Array[Long]] = {
     val snaps = Catalog.snapshots(s, root)
     require(snaps.nonEmpty, s"no committed catalog version at $root")
     val cut = asOf match {
@@ -89,11 +89,11 @@ object IvfIndex {
     centroidCache.computeIfAbsent(s"$root#$tv", _ =>
       ManifestTable.readVersion(s, s"$root/centroids", tv).orderBy("cluster")
         .collect()
-        .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+        .map(_.getAs[scala.collection.Seq[Long]]("centroid").toArray))
   }
 
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
 
   /** Incremental maintenance: assign `newVecs` to the existing
     * quantizer, append to `lists`, publish the next cut (centroids
@@ -151,13 +151,9 @@ object IvfIndex {
     val cents = loadCentroids(s, root, asOf)
     val nProbes = Similarity.adaptiveProbes(cents.length)
     val lists = Catalog.readTable(s, root, "lists", asOf)
-    val cos = array(cents.toIndexedSeq.map(c =>
-      VectorOps.cosine(col("qe"), lit(c))): _*)
     val probes = queries
       .select(col("qid"), col("qe"),
-        slice(sort_array(zip_with(cos,
-          sequence(lit(0), lit(cents.length - 1)),
-          (c, i) => struct((-c).as("negCos"), i.as("idx")))), 1, nProbes).as("top"))
+        Similarity.probeClusters(col("qe"), cents, nProbes).as("top"))
       .select(col("qid"), col("qe"), explode(col("top.idx")).as("probe"))
     lists.join(broadcast(probes),
         col("cluster") === col("probe") && col("vec_id") =!= col("qid"))

@@ -113,13 +113,9 @@ object IvfPq {
     val books = loadBooks(s, root, asOf)
     val nProbes = Similarity.adaptiveProbes(cents.length)
     val lists = Catalog.readTable(s, root, "lists", asOf)
-    val cos = array(cents.toIndexedSeq.map(c =>
-      VectorOps.cosine(col("qe"), lit(c))): _*)
     val probes = queries
       .select(col("qid"), col("qe"),
-        slice(sort_array(zip_with(cos,
-          sequence(lit(0), lit(cents.length - 1)),
-          (c, i) => struct((-c).as("negCos"), i.as("idx")))), 1, nProbes).as("top"))
+        Similarity.probeClusters(col("qe"), cents, nProbes).as("top"))
       .select(col("qid"), col("qe"), explode(col("top.idx")).as("probe"))
     val short = lists.select("cluster", "vec_id", "codes") // embedding pruned
       .join(broadcast(probes),
@@ -142,9 +138,14 @@ object IvfPq {
   }
 
   val queries: Map[String, Q] = Map(
-    // IVF-PQ tier over the committed index. Non-oracle by design
-    // (recall < 1); IvfPqSpec pins recall, column pruning on the hot
-    // scan, restart survival, and delete composition.
+    // IVF-PQ tier over the committed index. FULLY ORACLED (round-10):
+    // both quantizers are the X111 bit-reproducible fixed-point Lloyd's,
+    // so the DuckDB twin composes the IVF replay (coarse training, list
+    // assignment, probe selection) with the PQ replay (per-subspace
+    // codebooks, codes, exact-integer ADC) and re-runs the probed
+    // shortlist + rerank — identical row sets even though recall < 1 vs
+    // the exact tier. IvfPqSpec keeps recall, column pruning on the hot
+    // scan, restart survival, and delete composition as the named pins.
     "q_sim_ivfpq" -> ((s, d) => {
       val root = graft.util.FixtureCache.dir("ivfpq_index", d) { root =>
         IvfPq.build(s,
@@ -158,5 +159,12 @@ object IvfPq {
     }),
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q_sim_ivfpq" ->
+      s"""WITH ${Similarity.ivfReplaySql},
+         |${Pq.pqReplaySql()},
+         |cand AS (SELECT p.qid, a.vec_id AS cand_id
+         |         FROM af a JOIN pr p ON a.cid = p.cid AND a.vec_id <> p.qid),
+         |${Pq.pqSearchSql("cand", Similarity.k, 8)}""".stripMargin,
+  )
 }

@@ -38,10 +38,16 @@ object KMeans {
   def quantize(vec: Column): Column =
     transform(vec.cast("array<double>"), x => floor(x * 10000).cast("long"))
 
-  private def distTo(c: Seq[Long]): Column =
+  /** Exact integer squared-L2 of a quantized-vector column against a
+    * constant centroid — the shared distance kernel (assign here, probe
+    * selection in the IVF tier).
+    */
+  def distToCol(v: Column, c: Seq[Long]): Column =
     aggregate(
-      zip_with(col("__v"), typedLit(c), (x, y) => (x - y) * (x - y)),
+      zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, e) => acc + e)
+
+  private def distTo(c: Seq[Long]): Column = distToCol(col("__v"), c)
 
   /** Nearest-centroid assignment as a pure expression: min over k
     * (distance, cid) structs — struct ordering gives the lowest-cid
@@ -200,6 +206,19 @@ object KMeans {
        |        list_sum(list_transform(list_zip(q.v, c.v),
        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
        |    FROM $src q, $cents c) WHERE rn = 1)""".stripMargin
+
+  /** [[updateSql]] with the emptied-cluster rule made explicit: a cluster
+    * with no assigned vectors KEEPS its previous centroid (exactly
+    * [[trainCentroids]]'s `getOrElse(old)`). The plain [[updateSql]] only
+    * emits clusters present in the assignment — safe at k=4 on the
+    * fixture, wrong in general; the IVF oracle (k ≈ √n) uses this form.
+    */
+  private[ext] def updateKeepSql(assigned: String, prev: String, out: String): String =
+    s"""$out AS (SELECT p.cid, COALESCE(u.v, p.v) AS v FROM $prev p LEFT JOIN (
+       |    SELECT cid, list(el ORDER BY pos) AS v FROM (
+       |      SELECT cid, pos, CAST(floor(CAST(sum(el) AS DOUBLE) / count(*)) AS BIGINT) AS el
+       |      FROM (SELECT cid, unnest(v) AS el, generate_subscripts(v, 1) AS pos FROM $assigned)
+       |      GROUP BY cid, pos) GROUP BY cid) u ON u.cid = p.cid)""".stripMargin
 
   private[ext] def updateSql(src: String, out: String): String =
     s"""$out AS (SELECT cid, list(el ORDER BY pos) AS v FROM (

@@ -147,11 +147,93 @@ object Pq {
       train(Tables.embeddings(s, d).select("vec_id", "embedding"),
         "vec_id", "embedding"))
 
+  /** DuckDB replay of [[train]] + encode, as WITH-clause fragments the
+    * q_sim_pq and q_sim_ivfpq oracles share: quantized corpus `q` must
+    * already be in scope (the IVF replay defines it; the plain PQ oracle
+    * defines its own). Emits `subv(vec_id, sub, sv)`, unrolled codebooks
+    * `b0..b$Iters(sub, cid, v)` (emptied clusters keep their codeword —
+    * the `getOrElse(old)` rule), and the final encoding
+    * `paF(vec_id, sub, sv, cid)`. Everything is the same exact integer
+    * arithmetic [[graft.functions.PqMath]] runs, so codes and ADC scores
+    * are engine-identical by construction.
+    */
+  private[ext] def pqReplaySql(m: Int = M, kk: Int = K, iters: Int = Iters): String = {
+    def assign(cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, sub, sv, cid FROM (
+         |    SELECT s.vec_id, s.sub, s.sv, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        list_sum(list_transform(list_zip(s.sv, c.v),
+         |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+         |    FROM subv s JOIN $cents c ON c.sub = s.sub) WHERE rn = 1)""".stripMargin
+    def updateKeep(assigned: String, prev: String, out: String) =
+      s"""$out AS (SELECT p.sub, p.cid, COALESCE(u.v, p.v) AS v FROM $prev p LEFT JOIN (
+         |    SELECT sub, cid, list(el ORDER BY pos) AS v FROM (
+         |      SELECT sub, cid, pos, CAST(floor(CAST(sum(el) AS DOUBLE) / count(*)) AS BIGINT) AS el
+         |      FROM (SELECT sub, cid, unnest(sv) AS el, generate_subscripts(sv, 1) AS pos FROM $assigned)
+         |      GROUP BY sub, cid, pos) GROUP BY sub, cid) u
+         |  ON u.sub = p.sub AND u.cid = p.cid)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      s"${assign(s"b$i", s"pa$i")},\n${updateKeep(s"pa$i", s"b$i", s"b${i + 1}")}"
+    }.mkString(",\n")
+    s"""subv AS (SELECT vec_id, CAST(t.s AS INT) AS sub,
+       |           v[CAST(t.s AS INT) * (len(v) // $m) + 1 :
+       |             (CAST(t.s AS INT) + 1) * (len(v) // $m)] AS sv
+       |         FROM q, range(0, $m) t(s)),
+       |seedv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vec_id
+       |          FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= $kk),
+       |b0 AS (SELECT sv.sub, sd.cid, sv.sv AS v
+       |       FROM seedv sd JOIN subv sv ON sv.vec_id = sd.vec_id),
+       |$rounds,
+       |${assign(s"b$iters", "paF")}""".stripMargin
+  }
+
+  /** ADC + shortlist + exact rerank over a candidate set `$cand(qid,
+    * cand_id)` — the search half of the oracle replay. `q` and `paF`
+    * must be in scope; books are `b$Iters`.
+    */
+  private[ext] def pqSearchSql(cand: String, k: Int, shortlist: Int,
+      iters: Int = Iters): String =
+    s"""qn AS (SELECT vec_id AS qid,
+       |         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS qn2
+       |       FROM q WHERE vec_id < ${Similarity.nQueries}),
+       |parts AS (SELECT t.qid, t.cand_id,
+       |            CAST(list_sum(list_transform(list_zip(qs.sv, b.v),
+       |              p -> p[1] * p[2])) AS BIGINT) AS dot,
+       |            CAST(list_sum(list_transform(b.v, x -> x * x)) AS BIGINT) AS rn2
+       |          FROM $cand t
+       |          JOIN subv qs ON qs.vec_id = t.qid
+       |          JOIN paF pf ON pf.vec_id = t.cand_id AND pf.sub = qs.sub
+       |          JOIN b$iters b ON b.sub = pf.sub AND b.cid = pf.cid),
+       |adc AS (SELECT p.qid, p.cand_id,
+       |          round(CAST(sum(p.dot) AS DOUBLE) /
+       |            sqrt(CAST(qn.qn2 AS DOUBLE) * CAST(sum(p.rn2) AS DOUBLE)), 6) AS adc6
+       |        FROM parts p JOIN qn ON qn.qid = p.qid
+       |        GROUP BY p.qid, p.cand_id, qn.qn2),
+       |short AS (SELECT qid, cand_id FROM (
+       |            SELECT qid, cand_id,
+       |              row_number() OVER (PARTITION BY qid ORDER BY adc6 DESC, cand_id) AS rn
+       |            FROM adc) WHERE rn <= ${k * shortlist})
+       |SELECT qid, cand_id, cos6, rank FROM (
+       |  SELECT s.qid, s.cand_id,
+       |         round(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+       |                                      CAST(qe.embedding AS DOUBLE[])), 6) AS cos6,
+       |         row_number() OVER (PARTITION BY s.qid
+       |           ORDER BY round(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+       |                                                 CAST(qe.embedding AS DOUBLE[])), 6) DESC,
+       |                    s.cand_id) AS rank
+       |  FROM short s JOIN q ce ON ce.vec_id = s.cand_id
+       |               JOIN q qe ON qe.vec_id = s.qid)
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // PQ tier: train → encode (16-byte codes) → ADC shortlist → exact
-    // rerank. Same output
-    // shape as q_sim_topk/q_sim_lsh/q_sim_ivf; non-oracle by design
-    // (recall < 1); PqSpec pins recall, determinism, compression.
+    // rerank. Same output shape as q_sim_topk/q_sim_lsh/q_sim_ivf.
+    // FULLY ORACLED (round-10): training was already the X111
+    // bit-reproducible fixed-point Lloyd's per subspace, so the DuckDB
+    // twin replays codebooks, codes, exact-integer ADC, the shortlist
+    // cut, and the rerank — identical row sets even though recall < 1 vs
+    // the exact tier. PqSpec keeps recall/determinism/compression as the
+    // quality pins.
     "q_sim_pq" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val books = trainedBooks(s, d)
@@ -161,5 +243,13 @@ object Pq {
     }),
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q_sim_pq" ->
+      s"""WITH q AS (SELECT vec_id, embedding, ${Similarity.quantSql} AS v FROM embeddings),
+         |${pqReplaySql()},
+         |cand AS (SELECT qq.vec_id AS qid, cc.vec_id AS cand_id
+         |         FROM q qq JOIN q cc
+         |           ON qq.vec_id < ${Similarity.nQueries} AND cc.vec_id <> qq.vec_id),
+         |${pqSearchSql("cand", Similarity.k, 8)}""".stripMargin,
+  )
 }

@@ -66,10 +66,35 @@ object Similarity {
     * first `n` pool planes. Each plane projection is the native codegen'd
     * `vec_dot` against a constant plane literal — the whole bucket id stays
     * inside whole-stage codegen.
+    *
+    * This FLOAT-dot variant backs q_dedup_embedding, whose recall guarantee
+    * (an exactly-scaled copy lands in the same bucket) relies on IEEE
+    * power-of-two scaling being exact in the double accumulation — a
+    * property the quantized variant below does not have.
     */
   def bucketOf(emb: Column, n: Int = nPlanes): Column =
     (0 until n).map { j =>
       when(VectorOps.dot(emb, lit(planePool(j))) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** The pool planes quantized to `floor(p·10⁴)` longs — the X111
+    * fixed-point discipline applied to the hyperplanes, so a bucket id is
+    * a pure EXACT-INTEGER function of the embedding (quantized the same
+    * way) that DuckDB recomputes bit-for-bit. This is what lifts q_sim_lsh
+    * from property-pinned to fully oracled (round-10): the oracle replays
+    * bucketing, multi-probe, and the rerank, so the row sets match even
+    * though recall < 1 vs the exact tier.
+    */
+  lazy val planeInts: Array[Array[Long]] =
+    planePool.map(_.map(x => math.floor(x.toDouble * 10000).toLong))
+
+  /** Exact-integer sign-pattern bucket over a PRE-QUANTIZED `array<long>`
+    * vector column (`KMeans.quantize`): one native codegen'd exact dot per
+    * plane against the quantized plane literal, strict `> 0` sign rule.
+    */
+  def bucketOfExact(qv: Column, n: Int = nPlanes): Column =
+    (0 until n).map { j =>
+      when(VectorOps.dotExact(qv, lit(planeInts(j))) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
   val ivfK = 16
@@ -110,55 +135,51 @@ object Similarity {
     * partitioned corpus (the IVF index file, in FAISS terms).
     */
   private val quantCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Float]], Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Long]], Int)]()
 
-  def quantizerFor(s: SparkSession, d: String, e: DataFrame): (Array[Array[Float]], Int) =
+  def quantizerFor(s: SparkSession, d: String, e: DataFrame): (Array[Array[Long]], Int) =
     quantCache.computeIfAbsent(d, _ => {
       val k = adaptiveIvfK(e.count())
       (ivfCentroids(s, e, k), adaptiveProbes(k))
     })
 
-  /** Spherical k-means coarse quantizer for the IVF tier: Lloyd iterations
-    * where every data pass is distributed (assignment = argmax of k
-    * codegen'd cosines against centroid literals; update = per-dimension
-    * mean via posexplode + one combinable groupBy) and only the k×dim
-    * centroid table crosses the driver between iterations — the standard
-    * k-means-on-Spark shape. Deterministic: seeded by the first k vectors,
-    * no randomness.
+  /** Coarse quantizer for the IVF tier: the X111 bit-reproducible
+    * fixed-point Lloyd's (integer ×10⁴ vectors, exact integer squared-L2,
+    * first-k-ids seeding, floor-division updates, lowest-cid tie-break,
+    * emptied clusters keep their centroid) — the embeddings are
+    * unit-normalized, so L2 ordering coincides with cosine ordering and
+    * nothing is lost vs the spherical variant, while every centroid
+    * component becomes an exact BIGINT a DuckDB oracle replays round for
+    * round (round-10: this is what lifts q_sim_ivf/q_sim_ivfpq from
+    * property-pinned to fully oracled). Each Lloyd round is distributed
+    * (assign = codegen'd integer distances; update = one combinable
+    * groupBy); only the k×dim centroid table crosses the driver.
     */
   def ivfCentroids(s: SparkSession, e: DataFrame,
-      targetK: Int = ivfK): Array[Array[Float]] = {
-    // seed with the first targetK vectors IN ID ORDER — no assumption
-    // that ids are contiguous or start at zero
-    var cents: Array[Array[Float]] = e.orderBy("vec_id").limit(targetK).collect()
-      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
-    require(cents.nonEmpty, "ivfCentroids: empty corpus")
-    val k = cents.length // < targetK only for corpora smaller than targetK
-    for (_ <- 1 to ivfIters) {
-      val assigned = assignClusters(e, cents)
-      val updated = assigned
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim")
-        .agg(avg(col("x")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          val v = new Array[Float](cents(0).length)
-          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
-          c -> v
-        }
-      cents = Array.tabulate(k)(c => updated.getOrElse(c, cents(c)))
-    }
-    cents
+      targetK: Int = ivfK): Array[Array[Long]] = {
+    val cents = KMeans.trainCentroids(e, "vec_id", "embedding", targetK, ivfIters)
+    cents.sortBy(_._1).map(_._2.toArray).toArray
   }
 
-  /** Nearest-centroid assignment: k codegen'd cosines per row, argmax via
-    * array_position(max) — whole pass stays in codegen.
+  /** Nearest-centroid assignment under the fixed-point quantizer: exact
+    * integer squared-L2 against centroid literals, lowest-cid tie-break
+    * (the X111 assign). Output schema = input + `cluster` (int).
     */
-  def assignClusters(e: DataFrame, cents: Array[Array[Float]]): DataFrame = {
-    val cos = array(cents.toIndexedSeq.map(c => VectorOps.cosine(col("embedding"), lit(c))): _*)
-    e.withColumn("cluster",
-      (array_position(cos, array_max(cos)) - 1).cast("int"))
+  def assignClusters(e: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    KMeans.assignTo(e, "embedding",
+      cents.toIndexedSeq.zipWithIndex.map { case (c, i) => i -> c.toSeq })
+      .drop("__v")
+
+  /** Per-query nearest-`nProbes` cluster ids (asc integer L2, then asc
+    * cid) over a raw float query column — the probe half of the X111
+    * assign, generalized from argmin to top-p.
+    */
+  def probeClusters(qe: Column, cents: Array[Array[Long]], nProbes: Int): Column = {
+    val qv = KMeans.quantize(qe)
+    val scored = array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(KMeans.distToCol(qv, c.toSeq).as("d"), lit(i).as("idx"))
+    }: _*)
+    slice(sort_array(scored), 1, nProbes)
   }
 
   val queries: Map[String, Q] = Map(
@@ -186,8 +207,13 @@ object Similarity {
     // exact rerank, surviving JVM restarts like any lake table. At 100 TB
     // the lists table IS the cluster-partitioned corpus, so a probe
     // reads ivfProbes/k of the data — the classic IVF-flat layout.
-    // Non-oracle (recall < 1 by design); recall and candidate-efficiency
-    // pinned by SimilaritySpec, index durability by IvfIndexSpec.
+    // FULLY ORACLED (round-10): the coarse quantizer is the X111
+    // bit-reproducible fixed-point Lloyd's, so the DuckDB twin replays
+    // training (√n clusters, 3 unrolled rounds, emptied-cluster keep
+    // rule), list assignment, per-query probe selection, and the cos6
+    // rerank — identical row sets even though recall < 1 vs the exact
+    // tier. SimilaritySpec keeps recall and candidate-efficiency as the
+    // quality pins, IvfIndexSpec the durability contract.
     "q_sim_ivf" -> ((s, d) => {
       val root = graft.util.FixtureCache.dir("ivf_index", d) { root =>
         IvfIndex.build(s, embeddings(s, d).select("vec_id", "embedding"),
@@ -199,10 +225,16 @@ object Similarity {
     }),
 
     // LSH tier: same output shape, candidates restricted to multi-probe
-    // buckets. Non-oracle (recall < 1 by design); pinned by SimilaritySpec.
+    // buckets. FULLY ORACLED (round-10): bucket ids are exact-integer
+    // functions of the quantized embedding (see [[planeInts]]), so the
+    // DuckDB twin replays bucketing + Hamming-1 multi-probe + the cos6
+    // rerank and the row sets match by construction; a wrong plane, sign
+    // rule, probe set, or rank tie-break reshuffles rows and hash-fails.
+    // SimilaritySpec keeps the recall-vs-exact property as the quality pin.
     "q_sim_lsh" -> ((s, d) => {
       val e = embeddings(s, d).select("vec_id", "embedding")
-        .withColumn("bucket", bucketOf(col("embedding")))
+        .withColumn("bucket",
+          bucketOfExact(KMeans.quantize(col("embedding"))))
       val q = e.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           explode(array(
@@ -244,7 +276,84 @@ object Similarity {
         .orderBy("label", "dim")),
   )
 
+  /** DuckDB twin of [[bucketOfExact]] over a quantized-vector SQL
+    * expression — exact BIGINT plane dots against the same [[planeInts]]
+    * literals, same strict `> 0` sign rule.
+    */
+  private def lshBucketSql(qv: String): String =
+    (0 until nPlanes).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(list_zip($qv,
+         |   ${planeInts(j).mkString("[", ", ", "]")}),
+         |   p -> p[1] * p[2])) > 0 THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString("\n + ")
+
+  private val cosSql =
+    "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.qe AS DOUBLE[])), 6)"
+
+  /** `floor(x·10⁴)` fixed-point quantization of the embedding column —
+    * the DuckDB twin of `KMeans.quantize`.
+    */
+  private[ext] val quantSql =
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000) AS BIGINT))"
+
+  /** The unrolled IVF training replay shared by the q_sim_ivf and
+    * q_sim_ivfpq oracles: quantized corpus `q`, adaptive k/p CTEs,
+    * first-k seeding, [[ivfIters]] Lloyd rounds (keep rule on empties),
+    * final assignment `af(vec_id, v, cid)`, and per-query probed clusters
+    * `pr(qid, cid)`.
+    */
+  private[ext] def ivfReplaySql: String = {
+    val rounds = (0 until ivfIters).map { i =>
+      s"""${KMeans.assignSql("q", s"c$i", s"a$i")},
+         |${KMeans.updateKeepSql(s"a$i", s"c$i", s"c${i + 1}")}""".stripMargin
+    }.mkString(",\n")
+    s"""q AS (SELECT vec_id, embedding, $quantSql AS v FROM embeddings),
+       |kk AS (SELECT GREATEST($ivfK, LEAST($maxIvfK,
+       |         CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS INT))) AS k FROM q),
+       |pp AS (SELECT GREATEST($ivfProbes, CAST(ceil(k * ${ivfProbes}.0 / $ivfK) AS INT)) AS p FROM kk),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+       |       FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+       |$rounds,
+       |${KMeans.assignSql("q", s"c$ivfIters", "af")},
+       |qd AS (SELECT qq.vec_id AS qid, c.cid,
+       |         list_sum(list_transform(list_zip(qq.v, c.v),
+       |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+       |       FROM q qq, c$ivfIters c WHERE qq.vec_id < $nQueries),
+       |pr AS (SELECT qid, cid FROM (
+       |         SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+       |         FROM qd) WHERE rn <= (SELECT p FROM pp))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_sim_ivf" ->
+      s"""WITH $ivfReplaySql,
+         |cand AS (SELECT p.qid, a.vec_id AS cand_id
+         |         FROM af a JOIN pr p ON a.cid = p.cid AND a.vec_id <> p.qid)
+         |SELECT qid, cand_id, cos6, rank FROM (
+         |  SELECT t.qid, t.cand_id,
+         |         round(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+         |                                      CAST(qe.embedding AS DOUBLE[])), 6) AS cos6,
+         |         row_number() OVER (PARTITION BY t.qid
+         |           ORDER BY round(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+         |                                                 CAST(qe.embedding AS DOUBLE[])), 6) DESC,
+         |                    t.cand_id) AS rank
+         |  FROM cand t JOIN q ce ON ce.vec_id = t.cand_id
+         |              JOIN q qe ON qe.vec_id = t.qid)
+         |WHERE rank <= $k ORDER BY qid, rank""".stripMargin,
+    "q_sim_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |    ${lshBucketSql(
+                "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000) AS BIGINT))")} AS bucket
+         |  FROM embeddings),
+         |probes AS (SELECT vec_id AS qid, embedding AS qe,
+         |    unnest([bucket, ${(0 until nPlanes).map(j => s"xor(bucket, ${1 << j})").mkString(", ")}]) AS probe
+         |  FROM b WHERE vec_id < $nQueries)
+         |SELECT qid, cand_id, cos6, rank FROM (
+         |  SELECT p.qid, c.vec_id AS cand_id, $cosSql AS cos6,
+         |         row_number() OVER (PARTITION BY p.qid
+         |           ORDER BY $cosSql DESC, c.vec_id) AS rank
+         |  FROM b c JOIN probes p ON c.bucket = p.probe AND c.vec_id <> p.qid)
+         |WHERE rank <= $k ORDER BY qid, rank""".stripMargin,
     "q_sim_topk" ->
       s"""SELECT qid, cand_id, cos6, rank FROM (
          |  SELECT q.vec_id AS qid, c.vec_id AS cand_id,
