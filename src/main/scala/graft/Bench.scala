@@ -9,6 +9,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // bench-only durable fixture reuse (round-9 ask #3): committed
+    // timeline/index fixtures are deterministic builder outputs, so a
+    // rerun re-times queries, not fixture writers. Verify/tests never set
+    // this, keeping the correctness gate on live builds.
+    System.setProperty("graft.fixture.durable", "1")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // optional comma-separated subset (SPARK_GRAFT_QUERIES) — used for the

@@ -147,7 +147,8 @@ object IvfPq {
     // the exact tier. IvfPqSpec keeps recall, column pruning on the hot
     // scan, restart survival, and delete composition as the named pins.
     "q_sim_ivfpq" -> ((s, d) => {
-      val root = graft.util.FixtureCache.dir("ivfpq_index", d) { root =>
+      val root = graft.util.FixtureCache.durableDir("ivfpq_index", d,
+        s"v2-fixedpoint-l2:${Similarity.ivfK}:${Similarity.ivfIters}:${Pq.M}:${Pq.K}:${Pq.Iters}") { root =>
         IvfPq.build(s,
           graft.sources.Tables.embeddings(s, d).select("vec_id", "embedding"),
           root, 20250801, 900)

@@ -215,7 +215,8 @@ object Similarity {
     // tier. SimilaritySpec keeps recall and candidate-efficiency as the
     // quality pins, IvfIndexSpec the durability contract.
     "q_sim_ivf" -> ((s, d) => {
-      val root = graft.util.FixtureCache.dir("ivf_index", d) { root =>
+      val root = graft.util.FixtureCache.durableDir("ivf_index", d,
+        s"v2-fixedpoint-l2:$ivfK:$maxIvfK:$ivfIters") { root =>
         IvfIndex.build(s, embeddings(s, d).select("vec_id", "embedding"),
           root, 20250801, 900)
       }

@@ -406,7 +406,8 @@ object GraftDml {
     fixture(s, d)
 
   private def fixture(s: SparkSession, d: String): String =
-    graft.util.FixtureCache.dir("sql_dml", d) { dir =>
+    graft.util.FixtureCache.durableDir("sql_dml", d,
+        "v1-orders-kcp-delete-update-merge") { dir =>
       val o = Tables.orders(s, d)
         .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
           col("o_totalprice").as("p"))
