@@ -932,6 +932,152 @@ object NamesDict {
     // Georgian script
     "თამარ", "ნათია")
 
+  // Round-10 breadth tranche (public census-style given-name lists):
+  // regions the round-9 sweep still left thin — the Low Countries,
+  // Portugal/Brazil, deeper Poland + Czech/Slovak, Indonesia/Malaysia,
+  // the Philippines (second sweep), Sri Lanka, Nepal, Cambodia/Laos,
+  // West Africa (Akan day names, more Yoruba/Igbo/Hausa), Southern
+  // Africa (Zulu/Xhosa/Sotho/Shona), Somalia, the Caribbean/Haiti.
+  // Same discipline: clearly-gendered names only; unisex candidates
+  // (Ayo, Chi, Nhlanhla, Bongani-as-surname cases, Dominique …) are
+  // deliberately OMITTED rather than guessed; appended last so core
+  // entries win conflicts.
+  private val tranche10Male = Seq(
+    // Netherlands / Flanders
+    "Daan", "Sem", "Bram", "Thijs", "Lars", "Jeroen", "Sander", "Wouter",
+    "Gijs", "Maarten", "Pieter", "Joost", "Bas", "Koen", "Ruben", "Stijn",
+    "Niels", "Jelle", "Sven", "Teun", "Willem", "Hendrik", "Cornelis",
+    // Portugal / Brazil
+    "Joao", "Tiago", "Goncalo", "Duarte", "Vasco", "Nuno", "Rui",
+    "Henrique", "Caio", "Thiago", "Mateus", "Gustavo", "Rafael", "Renato",
+    "Rodrigo", "Marcelo", "Leandro", "Wellington", "Everton", "Vinicius",
+    "Otavio", "Emerson",
+    // Poland (deeper)
+    "Wojciech", "Krzysztof", "Grzegorz", "Tomasz", "Mariusz", "Zbigniew",
+    "Slawomir", "Przemyslaw", "Rafal", "Pawel", "Michal", "Jakub",
+    "Szymon", "Bartosz", "Dawid", "Kamil", "Lukasz", "Marcin", "Piotr",
+    "Radoslaw", "Waldemar", "Janusz", "Tadeusz", "Leszek",
+    // Czechia / Slovakia
+    "Jiri", "Ondrej", "Vaclav", "Zdenek", "Milos", "Bohumil", "Radek",
+    "Vit", "Miroslav", "Lubomir", "Frantisek", "Vladislav", "Dusan",
+    "Matej", "Marek", "Tomas", "Stanislav", "Rastislav", "Juraj",
+    // Indonesia / Malaysia
+    "Budi", "Agus", "Bambang", "Hendra", "Joko", "Slamet", "Sutrisno",
+    "Wahyu", "Yudi", "Taufik", "Firman", "Rizky", "Fajar", "Hafiz",
+    "Syafiq", "Amirul", "Azlan", "Rosli", "Zulkifli", "Khairul",
+    // Philippines (second sweep)
+    "Bayani", "Crisanto", "Danilo", "Edgardo", "Feliciano", "Gregorio",
+    "Isagani", "Lorenzo", "Mariano", "Nestor", "Ponciano", "Rodel",
+    "Teodoro", "Virgilio", "Wilfredo",
+    // Sri Lanka (Sinhala romanized)
+    "Nuwan", "Chaminda", "Kumar", "Lasith", "Mahela", "Sanath",
+    "Tillakaratne", "Dinesh", "Angelo", "Kusal", "Dimuth", "Suranga",
+    // Nepal
+    "Bishal", "Dipesh", "Gopal", "Hari", "Krishna", "Madhav", "Narayan",
+    "Prakash", "Rajendra", "Shyam", "Umesh", "Yadav", "Bikram", "Deepak",
+    // Cambodia / Laos
+    "Sovan", "Rithy", "Veasna", "Dara", "Boun", "Khamla", "Somphone",
+    "Sisavath", "Phet", "Bounmy",
+    // West Africa: Akan male day names + Yoruba/Igbo/Hausa
+    "Kwame", "Kofi", "Kwabena", "Kwaku", "Yaw", "Kwesi", "Kwadwo",
+    "Adebayo", "Babatunde", "Olusegun", "Oluwaseun", "Ademola", "Femi",
+    "Segun", "Emeka", "Obinna", "Chinedu", "Ikenna", "Nnamdi", "Kelechi",
+    "Abubakar", "Aliyu", "Bello", "Garba", "Musa", "Sani", "Usman",
+    // Southern Africa
+    "Sipho", "Thabo", "Mandla", "Sibusiso", "Themba", "Bheki", "Vusi",
+    "Tshepo", "Kagiso", "Lefa", "Tendai", "Tafadzwa", "Farai", "Tinashe",
+    // Somalia
+    "Abdirahman", "Abdullahi", "Liban", "Warsame", "Farah", "Guled",
+    // Caribbean / Haiti
+    "Jean-Baptiste", "Wyclef", "Dieudonne", "Toussaint", "Emmanuel",
+    "Reginald", "Stevenson", "Fabrice")
+
+  private val tranche10Female = Seq(
+    // Netherlands / Flanders
+    "Sanne", "Femke", "Lotte", "Maud", "Fleur", "Anouk", "Marloes",
+    "Nienke", "Iris", "Tess", "Roos", "Lieke", "Jantine", "Annemarie",
+    "Marieke", "Wilhelmina", "Geertruida", "Johanna", "Saskia", "Brechtje",
+    // Portugal / Brazil
+    "Mariana", "Catarina", "Beatriz", "Ines", "Margarida", "Leonor",
+    "Matilde", "Madalena", "Larissa", "Leticia", "Juliana", "Camila",
+    "Fernanda", "Patricia", "Vanessa", "Tatiane", "Raquel", "Bruna",
+    "Thais", "Aline", "Luana", "Graziela",
+    // Poland (deeper)
+    "Malgorzata", "Agnieszka", "Katarzyna", "Joanna", "Magdalena",
+    "Aleksandra", "Zofia", "Helena", "Janina", "Danuta", "Grazyna",
+    "Jadwiga", "Bozena", "Urszula", "Elzbieta", "Beata", "Dorota",
+    "Iwona", "Justyna", "Karolina", "Monika", "Patrycja", "Sylwia",
+    "Wioletta", "Zuzanna",
+    // Czechia / Slovakia
+    "Jana", "Hana", "Vera", "Alena", "Ludmila", "Marcela", "Ivana",
+    "Zdenka", "Bozena", "Jarmila", "Miroslava", "Katerina", "Tereza",
+    "Barbora", "Kristyna", "Adela", "Lucie", "Michaela", "Veronika",
+    // Indonesia / Malaysia
+    "Siti", "Dewi", "Sri", "Ratna", "Yanti", "Wati", "Lestari", "Indah",
+    "Fitri", "Ayu", "Nurul", "Aisyah", "Zainab", "Rohani", "Faridah",
+    "Noraini", "Azizah", "Salmah", "Hasnah", "Rosmah",
+    // Philippines (second sweep)
+    "Corazon", "Imelda", "Luzviminda", "Remedios", "Rosario", "Teresita",
+    "Violeta", "Zenaida", "Lourdes", "Milagros", "Perlita", "Consuelo",
+    // Sri Lanka
+    "Sanduni", "Hansika", "Dilani", "Nayana", "Chamari", "Shashika",
+    "Anusha", "Kumari", "Nilmini", "Dulani",
+    // Nepal
+    "Sita", "Gita", "Laxmi", "Parvati", "Sarita", "Sunita", "Kamala",
+    "Radha", "Bimala", "Durga", "Sabina", "Pratima",
+    // Cambodia / Laos
+    "Sophea", "Channary", "Bopha", "Sreymom", "Chantha", "Malis",
+    "Khamphone", "Viengkham", "Noy", "Chanthavy",
+    // West Africa: Akan female day names + Yoruba/Igbo/Hausa
+    "Akosua", "Adwoa", "Abena", "Akua", "Yaa", "Afua", "Ama",
+    "Folasade", "Yemisi", "Bukola", "Funmilayo", "Omolara", "Titilayo",
+    "Adaeze", "Chioma", "Ifeoma", "Nneka", "Ngozika", "Chiamaka",
+    "Amina", "Hadiza", "Maryam", "Zainabu", "Safiya", "Jamila",
+    // Southern Africa
+    "Thandiwe", "Nomvula", "Zanele", "Ntombi", "Lindiwe", "Busisiwe",
+    "Nosipho", "Palesa", "Dikeledi", "Refilwe", "Rudo", "Chipo",
+    "Vimbai", "Tariro", // (Nyasha is unisex — omitted, not guessed)
+    // Somalia
+    "Amina", "Hodan", "Sagal", "Ubah", "Ayan", "Deqa",
+    // Caribbean / Haiti
+    "Widelene", "Fabienne", "Mirlande", "Roseline", "Guerline",
+    "Nadege", "Yolande")
+
+  // Round-10 native-script tier: Japanese kana, Sinhala, Khmer, Lao,
+  // Amharic (Ge'ez fidel), Serbian Cyrillic, deeper Greek. Same
+  // transliteration-or-unknown contract.
+  private val tranche10ScriptMale = Seq(
+    // Japanese kana/kanji given names (clearly male)
+    "たろう", "ひろし", "タロウ", "ケンジ",
+    // Sinhala
+    "නුවන්", "කසුන්",
+    // Khmer
+    "សុខា", "វិសាល",
+    // Lao
+    "ສົມສັກ", "ບຸນມີ",
+    // Amharic
+    "ዳዊት", "ተስፋዬ",
+    // Serbian Cyrillic
+    "Милош", "Драган", "Небојша", "Златан",
+    // Greek (deeper)
+    "Αλέξανδρος", "Θοδωρής", "Μιχάλης")
+
+  private val tranche10ScriptFemale = Seq(
+    // Japanese kana
+    "はなこ", "ゆき", "ハナコ", "サクラ",
+    // Sinhala
+    "සඳුනි", "දිලානි",
+    // Khmer
+    "សុភា", "ចន្ថា",
+    // Lao
+    "ຈັນທະວີ", "ນ້ອຍ",
+    // Amharic
+    "ትግስት", "አበባ",
+    // Serbian Cyrillic
+    "Милица", "Драгана", "Јелена", "Златица",
+    // Greek (deeper)
+    "Αναστασία", "Παρασκευή", "Ευαγγελία")
+
   /** first_name → category. Names appearing in several category lists
     * (real-data ambiguity — "Andrea" is female in most locales, male in
     * Italian) resolve by FIRST CATEGORY WINS in the concatenation order
@@ -962,7 +1108,11 @@ object NamesDict {
       // round-9 breadth + native-script tranche, appended last
       tranche9Male.map(_ -> "male") ++ tranche9Female.map(_ -> "female") ++
       tranche9ScriptMale.map(_ -> "male") ++
-      tranche9ScriptFemale.map(_ -> "female"))
+      tranche9ScriptFemale.map(_ -> "female") ++
+      // round-10 breadth + native-script tranche, appended last
+      tranche10Male.map(_ -> "male") ++ tranche10Female.map(_ -> "female") ++
+      tranche10ScriptMale.map(_ -> "male") ++
+      tranche10ScriptFemale.map(_ -> "female"))
     .filterNot(_._1.exists(_.isDigit))
     .map { case (k, v) => normalizeKey(k) -> v } // keys canonically composed
 

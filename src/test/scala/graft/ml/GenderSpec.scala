@@ -198,6 +198,42 @@ class GenderSpec extends SparkSpec {
       s"round-9 tranche missing: ${NamesDict.entries.size} entries")
   }
 
+  test("round-10 tranche: Low Countries/Lusophone/Slavic-deep/SE-Asia/Africa/Caribbean resolve; kana+fidel+Sinhala honor transliteration-or-unknown") {
+    val panel = Seq(
+      ("Daan de Vries", "male", 0.9f), ("Sanne Bakker", "female", 0.9f),
+      ("Joao Carvalho", "male", 0.9f), ("Mariana Ferreira", "female", 0.9f),
+      ("Thiago Souza", "male", 0.9f), ("Larissa Oliveira", "female", 0.9f),
+      ("Wojciech Nowak", "male", 0.9f), ("Malgorzata Kowalska", "female", 0.9f),
+      ("Ondrej Svoboda", "male", 0.9f), ("Tereza Novakova", "female", 0.9f),
+      ("Budi Santoso", "male", 0.9f), ("Siti Rahayu", "female", 0.9f),
+      ("Khairul Anwar", "male", 0.9f), ("Nurul Huda", "female", 0.9f),
+      ("Bayani Reyes", "male", 0.9f), ("Corazon Aquino", "female", 0.9f),
+      ("Nuwan Perera", "male", 0.9f), ("Sanduni Silva", "female", 0.9f),
+      ("Prakash Shrestha", "male", 0.9f), ("Sarita Gurung", "female", 0.9f),
+      ("Veasna Chan", "male", 0.9f), ("Sophea Kim", "female", 0.9f),
+      ("Kwame Mensah", "male", 0.9f), ("Akosua Boateng", "female", 0.9f),
+      ("Babatunde Adeyemi", "male", 0.9f), ("Chioma Eze", "female", 0.9f),
+      ("Abubakar Bello", "male", 0.9f), ("Hadiza Garba", "female", 0.9f),
+      ("Sipho Dlamini", "male", 0.9f), ("Thandiwe Khumalo", "female", 0.9f),
+      ("Tendai Moyo", "male", 0.9f), ("Rudo Ncube", "female", 0.9f),
+      ("Abdirahman Ali", "male", 0.9f), ("Hodan Yusuf", "female", 0.9f),
+      ("Dieudonne Pierre", "male", 0.9f), ("Fabienne Joseph", "female", 0.9f),
+      // new native scripts resolve directly…
+      ("たろう 田中", "male", 0.9f), ("はなこ 山田", "female", 0.9f),
+      ("නුවන් පෙරේරා", "male", 0.9f), ("සඳුනි සිල්වා", "female", 0.9f),
+      ("ዳዊት ተክለ", "male", 0.9f), ("ትግስት አለሙ", "female", 0.9f),
+      ("Милош Јовановић", "male", 0.9f), ("Милица Петровић", "female", 0.9f),
+      // …and out-of-dict native-script names stay unknown, never a
+      // transliteration guess (けんた / ሳሙኤል are real names NOT entered)
+      ("けんた 佐藤", "unknown", 0.5f), ("ሳሙኤል ገብረ", "unknown", 0.5f))
+    panel.foreach { case (fullName, g, c) =>
+      val got = Gender.guess(fullName, "x1")
+      assert((got.predicted_gender, got.confidence) === ((g, c)), fullName)
+    }
+    assert(NamesDict.entries.size >= 3200,
+      s"round-10 tranche missing: ${NamesDict.entries.size} entries")
+  }
+
   test("property: outputs confined to the reference domains") {
     val gen = Gen.zip(Gen.asciiPrintableStr, Gen.asciiPrintableStr)
     (1 to 300).foreach { seed =>
