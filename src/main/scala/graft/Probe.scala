@@ -61,7 +61,8 @@ object Probe {
         val exact = SparkEntry.queries("q_sim_topk")(s, dir)
           .select("qid", "cand_id").cache()
         val tot = exact.count()
-        Seq("q_sim_lsh", "q_sim_ivf", "q_sim_pq").foreach { q =>
+        Seq("q_sim_lsh", "q_sim_ivf", "q_sim_pq", "q_sim_ivfpq",
+          "q_sim_hamming").foreach { q =>
           val t0 = System.nanoTime()
           val approx = SparkEntry.queries(q)(s, dir).select("qid", "cand_id")
           val hit = exact.intersect(approx).count()
