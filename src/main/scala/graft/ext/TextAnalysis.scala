@@ -32,7 +32,7 @@ object TextAnalysis {
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
   /** Tokens in `set` (small literal set → array_contains, codegen'd). */
-  private def countIn(toks: Column, set: Seq[String]): Column =
+  private[ext] def countIn(toks: Column, set: Seq[String]): Column =
     size(filter(toks, t => array_contains(lit(set.toArray), t))).cast("long")
 
   /** English function words present in the fixture vocabulary. */
@@ -254,7 +254,7 @@ object TextAnalysis {
 
   private[ext] val toksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
-  private def countInSql(set: Seq[String]): String =
+  private[ext] def countInSql(set: Seq[String]): String =
     set.mkString(s"len(list_filter($toksSql, t -> t IN ('", "','", "')))")
 
   val oracles: Map[String, String] = Map(
