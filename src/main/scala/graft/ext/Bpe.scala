@@ -121,7 +121,41 @@ object Bpe {
         .groupBy("doc_id").agg(sum("n_tok").as("n_tokens"))
         .orderBy("doc_id")
     }),
+
+    "q_bpe_fit" -> ((s, d) => fitQuery(s, d)),
   )
+
+  /** X231: tokenizer-fit audit — train the vocabulary on HALF the corpus
+    * (even doc_ids) and measure fit on the HELD-OUT half, per source:
+    * held-out compression (sum_chars vs sum_tokens — the bytes-per-token
+    * every tokenizer report leads with) and the OOV word count, where an
+    * unseen word falls back to character-level tokens (the BPE fallback,
+    * so sum_tokens stays meaningful). THIS is the metric that tells a
+    * corpus curator a tokenizer trained on source A fits source B poorly
+    * — on the training half OOV is zero by construction, which is why
+    * the split exists. All exact integers; the oracle replays the
+    * train-half merges AND the held-out scoring.
+    */
+  val fitQuery: (SparkSession, String) => DataFrame = (s, d) => {
+    val vocabDir = graft.util.FixtureCache.dir("bpe_vocab_half", d) { dir =>
+      tokenizedVocab(
+        wordFreq(documents(s, d).where(col("doc_id") % 2 === 0), "text"),
+        Rounds)
+        .write.mode("overwrite").parquet(s"$dir/t")
+    }
+    documents(s, d).where(col("doc_id") % 2 === 1)
+      .select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .join(graft.sources.Tables.cachedParquet(s, s"$vocabDir/t"), Seq("w"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("sum_chars"),
+        sum(coalesce(col("n_tok"), length(col("w")).cast("long")))
+          .cast("long").as("sum_tokens"),
+        count(when(col("n_tok").isNull, 1)).as("n_oov"))
+      .orderBy("source")
+  }
 
   /** The corpus→word-frequency reduction is a deterministic derived
     * table (the same one q_text_tokens scans); materialize it once per
@@ -222,6 +256,40 @@ object Bpe {
          |FROM doc_words dw JOIN vocab v USING (w)
          |WHERE length(dw.w) > 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q_bpe_fit" -> {
+      val rounds = (1 to Rounds).map(roundSql).mkString(",\n")
+      val applies = (1 to Rounds).map { r =>
+        s"""w$r AS (
+           |  SELECT w, replace(sym, ' ' || replace((SELECT pair FROM r$r), ' ', '  ') || ' ',
+           |                 ' ' || (SELECT merged FROM r$r) || ' ') AS sym
+           |  FROM w${r - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |    FROM documents WHERE doc_id % 2 = 0)
+         |  WHERE length(w) > 0 GROUP BY w),
+         |v0 AS (
+         |  SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS sym, cnt
+         |  FROM words),
+         |$rounds,
+         |w0 AS (
+         |  SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS sym FROM words),
+         |$applies,
+         |vocab AS (
+         |  SELECT w, len(string_split(trim(sym), '  ')) AS n_tok FROM w$Rounds),
+         |held AS (
+         |  SELECT source, w FROM (
+         |    SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |    FROM documents WHERE doc_id % 2 = 1)
+         |  WHERE length(w) > 0)
+         |SELECT source, count(*) AS n_words,
+         |       CAST(sum(length(h.w)) AS BIGINT) AS sum_chars,
+         |       CAST(sum(COALESCE(v.n_tok, length(h.w))) AS BIGINT) AS sum_tokens,
+         |       count(CASE WHEN v.n_tok IS NULL THEN 1 END) AS n_oov
+         |FROM held h LEFT JOIN vocab v USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin
     },
   )
 }

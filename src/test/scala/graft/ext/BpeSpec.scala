@@ -69,4 +69,21 @@ class BpeSpec extends SparkSpec {
     val many = Bpe.trainMerges(Bpe.wordFreq(docs.repartition(7), "text"), 5)
     assert(one == many)
   }
+
+  test("X231 tokenizer fit: held-out OOV present, char fallback bounds tokens by chars") {
+    val rows = Bpe.fitQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (chars, toks, words, oov) = (r.getAs[Long]("sum_chars"),
+        r.getAs[Long]("sum_tokens"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_oov"))
+      // a token is ≥1 char, and a word is ≥1 token: chars ≥ tokens ≥ words
+      assert(toks <= chars && toks >= words, r.toString)
+      assert(oov >= 0 && oov <= words)
+    }
+    // the split exists so OOV is measurable: held-out text carries words
+    // the train half never saw (true for any natural corpus)
+    assert(rows.map(_.getAs[Long]("n_oov")).sum > 0,
+      "held-out corpus with zero OOV words suggests the split collapsed")
+  }
 }
