@@ -47,11 +47,12 @@ object Curriculum {
   /** 40-bit md5 prefix of `salt || ":" || id` (salt "" → md5(id), the
     * X136 form) — the deterministic shuffle hash.
     */
-  private def h40(idCol: Column, salt: String): Column = {
-    val key = if (salt.isEmpty) idCol.cast("string")
-      else concat(lit(s"$salt:"), idCol.cast("string"))
+  private def h40(idCol: Column, salt: String): Column =
+    h40Of(if (salt.isEmpty) idCol.cast("string")
+      else concat(lit(s"$salt:"), idCol.cast("string")))
+
+  private def h40Of(key: Column): Column =
     conv(substring(md5(key), 1, 10), 16, 10).cast("long")
-  }
 
   /** Global schedule positions for rows ordered by (`majorCol` asc,
     * shuffle-hash, `idCol`): one composite long sort key through the X77
@@ -62,13 +63,13 @@ object Curriculum {
     * id term (same adaptive-width argument as `Split.shuffleOrdinal`).
     */
   private def scheduleOrdinal(df: DataFrame, idCol: String, majorCol: Column,
-      majorMax: Int, salt: String): (DataFrame, Long) = {
+      majorMax: Int, hashCol: Column): (DataFrame, Long) = {
     val stride = df.agg(max(col(idCol))).head.getAs[Number](0).longValue() + 1
     val strideBits = 64 - java.lang.Long.numberOfLeadingZeros(stride)
     val majorBits = 32 - Integer.numberOfLeadingZeros(math.max(1, majorMax))
     val hbits = math.min(40, 62 - strideBits - majorBits)
     require(hbits >= 8, s"id domain too wide: max=$stride, majors=$majorMax")
-    val h = shiftright(h40(col(idCol), salt), 40 - hbits)
+    val h = shiftright(hashCol, 40 - hbits)
     val key = (majorCol.cast("long") * (1L << hbits) + h) * stride + col(idCol)
     val (out, n) = graft.ops.DenseId.assignWithCount(
       df.withColumn("__sched", key), "__sched", 8)
@@ -84,17 +85,24 @@ object Curriculum {
     // Easy-first: stopword-RICH (fluent) text trains first, so the
     // schedule orders by descending bin.
     "q_curriculum" -> ((s, d) => {
-      val t = TextAnalysis.tokens(col("text"))
-      val scored = documents(s, d)
-        .select(col("doc_id"),
-          size(t).cast("long").as("n_tok"),
-          TextAnalysis.countIn(t, TextAnalysis.stopwords).as("n_stop"))
-        .withColumn("permille",
-          expr("n_stop * 1000 div greatest(n_tok, 1)"))
-        .withColumn("bin",
-          least(lit(nBins - 1L), expr(s"permille div $binWidth")))
+      // the slim score frame feeds four passes (max-id, quantile splits,
+      // bucket counts, the final rank+aggregate) — materialize it so the
+      // corpus tokenizes once, not once per pass (the q_source_balance
+      // rule; 3 longs per doc, never the text)
+      val scored = graft.util.FixtureCache.parquet(s, "curr_scores", d) { dir =>
+        val t = TextAnalysis.tokens(col("text"))
+        documents(s, d)
+          .select(col("doc_id"),
+            size(t).cast("long").as("n_tok"),
+            TextAnalysis.countIn(t, TextAnalysis.stopwords).as("n_stop"))
+          .withColumn("permille",
+            expr("n_stop * 1000 div greatest(n_tok, 1)"))
+          .withColumn("bin",
+            least(lit(nBins - 1L), expr(s"permille div $binWidth")))
+          .write.mode("overwrite").parquet(dir)
+      }
       val (sched, _) = scheduleOrdinal(scored, "doc_id",
-        lit(nBins - 1) - col("bin"), nBins - 1, salt = "curr")
+        lit(nBins - 1) - col("bin"), nBins - 1, h40(col("doc_id"), "curr"))
       sched.groupBy("bin")
         .agg(count(lit(1)).as("n_docs"),
           sum("doc_id").cast("long").as("sum_ids"),
@@ -110,8 +118,14 @@ object Curriculum {
     // anchor, its positive, and ANY near-dup of the anchor (a near-dup
     // negative would teach the model the wrong contrast).
     "q_contrastive" -> ((s, d) => {
-      val pairs = Dedup.queries("q_dedup_ngram_jaccard")(s, d)
-        .select(col("ia"), col("ib"), col("jac_permille"))
+      // the near-dup pair set feeds THREE branches (anchors, the jac
+      // lookup, the exclusion set) — materialize it so the prefix-filter
+      // pipeline runs once, not once per branch (pairs are output-sized)
+      val pairs = graft.util.FixtureCache.parquet(s, "contrastive_pairs", d) { dir =>
+        Dedup.queries("q_dedup_ngram_jaccard")(s, d)
+          .select(col("ia"), col("ib"), col("jac_permille"))
+          .write.mode("overwrite").parquet(dir)
+      }
       val anchors = pairs.groupBy(col("ia").as("anchor"))
         .agg(min("ib").as("positive"))
       val posJac = pairs.select(col("ia").as("anchor"),
@@ -148,17 +162,24 @@ object Curriculum {
     // epochs); identical multisets per epoch fall out of n_docs/sum_ids
     // summing equal across epochs, while the checksums differ.
     "q_epoch_shuffle" -> ((s, d) => {
+      // ONE dense-id pass over the 3×-exploded corpus with epoch as the
+      // major key: epoch blocks are contiguous (block e = (e·n, (e+1)·n]),
+      // so within-epoch positions fall out by subtraction — 3 separate
+      // ordinal passes would pay the quantile/count machinery thrice for
+      // the same answer
       val docs = documents(s, d).select("doc_id")
-      (0 until 3).map { e =>
-        val (sched, n) = scheduleOrdinal(docs, "doc_id", lit(0), 0, s"e$e")
-        sched
-          .withColumn("decile",
-            least(lit(9L), expr(s"(pos - 1) * 10 div $n")))
-          .groupBy("decile")
-          .agg(count(lit(1)).as("n_docs"),
-            sum("doc_id").cast("long").as("sum_ids"))
-          .withColumn("epoch", lit(e.toLong))
-      }.reduce(_ unionByName _)
+        .withColumn("epoch", explode(array(lit(0L), lit(1L), lit(2L))))
+      val hash = h40Of(concat(lit("e"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string")))
+      val (sched, n3) = scheduleOrdinal(docs, "doc_id", col("epoch"), 2, hash)
+      val n = n3 / 3
+      sched
+        .withColumn("pos_in_epoch", col("pos") - col("epoch") * n)
+        .withColumn("decile",
+          least(lit(9L), expr(s"(pos_in_epoch - 1) * 10 div $n")))
+        .groupBy("epoch", "decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").cast("long").as("sum_ids"))
         .select("epoch", "decile", "n_docs", "sum_ids")
         .orderBy("epoch", "decile")
     }),
