@@ -182,6 +182,17 @@ object Similarity {
     slice(sort_array(scored), 1, nProbes)
   }
 
+  /** The committed IVF index fixture shared by q_sim_ivf and
+    * q_ivf_balance (built once per corpus; durable across bench JVMs —
+    * the round-10 fixture-cache rule).
+    */
+  def ivfIndexDir(s: SparkSession, d: String): String =
+    graft.util.FixtureCache.durableDir("ivf_index", d,
+      s"v2-fixedpoint-l2:$ivfK:$maxIvfK:$ivfIters") { root =>
+      IvfIndex.build(s, embeddings(s, d).select("vec_id", "embedding"),
+        root, 20250801, 900)
+    }
+
   val queries: Map[String, Q] = Map(
     // Exact top-k: rank on the ROUNDED cosine (6 dp) with candidate-id
     // tie-break so ordering is reproducible across engines regardless of
@@ -215,14 +226,31 @@ object Similarity {
     // tier. SimilaritySpec keeps recall and candidate-efficiency as the
     // quality pins, IvfIndexSpec the durability contract.
     "q_sim_ivf" -> ((s, d) => {
-      val root = graft.util.FixtureCache.durableDir("ivf_index", d,
-        s"v2-fixedpoint-l2:$ivfK:$maxIvfK:$ivfIters") { root =>
-        IvfIndex.build(s, embeddings(s, d).select("vec_id", "embedding"),
-          root, 20250801, 900)
-      }
       val q = embeddings(s, d).where(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      IvfIndex.search(s, root, q, k)
+      IvfIndex.search(s, ivfIndexDir(s, d), q, k)
+    }),
+
+    // X232: IVF occupancy audit — the index-MAINTENANCE statistic: list
+    // sizes decide probe cost (a probe reads its lists' rows, so the
+    // Σ size² moment IS the expected candidate volume under uniform
+    // queries), and occupancy skew is the signal that the quantizer has
+    // aged out and the index needs a rebuild into a fresh generation
+    // (the X7 contract). One combinable groupBy over the committed lists
+    // table — metadata-cheap at any scale. `balanced_ok` (max ≤ 8× the
+    // mean, exact cross-multiplied integers) rides as a boolean the
+    // oracle writes literally; the oracle replays training + assignment
+    // to rebuild every size.
+    "q_ivf_balance" -> ((s, d) => {
+      val lists = graft.lake.Catalog.readTable(s, ivfIndexDir(s, d), "lists")
+      lists.groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_lists"),
+          sum("sz").cast("long").as("n_vecs"),
+          min("sz").cast("long").as("min_size"),
+          max("sz").cast("long").as("max_size"),
+          sum(col("sz") * col("sz")).cast("long").as("probe_cost_sq"))
+        .withColumn("balanced_ok",
+          col("max_size") * col("n_lists") <= col("n_vecs") * 8)
     }),
 
     // LSH tier: same output shape, candidates restricted to multi-probe
@@ -326,6 +354,16 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_ivf_balance" ->
+      s"""WITH $ivfReplaySql,
+         |sizes AS (SELECT cid, count(*) AS sz FROM af GROUP BY cid)
+         |SELECT count(*) AS n_lists,
+         |       CAST(sum(sz) AS BIGINT) AS n_vecs,
+         |       CAST(min(sz) AS BIGINT) AS min_size,
+         |       CAST(max(sz) AS BIGINT) AS max_size,
+         |       CAST(sum(sz * sz) AS BIGINT) AS probe_cost_sq,
+         |       max(sz) * count(*) <= sum(sz) * 8 AS balanced_ok
+         |FROM sizes""".stripMargin,
     "q_sim_ivf" ->
       s"""WITH $ivfReplaySql,
          |cand AS (SELECT p.qid, a.vec_id AS cand_id

@@ -165,6 +165,60 @@ object TextAnalysis {
       scored.withColumn("predicted_lang", predicted).orderBy("doc_id")
     }),
 
+    // X233: span-level language consistency — the code-switching /
+    // mixed-language filter (CCNet/Dolma run language-id per PARAGRAPH
+    // precisely because a document-level vote hides a half-German page
+    // inside an "English" doc). Documents chunk into fixed 10-token
+    // spans (the X104 chunking on tokens), each span votes with the
+    // same marker lexicons as q_lang_id, the doc majority comes from
+    // the summed span counts, and a doc is MIXED when some scored span
+    // disagrees with its doc majority. Per-source rollup; all exact
+    // integers, identical tie-breaks to q_lang_id, so the oracle
+    // replays spans, votes, and the disagreement count bit-for-bit.
+    // Shape: one posexplode + two combinable aggregates sharing the
+    // (doc, span)→doc key chain; the corpus never joins itself.
+    "q_lang_mix" -> ((s, d) => {
+      val langs = langMarkers.map(_._1)
+      val tok = documents(s, d)
+        .select(col("source"), col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      val spanAggs = langMarkers.map { case (l, ws) =>
+        sum(when(col("t").isin(ws: _*), 1L).otherwise(0L)).as(s"n_$l")
+      }
+      val spanCounts = tok
+        .withColumn("span", expr("pos div 10"))
+        .groupBy("source", "doc_id", "span")
+        .agg(spanAggs.head, spanAggs.tail: _*)
+      def predicted(prefix: String): Column = {
+        val mx = greatest(langs.map(l => col(s"$prefix$l")): _*)
+        langs.foldRight(lit("und")) { (l, els) =>
+          when(col(s"$prefix$l") === mx && mx > 0, lit(l)).otherwise(els)
+        }
+      }
+      val spans = spanCounts.withColumn("p", predicted("n_"))
+      val docAggs = langs.map(l => sum(col(s"n_$l")).as(s"d_$l")) :+
+        count(lit(1)).as("n_spans") :+
+        count(when(col("p") =!= "und", 1)).as("n_scored") :+
+        collect_list(col("p")).as("ps")
+      val docs = spans.groupBy("source", "doc_id")
+        .agg(docAggs.head, docAggs.tail: _*)
+        .withColumn("dp", predicted("d_"))
+        // scored spans agreeing with the doc majority (an unscored doc —
+        // dp = 'und' — agrees on nothing by definition)
+        .withColumn("n_agree",
+          when(col("dp") === "und", 0L).otherwise(
+            size(filter(col("ps"), p => p === col("dp"))).cast("long")))
+        .withColumn("mixed",
+          col("n_scored") > 0 && col("n_agree") < col("n_scored"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("mixed"), 1)).as("n_mixed"),
+          sum("n_spans").cast("long").as("sum_spans"),
+          sum("n_scored").cast("long").as("sum_scored"),
+          sum("n_agree").cast("long").as("sum_agree"))
+        .orderBy("source")
+    }),
+
     // E4g: vocabulary heavy hitters — the exact tier (one combinable
     // groupBy + threshold) is the oracle; Spark's freqItems sketch
     // (Karp et al. streaming frequent-items) is checked by its guarantee:
@@ -319,6 +373,46 @@ object TextAnalysis {
          |FROM (SELECT doc_id,
          |       $scoreCols
          |FROM documents) ORDER BY doc_id""".stripMargin
+    },
+    "q_lang_mix" -> {
+      val langs = langMarkers.map(_._1)
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+      val spanScores = langMarkers.map { case (l, ws) =>
+        s"count(*) FILTER (WHERE t IN ${inList(ws)}) AS n_$l"
+      }.mkString(",\n           ")
+      def caseExpr(prefix: String) = {
+        val mx = s"greatest(${langs.map(l => s"$prefix$l").mkString(", ")})"
+        "CASE " + langs.map(l =>
+          s"WHEN $prefix$l = $mx AND $mx > 0 THEN '$l'").mkString(" ") +
+          " ELSE 'und' END"
+      }
+      s"""WITH tok AS (
+         |  SELECT source, doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS pos
+         |  FROM (SELECT source, doc_id, $toksSql AS l FROM documents)),
+         |spans AS (
+         |  SELECT source, doc_id, (pos - 1) // 10 AS span,
+         |           $spanScores
+         |  FROM tok GROUP BY 1, 2, 3),
+         |spanp AS (SELECT *, ${caseExpr("n_")} AS p FROM spans),
+         |docs AS (
+         |  SELECT source, doc_id,
+         |         ${langs.map(l => s"sum(n_$l) AS d_$l").mkString(", ")},
+         |         count(*) AS n_spans,
+         |         count(*) FILTER (WHERE p <> 'und') AS n_scored
+         |  FROM spanp GROUP BY 1, 2),
+         |docp AS (SELECT *, ${caseExpr("d_")} AS dp FROM docs),
+         |agree AS (
+         |  SELECT d.source, d.doc_id, d.n_spans, d.n_scored,
+         |         CASE WHEN d.dp = 'und' THEN 0
+         |              ELSE count(*) FILTER (WHERE sp.p = d.dp) END AS n_agree
+         |  FROM docp d JOIN spanp sp USING (source, doc_id)
+         |  GROUP BY d.source, d.doc_id, d.n_spans, d.n_scored, d.dp)
+         |SELECT source, count(*) AS n_docs,
+         |       count(*) FILTER (WHERE n_scored > 0 AND n_agree < n_scored) AS n_mixed,
+         |       CAST(sum(n_spans) AS BIGINT) AS sum_spans,
+         |       CAST(sum(n_scored) AS BIGINT) AS sum_scored,
+         |       CAST(sum(n_agree) AS BIGINT) AS sum_agree
+         |FROM agree GROUP BY source ORDER BY source""".stripMargin
     },
     "q_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),

@@ -107,6 +107,22 @@ class SimilaritySpec extends SparkSpec {
     assert(pf.get.contains("cluster"), s"probe not pruned at partition level: ${pf.get}")
   }
 
+  test("X232 occupancy audit: sizes conserve the corpus, probe-cost moment bounded, balance margin real") {
+    val r = Similarity.queries("q_ivf_balance")(spark, sf).head()
+    val (nLists, nVecs, minSz, maxSz, sq) = (r.getAs[Long]("n_lists"),
+      r.getAs[Long]("n_vecs"), r.getAs[Long]("min_size"),
+      r.getAs[Long]("max_size"), r.getAs[Long]("probe_cost_sq"))
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    assert(nVecs == e.count(), "every vector sits in exactly one list")
+    assert(nLists == Similarity.adaptiveIvfK(e.count()),
+      "no cluster emptied on the fixture")
+    assert(minSz >= 1 && maxSz >= minSz)
+    // Σ size² is bracketed by the balanced and degenerate extremes
+    assert(sq >= nVecs * nVecs / nLists && sq <= nVecs * maxSz)
+    assert(r.getAs[Boolean]("balanced_ok"),
+      s"fixture quantizer unexpectedly skewed: max=$maxSz over $nLists lists")
+  }
+
   test("bucket ids are stable and within range") {
     val b = graft.sources.Tables.embeddings(spark, sf)
       .select(Similarity.bucketOf(col("embedding")).as("b"))

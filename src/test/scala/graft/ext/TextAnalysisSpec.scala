@@ -63,6 +63,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq("en", "de", "und", "de"))
   }
 
+  test("X233 lang-mix: a half-English half-German doc flags mixed; monolingual and unscored docs don't") {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("langmix_golden")
+    // 10-token spans: doc 1 = one English span + one German span (mixed);
+    // doc 2 = two English spans (consistent); doc 3 = no markers at all
+    val en = "the cat sat of a mat and the dog is" // 10 tokens, en markers
+    val de = "der hund und die katze nicht der die und das" // 10, de markers
+    Seq((1L, s"$en $de", "src1"), (2L, s"$en $en", "src1"),
+      (3L, "lorem ipsum dolor sit amet foo bar baz qux corge", "src2"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.queries("q_lang_mix")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_mixed"),
+          r.getAs[Long]("sum_scored"), r.getAs[Long]("sum_agree"))).toMap
+    // src1: 2 docs, exactly the bilingual one mixed. Doc 1's majority is
+    // de (10 German markers vs 5 English across the doc), so its English
+    // span is the one scored disagreement; 4 scored spans total
+    assert(rows("src1")._1 == 2 && rows("src1")._2 == 1, rows.toString)
+    assert(rows("src1")._3 == rows("src1")._4 + 1,
+      "exactly one scored span disagrees with its doc majority")
+    // src2: unscored doc — never mixed
+    assert(rows("src2") == ((1L, 0L, 0L, 0L)), rows.toString)
+  }
+
   test("token counts: bpe regex splits punctuation that whitespace keeps") {
     import spark.implicits._
     val df = Seq((1L, "don't stop me-now 42x")).toDF("doc_id", "text")
