@@ -39,25 +39,34 @@ object KMeans {
     transform(vec.cast("array<double>"), x => floor(x * 10000).cast("long"))
 
   /** Exact integer squared-L2 of a quantized-vector column against a
-    * constant centroid — the shared distance kernel (assign here, probe
-    * selection in the IVF tier).
+    * constant centroid, via the expansion Σ(x−y)² = Σx² + Σy² − 2Σxy
+    * with the NATIVE codegen'd exact dot (`vec_dot_exact`) — the HOF
+    * `aggregate(zip_with(...))` form is CodegenFallback (interpreted per
+    * element), which is fine at curation-scale k but melts at the IVF
+    * tier's √n centroids (round-10: 200k vectors × 447 centroids × 64
+    * dims of interpreted lambdas). Values are IDENTICAL integers — the
+    * expansion is exact in long arithmetic (terms ≤ 64·10⁸ each), so
+    * every oracle and tie-break is untouched. `vn2` is the caller's
+    * precomputed Σx² column (one native dot per ROW instead of per
+    * row×centroid).
     */
-  def distToCol(v: Column, c: Seq[Long]): Column =
-    aggregate(
-      zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, e) => acc + e)
-
-  private def distTo(c: Seq[Long]): Column = distToCol(col("__v"), c)
+  def distToCol(v: Column, vn2: Column, c: Seq[Long]): Column = {
+    val c2 = c.map(x => x * x).sum
+    lit(c2) + vn2 - lit(2L) * graft.functions.VectorOps.dotExact(v, typedLit(c))
+  }
 
   /** Nearest-centroid assignment as a pure expression: min over k
     * (distance, cid) structs — struct ordering gives the lowest-cid
-    * tie-break for free.
+    * tie-break for free. One native self-dot per row, one native
+    * centroid-dot per row×centroid, all inside whole-stage codegen.
     */
   private def assign(q: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val withN2 = q.withColumn("__qn2",
+      graft.functions.VectorOps.dotExact(col("__v"), col("__v")))
     val scored = cents.map { case (cid, c) =>
-      struct(distTo(c).as("d"), lit(cid).as("j"))
+      struct(distToCol(col("__v"), col("__qn2"), c).as("d"), lit(cid).as("j"))
     }
-    q.withColumn("cluster", least(scored: _*).getField("j"))
+    withN2.withColumn("cluster", least(scored: _*).getField("j")).drop("__qn2")
   }
 
   /** Train `iters` Lloyd's rounds and return the FINAL CENTROIDS — the

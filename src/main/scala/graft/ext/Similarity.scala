@@ -176,8 +176,9 @@ object Similarity {
     */
   def probeClusters(qe: Column, cents: Array[Array[Long]], nProbes: Int): Column = {
     val qv = KMeans.quantize(qe)
+    val qn2 = VectorOps.dotExact(qv, qv)
     val scored = array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      struct(KMeans.distToCol(qv, c.toSeq).as("d"), lit(i).as("idx"))
+      struct(KMeans.distToCol(qv, qn2, c.toSeq).as("d"), lit(i).as("idx"))
     }: _*)
     slice(sort_array(scored), 1, nProbes)
   }
