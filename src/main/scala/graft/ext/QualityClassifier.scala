@@ -102,21 +102,69 @@ object QualityClassifier {
     // cost ∝ the batch. The oracle replays the training corpus split AND
     // the serving split — a stale or leaked model hash-fails.
     "q_quality_model" -> ((s, d) => {
-      val root = graft.util.FixtureCache.dir("quality_model", d) { root =>
-        val train = Tables.documents(s, d).where(col("doc_id") % 2 === 0)
-        graft.lake.ManifestTable.commit(
-          trainVotes(train,
-            regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2 === 0),
-          s"$root/model", 20250901, 900)
-      }
-      val votes = graft.lake.ManifestTable.readLatest(s, s"$root/model")
+      val votes = graft.lake.ManifestTable.readLatest(s,
+        s"${qualityModelDir(s, d)}/model")
       score(Tables.documents(s, d).where(col("doc_id") % 2 === 1), votes)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
           sum("n_pos").as("sum_pos_votes"))
         .orderBy("source")
+    }),
+
+    // X234: classifier calibration audit (the reliability-diagram /
+    // ECE input every production selector publishes) — held-out docs
+    // bin by score decile (n_pos·10 div n_votes, exact integers;
+    // unscored docs isolate in bin −1) and each bin reports its size,
+    // its GOLD positive count (the curated-slice labeling the model was
+    // trained toward), and the exact score mass (Σn_pos, Σn_votes) — a
+    // well-calibrated selector's bin-k gold rate tracks k/10, and the
+    // drift of one is the re-train signal threshold tuning reads.
+    // Serving rides a COMMITTED X222-style model (no retrain); one
+    // broadcast join + two combinable aggregates; fully oracled (the
+    // DuckDB twin replays training, scoring, binning, and the gold join).
+    // The split is (doc_id div 2) % 2 — the fixture's source ids are
+    // doc_id mod 20, so the X222 even/odd split would leave the serve
+    // half with only ONE gold label (degenerate calibration); alternating
+    // PAIRS puts both labels in both halves.
+    "q_quality_calibration" -> ((s, d) => {
+      val votes = graft.lake.ManifestTable.readLatest(s,
+        s"${calModelDir(s, d)}/model")
+      score(Tables.documents(s, d).where(expr("(doc_id div 2) % 2 = 1")), votes)
+        .withColumn("bin",
+          when(col("n_votes") === 0, lit(-1L))
+            .otherwise(least(lit(9L), expr("n_pos * 10 div n_votes"))))
+        .withColumn("gold_pos",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2 === 0)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("gold_pos"), 1L).otherwise(0L)).as("n_gold_pos"),
+          sum("n_pos").cast("long").as("sum_pos"),
+          sum("n_votes").cast("long").as("sum_votes"))
+        .orderBy("bin")
     }))
+
+  /** The committed X222 model fixture (q_quality_model). */
+  private def qualityModelDir(s: SparkSession, d: String): String =
+    graft.util.FixtureCache.dir("quality_model", d) { root =>
+      val train = Tables.documents(s, d).where(col("doc_id") % 2 === 0)
+      graft.lake.ManifestTable.commit(
+        trainVotes(train,
+          regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2 === 0),
+        s"$root/model", 20250901, 900): Unit
+    }
+
+  /** The calibration model fixture (X234): trained on alternating PAIRS
+    * of doc_ids so both gold labels appear on both sides of the split.
+    */
+  private def calModelDir(s: SparkSession, d: String): String =
+    graft.util.FixtureCache.dir("quality_model_cal", d) { root =>
+      val train = Tables.documents(s, d).where(expr("(doc_id div 2) % 2 = 0"))
+      graft.lake.ManifestTable.commit(
+        trainVotes(train,
+          regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2 === 0),
+        s"$root/model", 20250901, 900): Unit
+    }
 
   val oracles: Map[String, String] = Map(
     "q_quality_model" ->
@@ -177,5 +225,43 @@ object QualityClassifier {
         |       count(*) FILTER (WHERE s.n_pos * 2 >= s.n_votes) AS n_pass,
         |       CAST(SUM(s.n_pos) AS BIGINT) AS sum_pos_votes
         |FROM documents d JOIN scored s USING (doc_id)
-        |GROUP BY d.source ORDER BY d.source""".stripMargin)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q_quality_calibration" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 2 = 0 AS pos,
+        |         unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE (doc_id // 2) % 2 = 0
+        |), counts AS (
+        |  SELECT token,
+        |         count(*) FILTER (WHERE pos) AS c_pos,
+        |         count(*) FILTER (WHERE NOT pos) AS c_neg
+        |  FROM tok GROUP BY token HAVING count(*) >= 3
+        |), tot AS (
+        |  SELECT SUM(c_pos) AS tp, SUM(c_neg) AS tn, count(*) AS v FROM counts
+        |), votes AS (
+        |  SELECT token, (c_pos + 1) * (tn + v) > (c_neg + 1) * (tp + v) AS vote
+        |  FROM counts, tot
+        |), serve AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE (doc_id // 2) % 2 = 1
+        |), scored AS (
+        |  SELECT t.doc_id,
+        |         count(*) FILTER (WHERE vt.vote IS NOT NULL) AS n_votes,
+        |         count(*) FILTER (WHERE vt.vote) AS n_pos
+        |  FROM serve t LEFT JOIN votes vt USING (token)
+        |  GROUP BY t.doc_id
+        |), binned AS (
+        |  SELECT s.doc_id,
+        |         CASE WHEN s.n_votes = 0 THEN -1
+        |              ELSE LEAST(9, (s.n_pos * 10) // s.n_votes) END AS bin,
+        |         CAST(regexp_extract(d.source, '(\d+)', 1) AS INT) % 2 = 0 AS gold_pos,
+        |         s.n_pos, s.n_votes
+        |  FROM scored s JOIN documents d USING (doc_id)
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+        |       count(*) FILTER (WHERE gold_pos) AS n_gold_pos,
+        |       CAST(SUM(n_pos) AS BIGINT) AS sum_pos,
+        |       CAST(SUM(n_votes) AS BIGINT) AS sum_votes
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin)
 }

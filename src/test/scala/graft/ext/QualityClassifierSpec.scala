@@ -54,4 +54,29 @@ class QualityClassifierSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"vote join must broadcast:\n$plan")
   }
+
+  test("X234 calibration: bins conserve the serve half, gold labels genuinely mixed, masses bounded") {
+    val rows = QualityClassifier.queries("q_quality_calibration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val serveN = graft.sources.Tables.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.expr("(doc_id div 2) % 2 = 1")).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == serveN,
+      "every served doc lands in exactly one bin")
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= -1 && bin <= 9)
+      assert(r.getAs[Long]("n_gold_pos") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("sum_pos") <= r.getAs[Long]("sum_votes"))
+      // bin membership is consistent with its score range: a bin-k doc
+      // has n_pos·10 div n_votes ≥ k (k ≤ 9), so the bin's total score
+      // mass can't sit entirely below the bin floor
+      if (bin >= 1) assert(r.getAs[Long]("sum_pos") * 10 >=
+        r.getAs[Long]("sum_votes") * bin - 9 * r.getAs[Long]("n_docs") * 10,
+        r.toString)
+    }
+    // the gold column must carry BOTH labels or the reliability read is
+    // degenerate (the round-10 fixture trap: doc parity ⟺ source parity)
+    val gold = rows.map(_.getAs[Long]("n_gold_pos")).sum
+    assert(gold > 0 && gold < serveN, s"gold labels degenerate: $gold/$serveN")
+  }
 }
