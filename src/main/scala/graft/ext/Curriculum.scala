@@ -27,6 +27,12 @@ import graft.sources.Tables.documents
   *    epoch's order is distinct yet every run of the pipeline reproduces
   *    it exactly (the X136 shuffle with an epoch seed — multi-epoch
   *    training without a stored permutation table).
+  *  - X238 `q_length_batches`: length-bucketed batch assembly with
+  *    padding-waste accounting — examples bucket by token length,
+  *    shuffle deterministically WITHIN the bucket, and batch in fixed
+  *    groups, so a batch's padding cost is bounded by the bucket width
+  *    (the dynamic-batching idiom every trainer's data loader ships;
+  *    the padding column is the artifact that justifies it).
   *
   * Scale shapes: schedules rank with the X77 dense-id machinery (bucketed
   * quantile split points + bucket-local windows — never a one-partition
@@ -43,6 +49,10 @@ object Curriculum {
     */
   val binWidth = 25
   val nBins = 10
+
+  /** X238 geometry: 16-token length buckets, batches of 8. */
+  val lenBucketWidth = 16
+  val batchSize = 8
 
   /** 40-bit md5 prefix of `salt || ":" || id` (salt "" → md5(id), the
     * X136 form) — the deterministic shuffle hash.
@@ -156,6 +166,43 @@ object Curriculum {
         .orderBy("anchor")
     }),
 
+    // X238: length-bucketed batching — bucket by token count (fixed
+    // 16-token buckets), deterministic md5 shuffle within the bucket,
+    // batches of 8 in schedule order; per-bucket manifest reports doc/
+    // batch counts, token mass, and the EXACT padding waste
+    // (Σ_batches max_len·cnt − Σ len — what the loader would pad to the
+    // batch max). Within-bucket rank rides the same dense-id machinery
+    // as X228 (bucket-major global positions, rank = pos − bucket
+    // first + broadcast of the bucket-count-sized firsts table), so no
+    // bucket ever becomes a single-partition window. Padding per doc is
+    // < bucket width by construction — the invariant the spec pins.
+    "q_length_batches" -> ((s, d) => {
+      val scored = graft.util.FixtureCache.parquet(s, "lb_scores", d) { dir =>
+        documents(s, d)
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+          .withColumn("bucket", expr(s"n_tok div $lenBucketWidth"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      val maxBucket = scored.agg(max("bucket")).head.getLong(0).toInt
+      val (sched, _) = scheduleOrdinal(scored, "doc_id", col("bucket"),
+        maxBucket, h40(col("doc_id"), "lb"))
+      // bucket-count-sized firsts table — broadcast, never a window
+      val firsts = sched.groupBy(col("bucket").as("fb"))
+        .agg(min("pos").as("first_pos"))
+      sched.join(broadcast(firsts), col("bucket") === col("fb"))
+        .withColumn("batch", expr(s"(pos - first_pos) div $batchSize"))
+        .groupBy("bucket", "batch")
+        .agg(count(lit(1)).as("cnt"), max("n_tok").as("mx"),
+          sum("n_tok").as("sm"))
+        .groupBy("bucket")
+        .agg(sum("cnt").cast("long").as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum("sm").cast("long").as("sum_tokens"),
+          sum(col("mx") * col("cnt") - col("sm")).cast("long").as("padding"))
+        .orderBy("bucket")
+    }),
+
     // X230: three epochs, three distinct deterministic permutations —
     // per (epoch, schedule-decile) membership count and id checksum pin
     // each epoch's order positionally (the q_corpus_shuffle discipline ×
@@ -242,6 +289,27 @@ object Curriculum {
          |SELECT b.anchor, b.positive, b.negative, pr.jac_permille
          |FROM best b JOIN pairs pr ON pr.ia = b.anchor AND pr.ib = b.positive
          |ORDER BY b.anchor""".stripMargin,
+
+    "q_length_batches" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |         CAST(len(${TextAnalysis.toksSql}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, n_tok, n_tok // $lenBucketWidth AS bucket,
+         |         row_number() OVER (PARTITION BY n_tok // $lenBucketWidth
+         |           ORDER BY ${h40SaltSql("lb")}, doc_id) AS rn
+         |  FROM scored),
+         |batches AS (
+         |  SELECT bucket, (rn - 1) // $batchSize AS batch,
+         |         count(*) AS cnt, max(n_tok) AS mx, sum(n_tok) AS sm
+         |  FROM ranked GROUP BY 1, 2)
+         |SELECT bucket,
+         |       CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |       count(*) AS n_batches,
+         |       CAST(sum(sm) AS BIGINT) AS sum_tokens,
+         |       CAST(sum(mx * cnt - sm) AS BIGINT) AS padding
+         |FROM batches GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_epoch_shuffle" -> {
       def epoch(e: Int) =

@@ -24,6 +24,10 @@ import graft.sources.Tables
   * (lang, doc_id) sort — at 100 TB this is a range-partitioned sort the
   * shuffle already provides, then per-row arithmetic; the final groupBy
   * is combinable. No driver state, no iteration.
+  *
+  * Also hosts the other example-assembly transforms: X50 RAG chunking
+  * and X236 fill-in-the-middle (both pure per-row explode/arithmetic
+  * over the shared tokenization — embarrassingly parallel at any scale).
   */
 object Packing {
   type Q = (SparkSession, String) => DataFrame
@@ -58,6 +62,39 @@ object Packing {
           max("doc_id").as("last_doc"))
         .orderBy("lang", "pack_id")),
 
+    // X236: fill-in-the-middle example assembly — the FIM transform
+    // (OpenAI FIM / StarCoder data prep) distilled to its
+    // data-engineering core: split each document's token list at two
+    // DETERMINISTIC cut points (salted md5 of the doc id — reruns and
+    // backfills rebuild byte-identical examples, no stored RNG state)
+    // and re-render in PSM order (<PRE> prefix <SUF> suffix <MID>
+    // middle), the layout that teaches an autoregressive model to
+    // infill. Cut-point contract: prefix ≥ 1, middle ≥ 1, suffix ≥ 1
+    // token (degenerate empty spans teach nothing), so only docs with
+    // ≥ 3 tokens transform. Pure per-row arithmetic over the shared
+    // tokenization — no shuffle, no corpus self-join; the rendered
+    // example is pinned byte-exact via md5.
+    "q_fim" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")).cast("long"))
+        .where(col("n") >= 3)
+        .withColumn("c1", lit(1L) + saltedH40("fim1", col("doc_id")) % (col("n") - 2))
+        .withColumn("m", lit(1L) + saltedH40("fim2", col("doc_id")) % (col("n") - col("c1") - 1))
+        .select(col("doc_id"),
+          col("c1").as("n_pre"),
+          col("m").as("n_mid"),
+          (col("n") - col("c1") - col("m")).as("n_suf"),
+          md5(concat(
+            lit("<PRE>"), array_join(slice(col("tk"), lit(1), col("c1").cast("int")), " "),
+            lit("<SUF>"), array_join(
+              slice(col("tk"), (col("c1") + col("m") + 1).cast("int"),
+                (col("n") - col("c1") - col("m")).cast("int")), " "),
+            lit("<MID>"), array_join(
+              slice(col("tk"), (col("c1") + 1).cast("int"), col("m").cast("int")), " ")))
+            .as("fim_md5"))
+        .orderBy("doc_id")),
+
     // X50: retrieval-side chunking — sliding token windows (chunkSize
     // tokens, chunkStride apart → fixed overlap for boundary-context
     // retention, the standard RAG chunker) with STABLE (doc_id,
@@ -84,6 +121,16 @@ object Packing {
   val chunkSize = 32
   val chunkStride = 24
 
+  /** 40-bit md5 prefix of `salt:id` — the X136/X228 deterministic-choice
+    * hash (nonnegative, so `%` agrees between Spark and DuckDB).
+    */
+  private def saltedH40(salt: String, id: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))), 1, 10), 16, 10)
+      .cast("long")
+
+  private def saltedH40Sql(salt: String) =
+    s"CAST(('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
     "q_seq_pack" ->
       s"""SELECT lang, pack_id,
@@ -102,6 +149,24 @@ object Packing {
          |        FROM documents))
          |GROUP BY lang, pack_id
          |ORDER BY lang, pack_id""".stripMargin,
+    "q_fim" ->
+      s"""SELECT doc_id,
+         |       c1 AS n_pre, m AS n_mid, n - c1 - m AS n_suf,
+         |       md5('<PRE>' || array_to_string(list_slice(tk, 1, c1), ' ') ||
+         |           '<SUF>' || array_to_string(list_slice(tk, c1 + m + 1, n), ' ') ||
+         |           '<MID>' || array_to_string(list_slice(tk, c1 + 1, c1 + m), ' ')) AS fim_md5
+         |FROM (
+         |  SELECT doc_id, tk, n, c1,
+         |         1 + ${saltedH40Sql("fim2")} % (n - c1 - 1) AS m
+         |  FROM (
+         |    SELECT doc_id, tk, n,
+         |           1 + ${saltedH40Sql("fim1")} % (n - 2) AS c1
+         |    FROM (SELECT doc_id, ${TextAnalysis.toksSql} AS tk,
+         |                 CAST(len(${TextAnalysis.toksSql}) AS BIGINT) AS n
+         |          FROM documents)
+         |    WHERE n >= 3))
+         |ORDER BY doc_id""".stripMargin,
+
     "q_doc_chunks" ->
       s"""SELECT doc_id, CAST(w AS BIGINT) AS chunk_idx,
          |       CAST(len(ch) AS BIGINT) AS chunk_tokens,

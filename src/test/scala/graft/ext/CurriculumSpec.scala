@@ -68,4 +68,27 @@ class CurriculumSpec extends SparkSpec {
     assert(vecs(0L) != vecs(1L) && vecs(1L) != vecs(2L) && vecs(0L) != vecs(2L),
       "epoch permutations must actually differ")
   }
+
+  test("X238 length batches: conservation, batch-count arithmetic, padding bounded by bucket width") {
+    val rows = Curriculum.queries("q_length_batches")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_batches"), r.getAs[Long]("sum_tokens"),
+        r.getAs[Long]("padding")))
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(_.getLong(0))
+    // every doc lands in exactly one bucket; token mass conserved
+    assert(rows.map(_._2).sum == docs.length)
+    assert(rows.map(_._4).sum == docs.sum)
+    rows.foreach { case (b, n, nb, _, pad) =>
+      // batches of 8 (last one partial): exact ceil arithmetic
+      assert(nb == (n + Curriculum.batchSize - 1) / Curriculum.batchSize,
+        s"bucket $b batch count")
+      // per-doc padding < bucket width (lengths within a bucket span
+      // at most width-1): THE invariant length-bucketing buys
+      assert(pad >= 0 && pad <= (Curriculum.lenBucketWidth - 1).toLong * n,
+        s"bucket $b padding $pad out of bound for $n docs")
+    }
+  }
 }

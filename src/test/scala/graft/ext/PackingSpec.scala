@@ -38,6 +38,27 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("X236 fim: spans are non-empty, partition each doc exactly, and are salt-deterministic") {
+    val fim = Packing.queries("q_fim")(spark, sf).collect()
+    assert(fim.nonEmpty)
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fim.foreach { r =>
+      val (id, pre, mid, suf) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_pre"),
+        r.getAs[Long]("n_mid"), r.getAs[Long]("n_suf"))
+      assert(pre >= 1 && mid >= 1 && suf >= 1, s"doc $id degenerate span")
+      assert(pre + mid + suf == lens(id), s"doc $id spans don't partition")
+    }
+    // every eligible doc transforms; sub-3-token docs are excluded
+    assert(fim.length == lens.values.count(_ >= 3))
+    // deterministic: a second run renders byte-identical examples
+    val again = Packing.queries("q_fim")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fim_md5")).toMap
+    fim.foreach(r => assert(
+      again(r.getAs[Long]("doc_id")) == r.getAs[String]("fim_md5")))
+  }
+
   test("quantize: codes bounded to [-127,127] and reconstruction error <= scale") {
     val rows = Tables.embeddings(spark, sf).limit(200)
       .select(col("embedding"), Quantize.codes(col("embedding")).as("codes"),
