@@ -64,6 +64,51 @@ object DenseId {
     (out, counts.values.sum)
   }
 
+  /** Distributed EXCLUSIVE prefix sum of `valCol` (long) in `orderCol`
+    * order — the X240 machinery, and [[assign]]'s shape generalized from
+    * counts to sums: explicit range buckets from a quantile sketch of the
+    * key, a bucket-LOCAL running-sum window, and per-bucket totals (a
+    * driver-sized `#buckets`-row aggregate) cumulated into offsets and
+    * broadcast back. `cum_before = bucket offset + local running sum`.
+    * The naive `sum() OVER (ORDER BY key)` collapses the table into one
+    * window partition exactly like row_number does (the X77 trap); this
+    * keeps every pass bucket-parallel. Returns the annotated frame plus
+    * the grand total (free from the offsets pass).
+    *
+    * Same unique-numeric-key contract as [[assign]]; correctness does not
+    * depend on WHERE the sketch places the splits — only bucket locality
+    * does — so the approximate quantiles never leak into the result.
+    */
+  def prefixSumWithTotal(df: DataFrame, orderCol: String, valCol: String,
+      parts: Int): (DataFrame, Long) = {
+    require(parts > 0)
+    val splits = df.stat
+      .approxQuantile(orderCol, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+      .distinct.sorted
+    val pidExpr = splits.foldLeft(lit(0)) { (acc, sp) =>
+      acc + when(col(orderCol) > lit(sp), 1).otherwise(0)
+    }
+    val withPid = df.withColumn("__pid", pidExpr)
+    // per-bucket sums: #buckets rows, driver-sized by construction
+    val sums = withPid.groupBy("__pid")
+      .agg(sum(col(valCol)).cast("long").as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 to splits.length).scanLeft(0L)((acc, p) =>
+      acc + sums.getOrElse(p, 0L)).init
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.zipWithIndex
+      .map { case (off, pid) => (pid, off) }.toDF("__pid", "__offset")
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1) // bucket-local, exclusive
+    val out = withPid
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn("cum_before",
+        col("__offset") + coalesce(sum(col(valCol)).over(w), lit(0L)))
+      .drop("__pid", "__offset")
+    (out, sums.values.sum)
+  }
+
   /** Equi-depth bucketing (global NTILE without its single-partition
     * plan): SQL NTILE gives the first `n mod k` buckets `⌈n/k⌉` rows and
     * the rest `⌊n/k⌋` — reproduced exactly from the dense id with integer

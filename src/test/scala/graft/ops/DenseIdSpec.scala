@@ -33,6 +33,25 @@ class DenseIdSpec extends SparkSpec {
     assert(trap.contains("SinglePartition"))
   }
 
+  test("X240 prefix sum: exclusive running totals match a local scan; plan stays bucket-parallel") {
+    // unique keys (7 invertible mod 997, all k < 997), shuffled input
+    val rows = (1L to 400L).map(k => (k * 7 % 997, k % 13 + 1))
+    val df = new scala.util.Random(5).shuffle(rows).toDF("k", "v")
+      .repartition(11)
+    val (out, total) = DenseId.prefixSumWithTotal(df, "k", "v", 8)
+    val got = out.select("k", "cum_before").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    var acc = 0L
+    val expect = rows.sortBy(_._1).map { case (k, v) =>
+      val c = acc; acc += v; (k, c)
+    }
+    assert(got.toSeq == expect)
+    assert(total == rows.map(_._2).sum)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"prefix-sum plan collapsed to one partition:\n$plan")
+  }
+
   test("equi-depth buckets reproduce SQL NTILE sizes exactly (uneven arm included)") {
     // n = 23, k = 4 → NTILE sizes 6,6,6,5
     val df = (1L to 23L).map(_ * 3).toDF("k")
