@@ -43,6 +43,9 @@ object Multimodal {
   val frameStep = 4
   val nStrides = 8
 
+  /** X242 scene-cut threshold: mean per-byte delta above this is a cut. */
+  val sceneCutPerByte = 40
+
   private val synthWav = udf((id: Long) => Wav.synth(id))
   private val synthBmp = udf((id: Long) => Bmp.synth(id))
   private val synthAvi = udf((id: Long) => Avi.synth(id))
@@ -385,6 +388,37 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // X242: scene-cut detection — the video curator's shot segmenter
+    // (PySceneDetect's content detector distilled): per-frame pixel sums
+    // from the REAL AVI decode, frame-to-frame absolute delta, a cut
+    // wherever the delta exceeds `sceneCutPerByte` per pixel byte.
+    // Per-row work only (each video decodes once, frames iterate in the
+    // same typed map — no shuffle, no frame explode); the oracle rebuilds
+    // every per-frame sum from the fixture's closed-form signal and
+    // replays the delta/threshold arithmetic with a window lag.
+    "q_scene_cuts" -> ((s, d) => {
+      implicit val me = org.apache.spark.sql.Encoders.product[Media]
+      import s.implicits._
+      media(s, d).where(col("fmt") === "avi").as[Media]
+        .map { m =>
+          val (info, px) = Avi.parse(m.bytes)
+            .getOrElse(sys.error(s"unparseable avi payload for media ${m.media_id}"))
+          val fs = info.width * info.height * 3
+          val sums = Array.tabulate(info.nFrames) { f =>
+            var a = 0L; var i = f * fs
+            while (i < (f + 1) * fs) { a += px(i); i += 1 }
+            a
+          }
+          val deltas = sums.indices.drop(1).map(f => math.abs(sums(f) - sums(f - 1)))
+          (m.media_id, info.nFrames.toLong,
+            deltas.count(_ > sceneCutPerByte.toLong * fs).toLong,
+            if (deltas.isEmpty) 0L else deltas.max,
+            sums.zipWithIndex.map { case (v, f) => v * (f + 1) }.sum)
+        }
+        .toDF("media_id", "n_frames", "n_cuts", "max_delta", "frames_checksum")
+        .orderBy("media_id")
+    }),
+
     // REAL PNG decode (X41), fully oracle-checked: inflate + unfilter via
     // the JDK reader against payloads from OUR OWN spec-level encoder —
     // a cross-implementation round trip whose decoded pixel sum the
@@ -612,6 +646,34 @@ object Multimodal {
         |JOIN range(0, 3) c(i) ON true
         |GROUP BY media_id, width, height, n_frames, fps, n_px_bytes
         |ORDER BY media_id""".stripMargin,
+    "q_scene_cuts" ->
+      s"""WITH vids AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(2 + doc_id % 4 AS BIGINT) AS width,
+        |         CAST(2 + doc_id % 3 AS BIGINT) AS height,
+        |         CAST(2 + doc_id % 5 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fsums AS (
+        |  SELECT media_id, n_frames, width * height * 3 AS fs, f.i AS f,
+        |         CAST(sum((media_id * 7 + f.i * 97 + y.i * 31 + x.i * 3 + c.i) % 256)
+        |           AS BIGINT) AS fsum
+        |  FROM vids d
+        |  JOIN range(0, 7) f(i) ON f.i < d.n_frames
+        |  JOIN range(0, 6) x(i) ON x.i < d.width
+        |  JOIN range(0, 5) y(i) ON y.i < d.height
+        |  JOIN range(0, 3) c(i) ON true
+        |  GROUP BY media_id, n_frames, fs, f.i),
+        |lagd AS (
+        |  SELECT media_id, n_frames, f, fsum, fs,
+        |         abs(fsum - lag(fsum) OVER (PARTITION BY media_id ORDER BY f)) AS delta
+        |  FROM fsums)
+        |SELECT media_id, n_frames,
+        |       CAST(coalesce(sum(CASE WHEN delta > $sceneCutPerByte * fs THEN 1 END), 0)
+        |         AS BIGINT) AS n_cuts,
+        |       CAST(coalesce(max(delta), 0) AS BIGINT) AS max_delta,
+        |       CAST(sum(fsum * (f + 1)) AS BIGINT) AS frames_checksum
+        |FROM lagd GROUP BY media_id, n_frames ORDER BY media_id""".stripMargin,
+
     "q_png_decode" ->
       """SELECT media_id, width, height, n_px_bytes,
         |       CAST(sum((media_id * 11 + y.i * 29 + x.i * 5 + c.i * 7) % 256) AS BIGINT) AS sum_px

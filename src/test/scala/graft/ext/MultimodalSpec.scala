@@ -176,6 +176,30 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount((lo ^ (lo | 0x7L)) & 0xFFFFL) <= 3)
   }
 
+  test("X242 scene cuts: per-video counts match a local closed-form replay; both outcomes occur") {
+    val got = Multimodal.queries("q_scene_cuts")(spark, sf).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_cuts"),
+          r.getAs[Long]("max_delta"))).toMap
+    assert(got.nonEmpty)
+    // closed-form replay of the synthetic AVI signal
+    got.keys.toSeq.sorted.take(20).foreach { id =>
+      val (w, h, nf) = ((2 + id % 4).toInt, (2 + id % 3).toInt, (2 + id % 5).toInt)
+      val fs = w * h * 3
+      val sums = Array.tabulate(nf) { f =>
+        (for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+          yield (id * 7 + f * 97 + y * 31 + x * 3 + c) % 256).sum
+      }
+      val deltas = (1 until nf).map(f => math.abs(sums(f) - sums(f - 1)))
+      val cuts = deltas.count(_ > Multimodal.sceneCutPerByte.toLong * fs)
+      assert(got(id) == ((nf.toLong, cuts.toLong, deltas.max)),
+        s"video $id scene-cut mismatch")
+    }
+    // threshold is load-bearing: some frame pairs cut, some don't
+    val (nf, cuts) = (got.values.map(v => v._1 - 1).sum, got.values.map(_._2).sum)
+    assert(cuts > 0 && cuts < nf, s"degenerate threshold: $cuts of $nf")
+  }
+
   test("feature extraction is deterministic, partition-count-invariant") {
     implicit val me = org.apache.spark.sql.Encoders.product[Media]
     implicit val fe = org.apache.spark.sql.Encoders.product[MediaFeatures]

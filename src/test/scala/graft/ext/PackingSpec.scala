@@ -78,6 +78,23 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("X243 matryoshka: full width is its own baseline (1000), recall never decreases with width") {
+    val rows = Quantize.queries("q_matryoshka")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("dims"), r.getAs[Long]("n_ranked"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("recall_permille")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Quantize.mrlDims.map(_.toLong))
+    // every tier ranks the same panel: |queries| * k rows
+    assert(rows.map(_._2).distinct.length == 1)
+    rows.foreach { case (_, n, h, p) =>
+      assert(h >= 0 && h <= n && p == h * 1000 / n)
+    }
+    // the full-width tier is the baseline by construction
+    assert(rows.last._4 == 1000L)
+    // recall is monotone in prefix width on this fixture
+    assert(rows.map(_._4).sliding(2).forall(w => w(0) <= w(1)))
+  }
+
   test("quantize: the all-zero vector quantizes to all-zero codes, not NaN") {
     import spark.implicits._
     val codes = Seq(Array(0f, 0f, 0f)).toDF("embedding")
