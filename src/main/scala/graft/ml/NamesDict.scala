@@ -1046,6 +1046,129 @@ object NamesDict {
   // Round-10 native-script tier: Japanese kana, Sinhala, Khmer, Lao,
   // Amharic (Ge'ez fidel), Serbian Cyrillic, deeper Greek. Same
   // transliteration-or-unknown contract.
+  // Round-10 SECOND breadth tranche (public census-style given-name
+  // lists): the largest-population regions whose depth was still thin
+  // after the first round-10 sweep — South India (Tamil/Telugu/Kannada/
+  // Malayalam), Maharashtra/Gujarat/Bengal, Pakistan/Bangladesh, Japan,
+  // Korea, China (pinyin), Thailand, Vietnam (second sweep), Iran
+  // (deeper), Turkey (deeper), Italy/Spain traditional long tails, and
+  // Scandinavia (deeper). Same discipline as every tranche: clearly-
+  // gendered names only; unisex candidates (Kiran, Suman, Noor, Yuki,
+  // Haruka, Min, Wei, Dung, Hieu, Khanh, Phuong, Baris, Rosario,
+  // Gurpreet and the broadly-unisex Sikh -preet/-inder family …) are
+  // deliberately OMITTED rather than guessed; appended last so core
+  // entries win conflicts.
+  private val tranche10bMale = Seq(
+    // South India
+    "Murugan", "Senthil", "Karthik", "Arun", "Vijay", "Suresh", "Ramesh",
+    "Ganesh", "Mahesh", "Venkatesh", "Srinivas", "Balaji", "Muthu",
+    "Selvam", "Dhanush", "Sivakumar", "Chandrasekhar", "Subramaniam",
+    "Nagarjuna", "Prabhakar", "Sundar", "Shankar", "Raghavan", "Ilango",
+    // Maharashtra / Gujarat / Bengal
+    "Ganpat", "Vitthal", "Bhalchandra", "Dattatray", "Shivaji", "Sachin",
+    "Ajinkya", "Nilesh", "Mangesh", "Prashant", "Sandeep", "Santosh",
+    "Vikas", "Jignesh", "Hardik", "Chirag", "Paresh", "Kaushik",
+    "Dhaval", "Bhavesh", "Nimesh", "Subhash", "Debashish", "Somnath",
+    "Biswajit", "Pranab", "Sourav", "Arindam", "Anirban", "Tapan",
+    // Pakistan / Bangladesh
+    "Imran", "Faisal", "Shahid", "Javed", "Tariq", "Naveed", "Shoaib",
+    "Wasim", "Waqar", "Zubair", "Junaid", "Kamran", "Adnan", "Fahad",
+    "Saqib", "Zeeshan", "Shafiqul", "Mizanur", "Moinul",
+    // Japan (romanized)
+    "Hiroshi", "Takeshi", "Kenji", "Taro", "Jiro", "Ichiro", "Kazuo",
+    "Akio", "Osamu", "Isamu", "Susumu", "Tadashi", "Satoshi", "Takashi",
+    "Masashi", "Kenta", "Daiki", "Ryota", "Haruto", "Sota",
+    // Korea (romanized, male-dominant only)
+    "Minho", "Jihoon", "Jaeho", "Sangwoo", "Kyungho", "Seungho",
+    // China (pinyin given names, clearly gendered)
+    "Jianguo", "Jianjun", "Zhiqiang", "Zhigang", "Guoqiang", "Haifeng",
+    "Xiaoming", "Weidong",
+    // Thailand
+    "Somchai", "Somsak", "Prasert", "Sombat", "Chatchai", "Kittisak",
+    "Surachai", "Narong", "Weerasak",
+    // Vietnam (second sweep, male-dominant only)
+    "Cuong", "Manh", "Tuan", "Thang",
+    // Iran (deeper)
+    "Dariush", "Kourosh", "Siavash", "Babak", "Kaveh", "Farhad",
+    "Behrouz", "Khosrow", "Jamshid", "Bijan", "Manouchehr", "Parviz",
+    // Turkey (deeper)
+    "Selim", "Orhan", "Halil", "Ferhat", "Serdar", "Volkan", "Tolga",
+    "Burak", "Oguz", "Levent", "Koray",
+    // Italy (traditional long tail)
+    "Massimo", "Giancarlo", "Pierluigi", "Gianfranco", "Ettore",
+    "Amedeo", "Fulvio", "Tiziano", "Osvaldo", "Gennaro", "Ciro",
+    "Rocco", "Aldo", "Dino", "Italo",
+    // Spain (traditional long tail)
+    "Anselmo", "Baldomero", "Eusebio", "Fulgencio", "Hipolito",
+    "Maximiliano", "Nicanor", "Porfirio", "Teofilo", "Aurelio", "Isidro",
+    // Scandinavia (deeper)
+    "Torbjorn", "Asbjorn", "Oddvar", "Halvard", "Sverre", "Trygve",
+    "Gudmund", "Steinar", "Terje", "Vidar", "Yngve", "Snorri")
+
+  private val tranche10bFemale = Seq(
+    // South India
+    "Lakshmi", "Saraswati", "Meenakshi", "Kavitha", "Revathi", "Padma",
+    "Vasantha", "Janaki", "Kamala", "Radha", "Savitri", "Bhavani",
+    "Lalitha", "Sumathi", "Vimala", "Chitra", "Malathi", "Shanthi",
+    "Devika", "Yamuna",
+    // Maharashtra / Gujarat / Bengal / Bollywood-era staples
+    "Aishwarya", "Deepika", "Priyanka", "Madhuri", "Sushmita",
+    "Sharmila", "Aparna", "Suchitra", "Mamata", "Manisha", "Archana",
+    "Vandana", "Anjali", "Pallavi", "Shraddha", "Tanvi", "Ishita",
+    "Payal", "Gauri", "Falguni",
+    // Pakistan / Bangladesh
+    "Ayesha", "Saima", "Uzma", "Rabia", "Sana", "Hina", "Nazia",
+    "Shazia", "Samina", "Farhana", "Tahmina", "Rokeya", "Taslima",
+    // Japan (romanized)
+    "Hanako", "Sakura", "Yumiko", "Keiko", "Akiko", "Yoko", "Michiko",
+    "Emiko", "Kazuko", "Sachiko", "Ayumi", "Aiko", "Yui", "Mio",
+    "Misaki", "Nanami",
+    // Korea (romanized, female-dominant only)
+    "Eunji", "Soyeon", "Hyejin", "Minji", "Yuna", "Seoyeon",
+    // China (pinyin given names, clearly gendered)
+    "Xiaohong", "Xiuying", "Guiying", "Meiling", "Xiaoyan", "Lijuan",
+    "Meifang", "Shufen",
+    // Thailand
+    "Somsri", "Siriporn", "Kanokwan", "Pimchanok", "Sunisa", "Ratree",
+    "Duangjai", "Orathai", "Wipada", "Malee",
+    // Vietnam (second sweep, female-dominant only)
+    "Huong", "Thuy", "Trang", "Nga",
+    // Iran (deeper)
+    "Shirin", "Golnaz", "Mahnaz", "Farahnaz", "Parisa", "Niloufar",
+    "Roya", "Mahsa", "Nasrin", "Simin", "Forough", "Laleh", "Azadeh",
+    // Turkey (deeper)
+    "Hatice", "Emine", "Songul", "Nurgul", "Tugba", "Busra", "Gamze",
+    "Sibel", "Pinar", "Gulsen",
+    // Italy (traditional long tail)
+    "Carmela", "Filomena", "Rosaria", "Concetta", "Assunta", "Nunzia",
+    "Pierina", "Gianna", "Mirella", "Ornella", "Fiorella", "Antonella",
+    "Donatella", "Simonetta", "Marisa", "Annunziata", "Immacolata",
+    // Spain (traditional long tail)
+    "Amparo", "Remedios", "Milagros", "Socorro", "Inmaculada",
+    "Encarnacion", "Purificacion", "Esperanza", "Soledad", "Araceli",
+    "Maribel", "Montserrat",
+    // Scandinavia (deeper)
+    "Ragnhild", "Solveig", "Gunhild", "Torunn", "Ingeborg", "Sigrun",
+    "Thora", "Oddny", "Magnhild", "Vigdis")
+
+  // native scripts NOT yet covered by earlier script tranches:
+  // Devanagari, Tamil, Bengali, Hangul, Thai, CJK
+  private val tranche10bScriptMale = Seq(
+    "राजेश", "सुरेश", // Devanagari
+    "முருகன்", "கார்த்திக்", // Tamil
+    "সুভাষ", // Bengali
+    "민호", "지훈", // Hangul
+    "สมชาย", "สมศักดิ์", // Thai
+    "建国", "志强") // CJK (pinyin twins above)
+
+  private val tranche10bScriptFemale = Seq(
+    "सीता", "गीता",
+    "லட்சுமி", "கவிதா",
+    "রোকেয়া",
+    "지은", "민지",
+    "สมศรี", "ศิริพร",
+    "秀英", "美玲")
+
   private val tranche10ScriptMale = Seq(
     // Japanese kana/kanji given names (clearly male)
     "たろう", "ひろし", "タロウ", "ケンジ",
@@ -1112,7 +1235,11 @@ object NamesDict {
       // round-10 breadth + native-script tranche, appended last
       tranche10Male.map(_ -> "male") ++ tranche10Female.map(_ -> "female") ++
       tranche10ScriptMale.map(_ -> "male") ++
-      tranche10ScriptFemale.map(_ -> "female"))
+      tranche10ScriptFemale.map(_ -> "female") ++
+      // round-10 second tranche + native-script additions, appended last
+      tranche10bMale.map(_ -> "male") ++ tranche10bFemale.map(_ -> "female") ++
+      tranche10bScriptMale.map(_ -> "male") ++
+      tranche10bScriptFemale.map(_ -> "female"))
     .filterNot(_._1.exists(_.isDigit))
     .map { case (k, v) => normalizeKey(k) -> v } // keys canonically composed
 

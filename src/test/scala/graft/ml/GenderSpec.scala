@@ -234,6 +234,32 @@ class GenderSpec extends SparkSpec {
       s"round-10 tranche missing: ${NamesDict.entries.size} entries")
   }
 
+  test("round-10 second tranche: Asia-depth panel resolves, native-script twins agree, unisex stays out") {
+    val panel = Seq(
+      ("Murugan Pillai", "male", 0.9f), ("Meenakshi Iyer", "female", 0.9f),
+      ("Imran Khan", "male", 0.9f), ("Ayesha Siddiqui", "female", 0.9f),
+      ("Hiroshi Tanaka", "male", 0.9f), ("Sakura Sato", "female", 0.9f),
+      ("Jihoon Park", "male", 0.9f), ("Minji Kim", "female", 0.9f),
+      ("Jianguo Wang", "male", 0.9f), ("Xiuying Li", "female", 0.9f),
+      ("Somchai Srisuk", "male", 0.9f), ("Siriporn Chai", "female", 0.9f),
+      ("Dariush Farahani", "male", 0.9f), ("Parisa Moradi", "female", 0.9f),
+      ("Gennaro Esposito", "male", 0.9f), ("Concetta Russo", "female", 0.9f),
+      // native-script twins of romanized entries resolve identically
+      ("民호 김", "unknown", 0.5f), // mixed-script garbage stays unknown
+      ("민호 김", "male", 0.9f), ("지은 이", "female", 0.9f),
+      ("สมชาย ศรี", "male", 0.9f), ("สมศรี ศรี", "female", 0.9f),
+      ("राजेश कुमार", "male", 0.9f), ("सीता देवी", "female", 0.9f),
+      // deliberately-omitted unisex names stay unknown, not guessed
+      ("Harpreet Kaur", "unknown", 0.5f), ("Gurpreet Singh", "unknown", 0.5f),
+      ("Phuong Nguyen", "unknown", 0.5f))
+    panel.foreach { case (fullName, g, c) =>
+      val got = Gender.guess(fullName, "x1")
+      assert((got.predicted_gender, got.confidence) === ((g, c)), fullName)
+    }
+    assert(NamesDict.entries.size >= 3450,
+      s"round-10 second tranche missing: ${NamesDict.entries.size} entries")
+  }
+
   test("property: outputs confined to the reference domains") {
     val gen = Gen.zip(Gen.asciiPrintableStr, Gen.asciiPrintableStr)
     (1 to 300).foreach { seed =>
