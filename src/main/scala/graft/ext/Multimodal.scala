@@ -46,6 +46,10 @@ object Multimodal {
   /** X242 scene-cut threshold: mean per-byte delta above this is a cut. */
   val sceneCutPerByte = 40
 
+  /** X244 silence geometry: window size and the mean-|sample| floor. */
+  val silenceWindow = 16
+  val silencePerSample = 900
+
   private val synthWav = udf((id: Long) => Wav.synth(id))
   private val synthBmp = udf((id: Long) => Bmp.synth(id))
   private val synthAvi = udf((id: Long) => Avi.synth(id))
@@ -192,6 +196,46 @@ object Multimodal {
         }
         .toDF("media_id", "sample_rate", "n_channels", "bits_per_sample",
           "n_samples", "sum_samples")
+        .orderBy("media_id")
+    }),
+
+    // X244: audio silence segmentation — the VAD-shaped trim every audio
+    // curation pipeline runs before transcription (silence-heavy clips
+    // waste ASR compute; all-silent clips drop): fixed 16-sample windows
+    // over the REAL PCM decode, a window is silent when its mean |sample|
+    // is under `silencePerSample` (exact cross-multiplied integers —
+    // partial tail windows compare against their true sample count), and
+    // segments are maximal non-silent runs. Per-row decode+scan like
+    // X242 — no shuffle; the oracle rebuilds every window energy from
+    // the fixture's closed-form PCM signal and replays the run-counting
+    // with a lag window.
+    "q_audio_silence" -> ((s, d) => {
+      implicit val me = org.apache.spark.sql.Encoders.product[Media]
+      import s.implicits._
+      media(s, d).where(col("fmt") === "wav").as[Media]
+        .map { m =>
+          val (info, samples) = Wav.parse(m.bytes)
+            .getOrElse(sys.error(s"unparseable wav payload for media ${m.media_id}"))
+          val nw = (info.nSamples + silenceWindow - 1) / silenceWindow
+          val silent = Array.tabulate(nw) { w =>
+            val from = w * silenceWindow
+            val until = math.min(info.nSamples, from + silenceWindow)
+            var e = 0L; var i = from
+            while (i < until) { e += math.abs(samples(i).toLong); i += 1 }
+            e < silencePerSample.toLong * (until - from)
+          }
+          val energies = Array.tabulate(nw) { w =>
+            val from = w * silenceWindow
+            val until = math.min(info.nSamples, from + silenceWindow)
+            var e = 0L; var i = from
+            while (i < until) { e += math.abs(samples(i).toLong); i += 1 }
+            e
+          }
+          val segs = silent.indices.count(i => !silent(i) && (i == 0 || silent(i - 1)))
+          (m.media_id, nw.toLong, silent.count(identity).toLong,
+            segs.toLong, energies.max)
+        }
+        .toDF("media_id", "n_windows", "n_silent", "n_segments", "max_wenergy")
         .orderBy("media_id")
     }),
 
@@ -724,6 +768,30 @@ object Multimodal {
         |FROM tot t JOIN fe ON fe.media_id = t.media_id AND fe.e = t.max_energy
         |GROUP BY t.media_id, t.n_frames, t.total_energy, t.max_energy
         |ORDER BY t.media_id""".stripMargin,
+    "q_audio_silence" ->
+      s"""WITH auds AS (
+        |  SELECT doc_id AS media_id, CAST(50 + doc_id % 100 AS BIGINT) AS n_samples
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |wins AS (
+        |  SELECT media_id, t.i // $silenceWindow AS w,
+        |         CAST(sum(abs(((media_id * 31 + t.i * 7) % 4096) - 2048)) AS BIGINT) AS e,
+        |         count(*) AS ns
+        |  FROM auds d JOIN range(0, 150) t(i) ON t.i < d.n_samples
+        |  GROUP BY media_id, t.i // $silenceWindow),
+        |flagged AS (
+        |  SELECT media_id, w, e, e < $silencePerSample * ns AS silent FROM wins),
+        |runs AS (
+        |  SELECT media_id, e, silent,
+        |         CASE WHEN NOT silent AND coalesce(
+        |           lag(silent) OVER (PARTITION BY media_id ORDER BY w), TRUE)
+        |         THEN 1 ELSE 0 END AS seg_start
+        |  FROM flagged)
+        |SELECT media_id, count(*) AS n_windows,
+        |       CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+        |       CAST(sum(seg_start) AS BIGINT) AS n_segments,
+        |       CAST(max(e) AS BIGINT) AS max_wenergy
+        |FROM runs GROUP BY media_id ORDER BY media_id""".stripMargin,
+
     "q_wav_decode" ->
       """SELECT media_id, sample_rate, n_channels, bits_per_sample, n_samples,
         |       CAST(sum(((media_id * 31 + i * 7) % 4096) - 2048) AS BIGINT) AS sum_samples

@@ -51,9 +51,46 @@ object Profile {
     "q_profile" -> ((s, d) =>
       profile(Tables.customer(s, d), Seq("c_custkey", "c_name", "c_acctbal"))
         .orderBy("column_name")),
+
+    // X245: corpus datacard — the per-source "nutrition label" a dataset
+    // release ships (docs/tokens, language spread, empties, a fluency
+    // mass, and the within-source exact-dup count): every field of the
+    // card is a combinable aggregate or an exact count-distinct over ONE
+    // corpus pass — the whole card costs one scan at any scale (the X33
+    // discipline applied to the release artifact instead of a column).
+    "q_datacard" -> ((s, d) => {
+      val t = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"), md5(col("text")).as("h"),
+          size(t).cast("long").as("n_tok"),
+          TextAnalysis.countIn(t, TextAnalysis.stopwords).as("n_stop"))
+        .withColumn("permille", expr("n_stop * 1000 div greatest(n_tok, 1)"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("sum_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("n_tok") === 0, 1L).otherwise(0L)).as("n_empty"),
+          sum("permille").cast("long").as("sum_stop_permille"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"))
+        .orderBy("source")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_datacard" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       CAST(sum(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         |       CAST(sum(n_stop * 1000 // GREATEST(n_tok, 1)) AS BIGINT) AS sum_stop_permille,
+         |       CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_docs
+         |FROM (
+         |  SELECT source, lang, md5(text) AS h,
+         |         CAST(len(${TextAnalysis.toksSql}) AS BIGINT) AS n_tok,
+         |         ${TextAnalysis.countInSql(TextAnalysis.stopwords)} AS n_stop
+         |  FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     // one UNION-ALL row per column, each computed from the same base
     // aggregates Spark computes (DuckDB folds them into one scan too)
     "q_profile" ->

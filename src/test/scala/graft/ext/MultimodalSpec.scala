@@ -200,6 +200,36 @@ class MultimodalSpec extends SparkSpec {
     assert(cuts > 0 && cuts < nf, s"degenerate threshold: $cuts of $nf")
   }
 
+  test("X244 audio silence: per-audio windows/segments match a local closed-form replay") {
+    val got = Multimodal.queries("q_audio_silence")(spark, sf).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_silent"),
+          r.getAs[Long]("n_segments"), r.getAs[Long]("max_wenergy"))).toMap
+    assert(got.nonEmpty)
+    got.keys.toSeq.sorted.take(20).foreach { id =>
+      val n = (50 + id % 100).toInt
+      val s = Array.tabulate(n)(i => math.abs(((id * 31 + i * 7) % 4096) - 2048))
+      val nw = (n + Multimodal.silenceWindow - 1) / Multimodal.silenceWindow
+      val wins = (0 until nw).map { w =>
+        val sl = s.slice(w * Multimodal.silenceWindow,
+          math.min(n, (w + 1) * Multimodal.silenceWindow))
+        (sl.sum, sl.length)
+      }
+      val silent = wins.map { case (e, ns) =>
+        e < Multimodal.silencePerSample.toLong * ns
+      }
+      val segs = silent.indices.count(i => !silent(i) && (i == 0 || silent(i - 1)))
+      assert(got(id) == ((nw.toLong, silent.count(identity).toLong,
+        segs.toLong, wins.map(_._1).max)), s"audio $id silence mismatch")
+    }
+    // threshold is load-bearing: silent and non-silent windows both occur,
+    // and some clip is entirely silent (the drop case VAD trimming exists for)
+    val (tw, ts) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    assert(ts > 0 && ts < tw)
+    assert(got.values.exists(v => v._2 == v._1), "expect an all-silent clip")
+    assert(got.values.exists(_._3 >= 1), "expect speech segments")
+  }
+
   test("feature extraction is deterministic, partition-count-invariant") {
     implicit val me = org.apache.spark.sql.Encoders.product[Media]
     implicit val fe = org.apache.spark.sql.Encoders.product[MediaFeatures]
