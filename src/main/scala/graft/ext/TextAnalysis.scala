@@ -56,6 +56,36 @@ object TextAnalysis {
   val bm25Terms: Seq[String] = Seq("hash", "spark", "dup")
 
   val queries: Map[String, Q] = Map(
+    // X246: vocabulary growth curve (Heaps'-law audit) — the statistic
+    // that sizes a tokenizer's vocabulary budget: distinct-token count
+    // as the corpus grows, reported per corpus decile (docs in doc_id
+    // order). Computed in ONE pass with the min-first-occurrence trick:
+    // a token's first decile is min(decile) over its occurrences, so the
+    // 10-point growth curve needs one explode + one combinable groupBy —
+    // never ten distinct-scans over growing prefixes. Deciles come from
+    // the X77 dense-id rank (bucket-parallel, no global window); the
+    // only cross-decile window is a running sum over the TEN-row
+    // aggregate.
+    "q_vocab_growth" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      val (ranked, n) = graft.ops.DenseId.assignWithCount(docs, "doc_id", 8)
+      val dec = ranked.withColumn("decile", expr(s"(rid - 1) * 10 div $n"))
+      val base = dec.groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tk"))).cast("long").as("sum_tokens"))
+      val news = dec.select(col("decile"), explode(col("tk")).as("t"))
+        .groupBy("t").agg(min("decile").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("n_new_tokens"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      base.join(news, Seq("decile"), "left")
+        .withColumn("n_new_tokens", coalesce(col("n_new_tokens"), lit(0L)))
+        .withColumn("cum_vocab", sum("n_new_tokens").over(w).cast("long"))
+        .select("decile", "n_docs", "sum_tokens", "n_new_tokens", "cum_vocab")
+        .orderBy("decile")
+    }),
+
     // E4a: corpus term statistics — tokenize (per-row), explode, then ONE
     // partial-aggregatable groupBy(token); df via distinct doc set per token.
     "q_text_tokens" -> ((s, d) =>
@@ -312,6 +342,27 @@ object TextAnalysis {
     set.mkString(s"len(list_filter($toksSql, t -> t IN ('", "','", "')))")
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_growth" ->
+      s"""WITH ranked AS (
+         |  SELECT doc_id, $toksSql AS tk,
+         |         CAST((row_number() OVER (ORDER BY doc_id) - 1) * 10 //
+         |              (SELECT count(*) FROM documents) AS BIGINT) AS decile
+         |  FROM documents),
+         |firsts AS (
+         |  SELECT t, min(decile) AS decile
+         |  FROM (SELECT decile, unnest(tk) AS t FROM ranked) GROUP BY t),
+         |news AS (SELECT decile, count(*) AS n_new_tokens FROM firsts GROUP BY decile),
+         |base AS (
+         |  SELECT decile, count(*) AS n_docs,
+         |         CAST(sum(len(tk)) AS BIGINT) AS sum_tokens
+         |  FROM ranked GROUP BY decile)
+         |SELECT b.decile, b.n_docs, b.sum_tokens,
+         |       CAST(coalesce(n.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+         |       CAST(sum(coalesce(n.n_new_tokens, 0)) OVER (ORDER BY b.decile)
+         |         AS BIGINT) AS cum_vocab
+         |FROM base b LEFT JOIN news n ON n.decile = b.decile
+         |ORDER BY b.decile""".stripMargin,
+
     "q_quality_topfrac" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tok

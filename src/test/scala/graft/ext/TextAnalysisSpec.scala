@@ -99,4 +99,26 @@ class TextAnalysisSpec extends SparkSpec {
     // don / ' / t / stop / me / - / now / 42 / x
     assert(r.getAs[Int]("bpe") == 9)
   }
+
+  test("X246 vocab growth: curve is monotone, lands on the true vocabulary, tiles the corpus") {
+    val rows = TextAnalysis.queries("q_vocab_growth")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_new_tokens"), r.getAs[Long]("cum_vocab")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    // deciles tile the corpus near-evenly (ntile arithmetic: ±1)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    assert(rows.map(_._2).sum == docs.length)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    // cum_vocab is the running sum of n_new and ends at the true vocab
+    rows.foldLeft(0L) { case (acc, (_, _, nn, cum)) =>
+      assert(cum == acc + nn); cum
+    }
+    val vocab = docs.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .distinct.length.toLong
+    assert(rows.last._4 == vocab, s"curve must land on |V| = $vocab")
+    // growth: the first decile discovers the most new tokens on this corpus
+    assert(rows.head._3 >= rows.last._3)
+  }
 }
