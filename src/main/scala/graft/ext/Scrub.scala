@@ -23,6 +23,11 @@ object Scrub {
     * backrefs) so the DuckDB oracle applies the IDENTICAL pattern text —
     * engine-dialect parity is part of what the hash pins.
     */
+  /** X247 funnel rule constants (token bounds; dup-word mass permille). */
+  val funnelMinTok = 20
+  val funnelMaxTok = 80
+  val funnelRepPermille = 650
+
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val phoneRe = "\\+?\\d[\\d-]{6,}\\d"
@@ -132,6 +137,38 @@ object Scrub {
         .orderBy("lang")
     }),
 
+    // X247: filter funnel with first-failing-rule attribution — every
+    // production curation pipeline publishes not just HOW MANY docs
+    // dropped but WHY, under a fixed rule order (cheap structural rules
+    // first), because "rule 3 suddenly eats 40% of source X" is the
+    // regression signal. Rules (exact integers, permille forms so no FP
+    // boundary ambiguity): 1 too-short (< minTok tokens), 2 too-long
+    // (> maxTok), 3 low-fluency (stopword mass under 1/16 of tokens,
+    // the E4b gate), 4 repetitive (dup-word mass over repPermille),
+    // else kept. One corpus pass, one combinable (source, verdict)
+    // aggregate; the verdict literal carries its rule number so the
+    // attribution order is readable in the output itself.
+    "q_filter_funnel" -> ((s, d) => {
+      val t = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(t).cast("long").as("n_tok"),
+          TextAnalysis.countIn(t, TextAnalysis.stopwords).as("n_stop"),
+          size(array_distinct(t)).cast("long").as("n_dist"))
+        .withColumn("verdict",
+          when(col("n_tok") < funnelMinTok, "1_too_short")
+            .when(col("n_tok") > funnelMaxTok, "2_too_long")
+            .when(col("n_stop") * 16 < col("n_tok"), "3_low_fluency")
+            .when((col("n_tok") - col("n_dist")) * 1000 >
+              col("n_tok") * funnelRepPermille, "4_repetitive")
+            .otherwise("5_kept"))
+        .groupBy("source", "verdict")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("sum_tokens"),
+          sum("doc_id").cast("long").as("sum_ids"))
+        .orderBy("source", "verdict")
+    }),
+
     // X67: per-source document caps — the C4/Gopher-style crawl-hygiene
     // rule that no single domain dominates the corpus. Keep the `cap`
     // docs with the LOWEST md5(doc_id) per source: a deterministic,
@@ -162,6 +199,25 @@ object Scrub {
       .replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "q_filter_funnel" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(${TextAnalysis.toksSql}) AS BIGINT) AS n_tok,
+         |         ${TextAnalysis.countInSql(TextAnalysis.stopwords)} AS n_stop,
+         |         CAST(len(list_distinct(${TextAnalysis.toksSql})) AS BIGINT) AS n_dist
+         |  FROM documents)
+         |SELECT source,
+         |       CASE WHEN n_tok < $funnelMinTok THEN '1_too_short'
+         |            WHEN n_tok > $funnelMaxTok THEN '2_too_long'
+         |            WHEN n_stop * 16 < n_tok THEN '3_low_fluency'
+         |            WHEN (n_tok - n_dist) * 1000 > n_tok * $funnelRepPermille
+         |              THEN '4_repetitive'
+         |            ELSE '5_kept' END AS verdict,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM b GROUP BY 1, 2 ORDER BY source, verdict""".stripMargin,
+
     // joins on the TOKEN itself (not the raw key), so cross-engine token
     // determinism is part of what the hash compare pins
     "q_pseudonymize" ->

@@ -64,4 +64,33 @@ class ScrubSpec extends SparkSpec {
       assert(kept < n * 3 / 10, s"else-rate class kept $kept of $n")
     }
   }
+
+  test("X247 filter funnel: verdicts partition the corpus, attribution matches a local replay") {
+    val rows = Scrub.queries("q_filter_funnel")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("verdict")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_ids"))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // every doc lands in exactly one verdict bucket
+    assert(rows.values.map(_._1).sum == docs.length)
+    // local replay of the rule ladder, first-failing wins
+    val expect = docs.groupBy { case (id, src, text) =>
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val stop = tk.count(TextAnalysis.stopwords.contains)
+      val v =
+        if (tk.length < Scrub.funnelMinTok) "1_too_short"
+        else if (tk.length > Scrub.funnelMaxTok) "2_too_long"
+        else if (stop * 16 < tk.length) "3_low_fluency"
+        else if ((tk.length - tk.distinct.length).toLong * 1000 >
+          tk.length.toLong * Scrub.funnelRepPermille) "4_repetitive"
+        else "5_kept"
+      (src, v)
+    }.map { case (k, ds) => k -> (ds.length.toLong, ds.map(_._1).sum) }
+    assert(rows == expect)
+    // the fixture exercises the whole ladder
+    val verdicts = rows.keys.map(_._2).toSet
+    assert(verdicts == Set("1_too_short", "2_too_long", "3_low_fluency",
+      "4_repetitive", "5_kept"), s"missing verdicts: $verdicts")
+  }
 }
