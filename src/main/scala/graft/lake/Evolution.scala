@@ -110,6 +110,51 @@ object Evolution {
       .toDF("version", "n_cols", "added_cols", "removed_cols")
   }
 
+  /** X248: reader/writer compatibility verdicts for every consecutive
+    * schema transition in a committed timeline — the Avro/protobuf
+    * compat-checker discipline applied to lake table history. Per
+    * transition: column adds/removes, safe widenings (the [[widen]]
+    * ladder), broken retypes, and the verdict:
+    *   - backward-compatible (a NEW-schema reader reads OLD data): holds
+    *     unless a common column retyped outside the ladder or narrowed —
+    *     adds read as NULL, removes are never asked for, widenings cast
+    *     up losslessly;
+    *   - forward-compatible (an OLD-schema reader reads NEW data): holds
+    *     only for pure additions — removals and retypes (even widenings:
+    *     an int reader cannot represent the new longs) break it.
+    * Footer-only metadata work, O(versions) driver-side schema reads —
+    * no rows touched, like X143.
+    */
+  def compatTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val snaps = ManifestTable.snapshots(spark, dir)
+    require(snaps.size >= 2, s"need >= 2 committed versions at $dir")
+    val schemas = snaps.map(s => s.version ->
+      spark.read.option("mergeSchema", "true")
+        .parquet(s.files.map(f => s"$dir/$f"): _*).schema)
+    val rows = schemas.sliding(2).map { case Seq((v1, s1), (v2, s2)) =>
+      val f1 = s1.fields.map(f => f.name -> f.dataType).toMap
+      val f2 = s2.fields.map(f => f.name -> f.dataType).toMap
+      val common = f1.keySet intersect f2.keySet
+      val widened = common.count(n =>
+        f1(n) != f2(n) && widen(f1(n), f2(n)).contains(f2(n)))
+      val broken = common.count(n =>
+        f1(n) != f2(n) && !widen(f1(n), f2(n)).contains(f2(n)))
+      val (added, removed) = ((f2.keySet -- f1.keySet).size, (f1.keySet -- f2.keySet).size)
+      val backwardOk = broken == 0
+      val forwardOk = removed == 0 && widened == 0 && broken == 0
+      val verdict = (backwardOk, forwardOk) match {
+        case (true, true) => "full"
+        case (true, false) => "backward"
+        case (false, true) => "forward"
+        case _ => "none"
+      }
+      (v1.toLong, v2.toLong, added.toLong, removed.toLong,
+        widened.toLong, broken.toLong, verdict)
+    }.toSeq
+    spark.createDataFrame(rows).toDF("from_v", "to_v", "n_added",
+      "n_removed", "n_widened", "n_broken", "verdict")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -165,9 +210,47 @@ object Evolution {
       }
       schemaHistory(s, dir).orderBy("version")
     }),
+
+    // X248: a 5-commit timeline exercising every verdict class —
+    // widen+add (backward), remove (backward), conflicting retype
+    // (none), pure add (full) — with the verdicts DERIVED from footers
+    // through the widen ladder; the oracle is the timeline's literal
+    // truth. This fixture is separate from evolution_hist because its
+    // v4 retype (double→string) is exactly the conflict readHistory
+    // refuses to widen through.
+    "q_schema_compat" -> ((s, d) => {
+      val dir = graft.util.FixtureCache.dir("compat_hist", d) { dir =>
+        val o = Tables.orders(s, d).where(col("o_orderkey") % 7 === 0)
+        val base = o.select(col("o_orderkey"))
+        ManifestTable.commit(
+          base.withColumn("qty", lit(1).cast("int")), dir, 20250601, 900)
+        ManifestTable.commit(
+          base.withColumn("qty", lit(1).cast("long"))
+            .withColumn("price", lit(2.5d)), dir, 20250601, 1000)
+        ManifestTable.commit(
+          base.withColumn("price", lit(2.5d)), dir, 20250601, 1100)
+        ManifestTable.commit(
+          base.withColumn("price", lit("2.5")), dir, 20250601, 1200)
+        ManifestTable.commit(
+          base.withColumn("price", lit("2.5"))
+            .withColumn("note", lit("x")), dir, 20250601, 1300)
+      }
+      compatTransitions(s, dir).orderBy("from_v")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_schema_compat" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS from_v, CAST(2 AS BIGINT) AS to_v,
+        |         CAST(1 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed,
+        |         CAST(1 AS BIGINT) AS n_widened, CAST(0 AS BIGINT) AS n_broken,
+        |         'backward' AS verdict
+        |  UNION ALL SELECT 2, 3, 0, 1, 0, 0, 'backward'
+        |  UNION ALL SELECT 3, 4, 0, 0, 0, 1, 'none'
+        |  UNION ALL SELECT 4, 5, 1, 0, 0, 0, 'full'
+        |) ORDER BY from_v""".stripMargin,
+
     "q_schema_history" ->
       """SELECT * FROM (
         |  SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_cols,

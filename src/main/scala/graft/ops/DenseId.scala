@@ -81,32 +81,58 @@ object DenseId {
     */
   def prefixSumWithTotal(df: DataFrame, orderCol: String, valCol: String,
       parts: Int): (DataFrame, Long) = {
+    val st = prefixStructure(df, orderCol, valCol, parts)
+    (applyPrefix(df, orderCol, valCol, st), st.total)
+  }
+
+  /** The driver-side half of the prefix sum: split points (a quantile
+    * sketch pass) plus cumulated per-bucket offsets and the grand total
+    * (a bucket-sums pass). A pure function of the input frame, so
+    * callers over IMMUTABLE inputs may cache it per corpus and pay the
+    * two sketch/offset jobs once per JVM — the X7 quantizer-cache
+    * discipline (at scale the structure persists with the index/table,
+    * not per query).
+    */
+  case class PrefixStructure(splits: Array[Double], offsets: Seq[Long], total: Long)
+
+  def prefixStructure(df: DataFrame, orderCol: String, valCol: String,
+      parts: Int): PrefixStructure = {
     require(parts > 0)
     val splits = df.stat
       .approxQuantile(orderCol, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
       .distinct.sorted
-    val pidExpr = splits.foldLeft(lit(0)) { (acc, sp) =>
-      acc + when(col(orderCol) > lit(sp), 1).otherwise(0)
-    }
-    val withPid = df.withColumn("__pid", pidExpr)
     // per-bucket sums: #buckets rows, driver-sized by construction
-    val sums = withPid.groupBy("__pid")
+    val sums = df.withColumn("__pid", pidExpr(splits, orderCol))
+      .groupBy("__pid")
       .agg(sum(col(valCol)).cast("long").as("__s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 to splits.length).scanLeft(0L)((acc, p) =>
       acc + sums.getOrElse(p, 0L)).init
+    PrefixStructure(splits, offsets, sums.values.sum)
+  }
+
+  private def pidExpr(splits: Array[Double], orderCol: String) =
+    splits.foldLeft(lit(0)) { (acc, sp) =>
+      acc + when(col(orderCol) > lit(sp), 1).otherwise(0)
+    }
+
+  /** The distributed half: annotate `df` with the exclusive running
+    * total `cum_before` under a previously computed [[PrefixStructure]].
+    * One bucket-local window pass — no driver jobs.
+    */
+  def applyPrefix(df: DataFrame, orderCol: String, valCol: String,
+      st: PrefixStructure): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val offsetsDf = offsets.zipWithIndex
+    val offsetsDf = st.offsets.zipWithIndex
       .map { case (off, pid) => (pid, off) }.toDF("__pid", "__offset")
     val w = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1) // bucket-local, exclusive
-    val out = withPid
+    df.withColumn("__pid", pidExpr(st.splits, orderCol))
       .join(broadcast(offsetsDf), Seq("__pid"))
       .withColumn("cum_before",
         col("__offset") + coalesce(sum(col(valCol)).over(w), lit(0L)))
       .drop("__pid", "__offset")
-    (out, sums.values.sum)
   }
 
   /** Equi-depth bucketing (global NTILE without its single-partition

@@ -70,4 +70,34 @@ class ClustersSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
   }
+
+  test("X251 keep-best: one keeper per component, keeper is the quality argmax, membership consistent") {
+    val kept = Clusters.keepBest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("component"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("kept_id"), r.getAs[Long]("kept_permille"),
+        r.getAs[Boolean]("switched")))
+    assert(kept.nonEmpty)
+    val members = Clusters.queries("q_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component"))
+    val byComp = members.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val perm = {
+      val docs = graft.sources.Tables.documents(spark, sf)
+        .select("doc_id", "text").collect()
+      docs.map { r =>
+        val tk = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        r.getLong(0) ->
+          tk.count(TextAnalysis.stopwords.contains) * 1000L / math.max(tk.length, 1)
+      }.toMap
+    }
+    assert(kept.map(_._1).toSet == byComp.keySet, "one row per component")
+    kept.foreach { case (comp, n, id, p, switched) =>
+      val ms = byComp(comp)
+      assert(ms.contains(id) && n == ms.size, s"component $comp membership")
+      assert(p == perm(id))
+      assert(p == ms.map(perm).max, s"component $comp keeper is not the argmax")
+      assert(switched == (id != comp))
+    }
+    // the value proposition fires: some keeper differs from the min-id rule
+    assert(kept.exists(_._5), "expect at least one quality-switched keeper")
+  }
 }

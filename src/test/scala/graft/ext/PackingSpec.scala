@@ -78,6 +78,81 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("X249 cdc chunks: per-source report equals a local replay; token mass conserved") {
+    val got = Packing.queries("q_cdc_chunks")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_distinct_chunks"),
+          r.getAs[Long]("sum_chunk_tokens"), r.getAs[Long]("dup_permille")))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h40(s: String): Long = {
+      val hex = md.digest(s"cdc:$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(10)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val chunks = ds.flatMap { case (_, text) =>
+        val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (tk.isEmpty) Seq.empty[Seq[String]]
+        else {
+          val out = scala.collection.mutable.ArrayBuffer(
+            scala.collection.mutable.ArrayBuffer.empty[String])
+          tk.foreach { t =>
+            if (h40(t) % Packing.cdcResidue == 0 ) out += scala.collection.mutable.ArrayBuffer(t)
+            else out.last += t
+          }
+          out.filter(_.nonEmpty).map(_.toSeq).toSeq
+        }
+      }
+      val payloads = chunks.map(_.mkString(" "))
+      src -> (chunks.length.toLong, payloads.distinct.length.toLong,
+        chunks.map(_.length.toLong).sum,
+        (chunks.length - payloads.distinct.length).toLong * 1000 / chunks.length)
+    }
+    assert(got == expect)
+    // duplicate chunk mass exists on the closed-vocabulary fixture
+    assert(got.values.exists(_._4 > 0))
+  }
+
+  test("X250 span corruption: masks partition, sentinels sequence, renders match a local replay") {
+    val got = Packing.queries("q_span_corrupt")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_masked"),
+          r.getAs[Long]("n_spans"), r.getAs[String]("input_md5"),
+          r.getAs[String]("target_md5"))).toMap
+    assert(got.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h40(s: String) = java.lang.Long.parseLong(hex(s).take(10), 16)
+    Tables.documents(spark, sf).select("doc_id", "text").collect().take(30)
+      .foreach { r =>
+        val (id, tk) = (r.getLong(0),
+          r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty))
+        if (tk.nonEmpty) {
+          val m = tk.indices.map(p => h40(s"sc:$id:$p") % Packing.maskResidue == 0)
+          val starts = tk.indices.map(p => m(p) && (p == 0 || !m(p - 1)))
+          val spanId = starts.scanLeft(0)((a, s) => a + (if (s) 1 else 0)).tail
+          val input = tk.indices.flatMap { p =>
+            if (!m(p)) Some(tk(p))
+            else if (starts(p)) Some(s"<X${spanId(p) - 1}>") else None
+          }.mkString(" ")
+          val target = tk.indices.flatMap { p =>
+            if (m(p) && starts(p)) Some(s"<X${spanId(p) - 1}> ${tk(p)}")
+            else if (m(p)) Some(tk(p)) else None
+          }.mkString(" ")
+          assert(got(id) == ((tk.length.toLong, m.count(identity).toLong,
+            starts.count(identity).toLong,
+            hex(input), hex(target))), s"doc $id span corruption diverges")
+        }
+      }
+    // the objective is live on the fixture: masked and unmasked mass both exist
+    assert(got.values.map(_._2).sum > 0)
+    assert(got.values.exists(v => v._2 < v._1))
+  }
+
   test("X243 matryoshka: full width is its own baseline (1000), recall never decreases with width") {
     val rows = Quantize.queries("q_matryoshka")(spark, sf).collect()
       .map(r => (r.getAs[Long]("dims"), r.getAs[Long]("n_ranked"),

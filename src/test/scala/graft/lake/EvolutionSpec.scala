@@ -67,4 +67,21 @@ class EvolutionSpec extends SparkSpec {
     assert(rows(1).getAs[String]("added_cols") == "price")
     assert(rows(1).getAs[String]("removed_cols") == "")
   }
+
+  test("X248 compat verdicts: widen=backward, narrow=none, remove=backward, add=full") {
+    val dir = Scratch.dir("evo_compat")
+    // v1 {k int}, v2 {k long} (widen), v3 {k long, v string} (add),
+    // v4 {k int, v string} (NARROWED k — breaks backward too)
+    ManifestTable.commit(Seq(1).toDF("k"), dir, 20250501, 900)
+    ManifestTable.commit(Seq(1L).toDF("k"), dir, 20250501, 1000)
+    ManifestTable.commit(Seq((1L, "a")).toDF("k", "v"), dir, 20250501, 1100)
+    ManifestTable.commit(Seq((1, "a")).toDF("k", "v"), dir, 20250501, 1200)
+    val t = Evolution.compatTransitions(spark, dir).orderBy("from_v")
+      .collect().map(r => (r.getAs[Long]("from_v"), r.getAs[String]("verdict"),
+        r.getAs[Long]("n_widened"), r.getAs[Long]("n_broken")))
+    assert(t.toSeq == Seq(
+      (1L, "backward", 1L, 0L), // int→long: new reader fine, old reader not
+      (2L, "full", 0L, 0L),     // pure add: both directions fine
+      (3L, "none", 0L, 1L)))    // long→int narrows: nothing can promise
+  }
 }
