@@ -178,6 +178,29 @@ object Packing {
         .orderBy("doc_id")
     }),
 
+    // X252: KV-cache prefix-sharing report — the continuous-batching /
+    // prefix-caching planner input (vLLM's automatic prefix cache, SGLang
+    // RadixAttention): examples whose first `sharePrefixLen` tokens agree
+    // byte-for-byte can serve together recomputing the shared prefix
+    // ONCE, so the report lists every shared-prefix group with its exact
+    // saved-token mass ((n−1)·prefix length). One combinable hash
+    // aggregate over prefix md5s; output ∝ the sharing structure, never
+    // the corpus.
+    "q_prefix_share" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) >= sharePrefixLen)
+        .select(col("doc_id"),
+          md5(array_join(slice(col("tk"), 1, sharePrefixLen), " ")).as("prefix_md5"))
+        .groupBy("prefix_md5")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").cast("long").as("sum_ids"))
+        .where(col("n_docs") >= 2)
+        .withColumn("saved_tokens",
+          (col("n_docs") - 1) * sharePrefixLen)
+        .select("prefix_md5", "n_docs", "saved_tokens", "sum_ids")
+        .orderBy("prefix_md5")),
+
     // X50: retrieval-side chunking — sliding token windows (chunkSize
     // tokens, chunkStride apart → fixed overlap for boundary-context
     // retention, the standard RAG chunker) with STABLE (doc_id,
@@ -212,6 +235,9 @@ object Packing {
   /** X250 mask residue: ~1/6 of tokens corrupt (T5's 15% is 1/6.7). */
   val maskResidue = 6
 
+  /** X252 shared-prefix window (tokens). */
+  val sharePrefixLen = 4
+
   /** 40-bit md5 prefix of `salt:id` — the X136/X228 deterministic-choice
     * hash (nonnegative, so `%` agrees between Spark and DuckDB).
     */
@@ -240,6 +266,18 @@ object Packing {
          |        FROM documents))
          |GROUP BY lang, pack_id
          |ORDER BY lang, pack_id""".stripMargin,
+    "q_prefix_share" ->
+      s"""SELECT prefix_md5, count(*) AS n_docs,
+         |       CAST((count(*) - 1) * $sharePrefixLen AS BIGINT) AS saved_tokens,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM (
+         |  SELECT doc_id,
+         |         md5(array_to_string(list_slice(${TextAnalysis.toksSql}, 1,
+         |           $sharePrefixLen), ' ')) AS prefix_md5
+         |  FROM documents WHERE len(${TextAnalysis.toksSql}) >= $sharePrefixLen)
+         |GROUP BY prefix_md5 HAVING count(*) >= 2
+         |ORDER BY prefix_md5""".stripMargin,
+
     "q_span_corrupt" ->
       s"""WITH base AS (SELECT doc_id, ${TextAnalysis.toksSql} AS tk FROM documents),
          |pos AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS pos FROM base),

@@ -117,6 +117,29 @@ class PackingSpec extends SparkSpec {
     assert(got.values.exists(_._4 > 0))
   }
 
+  test("X252 prefix share: groups match a local replay, savings arithmetic exact") {
+    val got = Packing.queries("q_prefix_share")(spark, sf).collect()
+      .map(r => r.getAs[String]("prefix_md5") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("saved_tokens"),
+          r.getAs[Long]("sum_ids"))).toMap
+    assert(got.nonEmpty, "fixture has shared prefixes (planted near-dups)")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val tk = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (tk.length < Packing.sharePrefixLen) None
+        else Some(md.digest(tk.take(Packing.sharePrefixLen).mkString(" ")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString -> r.getLong(0))
+      }
+      .groupBy(_._1).filter(_._2.length >= 2)
+      .map { case (h, ds) => h -> (ds.length.toLong,
+        (ds.length - 1).toLong * Packing.sharePrefixLen, ds.map(_._2).sum) }
+    assert(got == expect)
+    got.values.foreach { case (n, saved, _) =>
+      assert(n >= 2 && saved == (n - 1) * Packing.sharePrefixLen)
+    }
+  }
+
   test("X250 span corruption: masks partition, sentinels sequence, renders match a local replay") {
     val got = Packing.queries("q_span_corrupt")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
