@@ -166,6 +166,31 @@ class PlanSpec extends SparkSpec {
       "distinct aggregate buffer present — final count must be plain")
   }
 
+  test("q_k_anonymity never joins: the whole ladder is aggregates over one corpus read") {
+    // The scale claim (Anonymity Scaladoc): level-1/2 rungs roll up the
+    // CLASS table, never re-join rows — so the plan has zero join nodes
+    // of any kind, just aggregates + union.
+    val plan = planOf("q_k_anonymity").split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"ladder plan contains a join:\n${plan.take(800)}")
+  }
+
+  test("q_source_overlap totals ride broadcasts, never a sort-merge join") {
+    // The scale claim (Mixture Scaladoc): pair rows join the |sources|-row
+    // totals via broadcast; a SMJ here would shuffle the pair table twice.
+    val plan = planOf("q_source_overlap").split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"),
+      s"totals join fell back to SMJ:\n${plan.take(800)}")
+  }
+
+  test("q_budget_select stays bucket-parallel: no single-partition exchange anywhere") {
+    // The scale claim (Selection Scaladoc): the global running total rides
+    // the bucketed prefix-sum machinery, never `sum() OVER (ORDER BY …)`.
+    val plan = planOf("q_budget_select").split("== Initial Plan ==").head
+    assert(!plan.contains("SinglePartition"),
+      s"budget cut collapsed to one partition:\n${plan.take(800)}")
+  }
+
   test("snapshotAt prunes partitions in the lake layout") {
     import java.nio.file.Files
     import graft.lake.Layout
