@@ -59,7 +59,8 @@ object SparkEntry {
       spark.GraftTableFunctions.queries ++ lake.OptimizedWrite.queries ++
       ext.WeightedSample.queries ++ ext.SemDedup.queries ++ ext.QualityClassifier.queries ++ ext.BinaryQuant.queries ++ lake.RowTracking.queries ++ lake.Wap.queries ++ ext.Curriculum.queries ++
       ext.Anonymity.queries ++ ext.Chat.queries ++ ext.Mixture.queries ++
-      ext.Selection.queries ++ ext.ReleaseDiff.queries
+      ext.Selection.queries ++ ext.ReleaseDiff.queries ++
+      ext.ReleaseYield.queries
       // (q_format_files rides graft.spark.GraftFormat.queries)
       // (q_commit_guard rides lake.Expectations.queries, already included)
 
@@ -108,5 +109,6 @@ object SparkEntry {
       spark.GraftTableFunctions.oracles ++ lake.OptimizedWrite.oracles ++
       ext.WeightedSample.oracles ++ ext.SemDedup.oracles ++ ext.QualityClassifier.oracles ++ ext.BinaryQuant.oracles ++ lake.RowTracking.oracles ++ lake.Wap.oracles ++ ext.Curriculum.oracles ++
       ext.Anonymity.oracles ++ ext.Chat.oracles ++ ext.Mixture.oracles ++
-      ext.Selection.oracles ++ ext.ReleaseDiff.oracles
+      ext.Selection.oracles ++ ext.ReleaseDiff.oracles ++
+      ext.ReleaseYield.oracles
 }

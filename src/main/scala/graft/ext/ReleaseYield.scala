@@ -1,0 +1,183 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables.documents
+
+/** Composed curation-chain yield report (X254) — the round's curation
+  * operators INTERLOCKED as one pipeline, reported as the yield funnel a
+  * dataset release publishes: how much survives each stage and at what
+  * token mass.
+  *
+  *   raw → quality (the X247 rule ladder's `kept` rung)
+  *       → dedup   (X251 keep-best over clusters restricted to quality
+  *                  survivors — the keeper is the quality argmax among
+  *                  SURVIVING members, so stages compose rather than
+  *                  leak: a cluster whose min-id member failed quality
+  *                  still keeps its best surviving copy)
+  *       → budget  (X240's fluent-first cut at 40% of SURVIVOR tokens —
+  *                  the budget is relative to what dedup left, the way a
+  *                  real release budgets what it can actually ship)
+  *       → packed  (X45 contiguous 256-token packs over the selection).
+  *
+  * One row per stage: (stage, n_units, sum_tokens) — units are documents
+  * through `budget` and packs at `packed`. Every rule is the exact
+  * integer form of its standalone operator, so the WHOLE chain replays
+  * bit-for-bit in one oracle (the X40 composition discipline applied to
+  * the LLM-curation surface).
+  *
+  * Scale shape: each stage is the standalone operator's shape — slim
+  * frames end to end, prefix sums on the X77 bucket machinery, clusters
+  * over output-sized survivor pairs; no stage re-reads text after the
+  * first pass.
+  */
+object ReleaseYield {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_release_yield" -> ((s, d) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val base = graft.util.FixtureCache.parquet(s, "yield_base", d) { dir =>
+        documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(t).cast("long").as("n_tok"),
+            TextAnalysis.countIn(t, TextAnalysis.stopwords).as("n_stop"),
+            size(array_distinct(t)).cast("long").as("n_dist"))
+          .withColumn("permille", expr("n_stop * 1000 div greatest(n_tok, 1)"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      // stage 1: the X247 ladder's kept rung
+      val surv1 = base.where(
+        col("n_tok") >= Scrub.funnelMinTok &&
+          col("n_tok") <= Scrub.funnelMaxTok &&
+          col("n_stop") * 16 >= col("n_tok") &&
+          (col("n_tok") - col("n_dist")) * 1000 <=
+            col("n_tok") * Scrub.funnelRepPermille)
+      // stage 2: keep-best dedup over clusters among SURVIVORS
+      val pairs = graft.util.FixtureCache.parquet(s, "yield_pairs", d) { dir =>
+        Dedup.queries("q_dedup_ngram_jaccard")(s, d)
+          .select(col("ia"), col("ib"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      val ids1 = surv1.select(col("doc_id"))
+      val survEdges = pairs
+        .join(broadcast(ids1.withColumnRenamed("doc_id", "ia")), Seq("ia"))
+        .join(broadcast(ids1.withColumnRenamed("doc_id", "ib")), Seq("ib"))
+        .select(col("ia").as("a"), col("ib").as("b"))
+      val comp = Clusters.connectedComponents(s, survEdges)
+        .select(col("node").as("doc_id"), col("label").as("component"))
+      val wk = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        .orderBy(col("permille").desc, col("doc_id").asc)
+      val losers = surv1.join(broadcast(comp), Seq("doc_id"))
+        .withColumn("rk", row_number().over(wk))
+        .where(col("rk") > 1)
+        .select("doc_id")
+      val surv2 = surv1.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      // stage 3: X240 budget cut at 40% of SURVIVOR token mass
+      val stride = base.agg(max("doc_id")).head.getAs[Number](0).longValue() + 1
+      val keyed = surv2.withColumn("k",
+        (lit(1000L) - col("permille")) * stride + col("doc_id"))
+      val (cum, total2) =
+        graft.ops.DenseId.prefixSumWithTotal(keyed, "k", "n_tok", 8)
+      val budget = total2 * Selection.budgetNum / Selection.budgetDen
+      val sel3 = cum.where(col("cum_before") < budget)
+      // stage 4: X45 contiguous packs over the selection in doc_id order
+      val (packCum, _) =
+        graft.ops.DenseId.prefixSumWithTotal(sel3.select("doc_id", "n_tok"),
+          "doc_id", "n_tok", 8)
+      val packed = packCum
+        .withColumn("pack_id", expr(s"cum_before DIV ${Packing.capacity}"))
+      def stage(name: String, df: DataFrame, units: org.apache.spark.sql.Column) =
+        df.agg(countDistinct(units).as("n_units"),
+          sum("n_tok").cast("long").as("sum_tokens"))
+          .select(lit(name).as("stage"), col("n_units"), col("sum_tokens"))
+      stage("0_raw", base, col("doc_id"))
+        .unionByName(stage("1_quality", surv1, col("doc_id")))
+        .unionByName(stage("2_dedup", surv2, col("doc_id")))
+        .unionByName(stage("3_budget", sel3, col("doc_id")))
+        .unionByName(stage("4_packed", packed, col("pack_id")))
+        .orderBy("stage")
+    }),
+  )
+
+  private val toks = TextAnalysis.toksSql
+
+  val oracles: Map[String, String] = Map(
+    "q_release_yield" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok,
+         |         ${TextAnalysis.countInSql(TextAnalysis.stopwords)} AS n_stop,
+         |         CAST(len(list_distinct($toks)) AS BIGINT) AS n_dist,
+         |         (${TextAnalysis.countInSql(TextAnalysis.stopwords)}) * 1000 //
+         |           GREATEST(CAST(len($toks) AS BIGINT), 1) AS permille
+         |  FROM documents),
+         |surv1 AS (
+         |  SELECT * FROM base
+         |  WHERE n_tok >= ${Scrub.funnelMinTok} AND n_tok <= ${Scrub.funnelMaxTok}
+         |    AND n_stop * 16 >= n_tok
+         |    AND (n_tok - n_dist) * 1000 <= n_tok * ${Scrub.funnelRepPermille}),
+         |sh AS (
+         |  SELECT doc_id, ${Dedup.shinglesSql} AS s
+         |  FROM (SELECT doc_id, ${Dedup.toksSql} AS l FROM documents)
+         |  WHERE doc_id IN (SELECT doc_id FROM surv1)),
+         |pairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND len(list_intersect(a.s, b.s)) * 5 >=
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+         |edges AS (SELECT ia AS a, ib AS b FROM pairs
+         |          UNION SELECT ib, ia FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, b AS dst FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (
+         |  SELECT node AS doc_id, least(node, min(dst)) AS component
+         |  FROM reach GROUP BY node),
+         |losers AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id,
+         |           row_number() OVER (PARTITION BY c.component
+         |             ORDER BY s1.permille DESC, c.doc_id) AS rk
+         |    FROM comp c JOIN surv1 s1 ON s1.doc_id = c.doc_id)
+         |  WHERE rk > 1),
+         |surv2 AS (
+         |  SELECT * FROM surv1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |keyed AS (
+         |  SELECT *, (1000 - permille) *
+         |           (SELECT max(doc_id) + 1 FROM base) + doc_id AS k
+         |  FROM surv2),
+         |c3 AS (
+         |  SELECT doc_id, n_tok,
+         |         CAST(coalesce(sum(n_tok) OVER (ORDER BY k
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cum
+         |  FROM keyed),
+         |sel3 AS (
+         |  SELECT doc_id, n_tok FROM c3
+         |  WHERE cum < (SELECT CAST(sum(n_tok) * ${Selection.budgetNum} //
+         |                 ${Selection.budgetDen} AS BIGINT) FROM surv2)),
+         |packs AS (
+         |  SELECT n_tok,
+         |         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) // ${Packing.capacity} AS pack_id
+         |  FROM sel3)
+         |SELECT * FROM (
+         |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_units,
+         |         CAST(sum(n_tok) AS BIGINT) AS sum_tokens FROM base
+         |  UNION ALL
+         |  SELECT '1_quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM surv1
+         |  UNION ALL
+         |  SELECT '2_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM surv2
+         |  UNION ALL
+         |  SELECT '3_budget', count(*), CAST(sum(n_tok) AS BIGINT) FROM sel3
+         |  UNION ALL
+         |  SELECT '4_packed', CAST(count(DISTINCT pack_id) AS BIGINT),
+         |         CAST(sum(n_tok) AS BIGINT) FROM packs
+         |) ORDER BY stage""".stripMargin,
+  )
+}
