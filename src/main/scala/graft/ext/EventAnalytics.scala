@@ -80,6 +80,31 @@ object EventAnalytics {
       counts.reduce(_ unionByName _).orderBy("step")
     }),
 
+    // X255: exact user-growth curve — per day: events, active users,
+    // NEW users (first-seen that day) and the cumulative user count.
+    // The X246 min-first-occurrence discipline on the events stream: a
+    // user's acquisition day is min(day) over their events, so the whole
+    // growth curve (the DAU/acquisition chart every analytics stack
+    // ships, computed EXACTLY, no sketch) costs one combinable per-user
+    // aggregate plus day-bucketed rollups — never a distinct-scan per
+    // day; the only cross-day window is the running sum over ~days rows.
+    "q_user_growth" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val daily = ev.groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_active"))
+      val firsts = ev.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_new"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      daily.join(firsts, Seq("day"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_users", sum("n_new").over(w).cast("long"))
+        .select("day", "n_events", "n_active", "n_new", "cum_users")
+        .orderBy("day")
+    }),
+
     // cohort week × week offset × active users.
     "q_cohort_retention" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"),
@@ -99,6 +124,23 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_user_growth" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (
+        |  SELECT day, count(*) AS n_events,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM ev GROUP BY day),
+        |firsts AS (
+        |  SELECT day, count(*) AS n_new FROM (
+        |    SELECT user_id, min(day) AS day FROM ev GROUP BY user_id)
+        |  GROUP BY day)
+        |SELECT d.day, d.n_events, d.n_active,
+        |       CAST(coalesce(f.n_new, 0) AS BIGINT) AS n_new,
+        |       CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY d.day)
+        |         AS BIGINT) AS cum_users
+        |FROM daily d LEFT JOIN firsts f ON f.day = d.day
+        |ORDER BY d.day""".stripMargin,
+
     "q_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,
