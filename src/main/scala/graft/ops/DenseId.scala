@@ -39,10 +39,10 @@ object DenseId {
   def assignWithCount(df: DataFrame, orderCol: String, parts: Int): (DataFrame, Long) = {
     require(parts > 0)
     // deterministic split points: a quantile sketch of the key (values
-    // land verbatim from the data, so bucket predicates compare exactly)
-    val splits = df.stat
-      .approxQuantile(orderCol, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
-      .distinct.sorted
+    // land verbatim from the data, so bucket predicates compare exactly);
+    // parts=1 means one bucket — no sketch (Spark NPEs on an empty
+    // probability array)
+    val splits = sketchSplits(df, orderCol, parts)
     val pidExpr = splits.foldLeft(lit(0)) { (acc, sp) =>
       acc + when(col(orderCol) > lit(sp), 1).otherwise(0)
     }
@@ -95,12 +95,20 @@ object DenseId {
     */
   case class PrefixStructure(splits: Array[Double], offsets: Seq[Long], total: Long)
 
+  /** Deterministic split points for `parts` range buckets (empty for a
+    * single bucket — Spark's approxQuantile NPEs on an empty probability
+    * array).
+    */
+  private def sketchSplits(df: DataFrame, orderCol: String, parts: Int): Array[Double] =
+    if (parts == 1) Array.empty
+    else df.stat
+      .approxQuantile(orderCol, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+      .distinct.sorted
+
   def prefixStructure(df: DataFrame, orderCol: String, valCol: String,
       parts: Int): PrefixStructure = {
     require(parts > 0)
-    val splits = df.stat
-      .approxQuantile(orderCol, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
-      .distinct.sorted
+    val splits = sketchSplits(df, orderCol, parts)
     // per-bucket sums: #buckets rows, driver-sized by construction
     val sums = df.withColumn("__pid", pidExpr(splits, orderCol))
       .groupBy("__pid")

@@ -52,6 +52,29 @@ class DenseIdSpec extends SparkSpec {
       s"prefix-sum plan collapsed to one partition:\n$plan")
   }
 
+  test("property: prefix sums match a local scan across sizes, skews, and bucket counts") {
+    // deterministic pseudo-random cases: gappy key spaces, heavy value
+    // skew, degenerate bucket counts (1 bucket, more buckets than rows)
+    val rnd = new scala.util.Random(11)
+    Seq((1, 8), (7, 3), (64, 1), (64, 16), (200, 8), (333, 40)).foreach {
+      case (n, parts) =>
+        val rows = (1 to n).map { i =>
+          (i.toLong * 13 % 4099, // unique: 13 invertible mod 4099, n < 4099
+            if (i % 17 == 0) 1000L + rnd.nextInt(1000) else rnd.nextInt(5).toLong)
+        }
+        val df = rnd.shuffle(rows).toDF("k", "v").repartition(5)
+        val (out, total) = DenseId.prefixSumWithTotal(df, "k", "v", parts)
+        val got = out.select("k", "cum_before").as[(Long, Long)]
+          .collect().sortBy(_._1)
+        var acc = 0L
+        val expect = rows.sortBy(_._1).map { case (k, v) =>
+          val c = acc; acc += v; (k, c)
+        }
+        assert(got.toSeq == expect, s"case n=$n parts=$parts diverged")
+        assert(total == rows.map(_._2).sum)
+    }
+  }
+
   test("equi-depth buckets reproduce SQL NTILE sizes exactly (uneven arm included)") {
     // n = 23, k = 4 → NTILE sizes 6,6,6,5
     val df = (1L to 23L).map(_ * 3).toDF("k")
