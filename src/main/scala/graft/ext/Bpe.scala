@@ -110,7 +110,11 @@ object Bpe {
     // per-call work is the corpus explode + one word join + combinable
     // sum. The oracle replays training AND application as chained CTEs.
     "q_bpe_encode" -> ((s, d) => {
-      val vocabDir = graft.util.FixtureCache.dir("bpe_vocab", d) { dir =>
+      // the tokenizer artifact proper — committed durable (round-10 ask
+      // #4), so a restarted driver joins against the persisted vocabulary
+      // instead of re-running the merge rounds
+      val vocabDir = graft.util.FixtureCache.durableDir("bpe_vocab", d,
+        s"v1:rounds=$Rounds") { dir =>
         tokenizedVocab(graft.sources.Tables.cachedParquet(s, s"${wordFreqDir(s, d)}/t"), Rounds)
           .write.mode("overwrite").parquet(s"$dir/t")
       }
@@ -137,7 +141,8 @@ object Bpe {
     * train-half merges AND the held-out scoring.
     */
   val fitQuery: (SparkSession, String) => DataFrame = (s, d) => {
-    val vocabDir = graft.util.FixtureCache.dir("bpe_vocab_half", d) { dir =>
+    val vocabDir = graft.util.FixtureCache.durableDir("bpe_vocab_half", d,
+      s"v1:rounds=$Rounds:even") { dir =>
       tokenizedVocab(
         wordFreq(documents(s, d).where(col("doc_id") % 2 === 0), "text"),
         Rounds)

@@ -65,24 +65,25 @@ object Curriculum {
     conv(substring(md5(key), 1, 10), 16, 10).cast("long")
 
   /** Global schedule positions for rows ordered by (`majorCol` asc,
-    * shuffle-hash, `idCol`): one composite long sort key through the X77
-    * dense-id assignment (distributed rank — bucket-local windows over
-    * quantile split points, never a single-partition window). The hash
-    * keeps its top `62 − bits(major·stride)` bits (cap 40) — truncation
-    * is monotone so the order is preserved, coarsened ties fall to the
-    * id term (same adaptive-width argument as `Split.shuffleOrdinal`).
+    * shuffle-hash, `idCol`): `major·2^40 + hash40` is the bucket/sort
+    * key through the X77 dense-id assignment (distributed rank —
+    * bucket-local windows over quantile split points, never a
+    * single-partition window), and the id rides as DenseId's TIE-BREAK
+    * column for the rare 40-bit hash collision. The id never packs into
+    * the key, so the FULL 40-bit hash always fits — the historical
+    * `(major, hash) · stride + id` form truncated the hash once the id
+    * domain grew past 2^(22−bits(major)) and silently diverged from the
+    * oracle's `ORDER BY major, h40, id`; this form is bit-exact to it at
+    * any scale (major caps at 2^22 majors before ITS bits overflow,
+    * enforced below).
     */
   private def scheduleOrdinal(df: DataFrame, idCol: String, majorCol: Column,
       majorMax: Int, hashCol: Column): (DataFrame, Long) = {
-    val stride = df.agg(max(col(idCol))).head.getAs[Number](0).longValue() + 1
-    val strideBits = 64 - java.lang.Long.numberOfLeadingZeros(stride)
     val majorBits = 32 - Integer.numberOfLeadingZeros(math.max(1, majorMax))
-    val hbits = math.min(40, 62 - strideBits - majorBits)
-    require(hbits >= 8, s"id domain too wide: max=$stride, majors=$majorMax")
-    val h = shiftright(hashCol, 40 - hbits)
-    val key = (majorCol.cast("long") * (1L << hbits) + h) * stride + col(idCol)
+    require(majorBits <= 22, s"major domain too wide: majors=$majorMax")
+    val key = majorCol.cast("long") * (1L << 40) + hashCol
     val (out, n) = graft.ops.DenseId.assignWithCount(
-      df.withColumn("__sched", key), "__sched", 8)
+      df.withColumn("__sched", key), "__sched", 8, Seq(idCol))
     (out.withColumnRenamed("rid", "pos").drop("__sched"), n)
   }
 

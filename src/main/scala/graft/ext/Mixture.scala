@@ -64,7 +64,9 @@ object Mixture {
         val share = rem / (ordered.length - i)
         val a = math.min(cap, share)
         rem -= a
-        (src, nd, sz, cap, a, a * 1000 / sz)
+        // max(sz,1): an all-empty-tokenizing source has sz = 0 (its cap
+        // and alloc are 0 too, so the permille is honestly 0, not ÷0)
+        (src, nd, sz, cap, a, a * 1000 / math.max(sz, 1L))
       }
       val spark = s
       import spark.implicits._
@@ -105,19 +107,29 @@ object Mixture {
     }),
   )
 
-  /** Distinct (source, shingle) rows — [[Dedup.docShingles]]'s
+  /** Distinct (source, shingle-FINGERPRINT) rows — [[Dedup.docShingles]]'s
     * lead-window shape (codegen'd, one doc_id shuffle) with the source
-    * riding the token stream, collapsed by a combinable distinct.
+    * riding the token stream, collapsed by a combinable distinct. The
+    * shingle is hashed to the top 60 bits of its md5 BEFORE the shuffle
+    * (the X205 simhash / X154 fingerprint move): the distinct, the
+    * per-shingle source-set groupBy, and the materialized cache all carry
+    * 8-byte longs instead of ~25-char strings — ~3× less shuffle and
+    * exchange volume, which is what the 100×-scale path needs. md5-60 is
+    * computable in BOTH engines, so the oracle rebuilds every fingerprint
+    * bit-for-bit and the query stays FULLY oracled; a fingerprint
+    * collision (~n²/2⁶⁰) collapses the same pair of shingles in both
+    * engines.
     */
   private def srcShingles(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.widened(documents(s, d))
       .select(col("source"), col("doc_id"),
         posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
+    val sh = concat_ws(" ", (0 until Dedup.shingleLen).map(i =>
+      if (i == 0) col("t") else lead("t", i).over(w)): _*)
     tok
       .select(col("source"),
-        concat_ws(" ", (0 until Dedup.shingleLen).map(i =>
-          if (i == 0) col("t") else lead("t", i).over(w)): _*).as("sh"),
+        conv(substring(md5(sh), 1, 15), 16, 10).cast("long").as("sh"),
         lead("t", Dedup.shingleLen - 1).over(w).isNotNull.as("full"))
       .where(col("full"))
       .select("source", "sh").distinct()
@@ -150,13 +162,15 @@ object Mixture {
          |         LEAST(o.cap, f.rem // ((SELECT kk FROM k) - o.rn + 1))
          |  FROM fill f JOIN ord o ON o.rn = f.rn + 1)
          |SELECT o.source, o.n_docs, o.s AS sum_tokens, o.cap AS cap_tokens,
-         |       f.alloc AS alloc_tokens, f.alloc * 1000 // o.s AS epochs_permille
+         |       f.alloc AS alloc_tokens,
+         |       f.alloc * 1000 // GREATEST(o.s, 1) AS epochs_permille
          |FROM fill f JOIN ord o ON o.source = f.source
          |ORDER BY o.source""".stripMargin,
 
     "q_source_overlap" ->
       s"""WITH ss AS (
-         |  SELECT DISTINCT source, sh
+         |  SELECT DISTINCT source,
+         |         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS sh
          |  FROM (SELECT source, unnest(${Dedup.shinglesSql}) AS sh
          |        FROM (SELECT source, $toks AS l FROM documents)
          |        WHERE len(l) >= ${Dedup.shingleLen})),

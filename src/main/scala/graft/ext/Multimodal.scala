@@ -217,13 +217,6 @@ object Multimodal {
           val (info, samples) = Wav.parse(m.bytes)
             .getOrElse(sys.error(s"unparseable wav payload for media ${m.media_id}"))
           val nw = (info.nSamples + silenceWindow - 1) / silenceWindow
-          val silent = Array.tabulate(nw) { w =>
-            val from = w * silenceWindow
-            val until = math.min(info.nSamples, from + silenceWindow)
-            var e = 0L; var i = from
-            while (i < until) { e += math.abs(samples(i).toLong); i += 1 }
-            e < silencePerSample.toLong * (until - from)
-          }
           val energies = Array.tabulate(nw) { w =>
             val from = w * silenceWindow
             val until = math.min(info.nSamples, from + silenceWindow)
@@ -231,6 +224,10 @@ object Multimodal {
             while (i < until) { e += math.abs(samples(i).toLong); i += 1 }
             e
           }
+          def winLen(w: Int) =
+            math.min(info.nSamples, (w + 1) * silenceWindow) - w * silenceWindow
+          val silent = Array.tabulate(nw)(w =>
+            energies(w) < silencePerSample.toLong * winLen(w))
           val segs = silent.indices.count(i => !silent(i) && (i == 0 || silent(i - 1)))
           (m.media_id, nw.toLong, silent.count(identity).toLong,
             segs.toLong, energies.max)

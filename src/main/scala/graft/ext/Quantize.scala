@@ -63,17 +63,26 @@ object Quantize {
       val dots = mrlDims.map(p => struct(lit(p.toLong).as("dims"),
         graft.functions.VectorOps.dotExact(
           slice(col("v"), 1, p), slice(col("qv"), 1, p)).as("dp")))
-      val top = e.crossJoin(broadcast(q))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cand"),
-          explode(array(dots: _*)).as("x"))
-        .select(col("qid"), col("cand"), col("x.dims").as("dims"),
-          col("x.dp").as("dp"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("dims", "qid")
-            .orderBy(col("dp").desc, col("cand").asc)))
-        .where(col("rk") <= Similarity.k)
-        .select("dims", "qid", "cand")
+      // materialized: `top` feeds both sides of the baseline self-join
+      // below, and Spark recomputes shared subplans per branch — without
+      // this the corpus × panel cross join and the three per-width top-k
+      // windows run TWICE per invocation (the Dedup.materializeCached
+      // discipline; a pure function of the corpus, so FixtureCache keys
+      // it per dir and warm repeats read parquet)
+      val top = graft.util.FixtureCache.parquet(s, "mrl_top", d) { dir =>
+        e.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cand"),
+            explode(array(dots: _*)).as("x"))
+          .select(col("qid"), col("cand"), col("x.dims").as("dims"),
+            col("x.dp").as("dp"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("dims", "qid")
+              .orderBy(col("dp").desc, col("cand").asc)))
+          .where(col("rk") <= Similarity.k)
+          .select("dims", "qid", "cand")
+          .write.mode("overwrite").parquet(dir)
+      }
       val full = top.where(col("dims") === mrlDims.last)
         .select(col("qid"), col("cand"), lit(1L).as("hit"))
       top.join(full, Seq("qid", "cand"), "left")

@@ -29,8 +29,11 @@ object ReleaseDiff {
 
   /** Release-B revision rules, keyed on `md5("rel:" || doc_id) mod 10`:
     * 0 → dropped; 1,2 → text edited (a revision suffix); 3 → an added
-    * fresh document (id + 10^6, same source, derived text); else
-    * unchanged.
+    * fresh document (id + max(doc_id)+1, same source, derived text); else
+    * unchanged. The added-id offset derives from the actual key range
+    * (the stride discipline Selection/Curriculum use) — a fixed 10^6
+    * collides with kept ids once real doc_ids reach 10^6, duplicating
+    * release-B keys and fanning out the full-outer join.
     */
   private def relBucket(id: org.apache.spark.sql.Column) =
     conv(substring(md5(concat(lit("rel:"), id.cast("string"))), 1, 8), 16, 10)
@@ -47,8 +50,9 @@ object ReleaseDiff {
       .withColumn("text",
         when(relBucket(col("doc_id")).isin(1L, 2L),
           concat(col("text"), lit(" rev"))).otherwise(col("text")))
+    val offset = a.agg(max("doc_id")).head.getAs[Number](0).longValue() + 1
     val added = a.where(bucket === 3)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+      .select((col("doc_id") + offset).as("doc_id"), col("source"),
         concat(col("text"), lit(" new")).as("text"))
     (slim(a), slim(kept.select("doc_id", "source", "text").unionByName(added)))
   }
@@ -97,7 +101,7 @@ object ReleaseDiff {
          |         CASE WHEN $relSql IN (1, 2) THEN text || ' rev' ELSE text END AS text
          |  FROM documents WHERE $relSql <> 0
          |  UNION ALL
-         |  SELECT doc_id + 1000000, source, text || ' new'
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), source, text || ' new'
          |  FROM documents WHERE $relSql = 3),
          |b AS (
          |  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tok,

@@ -89,16 +89,24 @@ object ReleaseYield {
       }
       // stages 3+4: budget cut + packing, structures cached per corpus
       val (stride, st3, st4) = structCache.computeIfAbsent(d, _ => {
-        val stride = base.agg(max("doc_id")).head.getAs[Number](0).longValue() + 1
-        val keyed = surv2.withColumn("k",
-          (lit(1000L) - col("permille")) * stride + col("doc_id"))
-        val st3 = graft.ops.DenseId.prefixStructure(keyed, "k", "n_tok", 8)
-        val budget = st3.total * Selection.budgetNum / Selection.budgetDen
-        val sel3 = graft.ops.DenseId.applyPrefix(keyed, "k", "n_tok", st3)
-          .where(col("cum_before") < budget)
-        val st4 = graft.ops.DenseId.prefixStructure(
-          sel3.select("doc_id", "n_tok"), "doc_id", "n_tok", 8)
-        (stride, st3, st4)
+        // committed sidecar (round-10 ask #4): 1 stride line + 3 lines
+        // per prefix structure, replayed by a cold driver with no sketch
+        val lines = graft.util.ArtifactStore.lines("yield_prefix", d, "v1:k8") {
+          val stride = base.agg(max("doc_id")).head.getAs[Number](0).longValue() + 1
+          val keyed = surv2.withColumn("k",
+            (lit(1000L) - col("permille")) * stride + col("doc_id"))
+          val st3 = graft.ops.DenseId.prefixStructure(keyed, "k", "n_tok", 8)
+          val budget = st3.total * Selection.budgetNum / Selection.budgetDen
+          val sel3 = graft.ops.DenseId.applyPrefix(keyed, "k", "n_tok", st3)
+            .where(col("cum_before") < budget)
+          val st4 = graft.ops.DenseId.prefixStructure(
+            sel3.select("doc_id", "n_tok"), "doc_id", "n_tok", 8)
+          stride.toString +: (graft.util.ArtifactStore.encodePrefix(st3) ++
+            graft.util.ArtifactStore.encodePrefix(st4))
+        }
+        (lines.head.toLong,
+          graft.util.ArtifactStore.decodePrefix(lines.slice(1, 4)),
+          graft.util.ArtifactStore.decodePrefix(lines.slice(4, 7)))
       })
       val keyed = surv2.withColumn("k",
         (lit(1000L) - col("permille")) * stride + col("doc_id"))

@@ -33,7 +33,10 @@ object Selection {
   val budgetDen = 10
 
   /** Per-corpus (stride, prefix structure) — deterministic pure
-    * functions of the immutable score fixture, like X7's quantizer.
+    * functions of the immutable score fixture, like X7's quantizer. The
+    * in-JVM map is the L1; the value itself is a COMMITTED sidecar via
+    * [[graft.util.ArtifactStore]] (round-10 ask #4), so a restarted
+    * driver reads the committed lines instead of re-sketching.
     */
   private val structCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, graft.ops.DenseId.PrefixStructure)]
@@ -58,10 +61,15 @@ object Selection {
       // quantizer-cache discipline) so warm runs pay ONE distributed
       // pass — at scale the structure persists alongside the table
       val (stride, st) = structCache.computeIfAbsent(d, _ => {
-        val stride = scored.agg(max("doc_id")).head.getAs[Number](0).longValue() + 1
-        (stride, graft.ops.DenseId.prefixStructure(
-          scored.withColumn("k", (lit(1000L) - col("permille")) * stride +
-            col("doc_id")), "k", "n_tok", 8))
+        val lines = graft.util.ArtifactStore.lines("sel_prefix", d, "v1:k8") {
+          val stride = scored.agg(max("doc_id")).head.getAs[Number](0).longValue() + 1
+          val st = graft.ops.DenseId.prefixStructure(
+            scored.withColumn("k", (lit(1000L) - col("permille")) * stride +
+              col("doc_id")), "k", "n_tok", 8)
+          stride.toString +: graft.util.ArtifactStore.encodePrefix(st)
+        }
+        (lines.head.toLong,
+          graft.util.ArtifactStore.decodePrefix(lines.tail))
       })
       val keyed = scored.withColumn("k",
         (lit(1000L) - col("permille")) * stride + col("doc_id"))

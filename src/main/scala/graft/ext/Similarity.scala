@@ -139,8 +139,17 @@ object Similarity {
 
   def quantizerFor(s: SparkSession, d: String, e: DataFrame): (Array[Array[Long]], Int) =
     quantCache.computeIfAbsent(d, _ => {
-      val k = adaptiveIvfK(e.count())
-      (ivfCentroids(s, e, k), adaptiveProbes(k))
+      // committed sidecar (round-10 ask #4) — the FAISS index-file role:
+      // a cold driver reads the k×dim centroid lines instead of paying
+      // the Lloyd's passes again; k (and thus probes) falls back out of
+      // the line count
+      val lines = graft.util.ArtifactStore.lines("ivf_quant", d,
+        s"v1:iters=$ivfIters") {
+        val k = adaptiveIvfK(e.count())
+        graft.util.ArtifactStore.encodeMatrix(ivfCentroids(s, e, k))
+      }
+      val cents = graft.util.ArtifactStore.decodeMatrix(lines)
+      (cents, adaptiveProbes(cents.length))
     })
 
   /** Coarse quantizer for the IVF tier: the X111 bit-reproducible

@@ -47,10 +47,11 @@ object Split {
 
   /** X136: deterministic corpus shuffling — a reproducible global
     * training order WITHOUT a global sort bottleneck. Each doc gets a
-    * 40-bit md5 prefix; `hash40 · stride + doc_id` (stride = max id + 1,
-    * the X92 injectivity trick) is a unique hash-major sort key, and
-    * X77's bucket-parallel dense rank turns it into a gapless 1..N
-    * shuffle ordinal — same seedless determinism as the splits (re-runs
+    * 40-bit md5 prefix; `(hash40, doc_id)` is a unique hash-major sort
+    * key (the id breaks hash ties exactly like the oracle's
+    * `ORDER BY h40, doc_id`), and X77's bucket-parallel dense rank —
+    * bucketed on the hash, tie-broken in the bucket-local window — turns
+    * it into a gapless 1..N shuffle ordinal — same seedless determinism as the splits (re-runs
     * and restarts reproduce the epoch exactly), no SinglePartition
     * window anywhere. Writers then range-partition by the ordinal to lay
     * training shards out in shuffled order.
@@ -64,23 +65,17 @@ object Split {
     */
   def shuffleOrdinalWithCount(df: DataFrame, idCol: String,
       parts: Int = 8): (DataFrame, Long) = {
-    val stride = df.agg(max(col(idCol))).head.getAs[Number](0).longValue() + 1
-    // `hash · stride + id` must fit a signed long for ANY id domain (ids
-    // are often sparse — snowflake-style or hash-derived, max ≫ count —
-    // so stride can be ~2^40 at corpus scale): keep only the TOP
-    // `62 - bits(stride)` hash bits, capped at 40. Truncation is a
-    // monotone map, so the hash-major order is preserved; coarsened ties
-    // fall to the `+ id` term, which keeps the key unique (id < stride)
-    // and the epoch deterministic. At fixture scale stride is small,
-    // hbits stays 40 and the order is bit-identical to the 40-bit form.
-    val strideBits = 64 - java.lang.Long.numberOfLeadingZeros(stride)
-    val hbits = math.min(40, 62 - strideBits)
-    require(hbits >= 8, s"id domain too wide for a shuffled sort key: max=$stride")
+    // the FULL 40-bit hash is the bucket/sort key; hash ties (rare but
+    // real at corpus scale: birthday bound ~n²/2^41) break on the id via
+    // DenseId's tie-break columns. No injective `hash·stride + id`
+    // packing — that form had to TRUNCATE the hash once sparse id
+    // domains pushed bits(stride) past 22, silently diverging from the
+    // oracle's (hash, id) order; the two-column key is exact at any
+    // scale.
     val h40 = conv(substring(md5(col(idCol).cast("string")), 1, 10), 16, 10)
       .cast("long")
-    val h = shiftright(h40, 40 - hbits)
     val (out, n) = graft.ops.DenseId.assignWithCount(
-      df.withColumn("__sk", h * stride + col(idCol)), "__sk", parts)
+      df.withColumn("__sk", h40), "__sk", parts, Seq(idCol))
     (out.withColumnRenamed("rid", "shuffle_idx").drop("__sk"), n)
   }
 

@@ -24,19 +24,28 @@ import graft.sources.Tables
   * unbounded parallelism; the RDD `zipWithIndex` does the same dance one
   * level lower.
   *
-  * Requires a unique numeric `orderCol` (ties straddling a bucket
-  * boundary would make the order, and thus the ids, nondeterministic).
+  * Requires the composite `(orderCol, tieCols…)` to be a unique key
+  * with `orderCol` numeric. `orderCol` ties are safe for BUCKETING
+  * (equal values satisfy identical split predicates, so they share a
+  * bucket deterministically) — they only threatened the window order,
+  * which the tie-break columns now pin. Callers whose natural order is
+  * lexicographic over several columns (e.g. (hash, id)) thus need no
+  * injective bit-packing into one long — the historical packing
+  * truncated wide hashes and silently diverged from full-key order once
+  * the id domain grew.
   */
 object DenseId {
 
-  def assign(df: DataFrame, orderCol: String, parts: Int): DataFrame =
-    assignWithCount(df, orderCol, parts)._1
+  def assign(df: DataFrame, orderCol: String, parts: Int,
+      tieCols: Seq[String] = Nil): DataFrame =
+    assignWithCount(df, orderCol, parts, tieCols)._1
 
   /** [[assign]] plus the total row count — free from the per-bucket
     * counts pass, so callers needing `n` (percent_rank denominators,
     * NTILE arithmetic) don't pay a second full scan for it.
     */
-  def assignWithCount(df: DataFrame, orderCol: String, parts: Int): (DataFrame, Long) = {
+  def assignWithCount(df: DataFrame, orderCol: String, parts: Int,
+      tieCols: Seq[String] = Nil): (DataFrame, Long) = {
     require(parts > 0)
     // deterministic split points: a quantile sketch of the key (values
     // land verbatim from the data, so bucket predicates compare exactly);
@@ -56,7 +65,8 @@ object DenseId {
     import spark.implicits._
     val offsetsDf = offsets.zipWithIndex
       .map { case (off, pid) => (pid, off) }.toDF("__pid", "__offset")
-    val w = Window.partitionBy("__pid").orderBy(orderCol) // bucket-local
+    val w = Window.partitionBy("__pid") // bucket-local
+      .orderBy((orderCol +: tieCols).map(col): _*)
     val out = withPid
       .join(broadcast(offsetsDf), Seq("__pid"))
       .withColumn("rid", col("__offset") + row_number().over(w))

@@ -290,18 +290,43 @@ class GraftSinkSpec extends SparkSpec {
     val dst = Scratch.dir("gsink_race")
     ManifestTable.commit((0L until 5L).map(i => (i, i)).toDF("k", "v"),
       dst, 20250801, 900)
-    val barrier = new java.util.concurrent.CyclicBarrier(2)
-    def writer(name: String, key: Long): java.util.concurrent.CompletableFuture[Unit] =
-      java.util.concurrent.CompletableFuture.supplyAsync { () =>
-        val sink = new GraftSink.StreamSink(spark, dst, appId = name,
-          mergeKeys = Seq("k"))
-        // generous margins: under ambient host load (the documented
-        // page-cache stalls) a 30 s barrier has flaked once in a full run
-        barrier.await(180, java.util.concurrent.TimeUnit.SECONDS)
-        sink.addBatch(0L, Seq((key, key * 100)).toDF("k", "v"))
+    // poll-with-deadline (round-9/10 finding): dedicated threads (no
+    // ForkJoin common-pool starvation under parallel suites — the cause
+    // of the old 30 s barrier flake) + a release latch the test thread
+    // controls, polled every 50 ms. A dead or wedged writer fails the
+    // test within one poll tick / the deadline, instead of sleeping out
+    // a fixed 180/300 s barrier+get worst case.
+    val ready = new java.util.concurrent.CountDownLatch(2)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(name: String, key: Long): Thread = {
+      val t = new Thread(() => {
+        try {
+          val sink = new GraftSink.StreamSink(spark, dst, appId = name,
+            mergeKeys = Seq("k"))
+          ready.countDown()
+          require(go.await(60, java.util.concurrent.TimeUnit.SECONDS),
+            s"$name: never released")
+          sink.addBatch(0L, Seq((key, key * 100)).toDF("k", "v"))
+        } catch { case e: Throwable => errs.add(e) }
+      }, s"gsink-race-$name")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    val ta = writer("wa", 100L)
+    val tb = writer("wb", 200L)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    def pollUntil(cond: => Boolean, what: String): Unit =
+      while (!cond) {
+        assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+        assert(System.nanoTime() < deadline, s"deadline expired waiting for $what")
+        Thread.sleep(50)
       }
-    writer("wa", 100L).thenCombine(writer("wb", 200L), (_: Unit, _: Unit) => ())
-      .get(300, java.util.concurrent.TimeUnit.SECONDS)
+    pollUntil(ready.getCount == 0, "both writers ready")
+    go.countDown() // both sinks read the same parent version, then race
+    pollUntil(!ta.isAlive && !tb.isAlive, "writers to finish")
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
     val rows = spark.read.format("graft").load(dst)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.size == 7, s"lost update: $rows") // 5 seed + both writers
