@@ -21,7 +21,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // multi-JVM smoke knob — see Verify.scala; executors of a
+      // local-cluster master get the application jar via SPARK_GRAFT_JARS
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.jars", sys.env.getOrElse("SPARK_GRAFT_JARS", ""))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -45,6 +48,15 @@ object Bench {
       .foldLeft(builder) { (b, kv) => b.config(kv(0).trim, kv(1).trim) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Every glob-path parquet read (bucket=*, batch_*) makes Spark's
+    // FileStreamSink.hasMetadata stat the literal glob string, catch the
+    // FileNotFoundException, and WARN with the full stack trace before the
+    // read proceeds normally — ~30 harmless traces per run that bury real
+    // warmup failures (round-10 verdict finding #2). Silence exactly that
+    // logger; every other WARN stays visible.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
     // absorb one-time JVM/JIT/codegen/parquet-writer warmup outside the
     // timings: run every query once at the smallest SF so each plan's
     // generated code is compiled before its timed run (fall back to the

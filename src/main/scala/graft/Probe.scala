@@ -20,6 +20,14 @@ object Probe {
       val n = f
       println(f"PROBE $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
+    if (args.contains("flagship")) {
+      // the driver's smoke: SparkEntry.entry rows must be > 0. A main, not
+      // sbt console — the REPL's classloader trips scala-reflect on
+      // "Prohibited package name: java.sql" when Spark sits on the
+      // unmanaged classpath, so the package boundary is driven forked.
+      println(s"FLAGSHIP rows=${SparkEntry.entry(s).count()}")
+      return
+    }
     t("warmup count")(sources.Tables.documents(s, d).count())
     if (args.contains("scale-sweep")) {
       // replicate the documents corpus with perturbed ids/texts and time

@@ -10,14 +10,25 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER: the multi-JVM smoke knob (round-10 verdict ask #1)
+    // — e.g. local-cluster[2,16,4096] runs executors as SEPARATE JVMs, the
+    // one mode where broadcast values, codegen'd expressions, and task
+    // closures must genuinely serialize. SPARK_GRAFT_JARS ships the
+    // application jar to those executor JVMs (local[*] needs neither).
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    val spark = sys.env.get("SPARK_GRAFT_JARS")
+      .fold(builder)(j => builder.config("spark.jars", j))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // silence FileStreamSink's per-glob-read WARN stack trace (see Bench)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -1201,6 +1201,130 @@ object NamesDict {
     // Greek (deeper)
     "Αναστασία", "Παρασκευή", "Ευαγγελία")
 
+  // Round-11 breadth tranche (public census-style given-name lists):
+  // regions the round-10 sweep still left thin — Gaelic Ireland/
+  // Scotland, Iceland (deeper), Finland (deeper), the ex-Yugoslav
+  // Balkans + Slovenia (deeper), Albania/Kosovo (deeper), Central Asia
+  // (Uzbek/Kyrgyz/Kazakh/Tajik/Turkmen, deeper), Mongolia, romanized
+  // Korea (hyphenated given names), Myanmar, East Africa (Kikuyu/Luo/
+  // Kalenjin/Swahili/Buganda), Ethiopia/Eritrea. Same discipline as
+  // every tranche: clearly-gendered names only; unisex candidates
+  // (Tenzin, Pema, Ji-woo, Moe, Meron, Erdene, Tumusiime, Selam …)
+  // are deliberately OMITTED rather than guessed; appended last so
+  // core entries win conflicts.
+  private val tranche11Male = Seq(
+    // Ireland / Scotland (Gaelic deeper)
+    "Seamus", "Padraig", "Cormac", "Donnacha", "Tadhg", "Fergus",
+    "Lorcan", "Ruairi", "Cathal", "Diarmuid", "Senan", "Fionn",
+    "Odhran", "Eamon", "Malachy", "Hamish", "Lachlan", "Angus",
+    "Fraser", "Murdo", "Alasdair", "Gregor", "Ewan", "Struan",
+    // Iceland / Faroes (deeper)
+    "Sigurdur", "Gudmundur", "Snorri", "Thorsteinn", "Baldur",
+    "Hjalmar", "Leifur", "Kjartan", "Orri", "Bjarni", "Haukur",
+    "Sverrir", "Vilhjalmur",
+    // Finland (deeper)
+    "Tapio", "Ilkka", "Pekka", "Seppo", "Kalevi", "Veikko", "Armas",
+    "Onni", "Eino", "Vaino", "Aatos", "Taisto", "Reijo", "Raimo",
+    // Balkans deeper (Serbian/Croatian/Bosnian/Macedonian/Slovene)
+    "Aleksandar", "Bojan", "Nemanja", "Slobodan", "Zoran", "Dragomir",
+    "Milorad", "Predrag", "Radovan", "Srdjan", "Vuk", "Zeljko",
+    "Dalibor", "Zlatko", "Mirko", "Branimir", "Davor", "Domagoj",
+    "Kresimir", "Vedran", "Zvonimir", "Hrvoje", "Mislav", "Edin",
+    "Senad", "Haris", "Blaz", "Ziga", "Bostjan", "Primoz", "Gasper",
+    "Trajko", "Metodija",
+    // Albania / Kosovo (deeper)
+    "Blerim", "Arber", "Bujar", "Dritan", "Fatos", "Gezim", "Ilir",
+    "Kujtim", "Luan", "Shkelzen", "Valon", "Ardit",
+    // Central Asia (deeper)
+    "Sherzod", "Bekzod", "Ulugbek", "Shavkat", "Rustam", "Jasur",
+    "Otabek", "Sardor", "Botir", "Davron", "Farhod", "Bakhtiyor",
+    "Firdavs", "Ulan", "Azamat", "Talant", "Kubanychbek", "Bekzat",
+    "Yerlan", "Serik", "Marat", "Daniyar", "Galymzhan", "Dovlet",
+    "Serdar",
+    // Mongolia (clearly male compounds; bare Erdene/Otgon are unisex)
+    "Baatar", "Sukhbaatar", "Batbold", "Ganbold", "Munkhbat",
+    "Batsaikhan", "Ganzorig", "Chuluunbold", "Tsogtbayar",
+    // Korea (romanized, hyphenated male given names)
+    "Min-jun", "Do-yun", "Ji-ho", "Hyun-woo", "Eun-woo", "Ji-hoon",
+    "Jae-hyun", "Dong-hyun", "Sung-min", "Young-ho", "Byung-ho",
+    "Tae-yang", "Joon-ho", "Sang-woo", "Kwang-soo",
+    // Myanmar (clearly male; Moe/Htet/Soe are unisex and omitted)
+    "Htun", "Zaw", "Kyaw", "Thura", "Nyan", "Naing", "Zeya", "Thiha",
+    // East Africa: Kikuyu, Luo, Kalenjin (Kip- prefix), Swahili,
+    // Buganda (Kato/Wasswa are the male twin names)
+    "Mwangi", "Kamau", "Njoroge", "Kariuki", "Gitau", "Otieno",
+    "Ochieng", "Odhiambo", "Owino", "Onyango", "Kipchoge",
+    "Kiprotich", "Kipkorir", "Juma", "Jomo", "Baraka", "Rashidi",
+    "Selemani", "Okello", "Opio", "Mugisha", "Kato", "Wasswa",
+    "Kizza",
+    // Ethiopia / Eritrea
+    "Tadesse", "Tesfaye", "Girma", "Getachew", "Bekele", "Alemu",
+    "Mulugeta", "Demissie", "Kebede", "Dawit", "Yohannes", "Teklu",
+    "Fikru", "Mekonnen", "Berhanu", "Asfaw", "Tewodros", "Amanuel",
+    "Biniam", "Henok", "Robel", "Yonas", "Efrem")
+
+  private val tranche11Female = Seq(
+    // Ireland / Scotland (Gaelic deeper)
+    "Saoirse", "Niamh", "Siobhan", "Grainne", "Orla", "Aisling",
+    "Clodagh", "Roisin", "Maeve", "Caoimhe", "Sinead", "Eilidh",
+    "Mairi", "Morag", "Iona", "Mhairi",
+    // Iceland (deeper)
+    "Sigridur", "Gudrun", "Hildur", "Bryndis", "Steinunn", "Thorunn",
+    "Margret", "Svanhildur", "Unnur", "Halldora", "Salvor",
+    // Finland (deeper)
+    "Tuula", "Pirjo", "Ritva", "Marjatta", "Anneli", "Kaarina",
+    "Helvi", "Sirkka", "Terttu", "Tellervo", "Vuokko", "Mirja",
+    "Paivi", "Tarja", "Minna", "Katri",
+    // Balkans deeper
+    "Dragana", "Milica", "Snezana", "Vesna", "Danica", "Gordana",
+    "Radmila", "Slavica", "Zorica", "Biljana", "Ljiljana", "Mirjana",
+    "Dubravka", "Nevena", "Tijana", "Jasmina", "Amra", "Lejla",
+    "Emina", "Azra", "Mojca", "Spela", "Urska", "Alenka", "Tjasa",
+    // Albania / Kosovo (deeper)
+    "Albana", "Blerta", "Drita", "Fatmira", "Teuta", "Valbona",
+    "Shqipe", "Arjeta",
+    // Central Asia (deeper)
+    "Gulnara", "Dilnoza", "Feruza", "Gulbahor", "Nilufar", "Sevara",
+    "Shahnoza", "Zebo", "Aizhan", "Aigul", "Ainura", "Gulmira",
+    "Zhanar", "Dinara", "Saltanat", "Symbat", "Tolganay", "Cholpon",
+    "Aidai", "Jamilya",
+    // Mongolia (-tsetseg "flower" / -maa suffixes are female)
+    "Altantsetseg", "Narantsetseg", "Bolormaa", "Sarangerel",
+    "Tsetsegmaa", "Oyuunchimeg", "Khulan",
+    // Korea (romanized, hyphenated female given names)
+    "Seo-yeon", "Ha-eun", "Ye-jin", "Soo-ah", "Ji-yeon", "Eun-ji",
+    "Hye-jin", "Min-ji", "Yu-na", "Chae-won", "Da-eun", "Na-yeon",
+    "So-yeon", "Ye-eun", "Mi-sook", "Eun-kyung", "Hyo-joo",
+    // Myanmar
+    "Sanda", "Thandar", "Nilar", "Hnin", "Phyu", "Thuzar", "Yadana",
+    "Theingi",
+    // East Africa: Kikuyu, Luo, Kalenjin (Che-/Jep- prefixes),
+    // Swahili, Buganda (Nakato/Babirye are the female twin names)
+    "Wanjiru", "Wanjiku", "Njeri", "Nyokabi", "Wambui", "Muthoni",
+    "Akinyi", "Achieng", "Atieno", "Awino", "Adhiambo", "Chebet",
+    "Chepkoech", "Jepkosgei", "Nakato", "Babirye", "Nansubuga",
+    "Neema", "Rehema", "Upendo", "Zuhura", "Mwanaisha",
+    // Ethiopia / Eritrea
+    "Almaz", "Abeba", "Tigist", "Hiwot", "Meseret", "Genet", "Aster",
+    "Birtukan", "Mulu", "Senait", "Rahel", "Bethlehem", "Saba",
+    "Tsehay", "Worknesh", "Yeshi", "Zewditu", "Luam")
+
+  // native scripts for the round-11 regions: Hangul (hyphenated pairs
+  // above), Mongolian Cyrillic, Ethiopic, Burmese, Georgian (deeper)
+  private val tranche11ScriptMale = Seq(
+    "민준", "현우", // Hangul
+    "Баатар", "Ганболд", // Mongolian Cyrillic
+    "ተስፋዬ", "ዮናስ", // Ethiopic
+    "ကျော်", "သီဟ", // Burmese
+    "ლევანი", "ზურაბი") // Georgian
+
+  private val tranche11ScriptFemale = Seq(
+    "서연", "하은",
+    "Болормаа", "Сарангэрэл",
+    "አልማዝ", "ሕይወት",
+    "သန္တာ", "နီလာ",
+    "ნინო", "თამარი")
+
   /** first_name → category. Names appearing in several category lists
     * (real-data ambiguity — "Andrea" is female in most locales, male in
     * Italian) resolve by FIRST CATEGORY WINS in the concatenation order
@@ -1239,7 +1363,11 @@ object NamesDict {
       // round-10 second tranche + native-script additions, appended last
       tranche10bMale.map(_ -> "male") ++ tranche10bFemale.map(_ -> "female") ++
       tranche10bScriptMale.map(_ -> "male") ++
-      tranche10bScriptFemale.map(_ -> "female"))
+      tranche10bScriptFemale.map(_ -> "female") ++
+      // round-11 breadth + native-script tranche, appended last
+      tranche11Male.map(_ -> "male") ++ tranche11Female.map(_ -> "female") ++
+      tranche11ScriptMale.map(_ -> "male") ++
+      tranche11ScriptFemale.map(_ -> "female"))
     .filterNot(_._1.exists(_.isDigit))
     .map { case (k, v) => normalizeKey(k) -> v } // keys canonically composed
 

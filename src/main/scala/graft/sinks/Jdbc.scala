@@ -33,6 +33,35 @@ object Jdbc {
       password: Option[String] = None,
       driver: String = "org.postgresql.Driver")
 
+  /** JDBC endpoint for the self-contained query fixtures (`q_jdbc_incr`,
+    * `q_jdbc_publish`, `q_stream_jdbc`). Default: in-memory embedded
+    * Derby — hermetic (a fresh database per process) and correct under
+    * `local[*]`, where driver and executors share one JVM. Under a
+    * MULTI-JVM master (local-cluster / standalone / YARN) executor JVMs
+    * cannot see the driver's embedded database — the round-11 multi-JVM
+    * smoke's one finding (executors booted their own empty `memory:` DBs
+    * and failed with "Table/View does not exist") — so
+    * `SPARK_GRAFT_JDBC_URL` (+ `_DRIVER`/`_USER`/`_PASSWORD`) points the
+    * fixtures at a real server endpoint instead; the smoke uses a
+    * throwaway `pg_ctl` Postgres, the production analogue being the
+    * reference's own Postgres (`apify_dag.py:216-246`). Builders drop
+    * their fixture tables before seeding (see call sites) so a
+    * server-backed rerun stays idempotent where Derby's `create=true`
+    * gave freshness for free.
+    */
+  def fixtureEndpoint(tag: String, d: String,
+      env: Map[String, String] = sys.env): JdbcConfig =
+    env.get("SPARK_GRAFT_JDBC_URL") match {
+      case Some(u) => JdbcConfig(u,
+        user = env.get("SPARK_GRAFT_JDBC_USER"),
+        password = env.get("SPARK_GRAFT_JDBC_PASSWORD"),
+        driver = env.getOrElse("SPARK_GRAFT_JDBC_DRIVER",
+          "org.postgresql.Driver"))
+      case None => JdbcConfig(
+        url = s"jdbc:derby:memory:$tag${d.replaceAll("[^0-9]", "")};create=true",
+        driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    }
+
   /** The reference's table-name fix (`script_api_apify_to_spark.py:265`):
     * account names like `the-rock` would otherwise splice a bare `-` into
     * SQL. We sanitize every char outside `[A-Za-z0-9_]` the same way —
@@ -180,7 +209,7 @@ object Jdbc {
     } finally rs.close()
   }
 
-  private def dropIfExists(cfg: JdbcConfig, table: String): Unit = {
+  private[graft] def dropIfExists(cfg: JdbcConfig, table: String): Unit = {
     Class.forName(cfg.driver)
     val props = new java.util.Properties()
     cfg.user.foreach(props.setProperty("user", _))
@@ -204,10 +233,11 @@ object Jdbc {
     // through the staged swap — read back through the plain JDBC read.
     "q_jdbc_publish" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val cfg = JdbcConfig(
-        url = s"jdbc:derby:memory:jpub${d.replaceAll("[^0-9]", "")};create=true",
-        driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      val cfg = fixtureEndpoint("jpub", d)
       graft.util.FixtureCache.dir("jdbc_publish", d) { _ =>
+        // server-endpoint reruns (multi-JVM smoke) must not see a stale
+        // live table from a previous process; Derby memory: is always fresh
+        dropIfExists(cfg, "serve_orders")
         val o = graft.sources.Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_totalprice"))
         publishAtomic(o.where(col("o_orderkey") % 3 === 0), cfg, "serve_orders")

@@ -127,10 +127,9 @@ object JdbcIncr {
     // (no-op — pinned by n_versions staying 2). Final lake content is
     // exactly the whole orders table, whatever the split.
     "q_jdbc_incr" -> ((s, d) => {
-      val cfg = JdbcConfig(
-        url = s"jdbc:derby:memory:jincr${d.replaceAll("[^0-9]", "")};create=true",
-        driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      val cfg = Jdbc.fixtureEndpoint("jincr", d)
       val dir = FixtureCache.dir("jdbc_incr", d) { dir =>
+        Jdbc.dropIfExists(cfg, "src_orders") // server-endpoint rerun hygiene
         val o = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         val lim = o.agg(max("o_orderkey")).head.getAs[Number](0).longValue() / 2

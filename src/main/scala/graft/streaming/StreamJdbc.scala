@@ -120,11 +120,13 @@ object StreamJdbc {
     // Reading the table back and re-aggregating across batch stamps must
     // equal the plain batch recompute.
     "q_stream_jdbc" -> ((s, d) => {
-      val cfg = JdbcConfig(
-        url = s"jdbc:derby:memory:sjdbc${d.replaceAll("[^0-9]", "")};create=true",
-        driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      val cfg = Jdbc.fixtureEndpoint("sjdbc", d)
       val ev = Tables.events(s, d).select("event_id", "event_type", "value")
       graft.util.FixtureCache.dir("sjdbc_done", d) { _ =>
+        // server-endpoint rerun hygiene: a stale epoch log would mark every
+        // batch as already committed and silently skip the whole stream
+        Jdbc.dropIfExists(cfg, "stream_agg")
+        Jdbc.dropIfExists(cfg, "stream_agg_epochs")
         val in = graft.util.Scratch.dir("sjdbc_in")
         val t0 = System.currentTimeMillis() - 120000
         (0 until 3).foreach { k =>

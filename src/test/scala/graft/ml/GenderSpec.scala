@@ -260,6 +260,45 @@ class GenderSpec extends SparkSpec {
       s"round-10 second tranche missing: ${NamesDict.entries.size} entries")
   }
 
+  test("round-11 tranche: Gaelic/Iceland/Finland/Balkans/Central-Asia/Mongolia/Korea/Myanmar/East-Africa/Ethiopia resolve; unisex stays out") {
+    val panel = Seq(
+      ("Seamus O'Brien", "male", 0.9f), ("Saoirse Ronan", "female", 0.9f),
+      ("Hamish MacLeod", "male", 0.9f), ("Eilidh Campbell", "female", 0.9f),
+      ("Sigurdur Jonsson", "male", 0.9f), ("Sigridur Olafsdottir", "female", 0.9f),
+      ("Tapio Virtanen", "male", 0.9f), ("Tuula Korhonen", "female", 0.9f),
+      ("Aleksandar Petrovic", "male", 0.9f), ("Milica Jovanovic", "female", 0.9f),
+      ("Hrvoje Horvat", "male", 0.9f), ("Lejla Hodzic", "female", 0.9f),
+      ("Primoz Zupan", "male", 0.9f), ("Urska Kovac", "female", 0.9f),
+      ("Blerim Krasniqi", "male", 0.9f), ("Valbona Berisha", "female", 0.9f),
+      ("Sherzod Karimov", "male", 0.9f), ("Dilnoza Yusupova", "female", 0.9f),
+      ("Daniyar Seitkali", "male", 0.9f), ("Aigul Nurlanovna", "female", 0.9f),
+      ("Batbold Erdenebat", "male", 0.9f), ("Bolormaa Tsend", "female", 0.9f),
+      ("Min-jun Park", "male", 0.9f), ("Seo-yeon Kim", "female", 0.9f),
+      ("Kyaw Win", "male", 0.9f), ("Thandar Aye", "female", 0.9f),
+      ("Mwangi Kamau", "male", 0.9f), ("Wanjiru Njeri", "female", 0.9f),
+      ("Ochieng Otieno", "male", 0.9f), ("Achieng Adhiambo", "female", 0.9f),
+      ("Kipchoge Keino", "male", 0.9f), ("Chebet Kiplagat", "female", 0.9f),
+      ("Tesfaye Bekele", "male", 0.9f), ("Tigist Alemu", "female", 0.9f),
+      // native-script twins of romanized entries resolve identically
+      ("민준 박", "male", 0.9f), ("서연 김", "female", 0.9f),
+      ("Баатар Ганбат", "male", 0.9f), ("Болормаа Цэнд", "female", 0.9f),
+      ("ተስፋዬ በቀለ", "male", 0.9f), ("አልማዝ ገብረ", "female", 0.9f),
+      ("ကျော် ဝင်း", "male", 0.9f), ("သန္တာ အေး", "female", 0.9f),
+      ("ლევანი კიკნაძე", "male", 0.9f), ("ნინო ბერიძე", "female", 0.9f),
+      // deliberately-omitted unisex names stay unknown, not guessed
+      ("Tenzin Wangchuk", "unknown", 0.5f), ("Ji-woo Lee", "unknown", 0.5f),
+      ("Moe Aung", "unknown", 0.5f),
+      // out-of-dict native-script names stay unknown, never a
+      // transliteration guess (지우 / መሰረት are real names NOT entered)
+      ("지우 이", "unknown", 0.5f), ("መሰረት አበበ", "unknown", 0.5f))
+    panel.foreach { case (fullName, g, c) =>
+      val got = Gender.guess(fullName, "x1")
+      assert((got.predicted_gender, got.confidence) === ((g, c)), fullName)
+    }
+    assert(NamesDict.entries.size >= 3750,
+      s"round-11 tranche missing: ${NamesDict.entries.size} entries")
+  }
+
   test("property: outputs confined to the reference domains") {
     val gen = Gen.zip(Gen.asciiPrintableStr, Gen.asciiPrintableStr)
     (1 to 300).foreach { seed =>

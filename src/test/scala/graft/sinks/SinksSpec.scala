@@ -40,6 +40,26 @@ class SinksSpec extends SparkSpec {
     assert(opts("user") == "u" && opts("password") == "p")
   }
 
+  test("jdbc: fixtureEndpoint defaults to hermetic in-memory Derby, honors the multi-JVM server override") {
+    // default: per-process embedded Derby, keyed by tag + the digits of the
+    // corpus dir so two scale factors never share a database
+    val derby = Jdbc.fixtureEndpoint("jincr", "/root/testdata/sf0.01", Map.empty)
+    assert(derby.url == "jdbc:derby:memory:jincr001;create=true")
+    assert(derby.driver == "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    // override: SPARK_GRAFT_JDBC_URL routes the fixtures at a server
+    // endpoint executor JVMs can reach (the local-cluster smoke's fix)
+    val pg = Jdbc.fixtureEndpoint("jincr", "/root/testdata/sf0.01", Map(
+      "SPARK_GRAFT_JDBC_URL" -> "jdbc:postgresql://127.0.0.1:5432/postgres",
+      "SPARK_GRAFT_JDBC_USER" -> "graft"))
+    assert(pg.url == "jdbc:postgresql://127.0.0.1:5432/postgres")
+    assert(pg.user.contains("graft") && pg.password.isEmpty)
+    assert(pg.driver == "org.postgresql.Driver") // default server driver
+    val custom = Jdbc.fixtureEndpoint("x", "d", Map(
+      "SPARK_GRAFT_JDBC_URL" -> "jdbc:mysql://h/db",
+      "SPARK_GRAFT_JDBC_DRIVER" -> "com.mysql.cj.jdbc.Driver"))
+    assert(custom.driver == "com.mysql.cj.jdbc.Driver")
+  }
+
   test("jdbc: credentials are omitted, not blank, when unset") {
     val opts = Jdbc.options(derbyCfg, "t")
     assert(!opts.contains("user") && !opts.contains("password"))
