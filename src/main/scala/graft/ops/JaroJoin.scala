@@ -94,6 +94,13 @@ object JaroJoin {
   def join(left: DataFrame, right: DataFrame, idCol: String, strCol: String,
       tau: Double, selfJoin: Boolean = false): DataFrame = {
     require(tau >= 0.9, s"length-band blocking is only lossless for tau >= 0.9 (got $tau)")
+    if (tau >= multisetTau) multisetJoin(left, right, idCol, strCol, tau, selfJoin)
+    else prefixJoin(left, right, idCol, strCol, tau, selfJoin)
+  }
+
+  /** Band + rare-char-prefix candidate tier (the τ < 0.97 path). */
+  private def prefixJoin(left: DataFrame, right: DataFrame, idCol: String,
+      strCol: String, tau: Double, selfJoin: Boolean): DataFrame = {
     val corpus =
       if (selfJoin || (left eq right)) left.select(col(strCol).as("s"))
       else left.select(col(strCol).as("s")).unionByName(right.select(col(strCol).as("s")))
@@ -120,6 +127,133 @@ object JaroJoin {
       .where(col("jw") >= tau)
       .dropDuplicates("a_id", "b_id")
       .select("a_id", "b_id", "a_str", "b_str", "jw")
+  }
+
+  /** Threshold above which the deletion-neighborhood multiset tier is the
+    * candidate generator. At τ ≥ 0.97 the required match count is within
+    * 2 of the string length for every name-sized string (see
+    * [[multisetJoin]]), so the tier's key fan-out stays tiny exactly
+    * where the rare-char prefix filter degenerates.
+    */
+  private val multisetTau = 0.97
+
+  /** Minimal Jaro match count for `jw ≥ τ` between lengths `la`,`lb`:
+    * with max Winkler boost, `j ≥ j0 = (τ−0.4)/0.6`, and the Jaro
+    * identity `j ≤ (m/la + m/lb + 1)/3` (transpositions can only lower
+    * it) gives `m ≥ (3·j0 − 1) / (1/la + 1/lb)`. Rounded with a slack
+    * epsilon so an exactly-integral bound never rounds UP past the true
+    * minimum (over-rounding would be unsound).
+    */
+  private def mMin(la: Int, lb: Int, j0: Double): Int =
+    math.ceil((3 * j0 - 1) / (1.0 / la + 1.0 / lb) - 1e-9).toInt
+
+  /** Key fan-out guard: C(l, d) deletion keys are emitted per string per
+    * class — cap d at 2 and C(l,2) at ~500.
+    */
+  private def classOk(l: Int, d: Int): Boolean =
+    d >= 0 && (d == 0 || (d == 1 && l <= 512) || (d == 2 && l <= 32))
+
+  /** All `array_join`s of `A` (sorted char array, length `l`) with exactly
+    * `d ∈ {0,1,2}` positions deleted — the size-(l−d) sub-multisets as
+    * strings. Pure built-in HOFs; `array_distinct` collapses duplicate
+    * sub-multisets from repeated characters.
+    */
+  private def delKeys(A: Column, l: Column, d: Column): Column = {
+    val d0 = array(array_join(A, ""))
+    val d1 = transform(sequence(lit(1), l), i =>
+      array_join(filter(A, (_, k) => k + 1 =!= i), ""))
+    val d2 = flatten(transform(sequence(lit(1), l - 1), i =>
+      transform(sequence(i + 1, l), j =>
+        array_join(filter(A, (_, k) => k + 1 =!= i && k + 1 =!= j), ""))))
+    array_distinct(when(d === 0, d0).when(d === 1, d1).otherwise(d2))
+  }
+
+  /** High-τ candidate tier: a deletion-neighborhood join on SORTED
+    * CHARACTER MULTISETS (the X65 deletion-variant discipline lifted from
+    * positional strings to multisets).
+    *
+    * Soundness: a pair `(a,b)` with `jw ≥ τ` has `m ≥ mMin(la,lb)`
+    * window-matched characters, which form a common sub-multiset of both
+    * strings; any size-`mMin` subset of it is a common size-`mMin`
+    * sub-multiset, and BOTH sides emit every size-`mMin` sub-multiset of
+    * themselves for the `(la,lb)` length class — so the pair meets on at
+    * least one `(lo, hi, key)` join key. Length classes are enumerated
+    * from the corpus's DISTINCT length set (driver-sized); classes with
+    * `mMin > min(la,lb)` admit no pairs at all, and classes whose
+    * deletion fan-out exceeds [[classOk]] route both lengths' strings to
+    * the prefix tier (losslessness preserved — every pair's class is
+    * either multiset-joined or has both ends in the fallback).
+    *
+    * Why it exists: the rare-char prefix filter keys on corpus-rare
+    * characters, which degenerates when rarity correlates within a group
+    * of near-identical strings (sf10's replicated supplier corpus
+    * measured 149.8× — every replica's ~1000 names share the same rare
+    * marker letters AND genuinely overlap on ≥ m−2 characters, so no
+    * overlap-based blocker can separate them). The multiset tier keys on
+    * the ENTIRE multiset: at τ ≥ 0.97, `l − mMin ≤ 2` for name-length
+    * strings, so buckets are near-permutation classes and candidates
+    * track true-pair structure, not group size².
+    */
+  private def multisetJoin(left: DataFrame, right: DataFrame, idCol: String,
+      strCol: String, tau: Double, selfJoin: Boolean): DataFrame = {
+    val j0 = (tau - 0.4) / 0.6
+    val corpus =
+      if (selfJoin || (left eq right)) left.select(col(strCol).as("s"))
+      else left.select(col(strCol).as("s")).unionByName(right.select(col(strCol).as("s")))
+    // distinct string lengths: driver-sized by construction (≤ max name length values)
+    val lens = corpus.select(length(col("s")).cast("int").as("l"))
+      .where(col("l") >= 1).distinct().collect().map(_.getInt(0)).sorted
+    val classes = for {
+      lo <- lens; hi <- lens if hi >= lo
+      m = mMin(lo, hi, j0) if m >= 1 && m <= lo
+    } yield (lo, hi, m)
+    val (ok, bad) = classes.partition { case (lo, hi, m) =>
+      classOk(lo, lo - m) && classOk(hi, hi - m)
+    }
+    val fallbackLens = bad.flatMap { case (lo, hi, _) => Seq(lo, hi) }.toSet
+    // length → the ok classes it participates in, with ITS deletion count
+    val classesOf: Map[Int, Seq[(Int, Int, Int)]] = ok.toSeq
+      .flatMap { case (lo, hi, m) =>
+        Seq(lo -> (lo, hi, lo - m), hi -> (lo, hi, hi - m)).distinct
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def keyed(df: DataFrame, id: String, tag: String): DataFrame = {
+      val classMap = map(classesOf.toSeq.sortBy(_._1).flatMap { case (l, cs) =>
+        Seq(lit(l), array(cs.map { case (lo, hi, d) =>
+          struct(lit(lo).as("lo"), lit(hi).as("hi"), lit(d).as("d"))
+        }: _*))
+      }: _*)
+      val A = array_sort(filter(split(col(s"${tag}_str"), ""), c => length(c) > 0))
+      df.select(col(id).as(s"${tag}_id"), col(strCol).as(s"${tag}_str"))
+        .withColumn("__l", length(col(s"${tag}_str")).cast("int"))
+        .withColumn("__cls", explode(element_at(classMap, col("__l"))))
+        .select(col(s"${tag}_id"), col(s"${tag}_str"), col("__l").as(s"${tag}_l"),
+          col("__cls.lo").as("lo"), col("__cls.hi").as("hi"),
+          explode(delKeys(A, col("__l"), col("__cls.d"))).as("key"))
+    }
+    if (classesOf.isEmpty && fallbackLens.isEmpty)
+      return left.limit(0).select(col(idCol).as("a_id"), col(idCol).as("b_id"),
+        col(strCol).as("a_str"), col(strCol).as("b_str"),
+        lit(0.0).as("jw")) // no qualifying length combos at all
+    val pairFilter: Column =
+      if (selfJoin) col("a_id") < col("b_id") else lit(true)
+    val msTier =
+      if (classesOf.isEmpty) None
+      else Some(keyed(left, idCol, "a").join(keyed(right, idCol, "b"), Seq("lo", "hi", "key"))
+        .where(least(col("a_l"), col("b_l")) === col("lo") &&
+          greatest(col("a_l"), col("b_l")) === col("hi") && pairFilter)
+        .withColumn("jw", StringSim.jaroWinkler(col("a_str"), col("b_str")))
+        .where(col("jw") >= tau)
+        .select("a_id", "b_id", "a_str", "b_str", "jw"))
+    val fbTier =
+      if (fallbackLens.isEmpty) None
+      else {
+        val inFb = (c: Column) => length(c).cast("int").isInCollection(fallbackLens)
+        Some(prefixJoin(left.where(inFb(col(strCol))), right.where(inFb(col(strCol))),
+          idCol, strCol, tau, selfJoin))
+      }
+    (msTier ++ fbTier).reduce(_ unionByName _)
+      .dropDuplicates("a_id", "b_id")
   }
 
   type Q = (SparkSession, String) => DataFrame

@@ -93,6 +93,50 @@ class JaroWinklerSpec extends SparkSpec {
     }
   }
 
+  test("multiset tier (τ ≥ 0.97): deletion-neighborhood blocking is lossless vs brute force") {
+    // Regimes: near-identical corpora (where the prefix filter
+    // degenerates — the sf10 q_jaro_join finding), planted variants
+    // (substitution / adjacent transposition / append), d=2 lengths
+    // (l ≈ 32), and lengths past the classOk cap (l > 32 → the prefix
+    // fallback union path). Both thresholds of the tier.
+    val cases = Seq((3, 10, 0.97), (17, 30, 0.97), (23, 36, 0.98))
+    for ((seed, baseLen, tau) <- cases) {
+      val rnd = new Random(seed)
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      var id = 0L
+      (1 to 25).foreach { _ =>
+        val len = math.max(3, baseLen - 2 + rnd.nextInt(5))
+        val base = (0 until len).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+        def add(s: String): Unit = { id += 1; rows += ((id, s)) }
+        add(base)
+        val i = rnd.nextInt(len - 1)
+        add(base.updated(i, ('a' + rnd.nextInt(6)).toChar)) // substitution
+        add(base.substring(0, i) + base(i + 1) + base(i) + base.substring(i + 2)) // transposition
+        add(base + ('a' + rnd.nextInt(6)).toChar) // length+1 variant
+      }
+      val df = rows.toSeq.toDF("id", "s")
+      val blocked = JaroJoin.join(df, df, "id", "s", tau, selfJoin = true)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val a = df.select(col("id").as("a_id"), col("s").as("a_s"))
+      val b = df.select(col("id").as("b_id"), col("s").as("b_s"))
+      val brute = a.crossJoin(b)
+        .where(col("a_id") < col("b_id") &&
+          StringSim.jaroWinkler(col("a_s"), col("b_s")) >= tau)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(brute.nonEmpty, s"case $seed: fixture must produce qualifying pairs")
+      assert(blocked == brute, s"case ($seed,$baseLen,$tau): " +
+        s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+    }
+  }
+
+  test("multiset tier plans as a hash equi-join — no nested-loop product") {
+    val df = Seq((1L, "alpha"), (2L, "alphb"), (3L, "beta")).toDF("id", "s")
+    val plan = JaroJoin.join(df, df, "id", "s", tau = 0.97, selfJoin = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"candidate generation must be an equi-join:\n$plan")
+  }
+
   test("blocked join plans as a hash equi-join — no nested-loop product") {
     val df = Seq((1L, "alpha"), (2L, "alphb"), (3L, "beta")).toDF("id", "s")
     val plan = JaroJoin.join(df, df, "id", "s", tau = 0.95, selfJoin = true)
