@@ -18,7 +18,12 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/graft_verify'
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        # driver fixtures are single files; Probe make-scale corpora are
+        # Spark output DIRECTORIES — glob the parts in that case
+        p = f'{sf}/{t}.parquet'
+        if os.path.isdir(p):
+            p = f'{p}/*.parquet'
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f'{out}/oracle_sql.json'))
     import pandas as pd
     fails, npass = [], 0
