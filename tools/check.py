@@ -17,6 +17,9 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
     out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/graft_verify'
     con = duckdb.connect()
+    # at-scale oracle runs (sf10) need spill room; harmless at sf0.01
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         # driver fixtures are single files; Probe make-scale corpora are
         # Spark output DIRECTORIES — glob the parts in that case
