@@ -53,17 +53,11 @@ object Branches {
     fs.mkdirs(new Path(refsDir(dir)))
     val json = s"""{"name": "${ref.name}", "kind": "${ref.kind}",
                   | "lineage": [${ref.lineage.mkString(", ")}]}""".stripMargin
-    val tmp = new Path(refsDir(dir), s".${ref.name}.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    // rename-as-publish, same discipline as the manifest commit — but a
-    // ref ADVANCE must atomically replace the old pointer, which plain
-    // FileSystem.rename refuses (existing destination); FileContext's
-    // Rename.OVERWRITE is Hadoop's atomic-replace contract for this.
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(refPath(dir, ref.name)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // a ref ADVANCE must atomically replace the old pointer — the seam's
+    // `replace` operation (FileContext Rename.OVERWRITE on local FS/HDFS;
+    // an object-store impl substitutes its own atomic pointer swap)
+    CommitPrimitive.active(spark).replace(spark,
+      new Path(refPath(dir, ref.name)), json.getBytes("UTF-8"))
   }
 
   def readRef(spark: SparkSession, dir: String, name: String): Ref = {

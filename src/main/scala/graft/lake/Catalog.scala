@@ -125,12 +125,10 @@ object Catalog {
       val epochField = epoch.map(e => s""",\n "epoch": $e""").getOrElse("")
       val json = s"""{"version": $v, "run_date": $date, "run_time": $time,
                     | "tables": {$body}$epochField}""".stripMargin
-      val tmp = new Path(cdir,
-        s".v$v.${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(json.getBytes("UTF-8")) finally out.close()
-      if (fs.rename(tmp, new Path(cdir, f"v$v%08d.json"))) return v
-      fs.delete(tmp, false)
+      // put-if-absent through the storage seam (CommitPrimitive) — same
+      // commit point as the table manifests, same object-store caveats
+      if (CommitPrimitive.active(spark).putIfAbsent(spark,
+          new Path(cdir, f"v$v%08d.json"), json.getBytes("UTF-8"))) return v
       tries += 1
       if (tries > maxRetries) throw new IllegalStateException(
         s"catalog commit at $root lost $tries consecutive races; giving up")

@@ -118,18 +118,13 @@ object ManifestTable {
     val json =
       s"""{"version": $version, "run_date": $date, "run_time": $time,
          | "files": [${files.map("\"" + _ + "\"").mkString(", ")}]$delField$opField}""".stripMargin
-    // writer-unique temp name: two committers racing the SAME version must
-    // never share a temp file, or one's rename could publish the other's
-    // half-written bytes under its own version number
-    val tmp = new Path(mdir,
-      s".v$version.${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, new Path(mdir, manifestName(version)))) {
-      fs.delete(tmp, false)
+    // the commit point — put-if-absent through the storage seam
+    // (CommitPrimitive; rename on local FS/HDFS, swappable for a
+    // conditional PUT on object stores — docs/STORAGE_CONTRACT.md)
+    if (!CommitPrimitive.active(spark).putIfAbsent(spark,
+        new Path(mdir, manifestName(version)), json.getBytes("UTF-8")))
       throw new IllegalStateException(
         s"concurrent commit of version $version detected at $dir")
-    }
     // X200: the commit just landed; checkpoint the log every Nth version
     // (table property `graft.checkpoint.interval`, 0 disables). Strictly
     // best-effort — a checkpoint accelerates reads, so its failure must
@@ -356,11 +351,10 @@ object ManifestTable {
     if (!fs.exists(target)) {
       val json = s"""{"version": $v, "snapshots": [${
         snaps.map(snapshotJson).mkString(",\n")}]}"""
-      val tmp = new Path(mdir,
-        s".ckpt$v.${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(json.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, target)) fs.delete(tmp, false) // race lost: same bytes landed
+      // race lost = same bytes landed (checkpoints are a pure function of
+      // the log), so a false from the seam is simply ignored
+      CommitPrimitive.active(spark)
+        .putIfAbsent(spark, target, json.getBytes("UTF-8"))
     }
     // pointer moves forward only — a slow concurrent checkpointer of an
     // OLDER version must not regress readers to a longer delta
@@ -369,10 +363,9 @@ object ManifestTable {
       (JsonMethods.parse(readText(fs, new Path(mdir, LastCheckpoint))) \ "version")
         .extract[Int]
     } catch { case _: Exception => -1 }
-    if (v > current) {
-      val out = fs.create(new Path(mdir, LastCheckpoint), true)
-      try out.write(s"""{"version": $v}""".getBytes("UTF-8")) finally out.close()
-    }
+    if (v > current) // atomic replace: readers see old pointer or new, never torn bytes
+      CommitPrimitive.active(spark).replace(spark,
+        new Path(mdir, LastCheckpoint), s"""{"version": $v}""".getBytes("UTF-8"))
     Some(v)
   }
 

@@ -90,6 +90,18 @@ object JaroJoin {
     * `a_id < b_id`. Requires `tau ≥ 0.9` — below that the length bound
     * is not lossless (see scaladoc) and the caller should generate
     * candidates with X65/E2 and refine with [[StringSim.jaroWinkler]].
+    *
+    * Unit contract: losslessness of BOTH blocking tiers is proven for
+    * strings where UTF-16 code units == Unicode codepoints (the BMP —
+    * every name corpus in practice). The scorer ([[StringSim]]'s
+    * `jaro_winkler`) walks UTF-16 code units, while the blocking keys
+    * (`split(s, "")` / `length()`) are codepoint-level Spark builtins;
+    * for astral-plane characters (surrogate pairs: emoji, some CJK
+    * extensions) the two disagree by one per such character, so a pair
+    * whose jw just clears `tau` could in principle land outside its
+    * length band. Callers joining astral-bearing text should pre-filter
+    * supplementary-plane rows (`rlike("[\\x{10000}-\\x{10FFFF}]")`) or
+    * accept approximate recall on those rows.
     */
   def join(left: DataFrame, right: DataFrame, idCol: String, strCol: String,
       tau: Double, selfJoin: Boolean = false): DataFrame = {

@@ -31,7 +31,21 @@ object Jdbc {
       url: String,
       user: Option[String] = None,
       password: Option[String] = None,
-      driver: String = "org.postgresql.Driver")
+      driver: String = "org.postgresql.Driver",
+      fixtureSuffix: String = "") {
+    /** Fixture table name carrying the same `tag` + sf-digits keying the
+      * embedded-Derby URL encodes, so a SERVER endpoint (one shared
+      * namespace across scale factors and processes) keeps the isolation
+      * the per-database `jdbc:derby:memory:` path had: without it, two
+      * scale factors evaluating the same fixture on one server would race
+      * on a literal `src_orders`, and a FixtureCache hit after another
+      * SF's rebuild would silently read the wrong corpus's rows. Two
+      * concurrent processes at the SAME (tag, sf) still share a name —
+      * point them at distinct databases/schemas via `SPARK_GRAFT_JDBC_URL`
+      * (e.g. Postgres `currentSchema=`) as `tools/mjvm_smoke.sh` notes.
+      */
+    def fixtureTable(base: String): String = base + fixtureSuffix
+  }
 
   /** JDBC endpoint for the self-contained query fixtures (`q_jdbc_incr`,
     * `q_jdbc_publish`, `q_stream_jdbc`). Default: in-memory embedded
@@ -50,17 +64,21 @@ object Jdbc {
     * gave freshness for free.
     */
   def fixtureEndpoint(tag: String, d: String,
-      env: Map[String, String] = sys.env): JdbcConfig =
+      env: Map[String, String] = sys.env): JdbcConfig = {
+    val key = s"${tag}${d.replaceAll("[^0-9]", "")}"
     env.get("SPARK_GRAFT_JDBC_URL") match {
       case Some(u) => JdbcConfig(u,
         user = env.get("SPARK_GRAFT_JDBC_USER"),
         password = env.get("SPARK_GRAFT_JDBC_PASSWORD"),
         driver = env.getOrElse("SPARK_GRAFT_JDBC_DRIVER",
-          "org.postgresql.Driver"))
+          "org.postgresql.Driver"),
+        fixtureSuffix = s"_$key")
       case None => JdbcConfig(
-        url = s"jdbc:derby:memory:$tag${d.replaceAll("[^0-9]", "")};create=true",
-        driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+        url = s"jdbc:derby:memory:$key;create=true",
+        driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        fixtureSuffix = s"_$key")
     }
+  }
 
   /** The reference's table-name fix (`script_api_apify_to_spark.py:265`):
     * account names like `the-rock` would otherwise splice a bare `-` into
@@ -234,16 +252,17 @@ object Jdbc {
     "q_jdbc_publish" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val cfg = fixtureEndpoint("jpub", d)
+      val tbl = cfg.fixtureTable("serve_orders") // sf-keyed on server endpoints
       graft.util.FixtureCache.dir("jdbc_publish", d) { _ =>
         // server-endpoint reruns (multi-JVM smoke) must not see a stale
         // live table from a previous process; Derby memory: is always fresh
-        dropIfExists(cfg, "serve_orders")
+        dropIfExists(cfg, tbl)
         val o = graft.sources.Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_totalprice"))
-        publishAtomic(o.where(col("o_orderkey") % 3 === 0), cfg, "serve_orders")
-        publishAtomic(o, cfg, "serve_orders") // full refresh replaces
+        publishAtomic(o.where(col("o_orderkey") % 3 === 0), cfg, tbl)
+        publishAtomic(o, cfg, tbl) // full refresh replaces
       }
-      read(s, cfg, "serve_orders")
+      read(s, cfg, tbl)
         .groupBy((col("o_orderkey") % 3).cast("long").as("slice"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"))

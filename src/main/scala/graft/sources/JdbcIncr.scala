@@ -128,16 +128,17 @@ object JdbcIncr {
     // exactly the whole orders table, whatever the split.
     "q_jdbc_incr" -> ((s, d) => {
       val cfg = Jdbc.fixtureEndpoint("jincr", d)
+      val tbl = cfg.fixtureTable("src_orders") // sf-keyed on server endpoints
       val dir = FixtureCache.dir("jdbc_incr", d) { dir =>
-        Jdbc.dropIfExists(cfg, "src_orders") // server-endpoint rerun hygiene
+        Jdbc.dropIfExists(cfg, tbl) // server-endpoint rerun hygiene
         val o = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         val lim = o.agg(max("o_orderkey")).head.getAs[Number](0).longValue() / 2
-        Jdbc.append(o.where(col("o_orderkey") <= lim), cfg, "src_orders")
-        pull(s, cfg, "src_orders", "o_orderkey", dir, 20250601, 900)
-        Jdbc.append(o.where(col("o_orderkey") > lim), cfg, "src_orders")
-        pull(s, cfg, "src_orders", "o_orderkey", dir, 20250601, 1000)
-        pull(s, cfg, "src_orders", "o_orderkey", dir, 20250601, 1100) // no-op
+        Jdbc.append(o.where(col("o_orderkey") <= lim), cfg, tbl)
+        pull(s, cfg, tbl, "o_orderkey", dir, 20250601, 900)
+        Jdbc.append(o.where(col("o_orderkey") > lim), cfg, tbl)
+        pull(s, cfg, tbl, "o_orderkey", dir, 20250601, 1000)
+        pull(s, cfg, tbl, "o_orderkey", dir, 20250601, 1100) // no-op
       }
       val nVersions = ManifestTable.snapshots(s, dir).size
       ManifestTable.readLatest(s, dir)

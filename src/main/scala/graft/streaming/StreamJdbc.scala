@@ -121,12 +121,13 @@ object StreamJdbc {
     // equal the plain batch recompute.
     "q_stream_jdbc" -> ((s, d) => {
       val cfg = Jdbc.fixtureEndpoint("sjdbc", d)
+      val tbl = cfg.fixtureTable("stream_agg") // sf-keyed on server endpoints
       val ev = Tables.events(s, d).select("event_id", "event_type", "value")
       graft.util.FixtureCache.dir("sjdbc_done", d) { _ =>
         // server-endpoint rerun hygiene: a stale epoch log would mark every
         // batch as already committed and silently skip the whole stream
-        Jdbc.dropIfExists(cfg, "stream_agg")
-        Jdbc.dropIfExists(cfg, "stream_agg_epochs")
+        Jdbc.dropIfExists(cfg, tbl)
+        Jdbc.dropIfExists(cfg, s"${tbl}_epochs")
         val in = graft.util.Scratch.dir("sjdbc_in")
         val t0 = System.currentTimeMillis() - 120000
         (0 until 3).foreach { k =>
@@ -135,15 +136,15 @@ object StreamJdbc {
             s"$in/part_$k.parquet", t0 + k * 60000)
         }
         val chk = graft.util.Scratch.dir("sjdbc_chk")
-        run(s, in, chk, ev.schema, Seq("event_type"), "value", cfg, "stream_agg")
+        run(s, in, chk, ev.schema, Seq("event_type"), "value", cfg, tbl)
         // Replay batch 0 end-to-end: same aggregate, same id → skipped.
         val replay = s.read.parquet(s"$in/part_0.parquet")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_rows"),
             sum(col("value").cast("decimal(18,2)")).as("sum_value"))
-        writeBatch(replay, cfg, "stream_agg", 0L)
+        writeBatch(replay, cfg, tbl, 0L)
       }
-      Jdbc.read(s, cfg, "stream_agg")
+      Jdbc.read(s, cfg, tbl)
         .groupBy("event_type")
         .agg(sum("n_rows").cast("long").as("n_rows"),
           sum("sum_value").cast("double").as("sum_value"),

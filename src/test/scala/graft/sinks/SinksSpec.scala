@@ -54,6 +54,14 @@ class SinksSpec extends SparkSpec {
     assert(pg.url == "jdbc:postgresql://127.0.0.1:5432/postgres")
     assert(pg.user.contains("graft") && pg.password.isEmpty)
     assert(pg.driver == "org.postgresql.Driver") // default server driver
+    // table keying: a server endpoint is ONE shared namespace, so fixture
+    // tables must carry the tag+sf key the per-database Derby URL encoded —
+    // two scale factors on one server must never share a table name
+    assert(pg.fixtureTable("src_orders") == "src_orders_jincr001")
+    assert(derby.fixtureTable("src_orders") == "src_orders_jincr001")
+    val pgOther = Jdbc.fixtureEndpoint("jincr", "/tmp/graft_sf1", Map(
+      "SPARK_GRAFT_JDBC_URL" -> "jdbc:postgresql://127.0.0.1:5432/postgres"))
+    assert(pgOther.fixtureTable("src_orders") != pg.fixtureTable("src_orders"))
     val custom = Jdbc.fixtureEndpoint("x", "d", Map(
       "SPARK_GRAFT_JDBC_URL" -> "jdbc:mysql://h/db",
       "SPARK_GRAFT_JDBC_DRIVER" -> "com.mysql.cj.jdbc.Driver"))

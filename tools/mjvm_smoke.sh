@@ -11,11 +11,20 @@
 # JVM can reach (a throwaway pg_ctl Postgres — see PostgresSpec.startServer):
 #   SPARK_GRAFT_JDBC_URL=jdbc:postgresql://127.0.0.1:<port>/postgres \
 #   SPARK_GRAFT_JDBC_USER=graft tools/mjvm_smoke.sh ...
+# Fixture table names are sf-keyed (Jdbc.fixtureTable), so different scale
+# factors coexist on one server; CONCURRENT smokes at the SAME sf should
+# still use distinct databases (or `?currentSchema=` per process).
 set -euo pipefail
 cd "$(dirname "$0")/.."
-JAR=target/scala-2.13/datalake_projectspark_2.13-0.1.0.jar
+# glob, not a pinned version: a build.sbt version bump must not silently
+# break the smoke with "run sbt package first" while a jar exists
+JARS_FOUND=(target/scala-2.13/datalake_projectspark_*.jar)
+[ ${#JARS_FOUND[@]} -eq 1 ] && [ -f "${JARS_FOUND[0]}" ] || {
+  echo "expected exactly one target/scala-2.13/datalake_projectspark_*.jar (found: ${JARS_FOUND[*]}); run 'sbt package' (or clean stale jars)" >&2
+  exit 1
+}
+JAR=${JARS_FOUND[0]}
 PGJAR=/root/reference/jars/postgresql-42.2.27.jar
-[ -f "$JAR" ] || { echo "run 'sbt package' first" >&2; exit 1; }
 # mirrors build.sbt's jdk17AddOpens (JDK 17 + SparkSession outside spark-submit)
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
