@@ -319,6 +319,66 @@ object Probe {
           .parquet(util.Scratch.dir("live_members") + "/t")
       }
     }
+    if (args.contains("cdf-narrow")) {
+      // Round-11 verdict ask #6: q_table_changes' fixture UPDATE matches
+      // rows in EVERY file, so its sf10 ratio measures the worst case
+      // only. This probe pins the pruned path on the same corpus: an
+      // UPDATE whose predicate lands inside one range band must rewrite
+      // O(1) files (zone-map findTouchedFiles), and the change feed over
+      // that commit must scan O(touched) — against the broad-update
+      // contrast on the identical table.
+      import graft.lake.{ManifestTable, ZoneMap}
+      val dir = util.Scratch.dir("cdf_narrow") + "/t"
+      val nFiles = 64
+      val o = sources.Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"), col("o_totalprice").as("p"))
+      t("cdf table build")( {
+        ZoneMap.commitWithStats(o.repartitionByRange(nFiles, col("k")),
+          dir, 20250701, 900, statsCols = Seq("k"))
+        ManifestTable.readLatest(s, dir).count()
+      })
+      val ext = spark.GraftDml.extSession(s)
+      ext.sql(s"""CREATE OR REPLACE TEMPORARY VIEW cdfn
+                 |USING graft OPTIONS (path '$dir', runDate '20250701',
+                 |runTime '1000')""".stripMargin)
+      // bounds from ACTUAL keys (keys are gappy — TPC-H orderkeys plus
+      // make-scale offsets — so an arithmetic mid-band guess can match
+      // zero rows and commit nothing): ~500 keys inside the lowest band
+      val smalls = o.select(col("k")).orderBy(col("k")).limit(1501)
+        .collect().map(_.getAs[Number](0).longValue())
+      val (lo, hi) = (smalls(1000), smalls(1500))
+      def filesOf(v: Int) = ManifestTable.snapshots(s, dir)
+        .find(_.version == v).get.files.toSet
+      t("narrow UPDATE (1 band)")( {
+        // >=/<= rather than BETWEEN: Spark 4 rewrites BETWEEN through a
+        // `With` common-expression the relocated DML predicate can't host
+        ext.sql(s"UPDATE cdfn SET p = p + 1 WHERE k >= $lo AND k <= $hi")
+        val touched = filesOf(1) -- filesOf(2)
+        println(s"PROBE   narrow touched ${touched.size}/$nFiles input files, " +
+          s"staged ${(filesOf(2) -- filesOf(1)).size}")
+        touched.size.toLong
+      })
+      t("narrow feed (v1->v2)")( {
+        val f = ext.sql(s"SELECT * FROM table_changes('$dir', 1, 2, 'k')")
+        val n = f.count()
+        println(s"PROBE   narrow feed scanned ${f.inputFiles.length} files")
+        n
+      })
+      t("broad UPDATE (all bands)")( {
+        ext.sql("UPDATE cdfn SET p = p + 1 WHERE c % 100 = 0")
+        val touched = filesOf(2) -- filesOf(3)
+        println(s"PROBE   broad touched ${touched.size}/$nFiles input files, " +
+          s"staged ${(filesOf(3) -- filesOf(2)).size}")
+        touched.size.toLong
+      })
+      t("broad feed (v2->v3)")( {
+        val f = ext.sql(s"SELECT * FROM table_changes('$dir', 2, 3, 'k')")
+        val n = f.count()
+        println(s"PROBE   broad feed scanned ${f.inputFiles.length} files")
+        n
+      })
+      s.stop(); return
+    }
     args.filter(SparkEntry.queries.contains).foreach { q =>
       if (args.contains("explain")) {
         val df = SparkEntry.queries(q)(s, d)

@@ -1325,6 +1325,141 @@ object NamesDict {
     "သန္တာ", "နီလာ",
     "ნინო", "თამარი")
 
+
+  // Round-12 breadth tranche (public census-style given-name lists):
+  // depth passes over pools the earlier sweeps only skimmed — older/
+  // regional stock across Italy, Iberia/Latin America, Germany, France,
+  // Russia, Greece, Portugal/Brazil, Poland, Scandinavia, the Low
+  // Countries, the Arab world, Iran, Turkey; South India (Tamil/Telugu/
+  // Kannada/Malayalam), Bengal, Korea (hyphenated romanizations), Japan
+  // (classic -ko female stock), Indonesia, the Philippines, Thailand,
+  // Vietnam; Maori/Fijian/Hawaiian/Tongan depth; South Sudan (Dinka/
+  // Nuer), Ethiopia depth, the Levant, Israel. Same discipline as every
+  // tranche: clearly-gendered names only; unisex candidates (Xuan,
+  // Cemre, Manaia, Kainoa, Rosario, Guadalupe, Hye-sung, Ji-woo …) are
+  // deliberately OMITTED rather than guessed; appended last so core
+  // entries win conflicts ("Nino" stays out entirely: male in Italian,
+  // female in Georgian).
+  private val tranche12Male = Seq(
+    "Saravanan", "Bongani", "Hicham", "Noureddine", "Brahim", "Quoc",
+    "Rangi", "Hemi", "Tavita", "Viliame", "Subhas", "Souvik", "Debashis",
+    "Pasquale", "Ottavio", "Raffaele", "Tullio", "Dante", "Ugo", "Ermanno",
+    "Lamberto", "Oreste", "Quirino", "Settimio", "Anacleto", "Faustino",
+    "Ruperto", "Casimiro", "Celestino", "Eleuterio", "Evaristo",
+    "Heriberto", "Isidoro", "Leoncio", "Remigio", "Saturnino", "Telesforo",
+    "Ubaldo", "Venancio", "Gottfried", "Hartmut", "Eckhard", "Reinhold",
+    "Burkhard", "Volkmar", "Wilfried", "Adalbert", "Meinhard", "Notker",
+    "Raimund", "Traugott", "Aurelien", "Barthelemy", "Corentin", "Cyprien",
+    "Donatien", "Gontran", "Hippolyte", "Leandre", "Octave", "Philibert",
+    "Sylvestre", "Theophile", "Ulysse", "Arkady", "Innokenty", "Kuzma",
+    "Makar", "Miron", "Nazar", "Platon", "Prokhor", "Savely", "Seraphim",
+    "Spartak", "Taras", "Tikhon", "Trofim", "Yefim", "Zakhar",
+    "Charalampos", "Anargyros", "Apostolos", "Aristotelis", "Chrysostomos",
+    "Efstathios", "Epaminondas", "Evangelos", "Gerasimos", "Kleanthis",
+    "Leonidas", "Menelaos", "Miltiadis", "Nektarios", "Panteleimon",
+    "Polykarpos", "Sotirios", "Themistoklis", "Thrasyvoulos", "Anibal",
+    "Belmiro", "Custodio", "Delfim", "Gualter", "Heitor", "Ilidio",
+    "Joaquim", "Narciso", "Olavo", "Rogerio", "Telmo", "Valdemar", "Zenon",
+    "Bronislaw", "Czeslaw", "Eustachy", "Hieronim", "Mieczyslaw",
+    "Seweryn", "Waclaw", "Wawrzyniec", "Zdzislaw", "Ingvar", "Jorgen",
+    "Kjell", "Njord", "Ragnvald", "Sindre", "Torgeir", "Vegard", "Barend",
+    "Coenraad", "Diederik", "Evert", "Floris", "Gijsbert", "Huib", "Izaak",
+    "Koert", "Lodewijk", "Okke", "Reinier", "Teunis", "Mazen", "Fawzi",
+    "Ghazi", "Hani", "Issam", "Kamel", "Lutfi", "Mahdi", "Riyad", "Yasir",
+    "Zuhair", "Ardeshir", "Bahram", "Esfandiar", "Fereydoun", "Hormoz",
+    "Jahangir", "Kambiz", "Nader", "Rostam", "Shapur", "Teymur", "Ilker",
+    "Cagatay", "Alpaslan", "Bulent", "Dogan", "Gokhan", "Ilhan", "Mesut",
+    "Nazim", "Polat", "Recep", "Taner", "Ufuk", "Vedat", "Zeki",
+    "Chidambaram", "Kumaravel", "Manikandan", "Nagarajan", "Palanisamy",
+    "Rajendran", "Thirumal", "Vadivel", "Velu", "Venkataraman",
+    "Jagannath", "Kasinath", "Lokanath", "Madhusudan", "Nilkanth",
+    "Omkarnath", "Raghunath", "Trilochan", "Vishwanath", "Amitava",
+    "Bhaskar", "Chiranjib", "Dibakar", "Gautam", "Himadri", "Jayanta",
+    "Kalyan", "Manindra", "Nirmal", "Prasanta", "Ranjan", "Saumitra",
+    "Uttam", "Myung-soo", "Chul-soo", "Norio", "Takehiko", "Yasuhiro",
+    "Kazuhiko", "Mitsuru", "Nobuyuki", "Ryoichi", "Tsuyoshi", "Yoshinori",
+    "Hideaki", "Katsumi", "Gunawan", "Hartono", "Kuntoro", "Priyo",
+    "Teguh", "Wahyudi", "Purnomo", "Crisostomo", "Florante", "Macario",
+    "Panfilo", "Kailash", "Lokesh", "Omprakash", "Shailesh", "Yogesh",
+    "Thanawat", "Thanakorn", "Weerachai", "Anurak", "Decha", "Bao", "Phat",
+    "Son", "Thinh", "Toan", "Tamati", "Nikau", "Rawiri", "Tipene", "Hoani",
+    "Matiu", "Paora", "Ruka", "Sefanaia", "Epeli", "Inoke", "Peni",
+    "Savenaca", "Taniela", "Waisale", "Kealoha", "Kimo", "Makoa", "Nainoa",
+    "Ikaika", "Gatluak", "Majok", "Alemayehu", "Hailu", "Lemma", "Negash",
+    "Wondimu", "Zerihun", "Boutros", "Fares", "Maroun", "Nakhle", "Sarkis",
+    "Tanios", "Eyal", "Nadav", "Itai", "Alon", "Boaz", "Ronen", "Yair",
+    "Asaf")
+
+  private val tranche12Female = Seq(
+    "Souad", "Loubna", "Imane", "Hila", "Hine", "Mele", "Raissa", "Iara",
+    "Mousumi", "Paromita", "Santina", "Addolorata", "Clelia", "Domenica",
+    "Gelsomina", "Loredana", "Palmira", "Quintina", "Rosalba", "Silvana",
+    "Tersilla", "Vincenza", "Asuncion", "Candelaria", "Feliciana",
+    "Hortensia", "Natividad", "Obdulia", "Perpetua", "Visitacion",
+    "Zoraida", "Adelheid", "Brunhilde", "Edeltraud", "Friedelinde",
+    "Gerlinde", "Irmgard", "Kunigunde", "Lieselotte", "Ottilie", "Traudel",
+    "Apolline", "Eglantine", "Felicienne", "Honorine", "Leontine",
+    "Noemie", "Odile", "Perrine", "Segolene", "Victorine", "Agrafena",
+    "Antonina", "Evdokia", "Glafira", "Kapitolina", "Marfa", "Pelageya",
+    "Praskovya", "Serafima", "Taisia", "Ulyana", "Varvara", "Yevdokia",
+    "Anthoula", "Aspasia", "Chrysoula", "Efthymia", "Fotini", "Garyfallia",
+    "Kalliopi", "Kleio", "Magdalini", "Olympia", "Panagiota", "Polyxeni",
+    "Stavroula", "Theodora", "Zinovia", "Albertina", "Benedita",
+    "Conceicao", "Deolinda", "Ermelinda", "Filipa", "Graciete",
+    "Hortencia", "Ilda", "Natercia", "Odete", "Rosalina", "Urbana",
+    "Zulmira", "Boleslawa", "Czeslawa", "Eufemia", "Honorata", "Kazimiera",
+    "Miroslawa", "Pelagia", "Radoslawa", "Stanislawa", "Waleria",
+    "Wieslawa", "Aslaug", "Bodil", "Dagny", "Eldrid", "Gunvor", "Hjordis",
+    "Ingebjorg", "Jorunn", "Oddbjorg", "Ragnfrid", "Aaltje", "Dieuwke",
+    "Elske", "Geertje", "Hendrika", "Jacoba", "Klaasje", "Lammertje",
+    "Neeltje", "Pietertje", "Rinske", "Sjoukje", "Trijntje", "Afaf",
+    "Dalal", "Fadwa", "Ibtisam", "Kawthar", "Qamar", "Rabab", "Thuraya",
+    "Yusra", "Afsaneh", "Banafsheh", "Delara", "Elaheh", "Farzaneh",
+    "Golnar", "Homa", "Jaleh", "Khatereh", "Parvaneh", "Touran", "Ziba",
+    "Aysegul", "Bahar", "Feride", "Hacer", "Ilknur", "Nurcan", "Ozlem",
+    "Rukiye", "Sevim", "Tulay", "Umran", "Vildan", "Yeliz", "Zehra",
+    "Andal", "Bhuvaneswari", "Chellammal", "Dhanalakshmi", "Ezhilarasi",
+    "Gomathi", "Indrani", "Jayalalitha", "Kanimozhi", "Maragatham",
+    "Nagammal", "Panchali", "Rajalakshmi", "Selvi", "Thamarai", "Valli",
+    "Annapurna", "Bhagyalakshmi", "Chandramukhi", "Hemalatha", "Jayasree",
+    "Kanakadurga", "Lalithamma", "Manorama", "Nagalakshmi", "Padmavathi",
+    "Rukmini", "Saraswathi", "Tulasi", "Vijayalakshmi", "Aparajita",
+    "Bandana", "Chandana", "Debjani", "Gitanjali", "Jharna", "Kaberi",
+    "Madhabi", "Nandita", "Purnima", "Tanushree", "Utpala", "Ji-hye",
+    "Na-young", "Seul-gi", "Yeon-hee", "Bo-ra", "Ayako", "Chieko", "Harue",
+    "Ikuko", "Kazue", "Machiko", "Nobuko", "Umeko", "Yasuko", "Endang",
+    "Fitriani", "Kartini", "Murniati", "Ningsih", "Puspita", "Rahayu",
+    "Sulastri", "Wahyuni", "Yuliana", "Hartini", "Divina", "Felisa",
+    "Luningning", "Paz", "Bhavana", "Damayanti", "Ganga", "Hemlata",
+    "Pushpa", "Urmila", "Siriwan", "Thidarat", "Waraporn", "Yupin",
+    "Chanida", "Ngan", "Nhung", "Quynh", "Thu", "Tuyet", "Bich", "Dao",
+    "Hue", "Hinewai", "Mereana", "Rawinia", "Tuihana", "Anahera",
+    "Asenaca", "Litiana", "Mereoni", "Salote", "Torika", "Vasiti", "Malia",
+    "Pualani", "Nyadeng", "Achol", "Abuk", "Ayen", "Nyibol", "Bezawit",
+    "Fantaye", "Konjit", "Lemlem", "Netsanet", "Georgette", "Jamileh",
+    "Layal", "Mirna", "Nuhad", "Therese", "Violette", "Yamna", "Adina",
+    "Carmit", "Efrat", "Gila", "Irit", "Liora", "Merav", "Nurit", "Orly",
+    "Ravit", "Vered", "Yaffa", "Zehava", "Adjoa")
+
+  // Round-12 native-script tier: Telugu, Kannada, and Malayalam join the
+  // script set (transliteration-or-unknown everywhere else), plus depth
+  // in scripts already present (Tamil, Hebrew, Armenian).
+  private val tranche12ScriptMale = Seq(
+    "వెంకటేశ్", "రమేశ్", // Telugu
+    "ರಾಜೇಶ", "ಮಂಜುನಾಥ", // Kannada
+    "അരുൺ", "രാജേഷ്", // Malayalam
+    "செந்தில்", // Tamil (depth)
+    "נדב", "אייל", // Hebrew (depth)
+    "Վահան") // Armenian (depth)
+
+  private val tranche12ScriptFemale = Seq(
+    "లక్ష్మి", "పద్మ",
+    "ಲಕ್ಷ್ಮೀ", "ಗೀತಾ",
+    "ലക്ഷ്മി", "ദീപ",
+    "செல்வி", "வள்ளி",
+    "שירה", "נעמה",
+    "Լուսինե")
+
   /** first_name → category. Names appearing in several category lists
     * (real-data ambiguity — "Andrea" is female in most locales, male in
     * Italian) resolve by FIRST CATEGORY WINS in the concatenation order
@@ -1367,7 +1502,11 @@ object NamesDict {
       // round-11 breadth + native-script tranche, appended last
       tranche11Male.map(_ -> "male") ++ tranche11Female.map(_ -> "female") ++
       tranche11ScriptMale.map(_ -> "male") ++
-      tranche11ScriptFemale.map(_ -> "female"))
+      tranche11ScriptFemale.map(_ -> "female") ++
+      // round-12 breadth + native-script tranche, appended last
+      tranche12Male.map(_ -> "male") ++ tranche12Female.map(_ -> "female") ++
+      tranche12ScriptMale.map(_ -> "male") ++
+      tranche12ScriptFemale.map(_ -> "female"))
     .filterNot(_._1.exists(_.isDigit))
     .map { case (k, v) => normalizeKey(k) -> v } // keys canonically composed
 

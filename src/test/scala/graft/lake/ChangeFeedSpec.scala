@@ -69,6 +69,46 @@ class ChangeFeedSpec extends SparkSpec {
       "…but it must be PROVEN by the join, not assumed")
   }
 
+  test("narrow CoW update step: feed scans ONLY the touched files, content equals the full diff") {
+    // the round-11 verdict's coverage gap: q_table_changes' fixture UPDATE
+    // touches every file, so the bench only ever measured the worst case.
+    // This pins the O(touched) claim itself: a 2-key update on a
+    // range-clustered 8-file table must feed from the one rewritten band
+    // (both sides), never the 7 retained-by-reference files.
+    val d = graft.util.Scratch.dir("cf_cow_narrow")
+    val base = (0L until 200L).map(i => (i, s"n$i")).toDF("k", "payload")
+    ZoneMap.commitWithStats(base.repartitionByRange(8, $"k"), d,
+      20250701, 900, statsCols = Seq("k"))
+    val v1 = ManifestTable.snapshots(spark, d).last
+    val ups = Seq((5L, "u5"), (6L, "u6")).toDF("k", "payload")
+    val v2 = Merge.upsertCow(spark, d, ups, Seq("k"), 20250701, 1000)
+    val s2 = ManifestTable.snapshots(spark, d).last
+    assert(v2 == v1.version + 1 &&
+      v1.files.toSet.intersect(s2.files.toSet).size >= 7, "CoW precondition")
+    val touched = (s2.files.filterNot(v1.files.toSet) ++
+      v1.files.filterNot(s2.files.toSet)).toSet
+    // updateAware: a changed key must surface as its delete+insert pair
+    // (X183's CDC contract — key-presence diff alone cannot see updates)
+    val feed = ChangeFeed.changeFeed(spark, d, v1.version, v2, Seq("k"),
+      updateAware = true)
+    // content: byte-equal to the naive full-version CDC diff
+    val got = feed.select("k", "payload", "change")
+      .as[(Long, String, String)].collect().toSet
+    val want = SnapshotDiff.diffCdc(
+      ManifestTable.readVersion(spark, d, v2),
+      ManifestTable.readVersion(spark, d, v1.version), Seq("k"))
+      .select("k", "payload", "change")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // plan: every scanned file is a touched file — feed cost ∝ the
+    // commit's own change, not the table
+    val scanned = feed.inputFiles.toSet
+    assert(scanned.nonEmpty)
+    scanned.foreach { p =>
+      assert(touched.exists(p.endsWith), s"feed scanned a retained file: $p")
+    }
+  }
+
   test("multi-step backfill across both paths matches per-step diffs") {
     val feed = ChangeFeed.changeFeed(spark, dir, 1, 5, Seq("k"))
       .groupBy("from_version", "change").agg(count(lit(1)).as("n"))

@@ -299,6 +299,53 @@ class GenderSpec extends SparkSpec {
       s"round-11 tranche missing: ${NamesDict.entries.size} entries")
   }
 
+  test("round-12 tranche: depth pools resolve (old-stock Europe, South India, Korea/Japan, Pacific, South Sudan, Israel); new Dravidian scripts honor transliteration-or-unknown") {
+    val panel = Seq(
+      ("Pasquale Esposito", "male", 0.9f), ("Filomena Greco", "female", 0.9f),
+      ("Anselmo Duarte", "male", 0.9f), ("Milagros Fernandez", "female", 0.9f),
+      ("Gottfried Leibniz", "male", 0.9f), ("Hannelore Schmidt", "female", 0.9f),
+      ("Hippolyte Taine", "male", 0.9f), ("Bernadette Soubirous", "female", 0.9f),
+      ("Rodion Raskolnikov", "male", 0.9f), ("Varvara Petrovna", "female", 0.9f),
+      ("Stavros Niarchos", "male", 0.9f), ("Kalliopi Papadaki", "female", 0.9f),
+      ("Joaquim Barbosa", "male", 0.9f), ("Madalena Costa", "female", 0.9f),
+      ("Kazimierz Pulaski", "male", 0.9f), ("Jadwiga Kowalczyk", "female", 0.9f),
+      ("Torbjorn Hansen", "male", 0.9f), ("Solveig Berg", "female", 0.9f),
+      ("Ghassan Kanafani", "male", 0.9f), ("Zainab Hussein", "female", 0.9f),
+      ("Parviz Tehrani", "male", 0.9f), ("Shirin Ebadi", "female", 0.9f),
+      ("Gokhan Yilmaz", "male", 0.9f), ("Ozlem Demir", "female", 0.9f),
+      ("Saravanan Muthu", "male", 0.9f), ("Rajalakshmi Raman", "female", 0.9f),
+      ("Souvik Banerjee", "male", 0.9f), ("Gitanjali Das", "female", 0.9f),
+      ("Dong-hyun Choi", "male", 0.9f), ("Hye-jin Yoon", "female", 0.9f),
+      ("Tadashi Yamamoto", "male", 0.9f), ("Sachiko Watanabe", "female", 0.9f),
+      ("Bambang Wijaya", "male", 0.9f), ("Kartini Sari", "female", 0.9f),
+      ("Thanawat Suwan", "male", 0.9f), ("Kanokwan Phong", "female", 0.9f),
+      ("Cuong Tran", "male", 0.9f), ("Quynh Le", "female", 0.9f),
+      ("Tamati Walker", "male", 0.9f), ("Mereana Hohepa", "female", 0.9f),
+      ("Mosese Rabuka", "male", 0.9f), ("Salote Tupou", "female", 0.9f),
+      ("Gatluak Thon", "male", 0.9f), ("Nyibol Deng", "female", 0.9f),
+      ("Mulugeta Haile", "male", 0.9f), ("Meseret Defar", "female", 0.9f),
+      ("Nadav Lapid", "male", 0.9f), ("Efrat Mishori", "female", 0.9f),
+      // native-script twins: Telugu/Kannada/Malayalam join the script set
+      ("వెంకటేశ్ రావు", "male", 0.9f), ("లక్ష్మి దేవి", "female", 0.9f),
+      ("ರಾಜೇಶ ಗೌಡ", "male", 0.9f), ("ಗೀತಾ ಹೆಗಡೆ", "female", 0.9f),
+      ("അരുൺ നായർ", "male", 0.9f), ("ദീപ മേനോൻ", "female", 0.9f),
+      ("נדב כהן", "male", 0.9f), ("שירה לוי", "female", 0.9f),
+      // deliberately-omitted unisex names stay unknown, not guessed
+      ("Xuan Nguyen", "unknown", 0.5f), ("Cemre Aydin", "unknown", 0.5f),
+      ("Manaia Parata", "unknown", 0.5f),
+      // "Nino" stays out entirely: male in Italian, female in Georgian
+      ("Nino Benvenuti", "unknown", 0.5f),
+      // out-of-dict native-script names stay unknown, never a
+      // transliteration guess (సురేష్ / ಸುರೇಶ are real names NOT entered)
+      ("సురేష్ రెడ్డి", "unknown", 0.5f), ("ಸುರೇಶ ಶೆಟ್ಟಿ", "unknown", 0.5f))
+    panel.foreach { case (fullName, g, c) =>
+      val got = Gender.guess(fullName, "x1")
+      assert((got.predicted_gender, got.confidence) === ((g, c)), fullName)
+    }
+    assert(NamesDict.entries.size >= 4300,
+      s"round-12 tranche missing: ${NamesDict.entries.size} entries")
+  }
+
   test("property: outputs confined to the reference domains") {
     val gen = Gen.zip(Gen.asciiPrintableStr, Gen.asciiPrintableStr)
     (1 to 300).foreach { seed =>
