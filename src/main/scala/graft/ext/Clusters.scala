@@ -186,12 +186,7 @@ object Clusters {
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, ${Dedup.shinglesSql} AS s
          |  FROM (SELECT doc_id, ${Dedup.toksSql} AS l FROM documents)),
-         |pairs AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0
-         |    AND len(list_intersect(a.s, b.s)) * 5 >=
-         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+         |${graft.ext.Dedup.pairs80ByIndexSql},
          |edges AS (
          |  SELECT ia AS a, ib AS b FROM pairs
          |  UNION
@@ -207,12 +202,7 @@ object Clusters {
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, ${Dedup.shinglesSql} AS s
          |  FROM (SELECT doc_id, ${Dedup.toksSql} AS l FROM documents)),
-         |pairs AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0
-         |    AND len(list_intersect(a.s, b.s)) * 5 >=
-         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+         |${graft.ext.Dedup.pairs80ByIndexSql},
          |edges AS (
          |  SELECT ia AS a, ib AS b FROM pairs
          |  UNION
@@ -245,12 +235,7 @@ object Clusters {
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, ${Dedup.shinglesSql} AS s
          |  FROM (SELECT doc_id, ${Dedup.toksSql} AS l FROM documents)),
-         |pairs AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0
-         |    AND len(list_intersect(a.s, b.s)) * 5 >=
-         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+         |${graft.ext.Dedup.pairs80ByIndexSql},
          |edges AS (
          |  SELECT ia AS a, ib AS b FROM pairs
          |  UNION

@@ -263,13 +263,7 @@ object Curriculum {
     "q_contrastive" ->
       s"""WITH sh AS (SELECT doc_id, ${Dedup.shinglesSql} AS s
          |            FROM (SELECT doc_id, ${Dedup.toksSql} AS l FROM documents)),
-         |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-         |                 (len(list_intersect(a.s, b.s)) * 1000) //
-         |                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac_permille
-         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |          WHERE len(a.s) > 0 AND len(b.s) > 0
-         |            AND len(list_intersect(a.s, b.s)) * 5 >=
-         |                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+         |${Dedup.pairsJacByIndexSql},
          |anchors AS (SELECT ia AS anchor, min(ib) AS positive FROM pairs GROUP BY ia),
          |pool AS (SELECT doc_id AS pool_id FROM documents
          |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 16),

@@ -751,6 +751,58 @@ object Dedup {
     s"""list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
        |               for i in range(1, len(l) - 2)])""".stripMargin
 
+  /** Oracle `pairs` CTE via an inverted shingle index — LOSSLESS and
+    * subquadratic, which is what lets the DuckDB gate run the Jaccard
+    * family at sf1's 50k-document corpus (an all-pairs cross is 1.25G
+    * `list_intersect`s there; the index join is Σdf² ≈ 3M rows).
+    * Equivalence to the crossed form: `s` is `list_distinct`, so the
+    * per-shingle equi-join counts each common shingle exactly once and
+    * `count(*) ≡ len(list_intersect(a.s, b.s))`; pairs with an empty
+    * intersection are absent, and EVERY downstream threshold (Jaccard ≥
+    * 500‰, containment ≥ 900‰) implies `shared ≥ 1`, so no qualifying
+    * pair is lost; `len(s) > 0` guards are implied (empty lists emit no
+    * index rows). Expects a CTE named `sh(doc_id, s)` in scope.
+    */
+  private[graft] val pairsByIndexSql =
+    """ix_ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |ix_sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |ix_cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+      |            FROM ix_ex a JOIN ix_ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |            GROUP BY 1, 2),
+      |pairs AS (SELECT ia, ib, shared, sa.n AS na, sb.n AS nb
+      |          FROM ix_cand JOIN ix_sz sa ON sa.doc_id = ix_cand.ia
+      |                       JOIN ix_sz sb ON sb.doc_id = ix_cand.ib)""".stripMargin
+
+  /** [[pairsByIndexSql]] specialized to the X34/X35/X251/X254 composers'
+    * shape — `pairs(ia, ib)` thresholded at Jaccard ≥ 800‰ — so the
+    * cluster/split/yield oracles stay sf1-tractable too.
+    */
+  private[graft] val pairs80ByIndexSql =
+    """ix_ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |ix_sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |ix_cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+      |            FROM ix_ex a JOIN ix_ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |            GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT ia, ib FROM ix_cand
+      |  JOIN ix_sz sa ON sa.doc_id = ix_cand.ia
+      |  JOIN ix_sz sb ON sb.doc_id = ix_cand.ib
+      |  WHERE shared * 5 >= (sa.n + sb.n - shared) * 4)""".stripMargin
+
+  /** [[pairs80ByIndexSql]] carrying `jac_permille` (X229's shape). */
+  private[graft] val pairsJacByIndexSql =
+    """ix_ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |ix_sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |ix_cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+      |            FROM ix_ex a JOIN ix_ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |            GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT ia, ib, (shared * 1000) // (sa.n + sb.n - shared) AS jac_permille
+      |  FROM ix_cand
+      |  JOIN ix_sz sa ON sa.doc_id = ix_cand.ia
+      |  JOIN ix_sz sb ON sb.doc_id = ix_cand.ib
+      |  WHERE shared * 5 >= (sa.n + sb.n - shared) * 4)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_doc_exact" ->
       """WITH corpus AS (
@@ -786,17 +838,18 @@ object Dedup {
                 s"(x >> ${c * simhashChunkBits}) & ${(1L << simhashChunkBits) - 1} = 0")
                 .mkString(" OR ")})
          |ORDER BY ia, ib""".stripMargin,
-    // Brute-force exact Jaccard at the banding tier's ≥ 500‰ threshold:
-    // the row set pins banding recall, `true AS est_ok` pins the
-    // signature-estimate bound (X144 discipline — see the query comment).
+    // Exact Jaccard at the banding tier's ≥ 500‰ threshold: the row set
+    // pins banding recall, `true AS est_ok` pins the signature-estimate
+    // bound (X144 discipline — see the query comment). `shared` comes
+    // from the inverted-index join (count of common distinct shingles ≡
+    // len(list_intersect)) rather than an all-pairs cross: every
+    // qualifying pair has shared ≥ 1, so the candidate set is lossless,
+    // and the oracle stays tractable at the sf1 full-inventory gate
+    // (50k docs → Σdf² ≈ 3M index pairs vs 1.25G crossed pairs).
     "q_dedup_minhash" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s
          |            FROM (SELECT doc_id, $toksSql AS l FROM documents)),
-         |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-         |                 len(list_intersect(a.s, b.s)) AS shared,
-         |                 len(a.s) AS na, len(b.s) AS nb
-         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |          WHERE len(a.s) > 0 AND len(b.s) > 0)
+         |$pairsByIndexSql
          |SELECT ia, ib, CAST(shared AS BIGINT) AS shared,
          |       CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
          |       (shared * 1000) // (na + nb - shared) AS jac_permille,
@@ -806,11 +859,7 @@ object Dedup {
     "q_minhash_est" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s
          |            FROM (SELECT doc_id, $toksSql AS l FROM documents)),
-         |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-         |                 len(list_intersect(a.s, b.s)) AS shared,
-         |                 len(a.s) AS na, len(b.s) AS nb
-         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |          WHERE len(a.s) > 0 AND len(b.s) > 0)
+         |$pairsByIndexSql
          |SELECT ia, ib, (shared * 1000) // (na + nb - shared) AS jac_permille,
          |       true AS est_ok
          |FROM pairs WHERE shared * 5 >= (na + nb - shared) * 4 ORDER BY ia, ib""".stripMargin,
@@ -923,22 +972,22 @@ object Dedup {
     "q_dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s
          |            FROM (SELECT doc_id, $toksSql AS l FROM documents)),
-         |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-         |                 len(list_intersect(a.s, b.s)) AS shared,
-         |                 len(a.s) AS na, len(b.s) AS nb
-         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |          WHERE len(a.s) > 0 AND len(b.s) > 0)
+         |$pairsByIndexSql
          |SELECT ia, ib, shared, na, nb, (shared * 1000) // (na + nb - shared) AS jac_permille
          |FROM pairs WHERE shared * 5 >= (na + nb - shared) * 4 ORDER BY ia, ib""".stripMargin,
 
+    // directed (ia → ib) containment: both directions of each indexed
+    // pair, same losslessness argument as [[pairsByIndexSql]]
     "q_dedup_containment" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s
          |            FROM (SELECT doc_id, $toksSql AS l FROM documents)),
-         |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-         |                 len(list_intersect(a.s, b.s)) AS shared,
-         |                 len(a.s) AS na
-         |          FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-         |          WHERE len(a.s) > 0 AND len(b.s) > 0)
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+         |         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |         GROUP BY 1, 2),
+         |pairs AS (SELECT ia, ib, shared, sa.n AS na
+         |          FROM cand JOIN sz sa ON sa.doc_id = cand.ia)
          |SELECT ia, ib, shared, na, (shared * 1000) // na AS containment_permille
          |FROM pairs WHERE shared * 10 >= na * 9 ORDER BY ia, ib""".stripMargin,
     "q_dedup_embedding" ->

@@ -149,12 +149,7 @@ object ReleaseYield {
          |  SELECT doc_id, ${Dedup.shinglesSql} AS s
          |  FROM (SELECT doc_id, ${Dedup.toksSql} AS l FROM documents)
          |  WHERE doc_id IN (SELECT doc_id FROM surv1)),
-         |pairs AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0
-         |    AND len(list_intersect(a.s, b.s)) * 5 >=
-         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+         |${graft.ext.Dedup.pairs80ByIndexSql},
          |edges AS (SELECT ia AS a, ib AS b FROM pairs
          |          UNION SELECT ib, ia FROM pairs),
          |reach AS (
