@@ -28,6 +28,12 @@ object Probe {
       println(s"FLAGSHIP rows=${SparkEntry.entry(s).count()}")
       return
     }
+    if (args.contains("names-count")) {
+      // README ml-row numbers: distinct entries / with accent-fold aliases
+      println(s"NAMES entries=${ml.NamesDict.entries.size} " +
+        s"resolved=${ml.NamesDict.resolvedEntries.size}")
+      s.stop(); return
+    }
     t("warmup count")(sources.Tables.documents(s, d).count())
     if (args.contains("scale-sweep")) {
       // replicate the documents corpus with perturbed ids/texts and time

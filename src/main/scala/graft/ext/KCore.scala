@@ -98,26 +98,36 @@ object KCore {
         .orderBy("node")
     }))
 
+  // MATERIALIZED throughout: DuckDB INLINES multiply-referenced CTEs, so
+  // without it each round re-expands the whole upstream pipeline (~3×
+  // per round, 27× e0 joins by round 3) — the sf1 gate saw the inlined
+  // form spill >70 GB and die; materialized it runs in ~4 s.
   private def roundSql(i: Int): String =
-    s"""d$i AS (SELECT node, count(*) AS degree FROM (
+    s"""d$i AS MATERIALIZED (SELECT node, count(*) AS degree FROM (
        |  SELECT u AS node FROM e$i UNION ALL SELECT v AS node FROM e$i
        |) GROUP BY node),
-       |s$i AS (SELECT node FROM d$i WHERE degree >= 45),
-       |e${i + 1} AS (SELECT u, v FROM e$i
+       |s$i AS MATERIALIZED (SELECT node FROM d$i WHERE degree >= 45),
+       |e${i + 1} AS MATERIALIZED (SELECT u, v FROM e$i
        |  WHERE u IN (SELECT node FROM s$i) AND v IN (SELECT node FROM s$i))"""
       .stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_kcore" ->
-      s"""WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      s"""WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
          |           WHERE l_partkey % 2 = 0),
-         |e0 AS (
+         |e0 AS MATERIALIZED (
          |  SELECT DISTINCT a.p AS u, b.p AS v
          |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
          |${roundSql(0)},
          |${roundSql(1)},
          |${roundSql(2)}
-         |SELECT node, count(*) AS degree FROM (
-         |  SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3
-         |) GROUP BY node ORDER BY node""".stripMargin)
+         |SELECT * FROM (
+         |  SELECT node, count(*) AS degree FROM (
+         |    SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3
+         |  ) GROUP BY node
+         |) ORDER BY node""".stripMargin)
+  // ^ ORDER BY wrapped OUTSIDE the aggregate: under DuckDB 1.0 with
+  // preserve_insertion_order=false (check.py's at-scale setting), an
+  // ORDER BY directly atop a GROUP BY fed by MATERIALIZED CTEs streams
+  // out of order; the outer-select form keeps the sort.
 }

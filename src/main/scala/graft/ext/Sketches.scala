@@ -90,9 +90,25 @@ object Sketches {
       val merged = partials
         .groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
-      val whole = e.groupBy("event_type")
-        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_whole"),
-          countDistinct(col("user_id")).as("n_exact"))
+      // the witness is a SECOND, different partitioning of the same
+      // stream (user parity — disjoint halves, vs event parity — every
+      // user in both halves), merged the same way. Partition-invariance
+      // is the real mergeability contract: registers are a pure function
+      // of the distinct-user set, so any two partitionings must merge to
+      // the identical estimate; a double-count or dropped half flips the
+      // boolean. Comparing against a STREAM-BUILT sketch instead goes
+      // false past sparse mode (the sf1 gate's catch): a direct sketch
+      // estimates via Datasketches' HIP accumulator, which no genuine
+      // union can carry — and a union of ONE sketch copies HIP verbatim,
+      // so even a whole-through-union witness stays on the HIP side.
+      val whole = e
+        .withColumn("half", (col("user_id") % 2).cast("int"))
+        .groupBy("event_type", "half")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_whole"))
+        .join(e.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact")), Seq("event_type"))
       merged.join(whole, Seq("event_type"))
         .select(col("event_type"), col("n_exact"),
           (col("est_merged") === col("est_whole")).as("merge_lossless"),
@@ -117,9 +133,19 @@ object Sketches {
         .select(explode(sequence(lit(0), lit(2))).as("off"), col("day"), col("user_id"))
         .select(date_add(col("day"), col("off")).as("wd"), col("user_id"))
         .join(days, "wd")
-      val direct = spread.groupBy("wd").agg(
-        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
-        countDistinct(col("user_id")).as("n_exact"))
+      // two-way-union witness for the same reason as q_hll_partials: a
+      // stream-built (or union-of-one) sketch estimates via HIP, which a
+      // genuine multi-sketch merge cannot carry — so the witness is a
+      // second partitioning (user parity) of the window's rows, merged
+      // the same way the per-day sketches are
+      val direct = spread
+        .withColumn("half", (col("user_id") % 2).cast("int"))
+        .groupBy("wd", "half")
+        .agg(hll_sketch_agg(col("user_id")).as("sk_direct"))
+        .groupBy("wd")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk_direct"))).as("est_direct"))
+        .join(spread.groupBy("wd")
+          .agg(countDistinct(col("user_id")).as("n_exact")), Seq("wd"))
       val daily = e.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
       val merged = daily
         .select(explode(sequence(lit(0), lit(2))).as("off"), col("day"), col("sk"))

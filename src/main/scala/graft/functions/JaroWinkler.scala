@@ -26,7 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * JaroWinklerSpec):
   *  - match window `max(|a|,|b|)/2 - 1`; zero matches → 0.0 (hence
   *    "" vs "" is 0.0, not 1.0);
-  *  - transpositions counted over the matched subsequences, halved;
+  *  - transpositions counted over the matched subsequences, halved
+  *    with FLOOR (integer division — the strcmp95 convention DuckDB
+  *    and jellyfish follow; an odd out-of-order count rounds down);
   *  - Winkler prefix boost `j + p·0.1·(1-j)` with `p = min(prefix, 4)`,
   *    applied only when `j > 0.7` (the classic boost threshold).
   */
@@ -77,7 +79,11 @@ object JaroText {
     }
 
     val md = m.toDouble
-    val j = (md / la + md / lb + (md - trans / 2.0) / md) / 3.0
+    // transpositions FLOOR to an integer (strcmp95/jellyfish/DuckDB
+    // lineage): an odd out-of-order count t gives (t-1)/2, not t/2.0 —
+    // the sf1 oracle gate caught the fractional variant diverging on
+    // 2% of supplier pairs (3 out-of-order chars → t=1, not 1.5)
+    val j = (md / la + md / lb + (md - trans / 2) / md) / 3.0
     if (j <= 0.7) return j
 
     var p = 0

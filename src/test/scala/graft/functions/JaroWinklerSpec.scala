@@ -26,6 +26,12 @@ class JaroWinklerSpec extends SparkSpec {
     assert(math.abs(jwOf("CRATE", "TRACE") - 0.7333333333) < 1e-9)
     assert(math.abs(jwOf("hello world", "hello wrold") - 0.9818181818) < 1e-9)
     assert(jwOf("abc", "abc") == 1.0)
+    // ODD out-of-order count: 3 mismatched matched positions floor to
+    // t=1 (strcmp95/DuckDB convention), not 1.5 — the divergence the
+    // round-12 sf1 oracle gate caught on 2% of supplier pairs.
+    // j = (1 + 1 + 17/18)/3, then the full 4-char prefix boost.
+    assert(math.abs(jwOf("Sughlier#000000768", "Sughlier#000000876")
+      - 0.9888888889) < 1e-9)
   }
 
   test("boost threshold: no Winkler boost at jaro <= 0.7") {

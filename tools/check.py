@@ -19,7 +19,10 @@ def main():
     con = duckdb.connect()
     # at-scale oracle runs (sf10) need spill room; harmless at sf0.01
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET preserve_insertion_order=false")
+    # NOTE: do NOT set preserve_insertion_order=false here. Under DuckDB
+    # 1.0 it silently drops a final ORDER BY fed by MATERIALIZED CTEs
+    # (q_kcore's shape), making the positional compare flap; the spill
+    # temp_directory above is what the sf10 runs actually needed.
     for t in TABLES:
         # driver fixtures are single files; Probe make-scale corpora are
         # Spark output DIRECTORIES — glob the parts in that case
