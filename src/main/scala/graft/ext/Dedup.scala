@@ -79,8 +79,15 @@ object Dedup {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val parts = (0 until shingleLen).map(i =>
       if (i == 0) col("t") else lead("t", i).over(w))
+    // md5-top-60 of the SAME space-joined shingle string [[docShingles]]
+    // and the oracle's shinglesSql build (the X205 simhash move, round
+    // 12): both engines compute the identical 60-bit id, which is what
+    // lets the DuckDB oracle replay the whole signature/banding pipeline
+    // bit-for-bit. xxhash64 was cheaper but DuckDB cannot rebuild it.
     tok
-      .select(col("doc_id"), xxhash64(parts: _*).as("shingle"),
+      .select(col("doc_id"),
+        conv(substring(md5(concat_ws(" ", parts: _*)), 1, 15), 16, 10)
+          .cast("long").as("shingle"),
         parts.last.isNotNull.as("full"))
       .where(col("full"))
       .groupBy("doc_id")
@@ -117,15 +124,29 @@ object Dedup {
     graft.sources.Tables.cachedParquet(s, s"$dir/t")
   }
 
-  /** 32-slot MinHash signature table over HASHED shingles
-    * ([[docShingleHashes]] output): each slot k is `min(xxhash64(k, h))`
-    * inside a single map-side-combinable groupBy — no interpreted
-    * higher-order functions in the hot path, and the shuffle carries 32
-    * longs per doc.
+  /** Top-60 md5 bits of a string column as BIGINT — the engine half of
+    * the DuckDB-replayable hash idiom (X205; the oracle's twin is the
+    * 15-hex-digit strpos sum).
     */
-  def minhashSigs(sh: DataFrame): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-    val sigCols = (0 until nHashes).map(k => min(xxhash64(lit(k), col("h"))).as(s"s$k"))
+  private[graft] def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 32-slot MinHash signature table over STRING shingles
+    * ([[docShingles]] output): slot k is `min(h60("k|" || shingle))` —
+    * one independent md5 stream per slot, inside a single
+    * map-side-combinable groupBy. md5-per-slot is deliberate (round 12):
+    * a cheap LINEAR family over the shingle ids (`(A·h+C) mod P`) is
+    * order-correlated — without enough modular wrapping, small ids win
+    * the min in EVERY slot, which both wrecks the estimator (DedupSpec
+    * caught |est − jac| > 250‰ on a 989‰ pair) and degenerates the
+    * banding buckets. Full rehash per slot restores min-wise mixing
+    * while staying bit-replayable in DuckDB; the build is one pass over
+    * the exploded shingles and materializes per corpus.
+    */
+  def minhashSigs(shStrings: DataFrame): DataFrame = {
+    val ex = shStrings.select(col("doc_id"), explode(col("sh")).as("g"))
+    val sigCols = (0 until nHashes).map(k =>
+      min(h60(concat_ws("|", lit(k.toString), col("g")))).as(s"s$k"))
     ex.groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"), array((0 until nHashes).map(i => col(s"s$i")): _*).as("sig"))
@@ -356,7 +377,7 @@ object Dedup {
       val pairs = queries("q_dedup_ngram_jaccard")(s, d)
         .select("ia", "ib", "jac_permille")
       val sig = materializeCached(s,
-        minhashSigs(docShingleHashes(s, d).where(size(col("sh")) > 0)), "mh", d)
+        minhashSigs(docShingles(s, d).where(size(col("sh")) > 0)), "mh", d)
       pairs
         .join(sig.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
         .join(sig.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
@@ -586,19 +607,24 @@ object Dedup {
         .orderBy("ia", "ib")
     }),
 
-    // MinHash + LSH banding: per-row 32-slot signature → 8 band hashes →
+    // MinHash + LSH banding: per-row 32-slot signature → 8 band keys →
     // band-bucket equi-join for candidates → verify candidates with exact
-    // Jaccard. ORACLED (round-10, the X144 discipline): the exact integer
-    // fields (shared, na, nb, jac_permille) hash-compare against DuckDB's
-    // brute-force Jaccard survivors, so the ROW SET pins banding recall =
-    // 1 on the fixture (every true jac ≥ 500 pair sits at ≥ 880‰ here,
-    // where 8-bands-of-4 miss with p ≈ 4·10⁻⁴ per pair — and the fixed
-    // hash family makes the outcome deterministic, re-verified every
-    // round); the signature-estimate quality bound (|est − true| ≤ 250‰,
-    // ≈3.5σ at 32 slots) rides as `est_ok`, literal TRUE in the oracle —
-    // a broken hash family, slot count, band hash, or signature build
-    // either drops a row or flips the boolean. DedupSpec keeps the
-    // recall property pins as the named failure diagnosis.
+    // Jaccard. FULLY ORACLED at the BANDING level (round 12, the X205
+    // move applied to X144): the md5-derived shingle ids and the
+    // fixed-constant universal-hash slots are DuckDB-rebuildable, so the
+    // oracle replays signature → bands → candidate join → exact verify
+    // and the row sets match BY CONSTRUCTION at every scale — honest LSH
+    // semantics, borderline pairs included. (The previous contract —
+    // engine row set ≡ brute-force Jaccard survivors — held only while
+    // the corpus had no pairs in banding's probabilistic miss band: the
+    // sf10 round-12 gate produced a jac=777‰ pair on 7-shingle docs that
+    // 8-bands-of-4 misses with p ≈ 2.7%, and the claim broke exactly
+    // once. Exact-recall-vs-brute-force stays pinned where it is TRUE:
+    // q_dedup_ngram_jaccard's lossless inverted-index tier.) The
+    // signature-estimate bound (|est − true| ≤ 250‰, ≈3.5σ at 32 slots)
+    // rides as `est_ok`, now REPLAYED by the oracle rather than assumed
+    // true. DedupSpec keeps the recall property pins as the named
+    // failure diagnosis.
     "q_dedup_minhash" -> ((s, d) => {
       // materialized: the shingle table feeds signature building and the
       // verification joins; the SLIM (doc_id, sig) table feeds the band
@@ -606,12 +632,18 @@ object Dedup {
       // WITHOUT the shingle arrays keeps the recompute guard while writing
       // ~1% of the bytes the combined table would.
       val sh = materializeCached(s, docShingleHashes(s, d).where(size(col("sh")) > 0), "mh_sh", d)
-      val sig = materializeCached(s, minhashSigs(sh), "mh", d)
+      val sig = materializeCached(s,
+        minhashSigs(docShingles(s, d).where(size(col("sh")) > 0)), "mh", d)
+      // band bucket key = the 4 slot values themselves, comma-joined —
+      // not a hash of them: the oracle replays the identical string, so
+      // the BANDING RULE is part of the contract (round 12; see the
+      // oracle note below)
       val banded = sig
         .select(col("doc_id"),
           explode(transform(sequence(lit(0), lit(nHashes / bandSize - 1)),
             b => struct(b.as("band"),
-              xxhash64(slice(col("sig"), b * bandSize + 1, lit(bandSize))).as("bh"))))
+              array_join(transform(slice(col("sig"), b * bandSize + 1, lit(bandSize)),
+                _.cast("string")), ",").as("bh"))))
             .as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       val cand = banded.as("a")
@@ -838,24 +870,57 @@ object Dedup {
                 s"(x >> ${c * simhashChunkBits}) & ${(1L << simhashChunkBits) - 1} = 0")
                 .mkString(" OR ")})
          |ORDER BY ia, ib""".stripMargin,
-    // Exact Jaccard at the banding tier's ≥ 500‰ threshold: the row set
-    // pins banding recall, `true AS est_ok` pins the signature-estimate
-    // bound (X144 discipline — see the query comment). `shared` comes
-    // from the inverted-index join (count of common distinct shingles ≡
-    // len(list_intersect)) rather than an all-pairs cross: every
-    // qualifying pair has shared ≥ 1, so the candidate set is lossless,
-    // and the oracle stays tractable at the sf1 full-inventory gate
-    // (50k docs → Σdf² ≈ 3M index pairs vs 1.25G crossed pairs).
+    // FULL PIPELINE REPLAY (round 12): md5-derived 60-bit shingle ids →
+    // the fixed-constant universal-hash slots → 8 band keys → the band
+    // candidate join → exact Jaccard verify → the estimate bound. The
+    // row set matches the engine BY CONSTRUCTION at every scale — the
+    // banding rule itself is under oracle, honest LSH semantics included
+    // (a borderline pair banding misses is absent on BOTH sides; the
+    // sf10 gate showed the old "≡ brute force" claim breaks the moment
+    // the corpus produces one). Exact recall stays pinned where it is
+    // true: q_dedup_ngram_jaccard's lossless inverted-index tier.
     "q_dedup_minhash" ->
-      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s
+      s"""WITH sh AS MATERIALIZED (SELECT doc_id, $shinglesSql AS s
          |            FROM (SELECT doc_id, $toksSql AS l FROM documents)),
-         |$pairsByIndexSql
-         |SELECT ia, ib, CAST(shared AS BIGINT) AS shared,
-         |       CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
-         |       (shared * 1000) // (na + nb - shared) AS jac_permille,
-         |       true AS est_ok
-         |FROM pairs WHERE shared * 2 >= (na + nb - shared)
-         |ORDER BY ia, ib""".stripMargin,
+         |hs AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform(s, g ->
+         |    ('0x' || md5(g)[1:15])::BIGINT)) AS hl
+         |  FROM sh WHERE len(s) > 0),
+         |sg AS MATERIALIZED (
+         |  SELECT doc_id, list(sv ORDER BY k) AS sig FROM (
+         |    SELECT doc_id, k.k AS k,
+         |           min(('0x' || md5(CAST(k.k AS VARCHAR) || '|' || e.g)[1:15])::BIGINT) AS sv
+         |    FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0) e,
+         |         range(0, $nHashes) k(k)
+         |    GROUP BY doc_id, k.k)
+         |  GROUP BY doc_id),
+         |bands AS MATERIALIZED (
+         |  SELECT doc_id, b.b AS band,
+         |         array_to_string(sig[CAST(b.b AS INT) * $bandSize + 1 :
+         |                             CAST(b.b AS INT) * $bandSize + $bandSize], ',') AS bh
+         |  FROM sg, range(0, ${nHashes / bandSize}) b(b)),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT ia, ib,
+         |         len(list_intersect(ha.hl, hb.hl)) AS shared,
+         |         len(ha.hl) AS na, len(hb.hl) AS nb,
+         |         list_sum(list_transform(range(1, ${nHashes + 1}),
+         |           i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]
+         |                     THEN 1 ELSE 0 END)) AS est
+         |  FROM cand
+         |  JOIN hs ha ON ha.doc_id = cand.ia JOIN hs hb ON hb.doc_id = cand.ib
+         |  JOIN sg sa ON sa.doc_id = cand.ia JOIN sg sb ON sb.doc_id = cand.ib)
+         |SELECT * FROM (
+         |  SELECT ia, ib, CAST(shared AS BIGINT) AS shared,
+         |         CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |         (shared * 1000) // (na + nb - shared) AS jac_permille,
+         |         abs(est * 1000.0 / $nHashes
+         |             - ((shared * 1000) // (na + nb - shared))) <= 250 AS est_ok
+         |  FROM pairs WHERE (shared * 1000) // (na + nb - shared) >= 500
+         |) ORDER BY ia, ib""".stripMargin,
     "q_minhash_est" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s
          |            FROM (SELECT doc_id, $toksSql AS l FROM documents)),
