@@ -920,7 +920,7 @@ object Dedup {
          |         abs(est * 1000.0 / $nHashes
          |             - ((shared * 1000) // (na + nb - shared))) <= 250 AS est_ok
          |  FROM pairs WHERE (shared * 1000) // (na + nb - shared) >= 500
-         |) ORDER BY ia, ib""".stripMargin,
+         |) ORDER BY ia, ib LIMIT 9223372036854775807""".stripMargin,
     "q_minhash_est" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s
          |            FROM (SELECT doc_id, $toksSql AS l FROM documents)),

@@ -125,9 +125,12 @@ object KCore {
          |  SELECT node, count(*) AS degree FROM (
          |    SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3
          |  ) GROUP BY node
-         |) ORDER BY node""".stripMargin)
-  // ^ ORDER BY wrapped OUTSIDE the aggregate: under DuckDB 1.0 with
-  // preserve_insertion_order=false (check.py's at-scale setting), an
-  // ORDER BY directly atop a GROUP BY fed by MATERIALIZED CTEs streams
-  // out of order; the outer-select form keeps the sort.
+         |) ORDER BY node LIMIT 9223372036854775807""".stripMargin)
+  // ^ ORDER BY wrapped OUTSIDE the aggregate WITH a no-op LIMIT: under
+  // DuckDB 1.0 with preserve_insertion_order=false, a final sort fed by
+  // MATERIALIZED CTEs can stream its batches out of order (measured 1-in-3
+  // flaky without the LIMIT, 0-in-18 with it — the LIMIT routes through an
+  // order-emitting operator). check.py no longer sets that option, but the
+  // driver's DuckDB settings are not ours to control, so the oracle text
+  // itself stays order-robust. LIMIT = Long.MaxValue never truncates.
 }
